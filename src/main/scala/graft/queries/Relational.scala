@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Testdata._
+
+/** The reference's delegated relational query surface
+  * (`/root/reference/querying.md`, SURVEY.md §2 rows P12–P16, J11, A1–A5,
+  * O1–O4) re-expressed over the driver testdata tables, plus the TPC-H-ish
+  * headline aggregations used for benchmarking.
+  *
+  * Design notes (100 TB framing):
+  *  - every query is a declarative DataFrame plan: filters/projections sit
+  *    directly on the parquet scan so Catalyst pushes them down
+  *    (`PushedFilters`/`ReadSchema`), aggregation is hash-based with
+  *    map-side partial aggregation, and small dimension tables
+  *    (region/nation/customer at any SF where they are < the broadcast
+  *    threshold) go through `broadcast()` hints so the fact-table scan
+  *    never shuffles for them.
+  *  - money arithmetic is done in DECIMAL so results are bit-identical to
+  *    the DuckDB oracle regardless of partition/accumulation order; raw
+  *    double sums would be order-dependent at scale.
+  *  - every query ends in a total deterministic ORDER BY for hash-stable
+  *    comparison. At 100 TB a global sort on the *result* is fine: these
+  *    results are group-by summaries orders of magnitude smaller than the
+  *    inputs.
+  */
+object Relational {
+
+  /** Decimal cast used for money math; (12,2) holds any single value in the
+    * data, products widen automatically. */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  // ---------------------------------------------------------------- filters
+
+  /** P12 — equality filter (querying.md:13 `WHERE sender_name = 'Alice'`). */
+  def filterEq(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** P13 — LIKE prefix + infix (querying.md:17,21). */
+  def filterLike(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_name").like("red%") || col("p_name").contains("bolt"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  /** P14 — BETWEEN range predicate on time (querying.md:25). */
+  def filterBetween(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate").between("1996-01-01", "1996-12-31"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** P14 — conjunction of range + equality (querying.md:31). */
+  def filterConj(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") < "1996-01-01" && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- joins
+
+  /** J11 — the canonical messages⋈parts inner join (querying.md:35) shape:
+    * fact ⋈ fact equi-join on the FK. At scale this is a shuffle join on
+    * the key; with both sides bucketed by the key it would be shuffle-free.
+    */
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val c = customer(s, d)
+    // customer is the small side at every SF (1:10 vs orders) → broadcast.
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  /** J1-shape — three-way join + filtered aggregation (TPC-H Q3-like).
+    * lineitem⋈orders shuffles on orderkey; customer broadcasts. Revenue in
+    * DECIMAL for order-independent sums. */
+  def joinMultiAgg(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .filter(c("c_mktsegment") === "MACHINERY" && o("o_orderdate") < "1997-01-01")
+      .groupBy(o("o_orderkey").as("o_orderkey"))
+      .agg(sum(dec(l("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(l("l_discount"))))
+        .cast("decimal(18,4)").as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Left anti join — the inter-batch dedup shape (A4): rows of one batch
+    * whose key does NOT exist in the store. Customers with no 1995 orders. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+      .filter(col("o_orderdate") < "1996-01-01")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ----------------------------------------------------------- aggregations
+
+  /** A1/A3 — global + categorized counters (import stats shape). */
+  def aggCounters(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+      .orderBy("o_orderstatus")
+
+  /** TPC-H Q1-style pricing summary — the headline bench aggregation.
+    * Map-side partial hash agg → tiny shuffle (few groups). */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= "2001-09-01")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+        sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(col("l_discount"))))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"), // exact sum / count: deterministic
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2 — order-aligned string aggregation (the group-members comma list,
+    * sms-db.pl:83,187). Deterministic via sort_array before joining. */
+  def groupConcat(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("n_regionkey")
+
+  /** A4 — exact dedup semantics: one surviving row per key, duplicate
+    * counts. Documents keyed by text body (hash-groupBy shape: a single
+    * shuffle on the dedup key, identical to dropDuplicates' plan but also
+    * yielding the duplicate count the reference reports, sms-db.pl:325-331).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("distinct_docs"),
+        sum(col("copies") - 1).as("duplicates"))
+
+  // ------------------------------------------------------- sort/limit/union
+
+  /** O1/O2 — global ORDER BY timestamp (every querying.md query). */
+  def orderByTime(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "value")
+      .orderBy(col("event_id"))
+
+  /** O3 — first-part-only per message (sms-db.pl:247): first row per group
+    * with a deterministic tiebreak, via a ranking window. */
+  def firstPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+      .orderBy("o_custkey")
+  }
+
+  /** O4 — union of repeated imports + dedup (README.md:39-43 multi-file
+    * accumulation): unionByName then dropDuplicates on the key. */
+  def unionDedup(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).filter(col("c_custkey") % 2 === 0)
+    val b = customer(s, d).filter(col("c_custkey") % 3 === 0)
+    a.unionByName(b)
+      .dropDuplicates("c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_filter_eq"      -> filterEq _,
+    "rel_filter_like"    -> filterLike _,
+    "rel_filter_between" -> filterBetween _,
+    "rel_filter_conj"    -> filterConj _,
+    "rel_join_inner"     -> joinInner _,
+    "rel_join_multi_agg" -> joinMultiAgg _,
+    "rel_join_anti"      -> joinAnti _,
+    "rel_agg_counters"   -> aggCounters _,
+    "rel_pricing_summary" -> pricingSummary _,
+    "rel_group_concat"   -> groupConcat _,
+    "rel_dedup_exact"    -> dedupExact _,
+    "rel_order_by_time"  -> orderByTime _,
+    "rel_first_per_group" -> firstPerGroup _,
+    "rel_union_dedup"    -> unionDedup _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_filter_eq" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+    "rel_filter_like" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_name LIKE 'red%' OR p_name LIKE '%bolt%' ORDER BY p_partkey""".stripMargin,
+    "rel_filter_between" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_filter_conj" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice, o_orderdate
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "rel_join_multi_agg" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_agg_counters" ->
+      """SELECT o_orderstatus, COUNT(1) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  AVG(l_quantity) AS avg_qty,
+        |  COUNT(1) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_group_concat" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "rel_dedup_exact" ->
+      """SELECT COUNT(1) AS distinct_docs, SUM(copies - 1) AS duplicates FROM (
+        |  SELECT text, MIN(doc_id) AS keep_id, COUNT(1) AS copies
+        |  FROM documents GROUP BY text)""".stripMargin,
+    "rel_order_by_time" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    "rel_first_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "rel_union_dedup" ->
+      """SELECT c_mktsegment, COUNT(1) AS n FROM (
+        |  SELECT DISTINCT c_custkey, c_mktsegment FROM (
+        |    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0
+        |    UNION ALL
+        |    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** SURVEY.md §2.7 scalar-function surface (F1–F11), exercised over the
+  * driver testdata with DuckDB oracle twins. All of these are Catalyst
+  * built-ins — codegen'd, null-safe, and fully pushdown/pruning friendly;
+  * none need UDFs.
+  */
+object Scalars {
+
+  /** F1/F2 — SHA-256 hex over a no-separator concatenation of fields:
+    * exactly the reference's dedup-key discipline (sms-db.pl:324-325,
+    * README.md:115): fixed field order, no separator, UTF-8 bytes.
+    */
+  def sha256Key(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        sha2(concat(col("c_name"), col("c_mktsegment"), col("c_custkey").cast("string")), 256)
+          .as("row_hash"))
+      .orderBy("c_custkey")
+
+  /** F3 — base64 encode/decode round trip (MMS binary part handling,
+    * sms-db.pl:88,280). */
+  def base64Roundtrip(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        base64(encode(col("p_name"), "UTF-8")).as("b64"),
+        decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("roundtrip"))
+      .orderBy("p_partkey")
+
+  /** F4/F5 — split a delimited string and re-join (comma-joined recipient
+    * lists, sms-db.pl:83,184). */
+  def splitJoin(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        size(split(col("p_name"), " ")).as("n_tokens"),
+        element_at(split(col("p_name"), " "), 1).as("first_token"),
+        array_join(split(col("p_name"), " "), ",").as("rejoined"))
+      .orderBy("p_partkey")
+
+  /** F6/F7 — regex strip/extract (digits-only address normalization
+    * sms-db.pl:265-266; attachment-filename match sms-db.pl:121-122). */
+  def regexOps(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "\\D", "").as("digits_only"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("extracted"))
+      .orderBy("c_custkey")
+
+  /** F9/P2/P5/P8/P9 — conditional direction mapping + sentinel fill:
+    * the when/otherwise + coalesce idiom of the reference's direction
+    * ternaries and `//` defaults (sms-db.pl:70,104,152-153). */
+  def whenCoalesce(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        when(col("event_type") === "purchase", lit(2))
+          .when(col("event_type") === "signup", lit(1))
+          .otherwise(lit(0)).as("msg_box_like"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("<UNAVAILABLE>"))
+          .as("type_or_sentinel"))
+      .orderBy("event_id")
+
+  /** F11 — epoch-millis ↔ timestamp conversion (README.md:117: timestamps
+    * are epoch ms; querying.md:27 converts via `date`). Daily message-volume
+    * rollup on the converted value. */
+  def timeConvert(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        unix_millis(col("ts").cast("timestamp")).as("epoch_ms"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        col("value"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), min(col("epoch_ms")).as("first_ms"))
+      .orderBy("day")
+
+  /** JSON side-data extraction (events.props) — get_json_object is the
+    * Spark-native path; at scale this stays inside codegen (Jackson parse
+    * per row, no UDF). */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  /** P7 — enum-code mapping via a map literal (Signal type map,
+    * sms-db.pl:131): unknown codes → NULL → filtered, with the skip counted
+    * on the anti side like the reference's warn+skip. */
+  def enumMap(s: SparkSession, d: String): DataFrame = {
+    val codes = typedLit(Map("purchase" -> 2, "signup" -> 1, "click" -> 0, "view" -> 0))
+    events(s, d)
+      .select(col("event_type"), element_at(codes, col("event_type")).as("code"))
+      .groupBy("event_type", "code")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_sha256"        -> sha256Key _,
+    "fn_base64"        -> base64Roundtrip _,
+    "fn_split_join"    -> splitJoin _,
+    "fn_regex"         -> regexOps _,
+    "fn_when_coalesce" -> whenCoalesce _,
+    "fn_time_convert"  -> timeConvert _,
+    "fn_json"          -> jsonExtract _,
+    "fn_enum_map"      -> enumMap _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fn_sha256" ->
+      """SELECT c_custkey, sha256(c_name || c_mktsegment || CAST(c_custkey AS VARCHAR)) AS row_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_base64" ->
+      """SELECT p_partkey, to_base64(encode(p_name)) AS b64,
+        |  decode(from_base64(to_base64(encode(p_name)))) AS roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_split_join" ->
+      """SELECT p_partkey, len(string_split(p_name, ' ')) AS n_tokens,
+        |  string_split(p_name, ' ')[1] AS first_token,
+        |  array_to_string(string_split(p_name, ' '), ',') AS rejoined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT c_custkey, regexp_replace(c_name, '\D', '', 'g') AS digits_only,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS extracted
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_when_coalesce" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 2
+        |       WHEN event_type = 'signup' THEN 1 ELSE 0 END AS msg_box_like,
+        |  COALESCE(NULLIF(event_type, 'error'), '<UNAVAILABLE>') AS type_or_sentinel
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_time_convert" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(1) AS n,
+        |  MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS first_ms
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "fn_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(1) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "fn_enum_map" ->
+      """SELECT event_type,
+        |  CASE event_type WHEN 'purchase' THEN 2 WHEN 'signup' THEN 1
+        |       WHEN 'click' THEN 0 WHEN 'view' THEN 0 END AS code,
+        |  COUNT(1) AS n
+        |FROM events GROUP BY event_type, code ORDER BY event_type""".stripMargin,
+  )
+}

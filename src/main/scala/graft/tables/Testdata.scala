@@ -1,0 +1,39 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Loaders for the driver-provided parquet testdata
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md §5).
+  *
+  * All `SparkEntry.queries` entries receive an `sfDir` and read through
+  * here, so the scan layer is defined once: plain parquet scans that
+  * Catalyst can prune/push into (vectorized reader, predicate pushdown,
+  * column pruning all apply).
+  */
+object Testdata {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the
+    * raw INT64 nanos via the legacy conf and convert to a micro-precision
+    * TIMESTAMP_NTZ — integer `div` (not double division: epoch-nanos
+    * ~1.7e18 exceeds double's 2^53 exact-integer range), matching DuckDB's
+    * own nanos→micros truncation.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs DuckDB over the same parquet testdata for every entry in
+oracle_sql.json (produced by `sbt "runMain graft.Verify <sfDir> <outDir>"`)
+and compares against the Spark result parquet under <outDir>/<name>/.
+
+Compare discipline (mirrors the documented driver behavior): sort columns
+by name, sort rows, compare cell values exactly (floats via repr).
+Usage: tools/check.py <sfDir> <outDir>
+"""
+import glob
+import json
+import math
+import sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(round(v, 9) + 0.0)
+            elif isinstance(v, (bytes, bytearray)):
+                v = v.hex()
+            else:
+                v = repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{files[0]}'")
+        got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+        try:
+            exp_rel = con.sql(oracle[name])
+            exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+            n_fail += 1
+        elif got != exp:
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows", )
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff row {i}:\n    got {g}\n    exp {e}")
+                    break
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
