@@ -1,0 +1,59 @@
+package graft.store
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Byte-exact reproduction of the reference's dedup key (sms-db.pl:324-325,
+  * README.md:115):
+  *
+  *   sha256_hex(encode_utf8(join('', @meta_fields,
+  *                                map {(data, content_type)} @parts)))
+  *
+  * Semantics to reproduce exactly (SURVEY.md §7.4):
+  *  - fixed field order per `@message_fields` (sms-db.pl:39), NO separator;
+  *  - numeric fields stringified in decimal (Perl string context);
+  *  - undefined fields join as '' (Perl `join` on undef);
+  *  - `filename` is NOT hashed;
+  *  - the joined value is a Perl character string: text fields are real
+  *    character data, while binary part `data` (base64-decoded attachment
+  *    bytes) is a byte-string whose chars are U+0000..U+00FF. `encode_utf8`
+  *    then UTF-8-encodes the whole thing, so bytes ≥ 0x80 inside binary
+  *    data become 2-byte UTF-8 sequences — i.e. a latin-1→UTF-8 transcode.
+  *
+  * All of that composes from Catalyst built-ins (codegen'd, no UDF):
+  * metadata → `encode(concat_ws("", ...), "UTF-8")`, binary part data →
+  * `encode(decode(data, "ISO-8859-1"), "UTF-8")`, fold over the parts
+  * array with `aggregate`, then `sha2(..., 256)`.
+  */
+object MessageHash {
+
+  private val utf8 = "UTF-8"
+  private val latin1 = "ISO-8859-1"
+
+  /** UTF-8 bytes of the metadata prefix. `concat_ws` skips SQL NULLs,
+    * matching Perl join's treatment of undef as ''. */
+  def metaBytes(field: String => Column): Column =
+    encode(
+      concat_ws("", Model.messageFields.map(f => field(f).cast("string")): _*),
+      utf8)
+
+  /** Hash-input contribution of one part struct: transcoded data bytes ++
+    * UTF-8 content_type (filename excluded, sms-db.pl:325). */
+  private def partBytes(p: Column): Column =
+    concat(
+      coalesce(encode(decode(p.getField("data"), latin1), utf8), lit(Array.empty[Byte])),
+      coalesce(encode(p.getField("content_type"), utf8), lit(Array.empty[Byte])))
+
+  /** SHA-256 hex of a message given its metadata columns and nested
+    * `parts: array<struct<data,content_type,filename>>` column. */
+  def hashColumn(field: String => Column, parts: Column): Column =
+    sha2(
+      aggregate(
+        coalesce(parts, array()),
+        metaBytes(field),
+        (acc, p) => concat(acc, partBytes(p))),
+      256)
+
+  /** Convenience for a RawMessage-shaped DataFrame (Model.rawMessageSchema). */
+  def forRawMessages: Column = hashColumn(col, col("parts"))
+}

@@ -1,0 +1,117 @@
+package graft.store
+
+import org.apache.spark.sql.types._
+
+/** Canonical data model of the engine — the reference's two-table store
+  * (`/root/reference/sms-db.pl:49,53`, README.md:111) in Spark types
+  * (SURVEY.md §1).
+  *
+  * `messages` is metadata (one row per message), `parts` is payload (one
+  * row per MIME part, FK to messages). Sentinel strings are data, not SQL
+  * NULLs — they feed the dedup hash (sms-db.pl:70,103,142).
+  */
+object Model {
+
+  /** Direction codes (README.md:123). */
+  object MsgBox {
+    val Received = 1; val Sent = 2; val Draft = 3; val Outbox = 4
+  }
+
+  /** Message class (README.md:125, sms-db.pl:37). */
+  object MessageType {
+    val Sms = 0; val Mms = 1
+  }
+
+  /** Provenance (README.md:127, sms-db.pl:36). */
+  object SourceFormat {
+    val Xml = 0; val Bugle = 1; val Signal = 2
+  }
+
+  /** Sentinel conventions (sms-db.pl:70,103,142,276-279). */
+  object Sentinels {
+    val Self = "<SELF>"
+    val Unavailable = "<UNAVAILABLE>"
+    val NullString = "null"
+  }
+
+  /** Hash input field order — fixed by the reference's `@message_fields`
+    * (sms-db.pl:39); deviation silently breaks cross-batch dedup. */
+  val messageFields: Seq[String] = Seq(
+    "timestamp", "sender_address", "sender_name",
+    "recipient_address", "recipient_name",
+    "msg_box", "message_type", "source_format")
+
+  /** One MIME part as carried inside a raw (pre-id) message. */
+  case class RawPart(data: Array[Byte], content_type: String, filename: Option[String])
+
+  /** One message + its parts as a single unit, the shape every ingest
+    * connector produces. Parts ride along in a nested array so the
+    * message→parts linkage survives shuffles without a join
+    * (SURVEY.md §1.4, J10). */
+  case class RawMessage(
+      timestamp: Long,
+      sender_address: String,
+      sender_name: String,
+      recipient_address: String,
+      recipient_name: String,
+      msg_box: Int,
+      message_type: Int,
+      source_format: Int,
+      parts: Seq[RawPart])
+
+  /** Flat canonical `messages` row (post id-assignment). */
+  case class Message(
+      _id: Long,
+      timestamp: Long,
+      sender_address: String,
+      sender_name: String,
+      recipient_address: String,
+      recipient_name: String,
+      msg_box: Int,
+      message_type: Int,
+      source_format: Int,
+      hash: String)
+
+  /** Flat canonical `parts` row. */
+  case class Part(
+      _id: Long,
+      message_id: Long,
+      data: Array[Byte],
+      content_type: String,
+      filename: Option[String])
+
+  val partStruct: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("content_type", StringType),
+    StructField("filename", StringType)))
+
+  val rawMessageSchema: StructType = StructType(Seq(
+    StructField("timestamp", LongType),
+    StructField("sender_address", StringType),
+    StructField("sender_name", StringType),
+    StructField("recipient_address", StringType),
+    StructField("recipient_name", StringType),
+    StructField("msg_box", IntegerType),
+    StructField("message_type", IntegerType),
+    StructField("source_format", IntegerType),
+    StructField("parts", ArrayType(partStruct))))
+
+  val messagesSchema: StructType = StructType(Seq(
+    StructField("_id", LongType, nullable = false),
+    StructField("timestamp", LongType),
+    StructField("sender_address", StringType),
+    StructField("sender_name", StringType),
+    StructField("recipient_address", StringType),
+    StructField("recipient_name", StringType),
+    StructField("msg_box", IntegerType),
+    StructField("message_type", IntegerType),
+    StructField("source_format", IntegerType),
+    StructField("hash", StringType)))
+
+  val partsSchema: StructType = StructType(Seq(
+    StructField("_id", LongType, nullable = false),
+    StructField("message_id", LongType, nullable = false),
+    StructField("data", BinaryType),
+    StructField("content_type", StringType),
+    StructField("filename", StringType)))
+}
