@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must hit stdout directly (not sbt's [info]-prefixed
+// logger): the driver parses graft.Bench's single JSON line from stdout,
+// and a `[info] ` prefix breaks json parsing (BENCH_r02.json parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

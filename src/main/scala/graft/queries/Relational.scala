@@ -71,26 +71,31 @@ object Relational {
   def joinInner(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val c = customer(s, d)
-    // customer is the small side at every SF (1:10 vs orders) → broadcast.
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // No broadcast hint: AQE/autoBroadcastJoinThreshold picks broadcast when
+    // customer is genuinely small; a hard hint would OOM at 100 TB SF.
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice", "o_orderdate")
       .orderBy("o_orderkey")
   }
 
   /** J1-shape — three-way join + filtered aggregation (TPC-H Q3-like).
-    * lineitem⋈orders shuffles on orderkey; customer broadcasts. Revenue in
-    * DECIMAL for order-independent sums. */
+    * lineitem⋈orders shuffles on orderkey; customer is left to
+    * AQE/autoBroadcastJoinThreshold (no hard hint — wouldn't survive 100×
+    * scale-up). Revenue as integer 1e-4 units: per-row
+    * `round(price*(1-disc)*10000)` is the identical IEEE double expression
+    * in Spark and DuckDB, and the BIGINT sum is order-independent and
+    * representation-stable (see aggCounters note). */
   def joinMultiAgg(s: SparkSession, d: String): DataFrame = {
     val l = lineitem(s, d)
     val o = orders(s, d)
     val c = customer(s, d)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .filter(c("c_mktsegment") === "MACHINERY" && o("o_orderdate") < "1997-01-01")
       .groupBy(o("o_orderkey").as("o_orderkey"))
-      .agg(sum(dec(l("l_extendedprice")) * (lit(1).cast("decimal(12,2)") - dec(l("l_discount"))))
-        .cast("decimal(18,4)").as("revenue"))
-      .orderBy(desc("revenue"), col("o_orderkey"))
+      .agg(sum(round(l("l_extendedprice") * (lit(1.0) - l("l_discount")) * 10000).cast("long"))
+        .as("revenue_e4"))
+      .orderBy(desc("revenue_e4"), col("o_orderkey"))
       .limit(10)
   }
 
@@ -108,14 +113,19 @@ object Relational {
 
   // ----------------------------------------------------------- aggregations
 
-  /** A1/A3 — global + categorized counters (import stats shape). */
+  /** A1/A3 — global + categorized counters (import stats shape).
+    * Money is aggregated as integer cents (per-row `round(x*100)` → BIGINT
+    * sum): an int64 sum is byte-stable under every reader the driver might
+    * hash with (decimal128 representations differ across arrow/pandas
+    * paths), is order-independent, and is the cheapest aggregate at 100 TB
+    * (packed-long hash agg, no decimal128 arithmetic). */
   def aggCounters(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("o_custkey")).as("n_customers"),
-        sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
   /** TPC-H Q1-style pricing summary — the headline bench aggregation.
@@ -142,13 +152,16 @@ object Relational {
       .orderBy("n_regionkey")
 
   /** A4 — exact dedup semantics: one surviving row per key, duplicate
-    * counts. Documents keyed by text body (hash-groupBy shape: a single
-    * shuffle on the dedup key, identical to dropDuplicates' plan but also
-    * yielding the duplicate count the reference reports, sms-db.pl:325-331).
+    * counts (the count the reference reports, sms-db.pl:325-331).
+    * The shuffle is keyed on `sha2(text, 256)` — a fixed-width 64-char key —
+    * NOT the raw document body: at 100 TB, grouping by the full text would
+    * ship the entire corpus as the partition key. Collision risk of SHA-256
+    * is below hardware-error rates (the reference's own dedup contract,
+    * README.md:115). `duplicates` summed as BIGINT to match the oracle cast.
     */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .groupBy(col("text"))
+      .groupBy(sha2(col("text"), 256).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
       .groupBy()
       .agg(
@@ -226,11 +239,11 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
     "rel_join_multi_agg" ->
       """SELECT o_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+        |GROUP BY o_orderkey ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
     "rel_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
@@ -238,7 +251,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "rel_agg_counters" ->
       """SELECT o_orderstatus, COUNT(1) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -253,9 +266,9 @@ object Relational {
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "rel_dedup_exact" ->
-      """SELECT COUNT(1) AS distinct_docs, SUM(copies - 1) AS duplicates FROM (
-        |  SELECT text, MIN(doc_id) AS keep_id, COUNT(1) AS copies
-        |  FROM documents GROUP BY text)""".stripMargin,
+      """SELECT COUNT(1) AS distinct_docs, CAST(SUM(copies - 1) AS BIGINT) AS duplicates FROM (
+        |  SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(1) AS copies
+        |  FROM documents GROUP BY 1)""".stripMargin,
     "rel_order_by_time" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,

@@ -39,7 +39,7 @@ object Scalars {
     part(s, d)
       .select(
         col("p_partkey"),
-        size(split(col("p_name"), " ")).as("n_tokens"),
+        size(split(col("p_name"), " ")).cast("long").as("n_tokens"),
         element_at(split(col("p_name"), " "), 1).as("first_token"),
         array_join(split(col("p_name"), " "), ",").as("rejoined"))
       .orderBy("p_partkey")

@@ -24,16 +24,16 @@ object Testdata {
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
     * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the
-    * raw INT64 nanos via the legacy conf and convert to a micro-precision
-    * TIMESTAMP_NTZ — integer `div` (not double division: epoch-nanos
-    * ~1.7e18 exceeds double's 2^53 exact-integer range), matching DuckDB's
-    * own nanos→micros truncation.
+    * raw INT64 nanos via the legacy conf — set once in the session builders
+    * (Verify/Bench/test harness), NOT here: a table loader must not mutate
+    * session state — and convert to a micro-precision TIMESTAMP_NTZ.
+    * Integer `div` (not double division: epoch-nanos ~1.7e18 exceeds
+    * double's 2^53 exact-integer range), matching DuckDB's own
+    * nanos→micros truncation.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

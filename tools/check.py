@@ -5,35 +5,37 @@ Runs DuckDB over the same parquet testdata for every entry in
 oracle_sql.json (produced by `sbt "runMain graft.Verify <sfDir> <outDir>"`)
 and compares against the Spark result parquet under <outDir>/<name>/.
 
-Compare discipline (mirrors the documented driver behavior): sort columns
-by name, sort rows, compare cell values exactly (floats via repr).
+Compare discipline: sort columns by name, sort rows, compare cell values
+EXACTLY (no float rounding), and compare the DuckDB-declared column TYPES
+of both sides. CAVEAT: the driver's own hash has failed queries this
+script passed (CORRECTNESS_r01/r02: decimal-output queries) — check.py
+passing is necessary, not sufficient. Keep driver-visible outputs to
+BIGINT/VARCHAR/DOUBLE where possible; avoid DECIMAL/HUGEINT outputs.
+
 Usage: tools/check.py <sfDir> <outDir>
 """
 import glob
 import json
-import math
 import sys
 
 import duckdb
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = repr(round(v, 9) + 0.0)
-            elif isinstance(v, (bytes, bytearray)):
-                v = v.hex()
+            if isinstance(v, (bytes, bytearray)):
+                v = ("bytes", v.hex())
             else:
-                v = repr(v)
+                v = (type(v).__name__, repr(v))
             vals.append(v)
         out.append(tuple(vals))
     out.sort()
-    return [cols[i] for i in order], out
+    return [cols[i] for i in order], [str(types[i]) for i in order], out
 
 
 def main(sf_dir, out_dir):
@@ -44,16 +46,18 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        got_rel = con.sql(f"SELECT * FROM '{files[0]}'")
-        got_cols, got = canon(got_rel.fetchall(), got_rel.columns)
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        got_cols, got_types, got = canon(got_rel.fetchall(), got_rel.columns,
+                                         got_rel.types)
         try:
             exp_rel = con.sql(oracle[name])
-            exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            exp_cols, exp_types, exp = canon(exp_rel.fetchall(),
+                                             exp_rel.columns, exp_rel.types)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
@@ -61,8 +65,11 @@ def main(sf_dir, out_dir):
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
+        elif got_types != exp_types:
+            print(f"FAIL {name}: types {got_types} != {exp_types}")
+            n_fail += 1
         elif got != exp:
-            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows", )
+            print(f"FAIL {name}: {len(got)} vs {len(exp)} rows")
             for i, (g, e) in enumerate(zip(got, exp)):
                 if g != e:
                     print(f"  first diff row {i}:\n    got {g}\n    exp {e}")
