@@ -18,8 +18,8 @@ object SparkEntry {
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalars.queries
+    Relational.queries ++ Scalars.queries ++ StoreQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Scalars.oracleSql
+    Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.{DemoStore, Store}
+
+/** CORRECTNESS entries over a REAL canonical messages/parts store, built by
+  * the full pipeline (Synctech XML fixture → [[graft.sources.SynctechXml]]
+  * → [[graft.store.Ingest]] dedup → parquet store) rather than over the
+  * TPC-H-style analog tables.
+  *
+  * The DuckDB oracles are VALUES literals: the expected rows are fully
+  * determined by the fixture and were derived from the reference's
+  * documented semantics (hashes computed with an independent python
+  * implementation — see [[DemoStore]]), so the driver's hash compare pins
+  * the whole ingest path end-to-end.
+  */
+object StoreQueries {
+
+  /** A3/K3 — the reference's import counters for both imports of the same
+    * file: second import must be all duplicates (sms-db.pl:232-233,
+    * README.md:39-43). */
+  def ingestStats(s: SparkSession, d: String): DataFrame = {
+    val b = DemoStore.get(s)
+    import s.implicits._
+    Seq(
+      (1, b.stats1.total, b.stats1.inserted, b.stats1.duplicates, b.stats1.ignored, b.stats1.parts),
+      (2, b.stats2.total, b.stats2.inserted, b.stats2.duplicates, b.stats2.ignored, b.stats2.parts))
+      .toDF("phase", "total", "inserted", "duplicates", "ignored", "n_parts")
+      .orderBy("phase")
+  }
+
+  /** F1 — the persisted dedup keys vs independently computed golden hashes
+    * (byte-exact contract of sms-db.pl:324-325). */
+  def hashGolden(s: SparkSession, d: String): DataFrame = {
+    val b = DemoStore.get(s)
+    Store.messages(s, b.storeDir)
+      .select(col("timestamp"), col("hash"))
+      .orderBy("timestamp")
+  }
+
+  /** J11/P15 — querying.md:35-39 over the real store: messages joined with
+    * their text parts, ordered by timestamp. */
+  def messagesParts(s: SparkSession, d: String): DataFrame = {
+    val b = DemoStore.get(s)
+    val m = Store.messages(s, b.storeDir)
+    val p = Store.parts(s, b.storeDir)
+    m.join(p, m("_id") === p("message_id"))
+      .filter(col("content_type").startsWith("text"))
+      .select(
+        col("timestamp"), col("sender_address"), col("recipient_address"),
+        col("msg_box"), col("message_type"), col("content_type"),
+        decode(col("data"), "UTF-8").as("body"))
+      .orderBy("timestamp")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_ingest_stats"   -> ingestStats _,
+    "store_hash_golden"    -> hashGolden _,
+    "store_messages_parts" -> messagesParts _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "store_ingest_stats" ->
+      """SELECT CAST(phase AS INTEGER) AS phase, CAST(total AS BIGINT) AS total,
+        |  CAST(inserted AS BIGINT) AS inserted, CAST(duplicates AS BIGINT) AS duplicates,
+        |  CAST(ignored AS BIGINT) AS ignored, CAST(n_parts AS BIGINT) AS n_parts
+        |FROM (VALUES (1, 4, 3, 1, 0, 4), (2, 4, 0, 4, 0, 0))
+        |  t(phase, total, inserted, duplicates, ignored, n_parts)
+        |ORDER BY phase""".stripMargin,
+    "store_hash_golden" ->
+      """SELECT CAST(ts AS BIGINT) AS "timestamp", hash FROM (VALUES
+        |  (1593900000000, '47df7da02e38fdf4d6ce39835e0dbdfc35e91c59eb96830b078242c9d0baf39e'),
+        |  (1593900060000, '1f93bca5d7a435cf17a546acc5a1bd719e1c497892162f9ec72f76b50cf1cd72'),
+        |  (1593900120000, '436113ae8c75b55965c15e6dcdee2008b4a227ac48d00753ddc4a41f87c4e8c0'))
+        |  t(ts, hash) ORDER BY 1""".stripMargin,
+    "store_messages_parts" ->
+      """SELECT CAST(ts AS BIGINT) AS "timestamp", sender_address, recipient_address,
+        |  CAST(msg_box AS INTEGER) AS msg_box, CAST(message_type AS INTEGER) AS message_type,
+        |  content_type, body FROM (VALUES
+        |  (1593900000000, '+15551230001', '<SELF>', 1, 0, 'text/plain', 'hello from Alice'),
+        |  (1593900060000, '<SELF>', '+15551230001', 2, 0, 'text/plain', 'hi Alice — ça va?'),
+        |  (1593900120000, '<SELF>', '+15551230001,+15551230001,+15551230002', 2, 1, 'text/plain', 'see photo'))
+        |  t(ts, sender_address, recipient_address, msg_box, message_type, content_type, body)
+        |ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,84 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Format-compatible SQLite sink (SURVEY.md K1–K2; reference DDL
+  * sms-db.pl:48-56, batched single-transaction insert sms-db.pl:47,57-58,231).
+  *
+  * SQLite is single-writer, so parallel JDBC executor writes would just
+  * serialize on the file lock (SURVEY.md §7.4.6). The scalable shape is:
+  * all distributed work (ingest, dedup, id assignment) happens in Spark;
+  * the final, already-small canonical rows stream driver-side through ONE
+  * connection in ONE transaction — exactly the reference's commit
+  * discipline. `toLocalIterator` keeps at most one partition in driver
+  * memory.
+  *
+  * Runtime-optional: the environment ships no SQLite JDBC driver, so this
+  * compiles against plain `java.sql` and raises a clear error if the driver
+  * is absent. Covered by the export/WriteSpec integration points once a
+  * driver jar is on the classpath.
+  */
+object SqliteSink {
+
+  val MessagesDdl: String =
+    """CREATE TABLE IF NOT EXISTS messages(
+      |_id INTEGER PRIMARY KEY AUTOINCREMENT,timestamp INT,
+      |sender_address TEXT,sender_name TEXT,recipient_address TEXT,
+      |recipient_name TEXT,msg_box INT,message_type INT,source_format INT,
+      |hash INT UNIQUE)""".stripMargin
+
+  val PartsDdl: String =
+    """CREATE TABLE IF NOT EXISTS parts(
+      |_id INTEGER PRIMARY KEY AUTOINCREMENT,message_id INT,data BLOB,
+      |content_type TEXT,filename TEXT,
+      |FOREIGN KEY (message_id) REFERENCES messages(_id) ON DELETE CASCADE)""".stripMargin
+
+  def connect(dbPath: String): Connection = {
+    try Class.forName("org.sqlite.JDBC")
+    catch {
+      case _: ClassNotFoundException =>
+        throw new IllegalStateException(
+          "SQLite JDBC driver not on classpath; add sqlite-jdbc to use the SQLite sink")
+    }
+    DriverManager.getConnection(s"jdbc:sqlite:$dbPath")
+  }
+
+  /** Write messages + parts into a reference-layout SQLite db: DDL-if-absent
+    * (K1), then one transaction of batched prepared inserts (K2). */
+  def write(dbPath: String, messages: DataFrame, parts: DataFrame,
+            batchSize: Int = 1000): Unit = {
+    val conn = connect(dbPath)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      st.execute(MessagesDdl); st.execute(PartsDdl)
+      st.execute(s"PRAGMA user_version = 2")
+      st.close()
+
+      val msgPs = conn.prepareStatement(
+        "INSERT INTO messages(_id,timestamp,sender_address,sender_name," +
+          "recipient_address,recipient_name,msg_box,message_type,source_format,hash)" +
+          " VALUES(?,?,?,?,?,?,?,?,?,?)")
+      var n = 0
+      messages.toLocalIterator().forEachRemaining { (r: Row) =>
+        (1 to 10).foreach(i => msgPs.setObject(i, r.get(i - 1)))
+        msgPs.addBatch(); n += 1
+        if (n % batchSize == 0) msgPs.executeBatch()
+      }
+      msgPs.executeBatch(); msgPs.close()
+
+      val partPs = conn.prepareStatement(
+        "INSERT INTO parts(_id,message_id,data,content_type,filename) VALUES(?,?,?,?,?)")
+      n = 0
+      parts.toLocalIterator().forEachRemaining { (r: Row) =>
+        (1 to 5).foreach(i => partPs.setObject(i, r.get(i - 1)))
+        partPs.addBatch(); n += 1
+        if (n % batchSize == 0) partPs.executeBatch()
+      }
+      partPs.executeBatch(); partPs.close()
+      conn.commit()
+    } finally conn.close()
+  }
+}

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.store.Model
+
+/** Synctech "SMS Backup & Restore" XML ingest connector (SURVEY.md S1–S3,
+  * P2–P4, P10; reference `/root/reference/sms-db.pl:63-92`).
+  *
+  * Spark-first shape: the whole backup is read by Spark's built-in XML data
+  * source (one distributed scan per rowTag — `<sms>` and `<mms>` — instead
+  * of the reference's whole-file DOM load, sms-db.pl:64), and every
+  * per-message transform is a declarative column expression, so a 100 TB
+  * pile of backup files ingests as an ordinary partitioned scan + narrow
+  * projections with no driver-side loops.
+  *
+  * Output: a RawMessage-shaped DataFrame (Model.rawMessageSchema) — nested
+  * parts ride along with the message, so the message→parts linkage needs no
+  * join downstream (J10).
+  */
+object SynctechXml {
+
+  /** Explicit attribute schemas (attributes carry the Spark XML `_` prefix).
+    * Everything is read as string — XML attrs are strings in the reference
+    * too (numeric comparisons there are Perl string-eq, sms-db.pl:70,80). */
+  private val smsSchema = StructType(Seq(
+    StructField("_date", StringType),
+    StructField("_type", StringType),
+    StructField("_address", StringType),
+    StructField("_contact_name", StringType),
+    StructField("_body", StringType)))
+
+  private val partSt = StructType(Seq(
+    StructField("_ct", StringType),
+    StructField("_name", StringType),
+    StructField("_text", StringType),
+    StructField("_data", StringType)))
+
+  private val addrSt = StructType(Seq(
+    StructField("_address", StringType),
+    StructField("_type", StringType)))
+
+  private val mmsSchema = StructType(Seq(
+    StructField("_date", StringType),
+    StructField("_msg_box", StringType),
+    StructField("_address", StringType),
+    StructField("_contact_name", StringType),
+    StructField("parts", StructType(Seq(StructField("part", ArrayType(partSt))))),
+    StructField("addrs", StructType(Seq(StructField("addr", ArrayType(addrSt)))))))
+
+  private def readTag(s: SparkSession, path: String, tag: String, schema: StructType): DataFrame =
+    s.read.format("xml").option("rowTag", tag).schema(schema).load(path)
+
+  private def rawPart(data: Column, ct: Column, filename: Column, isBytes: Column): Column =
+    struct(data.as("data"), ct.as("content_type"), filename.as("filename"), isBytes.as("is_bytes"))
+
+  /** `<sms>` rows → RawMessage (sms-db.pl:66-74). Direction ternary P2:
+    * type==1 ⇒ received (address is the sender), else sent. Exactly one
+    * text/plain part holding the body (possibly null). */
+  def sms(s: SparkSession, path: String): DataFrame = {
+    val df = readTag(s, path, "sms", smsSchema)
+    val received = col("_type") === "1"
+    df.select(
+      col("_date").cast("long").as("timestamp"),
+      when(received, col("_address")).otherwise(Model.Sentinels.Self).as("sender_address"),
+      when(received, col("_contact_name")).otherwise(Model.Sentinels.Self).as("sender_name"),
+      when(received, Model.Sentinels.Self).otherwise(col("_address")).as("recipient_address"),
+      when(received, Model.Sentinels.Self).otherwise(col("_contact_name")).as("recipient_name"),
+      col("_type").cast("int").as("msg_box"),
+      lit(Model.MessageType.Sms).as("message_type"),
+      lit(Model.SourceFormat.Xml).as("source_format"),
+      array(rawPart(encode(col("_body"), "UTF-8"), lit("text/plain"),
+        lit(null).cast("string"), lit(false))).as("parts"))
+  }
+
+  /** `<mms>` rows → RawMessage (sms-db.pl:77-91).
+    *  - direction ternary P3: received starts with NULL recipient_address;
+    *  - `<addr>` children with type 151/129/130 (To/BCC/CC) append to the
+    *    comma-joined recipient list in document order (P4 + A2 ordering —
+    *    the XML array column preserves document order, so no explicit
+    *    ordinal is needed here);
+    *  - P10 text-vs-binary switch: a part is binary iff `data` is present
+    *    AND `text` is the literal string "null" (sms-db.pl:88), in which
+    *    case data is base64-decoded; otherwise the text attr's UTF-8 bytes.
+    */
+  def mms(s: SparkSession, path: String): DataFrame = {
+    val df = readTag(s, path, "mms", mmsSchema)
+    val received = col("_msg_box") === "1"
+
+    // P4/A2: recipients = (base address unless received) ++ To/CC/BCC addrs.
+    val recipientAddrs = filter(
+      coalesce(col("addrs.addr"), array().cast(ArrayType(addrSt))),
+      a => a.getField("_type").isin("151", "129", "130"))
+    val baseRecipient = when(received, lit(null: String)).otherwise(col("_address"))
+    val joined = concat_ws(",",
+      concat(
+        filter(array(baseRecipient), _.isNotNull),
+        transform(recipientAddrs, _.getField("_address"))))
+    // Perl leaves recipient_address undef when nothing accumulated.
+    val recipientAddress = when(joined === "", lit(null: String)).otherwise(joined)
+
+    val parts = transform(
+      coalesce(col("parts.part"), array().cast(ArrayType(partSt))),
+      p => {
+        val isBinary = p.getField("_data").isNotNull && p.getField("_text") === "null"
+        rawPart(
+          when(isBinary, unbase64(p.getField("_data")))
+            .otherwise(encode(p.getField("_text"), "UTF-8")),
+          p.getField("_ct"),
+          p.getField("_name"),
+          isBinary)
+      })
+
+    df.select(
+      col("_date").cast("long").as("timestamp"),
+      when(received, col("_address")).otherwise(Model.Sentinels.Self).as("sender_address"),
+      when(received, col("_contact_name")).otherwise(Model.Sentinels.Self).as("sender_name"),
+      recipientAddress.as("recipient_address"),
+      when(received, Model.Sentinels.Self).otherwise(col("_contact_name")).as("recipient_name"),
+      col("_msg_box").cast("int").as("msg_box"),
+      lit(Model.MessageType.Mms).as("message_type"),
+      lit(Model.SourceFormat.Xml).as("source_format"),
+      parts.as("parts"))
+  }
+
+  /** Full backup → RawMessage rows; `messageType` mirrors the `-t` gate
+    * (P1, sms-db.pl:65,76): "sms" | "mms" | "all". */
+  def read(s: SparkSession, path: String, messageType: String = "all"): DataFrame =
+    messageType match {
+      case "sms" => sms(s, path)
+      case "mms" => mms(s, path)
+      case _     => sms(s, path).unionByName(mms(s, path))
+    }
+}

@@ -1,0 +1,76 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.SynctechXml
+
+/** Deterministic end-to-end demo of the ingest pipeline, shared by the
+  * CORRECTNESS store queries and the ScalaTest suite: a synthetic Synctech
+  * XML backup (FIXTURES.md §2) imported twice — the second import must be
+  * 100% duplicates (README.md:39-43; dedup semantics sms-db.pl:325-331).
+  *
+  * Fixture content (4 raw messages → 3 canonical):
+  *  - sms received from Alice ("hello from Alice")
+  *  - sms sent to Alice (non-ASCII body — exercises the character-string
+  *    branch of the hash contract)
+  *  - byte-identical copy of the first sms (intra-batch duplicate)
+  *  - sent group MMS: text part + binary part (bytes 00 01 02 80 FF —
+  *    exercises the latin-1→UTF-8 byte-string branch) + addr accumulation
+  *    (type 151/130 appended in document order, 137 skipped)
+  *
+  * Golden hashes below were computed with an independent implementation
+  * (python hashlib over the documented Perl semantics), NOT with this
+  * engine — they pin byte-exactness, not self-consistency.
+  */
+object DemoStore {
+
+  val FixtureXml: String =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<smses count="4">
+      |  <sms date="1593900000000" type="1" address="+15551230001" contact_name="Alice" body="hello from Alice" read="1" status="-1"/>
+      |  <sms date="1593900060000" type="2" address="+15551230001" contact_name="Alice" body="hi Alice — ça va?" read="1" status="-1"/>
+      |  <sms date="1593900000000" type="1" address="+15551230001" contact_name="Alice" body="hello from Alice" read="1" status="-1"/>
+      |  <mms date="1593900120000" msg_box="2" address="+15551230001" contact_name="Alice">
+      |    <parts>
+      |      <part ct="text/plain" name="null" text="see photo"/>
+      |      <part ct="image/jpeg" name="photo.jpg" text="null" data="AAECgP8="/>
+      |    </parts>
+      |    <addrs>
+      |      <addr address="+15559990000" type="137" charset="0"/>
+      |      <addr address="+15551230001" type="151" charset="0"/>
+      |      <addr address="+15551230002" type="130" charset="0"/>
+      |    </addrs>
+      |  </mms>
+      |</smses>
+      |""".stripMargin
+
+  /** Independently computed SHA-256 dedup keys (see object Scaladoc). */
+  val GoldenHashes: Map[String, String] = Map(
+    "sms_received" -> "47df7da02e38fdf4d6ce39835e0dbdfc35e91c59eb96830b078242c9d0baf39e",
+    "sms_sent"     -> "1f93bca5d7a435cf17a546acc5a1bd719e1c497892162f9ec72f76b50cf1cd72",
+    "mms_group"    -> "436113ae8c75b55965c15e6dcdee2008b4a227ac48d00753ddc4a41f87c4e8c0")
+
+  case class Built(storeDir: String, stats1: Ingest.Stats, stats2: Ingest.Stats)
+
+  @volatile private var built: Option[Built] = None
+
+  /** Write the fixture, import it twice into a fresh store, memoized per
+    * JVM (several CORRECTNESS queries share it). */
+  def get(spark: SparkSession): Built = synchronized {
+    built.getOrElse {
+      val dir: Path = Files.createTempDirectory("graft-demo-store")
+      val xml = dir.resolve("backup.xml")
+      Files.write(xml, FixtureXml.getBytes(StandardCharsets.UTF_8))
+      val storeDir = dir.resolve("store").toString
+      val raw1 = SynctechXml.read(spark, xml.toString)
+      val s1 = Store.importBatch(spark, storeDir, raw1)
+      val raw2 = SynctechXml.read(spark, xml.toString)
+      val s2 = Store.importBatch(spark, storeDir, raw2)
+      val b = Built(storeDir, s1, s2)
+      built = Some(b)
+      b
+    }
+  }
+}

@@ -6,24 +6,31 @@ import org.apache.spark.sql.functions._
 /** Byte-exact reproduction of the reference's dedup key (sms-db.pl:324-325,
   * README.md:115):
   *
-  *   sha256_hex(encode_utf8(join('', @meta_fields,
+  *   sha256_hex(encode_utf8(join('', @record,
   *                                map {(data, content_type)} @parts)))
   *
-  * Semantics to reproduce exactly (SURVEY.md §7.4):
+  * Semantics reproduced exactly (SURVEY.md §7.4):
   *  - fixed field order per `@message_fields` (sms-db.pl:39), NO separator;
   *  - numeric fields stringified in decimal (Perl string context);
   *  - undefined fields join as '' (Perl `join` on undef);
-  *  - `filename` is NOT hashed;
-  *  - the joined value is a Perl character string: text fields are real
-  *    character data, while binary part `data` (base64-decoded attachment
-  *    bytes) is a byte-string whose chars are U+0000..U+00FF. `encode_utf8`
-  *    then UTF-8-encodes the whole thing, so bytes ≥ 0x80 inside binary
-  *    data become 2-byte UTF-8 sequences — i.e. a latin-1→UTF-8 transcode.
+  *  - `filename` is NOT hashed (sms-db.pl:325 maps only data+content_type);
+  *  - Perl joins character strings and byte strings into one string before
+  *    `encode_utf8`: character data (XML attrs, message bodies) encodes to
+  *    UTF-8 directly, while byte-string data (base64-decoded attachments,
+  *    slurped files — chars U+0000..U+00FF) gets a latin-1→UTF-8 transcode
+  *    (bytes ≥ 0x80 become 2-byte sequences). The per-part `is_bytes` flag
+  *    ([[Model.RawPart]]) selects the branch; we store text as UTF-8 bytes,
+  *    so the character branch is the identity on stored bytes.
   *
-  * All of that composes from Catalyst built-ins (codegen'd, no UDF):
-  * metadata → `encode(concat_ws("", ...), "UTF-8")`, binary part data →
-  * `encode(decode(data, "ISO-8859-1"), "UTF-8")`, fold over the parts
-  * array with `aggregate`, then `sha2(..., 256)`.
+  * All of this composes from Catalyst built-ins (codegen'd, no UDF):
+  * `encode`/`decode`/`concat`/`concat_ws`, a fold over the parts array with
+  * `aggregate`, then `sha2(..., 256)`.
+  *
+  * Known deviation (documented, deliberate): the reference reads SQLite
+  * source strings without `sqlite_unicode`, so non-ASCII *metadata* from
+  * Bugle/Signal arrives as undecoded UTF-8 octets and gets double-encoded
+  * into the hash. We treat metadata as clean character strings from every
+  * connector — self-consistent dedup, no mojibake dependence.
   */
 object MessageHash {
 
@@ -37,19 +44,25 @@ object MessageHash {
       concat_ws("", Model.messageFields.map(f => field(f).cast("string")): _*),
       utf8)
 
-  /** Hash-input contribution of one part struct: transcoded data bytes ++
-    * UTF-8 content_type (filename excluded, sms-db.pl:325). */
-  private def partBytes(p: Column): Column =
+  /** Hash-input contribution of one part struct: data bytes (latin-1→UTF-8
+    * transcoded iff the part carried a Perl byte string) ++ UTF-8
+    * content_type; filename excluded (sms-db.pl:325). */
+  private def partBytes(p: Column): Column = {
+    val raw = p.getField("data")
+    val dataBytes =
+      when(p.getField("is_bytes"), encode(decode(raw, latin1), utf8))
+        .otherwise(raw)
     concat(
-      coalesce(encode(decode(p.getField("data"), latin1), utf8), lit(Array.empty[Byte])),
+      coalesce(dataBytes, lit(Array.empty[Byte])),
       coalesce(encode(p.getField("content_type"), utf8), lit(Array.empty[Byte])))
+  }
 
   /** SHA-256 hex of a message given its metadata columns and nested
-    * `parts: array<struct<data,content_type,filename>>` column. */
+    * `parts: array<struct<data,content_type,filename,is_bytes>>` column. */
   def hashColumn(field: String => Column, parts: Column): Column =
     sha2(
       aggregate(
-        coalesce(parts, array()),
+        coalesce(parts, array().cast(s"array<struct<data:binary,content_type:string,filename:string,is_bytes:boolean>>")),
         metaBytes(field),
         (acc, p) => concat(acc, partBytes(p))),
       256)

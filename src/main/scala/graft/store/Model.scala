@@ -41,8 +41,17 @@ object Model {
     "recipient_address", "recipient_name",
     "msg_box", "message_type", "source_format")
 
-  /** One MIME part as carried inside a raw (pre-id) message. */
-  case class RawPart(data: Array[Byte], content_type: String, filename: Option[String])
+  /** One MIME part as carried inside a raw (pre-id) message.
+    *
+    * `is_bytes` records the Perl-side string kind of `data`, which feeds the
+    * dedup hash (sms-db.pl:325): a *character* string (XML text attr, message
+    * body) is UTF-8-encoded directly by `encode_utf8`, while a *byte* string
+    * (base64-decoded attachment, slurped file) is latin-1→UTF-8 transcoded.
+    * We always store real bytes (UTF-8 for text) and keep the kind flag so
+    * [[MessageHash]] can reproduce the reference's bytes exactly. The flag is
+    * ingest-transient — it is not persisted to the `parts` table. */
+  case class RawPart(data: Array[Byte], content_type: String, filename: Option[String],
+                     is_bytes: Boolean)
 
   /** One message + its parts as a single unit, the shape every ingest
     * connector produces. Parts ride along in a nested array so the
@@ -83,7 +92,8 @@ object Model {
   val partStruct: StructType = StructType(Seq(
     StructField("data", BinaryType),
     StructField("content_type", StringType),
-    StructField("filename", StringType)))
+    StructField("filename", StringType),
+    StructField("is_bytes", BooleanType)))
 
   val rawMessageSchema: StructType = StructType(Seq(
     StructField("timestamp", LongType),

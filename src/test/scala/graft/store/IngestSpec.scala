@@ -1,0 +1,92 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.SynctechXml
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest pipeline: XML fixture → RawMessage → hash-dedup →
+  * id assignment → messages/parts store (sms-db.pl:61-92, 318-339). */
+class IngestSpec extends SparkSpec {
+
+  private lazy val fixtureDir = {
+    val dir = Files.createTempDirectory("graft-ingest-spec")
+    Files.write(dir.resolve("backup.xml"),
+      DemoStore.FixtureXml.getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+  private def fixtureXml = fixtureDir.resolve("backup.xml").toString
+
+  test("XML connector direction truth table (P2/P3, sms-db.pl:70,80)") {
+    val rows = SynctechXml.read(spark, fixtureXml)
+      .select("timestamp", "sender_address", "sender_name", "recipient_address",
+        "recipient_name", "msg_box", "message_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getInt(5), r.getInt(6))).toSet
+    assert(rows.contains((1593900000000L, "+15551230001", "Alice", "<SELF>", "<SELF>", 1, 0)))
+    assert(rows.contains((1593900060000L, "<SELF>", "<SELF>", "+15551230001", "Alice", 2, 0)))
+    // group MMS: base address + To(151) + CC(130) appended in document
+    // order; sender addr 137 skipped (P4, sms-db.pl:81-84)
+    assert(rows.contains((1593900120000L, "<SELF>", "<SELF>",
+      "+15551230001,+15551230001,+15551230002", "Alice", 2, 1)))
+  }
+
+  test("mms parts: text stays UTF-8 chars, data attr base64-decodes, filename kept") {
+    val parts = SynctechXml.mms(spark, fixtureXml)
+      .select(explode(col("parts")).as("p")).select("p.*").collect()
+    val text = parts.find(_.getString(1) == "text/plain").get
+    assert(new String(text.getAs[Array[Byte]](0), "UTF-8") == "see photo")
+    assert(text.getString(2) == "null") // literal "null" filename is data, not SQL NULL
+    assert(!text.getBoolean(3))
+    val bin = parts.find(_.getString(1) == "image/jpeg").get
+    assert(bin.getAs[Array[Byte]](0).toSeq == Seq[Byte](0, 1, 2, 0x80.toByte, 0xFF.toByte))
+    assert(bin.getString(2) == "photo.jpg")
+    assert(bin.getBoolean(3))
+  }
+
+  test("import twice: second import is all duplicates (README.md:39-43)") {
+    val dir = Files.createTempDirectory("graft-store-rt").resolve("store").toString
+    val s1 = Store.importBatch(spark, dir, SynctechXml.read(spark, fixtureXml))
+    assert(s1 == Ingest.Stats(4, 3, 1, 0, 4))
+    val s2 = Store.importBatch(spark, dir, SynctechXml.read(spark, fixtureXml))
+    assert(s2 == Ingest.Stats(4, 0, 4, 0, 0))
+    assert(Store.messages(spark, dir).count() == 3)
+    assert(Store.parts(spark, dir).count() == 4)
+  }
+
+  test("ids are deterministic, contiguous, and parts link to parents") {
+    val dir = Files.createTempDirectory("graft-store-ids").resolve("store").toString
+    Store.importBatch(spark, dir, SynctechXml.read(spark, fixtureXml))
+    val m = Store.messages(spark, dir).orderBy("_id").collect()
+    assert(m.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ids follow hash order (deterministic across reruns)
+    val hashes = m.map(_.getAs[String]("hash")).toSeq
+    assert(hashes == hashes.sorted)
+    val p = Store.parts(spark, dir).orderBy("_id").collect()
+    assert(p.map(_.getLong(0)).toSeq == (1L to 4L))
+    val msgIds = m.map(_.getLong(0)).toSet
+    assert(p.map(_.getLong(1)).forall(msgIds.contains))
+    // the mms parts are adjacent and in document order under their parent
+    val mmsId = m.find(_.getAs[Int]("message_type") == 1).get.getLong(0)
+    val mmsParts = p.filter(_.getLong(1) == mmsId).map(_.getAs[String]("content_type")).toSeq
+    assert(mmsParts == Seq("text/plain", "image/jpeg"))
+  }
+
+  test("ingest(x ++ x) == ingest(x) modulo stats (dedup idempotence)") {
+    val raw = SynctechXml.read(spark, fixtureXml)
+    val doubled = raw.unionByName(raw)
+    val r = Ingest(doubled)
+    assert(r.stats == Ingest.Stats(8, 3, 5, 0, 4))
+    val single = Ingest(SynctechXml.read(spark, fixtureXml))
+    assert(r.messages.select("hash").collect().map(_.getString(0)).sorted.toSeq ==
+      single.messages.select("hash").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("counter invariant: total == inserted + duplicates + ignored (sms-db.pl:233)") {
+    val r = Ingest(SynctechXml.read(spark, fixtureXml), ignored = 2)
+    assert(r.stats.total == r.stats.inserted + r.stats.duplicates + r.stats.ignored)
+    assert(r.stats.ignored == 2)
+  }
+}

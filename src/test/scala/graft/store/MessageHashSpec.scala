@@ -1,0 +1,93 @@
+package graft.store
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Golden-vector pinning of the byte-exact dedup key (sms-db.pl:324-325).
+  * Expected hex digests were computed with an independent python/hashlib
+  * implementation of the documented Perl semantics — NOT with this engine —
+  * including: null fields joining as '', empty parts arrays, binary bytes
+  * ≥ 0x80 (latin-1→UTF-8 transcode), non-ASCII character data, and the
+  * filename-excluded rule.
+  */
+class MessageHashSpec extends SparkSpec {
+
+  private def raw(timestamp: Long, sa: String, sn: String, ra: String, rn: String,
+                  msgBox: Int, msgType: Int, fmt: Int, parts: Seq[Model.RawPart]) =
+    Model.RawMessage(timestamp, sa, sn, ra, rn, msgBox, msgType, fmt, parts)
+
+  private def hashOf(m: Model.RawMessage): String = {
+    import spark.implicits._
+    Seq(m).toDF().withColumn("h", MessageHash.forRawMessages)
+      .select("h").head.getString(0)
+  }
+
+  private def textPart(s: String): Model.RawPart =
+    Model.RawPart(if (s == null) null else s.getBytes("UTF-8"), "text/plain", None, is_bytes = false)
+
+  test("golden: received sms (fixture sms_received)") {
+    val m = raw(1593900000000L, "+15551230001", "Alice", "<SELF>", "<SELF>", 1, 0, 0,
+      Seq(textPart("hello from Alice")))
+    assert(hashOf(m) == DemoStore.GoldenHashes("sms_received"))
+  }
+
+  test("golden: sent sms with non-ASCII body (character-string branch)") {
+    val m = raw(1593900060000L, "<SELF>", "<SELF>", "+15551230001", "Alice", 2, 0, 0,
+      Seq(textPart("hi Alice — ça va?")))
+    assert(hashOf(m) == DemoStore.GoldenHashes("sms_sent"))
+  }
+
+  test("golden: mms with binary part bytes >= 0x80 (byte-string branch) and filename excluded") {
+    val m = raw(1593900120000L, "<SELF>", "<SELF>",
+      "+15551230001,+15551230001,+15551230002", "Alice", 2, 1, 0,
+      Seq(
+        textPart("see photo"),
+        Model.RawPart(Array[Byte](0, 1, 2, 0x80.toByte, 0xFF.toByte), "image/jpeg",
+          Some("photo.jpg"), is_bytes = true)))
+    assert(hashOf(m) == DemoStore.GoldenHashes("mms_group"))
+    // filename must NOT affect the hash (sms-db.pl:325)
+    val renamed = m.copy(parts = m.parts.updated(1, m.parts(1).copy(filename = Some("other.jpg"))))
+    assert(hashOf(renamed) == DemoStore.GoldenHashes("mms_group"))
+  }
+
+  test("golden: null body joins as empty (Perl join on undef)") {
+    val m = raw(1700000000000L, "+1", "X", "<SELF>", "<SELF>", 1, 0, 0, Seq(textPart(null)))
+    assert(hashOf(m) == "9740ba49a702d8587cb6dee74673775eb7a137ff93f88ec89fd8ac54afbed329")
+  }
+
+  test("golden: empty parts array hashes metadata only") {
+    val m = raw(1700000000000L, "+1", "X", "<SELF>", "<SELF>", 1, 0, 0, Seq.empty)
+    assert(hashOf(m) == "cd03242b0dc9bc6e64407e46e95e26016e4b10625d294eec98fa20449959172a")
+  }
+
+  test("hash is sensitive to every metadata field (injectivity smoke, README.md:115)") {
+    val base = raw(1593900000000L, "+15551230001", "Alice", "<SELF>", "<SELF>", 1, 0, 0,
+      Seq(textPart("hello from Alice")))
+    val variants = Seq(
+      base.copy(timestamp = base.timestamp + 1),
+      base.copy(sender_address = "+15551230002"),
+      base.copy(sender_name = "Alicia"),
+      base.copy(recipient_address = "x"),
+      base.copy(recipient_name = "y"),
+      base.copy(msg_box = 2),
+      base.copy(message_type = 1),
+      base.copy(source_format = 1),
+      base.copy(parts = Seq(textPart("hello from alice"))),
+      base.copy(parts = Seq(Model.RawPart("hello from Alice".getBytes("UTF-8"),
+        "text/html", None, is_bytes = false))))
+    val hashes = (base +: variants).map(hashOf)
+    assert(hashes.distinct.size == hashes.size)
+  }
+
+  test("byte-string vs character-string data with bytes >= 0x80 hash differently") {
+    // 0xC3 0xA7 is UTF-8 for 'ç': as characters it stays 2 bytes, as a Perl
+    // byte string it transcodes to 4 bytes — the branch must matter.
+    val bytes = Array[Byte](0xC3.toByte, 0xA7.toByte)
+    val asChars = raw(1L, "a", "b", "c", "d", 1, 0, 0,
+      Seq(Model.RawPart(bytes, "text/plain", None, is_bytes = false)))
+    val asBytes = raw(1L, "a", "b", "c", "d", 1, 0, 0,
+      Seq(Model.RawPart(bytes, "text/plain", None, is_bytes = true)))
+    assert(hashOf(asChars) != hashOf(asBytes))
+  }
+}
