@@ -54,10 +54,22 @@ object StoreQueries {
       .orderBy("timestamp")
   }
 
+  /** K4/A5/O1–O3 — export the store to Synctech XML, re-import it into a
+    * fresh store, and emit the re-imported dedup keys: pins the whole
+    * export→ingest loop (nesting, base64 re-encode, addr synthesis)
+    * against independently computed hashes. */
+  def exportRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = DemoStore.getRoundTrip(s)
+    Store.messages(s, dir)
+      .select(col("timestamp"), col("hash"))
+      .orderBy("timestamp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "store_ingest_stats"   -> ingestStats _,
-    "store_hash_golden"    -> hashGolden _,
-    "store_messages_parts" -> messagesParts _,
+    "store_ingest_stats"     -> ingestStats _,
+    "store_hash_golden"      -> hashGolden _,
+    "store_messages_parts"   -> messagesParts _,
+    "store_export_roundtrip" -> exportRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,5 +95,11 @@ object StoreQueries {
         |  (1593900120000, '<SELF>', '+15551230001,+15551230001,+15551230002', 2, 1, 'text/plain', 'see photo'))
         |  t(ts, sender_address, recipient_address, msg_box, message_type, content_type, body)
         |ORDER BY 1""".stripMargin,
+    "store_export_roundtrip" ->
+      """SELECT CAST(ts AS BIGINT) AS "timestamp", hash FROM (VALUES
+        |  (1593900000000, '791a37875baed03222254387e4d70b5b6356b3f4ac407a87153d2c448d2fba0f'),
+        |  (1593900060000, '73782759cd9db5d50eb5ef1b2e4abbbb05d0a8ca897276cdb5581d5f921e9535'),
+        |  (1593900120000, 'abdfbf8aa0118a657a34cd9e4be65d679d198ca42bcc7360e4d057939df1f514'))
+        |  t(ts, hash) ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,35 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.Store
+
+/** CSV export (SURVEY.md K5) — the reference's documented recipe is
+  * `sqlite3 -csv` over the messages⋈text-parts join (README.md:103-106).
+  * Here it's Spark's native distributed CSV sink: each partition writes its
+  * own file, so the export parallelizes instead of funneling through one
+  * process; pass `singleFile = true` for a sqlite3-like single CSV (small
+  * results only — it coalesces to one writer). */
+object CsvExport {
+
+  /** The README.md:105 join: all messages with their text parts. */
+  def messagesWithTextParts(s: SparkSession, storeDir: String): DataFrame = {
+    val m = Store.messages(s, storeDir)
+    val p = Store.parts(s, storeDir)
+    m.join(p, m("_id") === p("message_id"))
+      .filter(col("content_type").like("text%"))
+      .select(
+        m("_id"), col("timestamp"), col("sender_address"), col("sender_name"),
+        col("recipient_address"), col("recipient_name"),
+        col("msg_box"), col("message_type"), col("source_format"),
+        col("content_type"), decode(col("data"), "UTF-8").as("body"))
+      .orderBy("timestamp", "_id")
+  }
+
+  def export(s: SparkSession, storeDir: String, outDir: String,
+             singleFile: Boolean = false): Unit = {
+    val df = messagesWithTextParts(s, storeDir)
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").option("header", "true").csv(outDir)
+  }
+}

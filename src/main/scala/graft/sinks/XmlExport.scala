@@ -1,0 +1,169 @@
+package graft.sinks
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.Store
+
+/** Synctech XML export (SURVEY.md K4 + A5 + O1–O3; reference
+  * sms-db.pl:235-313).
+  *
+  * Split per the reference's own structure: everything data-parallel —
+  * the parts⋈messages join, per-message nesting (`collect_list(struct)`
+  * sorted by part id, A5), first-part body lookup (O3), base64 re-encode
+  * of binary parts (P10), ORDER BY timestamp (O1) — runs distributed;
+  * only the final serialization is a driver-side streaming writer over
+  * `toLocalIterator` (a single XML document with a doc-level `count`
+  * attribute is inherently a one-writer sink, SURVEY.md §7.4.5). At most
+  * one partition of already-nested rows is in driver memory at a time.
+  *
+  * Known deviations (deliberate, documented):
+  *  - sms-db.pl:266 `$recipients[0] =~ s/\D//g` evaluates to the
+  *    substitution COUNT (a Perl bug — the evident intent is the
+  *    digits-only first recipient); we implement the intent.
+  *  - binary parts are emitted as single-line base64 (Perl's
+  *    encode_base64 wraps at 76 cols); decoders ignore whitespace either
+  *    way and the re-import hash is identical.
+  */
+object XmlExport {
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 16)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case '\n' => b.append("&#10;")
+      case '\r' => b.append("&#13;")
+      case '\t' => b.append("&#9;")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  private def attr(name: String, v: String): String =
+    if (v == null) s""" $name="""" + '"' else s""" $name="${esc(v)}""""
+
+  /** Constant padding attributes the Synctech XSD requires
+    * (sms-db.pl:269-271, 282-283). */
+  private val MmsNullAttrs = Seq("retr_st", "ct_cls", "sub_cs", "ct_l", "tr_id", "st",
+    "m_cls", "d_tm", "read_status", "retr_txt_cs", "m_id", "ct_t", "exp", "resp_txt",
+    "rpt_a", "retr_txt", "resp_st", "m_size").map(a => attr(a, "null")).mkString
+  private val MmsConstAttrs = Seq("d_rpt" -> "0", "read" -> "1", "seen" -> "1",
+    "date_sent" -> "1", "m_type" -> "0", "v" -> "0", "pri" -> "0", "rr" -> "0",
+    "locked" -> "0").map { case (a, v) => attr(a, v) }.mkString
+  private val PartConstAttrs = Seq("seq" -> "0", "chset" -> "null", "cd" -> "null",
+    "fn" -> "null", "cid" -> "null", "cl" -> "null", "ctt_s" -> "null",
+    "ctt_t" -> "null").map { case (a, v) => attr(a, v) }.mkString
+
+  /** messages ⋈ nested parts, parts ordered by part `_id` inside each
+    * message (A5 — an explicit sort key because collect_list order is not
+    * stable across shuffles). */
+  private def withNestedParts(messages: DataFrame, parts: DataFrame): DataFrame = {
+    val nested = parts
+      .groupBy(col("message_id"))
+      .agg(sort_array(collect_list(struct(
+        col("_id"), col("data"), col("content_type"), col("filename")))).as("parts"))
+    messages.join(nested, messages("_id") === nested("message_id"), "left")
+  }
+
+  /** Export the store to one Synctech XML file; returns the message count
+    * (the doc-level `count` attribute, sms-db.pl:306). */
+  def export(s: SparkSession, storeDir: String, outPath: String,
+             messageType: String = "all"): Long = {
+    val messages = Store.messages(s, storeDir)
+    val parts = Store.parts(s, storeDir)
+    val joined = withNestedParts(messages, parts)
+
+    // sms rows (sms-db.pl:242-252): body = first part's data (O3).
+    val smsRows = joined.filter(col("message_type") === 0)
+      .select(
+        col("timestamp"), col("msg_box"),
+        when(col("msg_box") === 1, col("sender_address"))
+          .otherwise(col("recipient_address")).as("address"),
+        decode(element_at(col("parts"), 1).getField("data"), "UTF-8").as("body"))
+      .orderBy("timestamp")
+
+    // mms rows (sms-db.pl:255-304).
+    val mmsRows = joined.filter(col("message_type") === 1)
+      .select(
+        col("timestamp"), col("msg_box"),
+        when(col("msg_box") === 1, col("sender_address"))
+          .otherwise(regexp_replace(split(col("recipient_address"), ",").getItem(0), "\\D", ""))
+          .as("address"),
+        when(col("msg_box") === 1, col("sender_name"))
+          .otherwise(col("recipient_name")).as("contact_name"),
+        col("sender_address"), col("recipient_address"),
+        transform(coalesce(col("parts"),
+          array().cast("array<struct<_id:bigint,data:binary,content_type:string,filename:string>>")),
+          p => struct(
+            p.getField("content_type").as("ct"),
+            coalesce(p.getField("filename"), lit("null")).as("name"),
+            when(p.getField("content_type").startsWith("text/"),
+              coalesce(decode(p.getField("data"), "UTF-8"), lit(""))).as("text"),
+            when(!p.getField("content_type").startsWith("text/"),
+              base64(p.getField("data"))).as("data64"))).as("xparts"))
+      .orderBy("timestamp")
+
+    val doSms = messageType == "sms" || messageType == "all"
+    val doMms = messageType == "mms" || messageType == "all"
+    val count = (if (doSms) smsRows.count() else 0L) + (if (doMms) mmsRows.count() else 0L)
+
+    val out = new BufferedWriter(new OutputStreamWriter(
+      Files.newOutputStream(Paths.get(outPath)), StandardCharsets.UTF_8))
+    try {
+      out.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      out.write("\n<!--File Created By graft-->\n")
+      out.write(s"""<smses count="$count">\n""")
+      if (doSms) smsRows.toLocalIterator().forEachRemaining { (r: Row) =>
+        out.write("  <sms")
+        out.write(attr("address", r.getAs[String]("address")))
+        out.write(attr("date", r.getAs[Long]("timestamp").toString))
+        out.write(attr("type", r.getAs[Int]("msg_box").toString))
+        out.write(attr("body", Option(r.getAs[String]("body")).getOrElse("")))
+        out.write(attr("read", "1"))    // not stored; 1 = read (sms-db.pl:248)
+        out.write(attr("status", "-1")) // not stored; -1 = none (sms-db.pl:249)
+        out.write("/>\n")
+      }
+      if (doMms) mmsRows.toLocalIterator().forEachRemaining { (r: Row) =>
+        out.write("  <mms")
+        out.write(attr("date", r.getAs[Long]("timestamp").toString))
+        out.write(attr("msg_box", r.getAs[Int]("msg_box").toString))
+        out.write(attr("address", r.getAs[String]("address")))
+        out.write(attr("contact_name", r.getAs[String]("contact_name")))
+        out.write(MmsNullAttrs)
+        out.write(MmsConstAttrs)
+        out.write(">\n    <parts>\n")
+        r.getAs[Seq[Row]]("xparts").foreach { p =>
+          out.write("      <part")
+          out.write(attr("ct", p.getAs[String]("ct")))
+          out.write(attr("name", p.getAs[String]("name")))
+          Option(p.getAs[String]("text")) match {
+            case Some(t) => out.write(attr("text", t))
+            case None =>
+              out.write(attr("text", "null"))
+              out.write(attr("data", Option(p.getAs[String]("data64")).getOrElse("")))
+          }
+          out.write(PartConstAttrs)
+          out.write("/>\n")
+        }
+        out.write("    </parts>\n    <addrs>\n")
+        out.write("      <addr" + attr("address", r.getAs[String]("sender_address")) +
+          attr("type", "137") + attr("charset", "0") + "/>\n")
+        Option(r.getAs[String]("recipient_address")).toSeq
+          .flatMap(_.split(",", -1)).foreach { a =>
+            out.write("      <addr" + attr("address", a) +
+              attr("type", "151") + attr("charset", "0") + "/>\n")
+          }
+        out.write("    </addrs>\n  </mms>\n")
+      }
+      out.write("</smses>\n")
+    } finally out.close()
+    count
+  }
+}

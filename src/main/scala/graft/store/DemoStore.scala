@@ -55,6 +55,7 @@ object DemoStore {
   case class Built(storeDir: String, stats1: Ingest.Stats, stats2: Ingest.Stats)
 
   @volatile private var built: Option[Built] = None
+  @volatile private var roundTrip: Option[String] = None
 
   /** Write the fixture, import it twice into a fresh store, memoized per
     * JVM (several CORRECTNESS queries share it). */
@@ -71,6 +72,21 @@ object DemoStore {
       val b = Built(storeDir, s1, s2)
       built = Some(b)
       b
+    }
+  }
+
+  /** Store dir of export→re-import of [[get]]'s store (K4 round trip),
+    * memoized per JVM. */
+  def getRoundTrip(spark: SparkSession): String = synchronized {
+    roundTrip.getOrElse {
+      val b = get(spark)
+      val dir = Files.createTempDirectory("graft-demo-roundtrip")
+      val xml = dir.resolve("export.xml").toString
+      graft.sinks.XmlExport.export(spark, b.storeDir, xml)
+      val storeDir = dir.resolve("store").toString
+      Store.importBatch(spark, storeDir, SynctechXml.read(spark, xml))
+      roundTrip = Some(storeDir)
+      storeDir
     }
   }
 }
