@@ -18,8 +18,12 @@ object SparkEntry {
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Scalars.queries ++ StoreQueries.queries
+    Relational.queries ++ Scalars.queries ++ StoreQueries.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql
+    Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ TextAnalysis.oracleSql ++
+      Multimodal.oracleSql
 }

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batched media decode / feature-extraction stage (the brief's multimodal
+  * component). The real thing would call an image/audio codec per batch
+  * (the Python twin is `mapInPandas`; the Scala-native shape used here is
+  * `mapPartitions` over a typed Dataset — same contract: iterator-in /
+  * iterator-out, so decoder state (a codec context, a model handle) is
+  * initialized once per partition, NOT once per row).
+  *
+  * The decoder itself is a clearly-marked deterministic STUB — this
+  * environment ships no media libraries — but everything Spark-side is
+  * real: typed input/output rows, per-partition batching, schema carried
+  * through shuffles, and a fixed-width feature vector column ready for the
+  * [[graft.queries.Similarity]] ANN operators.
+  */
+object MediaFeatures {
+
+  case class MediaRow(media_id: Long, data: Array[Byte], kind: String)
+  case class MediaFeature(media_id: Long, kind: String, byte_len: Int,
+                          width: Int, height: Int, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decoder: stands in for e.g. JPEG decode + resize + pooled
+    * embedding. Deterministic in the input bytes; replace with a real
+    * codec to productionize — the pipeline around it does not change. */
+  private[graft] def decodeStub(data: Array[Byte]): (Int, Int, Array[Float]) = {
+    val len = data.length
+    val width = 16 + math.floorMod(if (len == 0) 0 else data(0).toInt, 64)
+    val height = 16 + math.floorMod(if (len < 2) 0 else data(1).toInt, 64)
+    val feats = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < len) { feats(i % FeatureDim) += (data(i) & 0xFF) / 255.0f; i += 1 }
+    (width, height, feats)
+  }
+
+  /** The per-partition decode stage. */
+  def extract(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init of the (stub) decoder context happens here
+      rows.map { r =>
+        val (w, h, f) = decodeStub(r.data)
+        MediaFeature(r.media_id, r.kind, r.data.length, w, h, f)
+      }
+    }
+  }
+
+  /** Demo wiring over the testdata: documents' bytes as stand-in media. */
+  def fromDocuments(s: SparkSession, d: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    val media = graft.tables.Testdata.documents(s, d)
+      .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("data"),
+        lit("image").as("kind"))
+      .as[MediaRow]
+    extract(media)
+  }
+}

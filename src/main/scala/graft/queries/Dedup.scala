@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** Near-duplicate detection over the `documents` table — the banded
+  * MinHash-LSH pipeline a 100 TB training-data dedup needs (the brief's
+  * headline component; cf. SURVEY.md §7.1 step 8).
+  *
+  * Scale shape: shingle → k min-hashes → band keys → bucket self-join →
+  * exact-Jaccard verify of candidates only. No all-pairs comparison ever
+  * materializes: the only shuffles are the per-doc signature aggregation
+  * and the band-key bucket join, and verification touches candidate pairs
+  * only (LSH guarantees ~all true pairs land in ≥1 shared bucket: with
+  * K=64, B=16 bands × R=4 rows, a pair at J=0.8 is caught with
+  * p = 1-(1-0.8^4)^16 ≈ 0.9998).
+  *
+  * The DuckDB oracle is the brute-force all-pairs Jaccard (feasible at
+  * sf0.01) — so the driver's hash compare actually checks LSH *recall*
+  * end-to-end, not just self-consistency.
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+  val Threshold = 0.8
+
+  /** Word-bigram shingle set per document (docs with <2 words can't pair). */
+  private def gramSets(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(s, d)
+      .filter(size(words) >= 2)
+      .select(
+        col("doc_id"),
+        array_distinct(transform(sequence(lit(1), size(words) - 1),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at `Threshold`. */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = gramSets(s, d).cache()
+
+    // k min-hashes per doc: one explode + one hash-agg shuffle on doc_id.
+    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val sig = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    // band keys: hash of each R-row slice of the signature.
+    val bandStructs = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+
+    // candidates: docs sharing any bucket (shuffle keyed on the band key).
+    val x = bands.as("x"); val y = bands.as("y")
+    val candidates = x.join(y,
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verify on candidates only.
+    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> minhashLshPairs _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Brute-force all-pairs n-gram Jaccard — the ground truth LSH must hit.
+    "dedup_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}

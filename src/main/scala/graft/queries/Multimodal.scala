@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** Multimodal-column plumbing (the brief's image/audio/video component):
+  * media rides as an opaque `binary` column with a typed metadata struct;
+  * decode/feature-extraction is a batched per-partition stage
+  * ([[graft.functions.MediaFeatures]]) whose decoder is STUBBED
+  * deterministically (no image/audio libs in this environment) while the
+  * Spark-side plumbing — schema, batching, partition flow — is real and
+  * tested.
+  *
+  * This oracle-checked query exercises the metadata path end-to-end:
+  * synthesize the binary column (UTF-8 bytes of `documents.text` — the
+  * only deterministic bytes in the testdata), then compute the typed
+  * metadata a media catalog needs: byte length, content hash, and a
+  * deterministic kind classifier standing in for magic-byte sniffing.
+  */
+object Multimodal {
+
+  def binaryMeta(s: SparkSession, d: String): DataFrame = {
+    val data = encode(col("text"), "UTF-8")
+    documents(s, d).select(
+      col("doc_id"),
+      length(data).cast("long").as("byte_len"),
+      sha2(data, 256).as("content_sha"),
+      // stand-in for magic-byte sniffing: deterministic 3-way classify
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(length(data), lit(3)) + 1).cast("int")).as("kind"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> binaryMeta _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS content_sha,
+        |  ['image', 'audio', 'video'][(octet_length(encode(text)) % 3) + 1] AS kind
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

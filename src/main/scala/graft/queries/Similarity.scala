@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim) — the brief's similarity-search
+  * component.
+  *
+  * Two paths:
+  *  - [[bruteTopK]]: exact cosine top-k, the correctness baseline. The
+  *    query set is a small bounded dimension (broadcast side), the corpus
+  *    streams; top-k is a two-level bounded aggregation (per-partition
+  *    top-k, then merge) — NOT a global per-query sort, so no partition
+  *    ever holds more than `k × partitions` candidates per query at any
+  *    corpus size.
+  *  - [[lshBucketTopK]]: the 100 TB scale path — sign-random-projection
+  *    LSH (hyperplanes with ±1 components derived from xxhash64, so the
+  *    whole signature is a deterministic codegen'd expression), bucket
+  *    join, exact re-rank inside the bucket only.
+  *
+  * All arithmetic is element-wise double (cast before multiply) so the
+  * DuckDB oracle computes bit-identical dots; ranks — not raw floats —
+  * are the compared output.
+  */
+object Similarity {
+
+  val K = 10
+  val NumQueries = 5
+  val Tables = 4
+  val BitsPerTable = 8
+
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(v: Column): Column = sqrt(dotd(v, v))
+
+  /** (query ⨯ corpus) cosine scores for the fixed query set vec_id < NumQueries. */
+  private def scored(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    // query set is a bounded dimension — the one join where a broadcast
+    // hint is structurally safe at any corpus size.
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+  }
+
+  /** Bounded two-level top-k: per-partition candidates, then global merge —
+    * replaces a per-query global sort (which would put the whole corpus in
+    * one partition per query). */
+  private def topK(scoredDf: DataFrame, k: Int): DataFrame = {
+    val cand = struct(negate(col("cos")).as("negcos"), col("neighbor_id").as("neighbor_id"))
+    val local = scoredDf
+      .groupBy(col("query_id"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, k).as("cands"))
+    local.select(col("query_id"), explode(col("cands")).as("c"))
+      .groupBy("query_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("cands"))
+      .select(col("query_id"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.neighbor_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Exact cosine top-K for the fixed query set. */
+  def bruteTopK(s: SparkSession, d: String): DataFrame = topK(scored(s, d), K)
+
+  /** Sign-random-projection signature: bit j = sgn(Σ_i s_ij · v_i) where
+    * s_ij ∈ {±1} comes from xxhash64(seedOffset+j, i) — deterministic, no
+    * stored planes, fully codegen'd. */
+  private[graft] def srpSignature(v: Column, bits: Int, seedOffset: Int): Column = {
+    val bitCols: Seq[Column] = (0 until bits).map { j =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => when(pmod(xxhash64(lit(seedOffset + j), i), lit(2)) === 0, x.cast("double"))
+            .otherwise(-x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via multi-table, multi-probe LSH: `Tables` independent 8-bit
+    * sign-projection tables index the corpus (one explode → one bucket
+    * key per table); each query probes its own bucket plus every
+    * Hamming-distance-1 bucket in each table (Tables × (1+8) probes).
+    * Candidates are the union across tables; exact cosine re-ranks
+    * candidates only. This is the standard recall/cost dial: more tables
+    * or probes → higher recall, same single shuffle shape. Recall is
+    * tested against [[bruteTopK]] in PipelineSpec; the driver records a
+    * rows-only check (approximate results have no SQL oracle). */
+  def lshBucketTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    def sigs(v: Column): Seq[Column] =
+      (0 until Tables).map(t => srpSignature(v, BitsPerTable, t * BitsPerTable))
+
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      explode(array(sigs(col("embedding")).zipWithIndex.map { case (c, t) =>
+        struct(lit(t).as("t"), c.as("sig"))
+      }: _*)).as("b"))
+      .select(col("neighbor_id"), col("cv"), col("b.t").as("t"), col("b.sig").as("sig"))
+
+    val probes = sigs(col("embedding")).zipWithIndex.flatMap { case (c, t) =>
+      val flips = c +: (0 until BitsPerTable).map(j => c.bitwiseXOR(lit(1L << j)))
+      flips.map(f => struct(lit(t).as("t"), f.as("sig")))
+    }
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(array(probes: _*)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.t").as("t"), col("p.sig").as("sig"))
+
+    val bucketScored = corpus.join(broadcast(queries), Seq("t", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // union of candidates across tables/probes → dedup before re-rank
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+    topK(bucketScored, K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> bruteTopK _,
+    "sim_ann_lsh"     -> lshBucketTopK _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // sim_ann_lsh: intentionally no oracle (approximate; rows-only check).
+    "sim_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(qv) + 1)]) /
+        |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+        |                    for i in range(1, len(qv) + 1)])) *
+        |     sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+        |                    for i in range(1, len(e.embedding) + 1)]))) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+  )
+}

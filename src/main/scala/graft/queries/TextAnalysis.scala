@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** Text-analysis operators over the `documents` table (the brief's
+  * training-data-pipeline components): token counting, quality scoring,
+  * n-gram-heuristic language ID, document fingerprinting, and a 64-bit
+  * SimHash. Everything is built from codegen'd Catalyst built-ins — no
+  * UDFs — so the operators inline into whole-stage codegen and scale as
+  * ordinary narrow projections + one hash aggregation where needed.
+  *
+  * Ratios are int/int double divisions (bit-stable vs the DuckDB oracle);
+  * hashes are md5 hex (identical in both engines).
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- tokens
+
+  /** Whitespace tokens + a BPE-ish regex token count (letters / digits /
+    * single non-alphanumeric — the pre-tokenizer split GPT-style BPE vocabs
+    * assume). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), "\\s+")
+    documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        .as("n_bpe_tokens"),
+      (length(col("text")).cast("double") /
+        greatest(regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")), lit(1)))
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- quality
+
+  /** Heuristic quality signals: length, alpha/space/punct ratios, mean
+    * word length, stopword ratio — the standard cheap filters a corpus
+    * pipeline applies before expensive dedup/training. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val n = length(col("text"))
+    val toks = split(col("text"), " ")
+    documents(s, d).select(
+      col("doc_id"),
+      n.cast("long").as("n_chars"),
+      (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / n).as("alpha_ratio"),
+      (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n).as("punct_ratio"),
+      (n.cast("double") / size(toks)).as("mean_tok_span"),
+      (size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+        .cast("double") / size(toks)).as("stopword_ratio"))
+      .withColumn("keep",
+        col("n_chars") >= 40 && col("alpha_ratio") >= 0.5 && col("punct_ratio") <= 0.2)
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Stopword sets per language for the n-gram/stopword-hit language-ID
+    * heuristic. Tiny on purpose: broadcastable as literals into codegen. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "les", "est"))
+
+  /** Predicted language = argmax stopword hits (ties → first in
+    * [[LangStopwords]] order), "und" (undetermined) when no hits. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val hits: Seq[(String, Column)] = LangStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }
+    val best = hits.tail.foldLeft[Column](
+      struct(hits.head._2.as("hits"), lit(hits.head._1).as("lang"))) { case (acc, (lang, c)) =>
+        when(c > acc.getField("hits"), struct(c.as("hits"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    documents(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+        .as("predicted_lang"),
+      best.getField("hits").as("stopword_hits"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- fingerprint
+
+  /** Canonical document fingerprint: md5 over the normalized body
+    * (lowercase, punctuation stripped, whitespace collapsed) — the
+    * cheap pre-key for exact-after-normalization dedup. */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents(s, d).select(
+      col("doc_id"), md5(norm).as("fingerprint"),
+      sha2(col("text"), 256).as("exact_key"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over distinct whitespace tokens. Bit b of a token's
+    * contribution comes from md5 hex digit (b mod 32), bit (b div 32) —
+    * a hash-engine-portable bit extraction (identical in DuckDB SQL).
+    * One explode + one 64-column hash aggregation; at 100 TB this is a
+    * single shuffle on doc_id with map-side partial aggregation.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("m", md5(col("t")))
+    // per-bit ±1 sums (64 aggregates, one pass)
+    val sums = (0 until 64).map { b =>
+      val digit = conv(substring(col("m"), (b % 32) + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(digit, b / 32).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    // bit b = (sum_b >= 0); nibble n packs bits 4n..4n+3 MSB-first
+    val nibbles = (0 until 16).map { nb =>
+      val v = (0 until 4).map { i =>
+        val b = nb * 4 + i
+        when(col(s"s$b") >= 0, lit(8 >> i)).otherwise(0)
+      }.reduce(_ + _)
+      lower(conv(v.cast("string"), 10, 16))
+    }
+    agg.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens"      -> tokenCounts _,
+    "text_quality"     -> qualityScore _,
+    "text_langid"      -> langId _,
+    "text_fingerprint" -> fingerprint _,
+    "text_simhash"     -> simhash _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(text) AS DOUBLE) /
+        |    greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) AS alpha_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text) AS punct_ratio,
+        |  CAST(len(text) AS DOUBLE) / len(string_split(text, ' ')) AS mean_tok_span,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) /
+        |    len(string_split(text, ' ')) AS stopword_ratio,
+        |  (len(text) >= 40 AND
+        |   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) >= 0.5 AND
+        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text) <= 0.2) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','en','que','los','un'))) AS es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','den','ist','ein'))) AS de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','un','que','les','est'))) AS fr
+        |  FROM documents
+        |)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |       WHEN es >= de AND es >= fr THEN 'es'
+        |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+        |  CAST(greatest(en, es, de, fr) AS BIGINT) AS stopword_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g'))) AS fingerprint,
+        |  sha256(text) AS exact_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |      substr(md5(t), (b % 32) + 1, 1)) - 1) >> (b // 32)) & 1 = 1
+        |      THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tok, range(64) r(b) GROUP BY doc_id, b
+        |), nib AS (
+        |  SELECT doc_id, b // 4 AS n,
+        |    SUM(bit * (8 >> (b % 4))) AS v
+        |  FROM bits GROUP BY doc_id, b // 4
+        |)
+        |SELECT doc_id,
+        |  string_agg(substr('0123456789abcdef', CAST(v AS INTEGER) + 1, 1), '' ORDER BY n) AS simhash
+        |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

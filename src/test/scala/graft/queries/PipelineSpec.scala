@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.MediaFeatures
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators over the sf0.001 testdata: MinHash-LSH recall vs
+  * brute force, ANN top-k sanity + LSH recall, SimHash golden vectors
+  * (independent python implementation), fingerprint/dedup invariants,
+  * multimodal plumbing. */
+class PipelineSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds exactly the brute-force near-dup pairs") {
+    val lsh = Dedup.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same gram sets (500 docs — feasible in-test)
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val words = split(col("text"), " ")
+    val g = docs.filter(size(words) >= 2).select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+    val a = g.select(col("doc_id").as("a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("b"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val brute = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("j"))
+      .filter(col("j") >= Dedup.Threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain engineered near-dups")
+    assert(lsh == brute)
+  }
+
+  test("cosine top-k: k ranks per query, no self-matches, best-first") {
+    val rows = Similarity.bruteTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until Similarity.NumQueries).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.K))
+      assert(!rs.exists(r => r.getLong(2) == r.getLong(0))) // neighbor != query
+    }
+  }
+
+  test("multi-probe LSH ANN recalls a usable share of true top-k") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.lshBucketTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ann.nonEmpty)
+    val recall = (ann & brute).size.toDouble / brute.size
+    // approximate by design; the bar asserts "useful", not "exact"
+    assert(recall >= 0.2, s"recall $recall")
+    // every ANN hit must be a genuine corpus vector for its query
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("simhash matches independent python golden vectors") {
+    val rows = TextAnalysis.simhash(spark, sf).filter(col("doc_id") < 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows == Map(
+      0L -> "a2a28a9fc11d8a9c",
+      1L -> "97228031a63c4bbc",
+      2L -> "c7a2c335a6bd4bbc"))
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    // take a verified near-dup pair and compare hamming distance
+    val pair = Dedup.minhashLshPairs(spark, sf).select("doc_a", "doc_b").head
+    val sh = TextAnalysis.simhash(spark, sf)
+      .filter(col("doc_id").isin(pair.getLong(0), pair.getLong(1)))
+      .collect().map(_.getString(1))
+    def bits(h: String): Seq[Int] =
+      h.flatMap(c => (3 to 0 by -1).map(i => (Integer.parseInt(c.toString, 16) >> i) & 1))
+    val hamming = bits(sh(0)).zip(bits(sh(1))).count { case (x, y) => x != y }
+    assert(hamming <= 16, s"hamming $hamming for a >=0.8-Jaccard pair")
+  }
+
+  test("fingerprint is normalization-invariant, exact_key is not") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val fp = df.select(col("doc_id"), md5(norm).as("f"), sha2(col("text"), 256).as("e"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(fp(0)._2 == fp(1)._2) // same fingerprint after normalization
+    assert(fp(0)._3 != fp(1)._3) // different exact keys
+    assert(fp(0)._2 != fp(2)._2)
+  }
+
+  test("media feature extraction: deterministic stub, correct shapes") {
+    val feats = MediaFeatures.fromDocuments(spark, sf).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.features.length == MediaFeatures.FeatureDim))
+    assert(feats.forall(f => f.width >= 16 && f.width < 80))
+    val again = MediaFeatures.fromDocuments(spark, sf).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (x, y) => x.features.sameElements(y.features) })
+  }
+
+  test("langid predicts a language for every doc and is deterministic") {
+    val out = TextAnalysis.langId(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => Set("en", "es", "de", "fr", "und").contains(r.getString(2))))
+  }
+}
