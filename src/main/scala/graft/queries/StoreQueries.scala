@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.{BugleSource, ConnectorFixtures, SignalSource}
 import graft.store.{DemoStore, Store}
 
 /** CORRECTNESS entries over a REAL canonical messages/parts store, built by
@@ -65,11 +66,33 @@ object StoreQueries {
       .orderBy("timestamp")
   }
 
+  private def rawMeta(raw: DataFrame): DataFrame =
+    raw.select(
+      col("timestamp"), col("sender_address"), col("sender_name"),
+      col("recipient_address"), col("recipient_name"),
+      col("msg_box"), col("message_type"),
+      size(col("parts")).cast("long").as("n_parts"))
+      .orderBy("timestamp")
+
+  /** S4–S5/J1/J4/P5–P6/P11 — the Bugle connector transform over the
+    * FIXTURES.md §3 frames (no SQLite driver ships here; the JDBC wiring
+    * is [[BugleSource.readJdbc]]). */
+  def bugleIngest(s: SparkSession, d: String): DataFrame =
+    rawMeta(BugleSource.transform(ConnectorFixtures.bugle(s)))
+
+  /** S6–S11/J2–J9/P7–P8 — the Signal connector transform (type allowlist,
+    * double group expansion, thread chain, attachment resolution) over the
+    * FIXTURES.md §4 frames. */
+  def signalIngest(s: SparkSession, d: String): DataFrame =
+    rawMeta(SignalSource.transform(ConnectorFixtures.signal(s)).raw)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_ingest_stats"     -> ingestStats _,
     "store_hash_golden"      -> hashGolden _,
     "store_messages_parts"   -> messagesParts _,
     "store_export_roundtrip" -> exportRoundtrip _,
+    "store_bugle_ingest"     -> bugleIngest _,
+    "store_signal_ingest"    -> signalIngest _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -94,6 +117,29 @@ object StoreQueries {
         |  (1593900060000, '<SELF>', '+15551230001', 2, 0, 'text/plain', 'hi Alice — ça va?'),
         |  (1593900120000, '<SELF>', '+15551230001,+15551230001,+15551230002', 2, 1, 'text/plain', 'see photo'))
         |  t(ts, sender_address, recipient_address, msg_box, message_type, content_type, body)
+        |ORDER BY 1""".stripMargin,
+    "store_bugle_ingest" ->
+      """SELECT CAST(ts AS BIGINT) AS "timestamp", sender_address, sender_name,
+        |  recipient_address, recipient_name, CAST(msg_box AS INTEGER) AS msg_box,
+        |  CAST(message_type AS INTEGER) AS message_type, CAST(n_parts AS BIGINT) AS n_parts
+        |FROM (VALUES
+        |  (1000, '+15559999', 'Me', '+15550001', 'Alice', 2, 0, 1),
+        |  (2000, '+15550001', 'Alice', '<SELF>', '<SELF>', 1, 0, 1),
+        |  (3000, '+15559999', 'Me', '+15550001,+15550002,+15550003', 'Group', 2, 1, 2))
+        |  t(ts, sender_address, sender_name, recipient_address, recipient_name,
+        |    msg_box, message_type, n_parts)
+        |ORDER BY 1""".stripMargin,
+    "store_signal_ingest" ->
+      """SELECT CAST(ts AS BIGINT) AS "timestamp", sender_address, sender_name,
+        |  recipient_address, recipient_name, CAST(msg_box AS INTEGER) AS msg_box,
+        |  CAST(message_type AS INTEGER) AS message_type, CAST(n_parts AS BIGINT) AS n_parts
+        |FROM (VALUES
+        |  (100, '+15551', 'Ann', '<SELF>', '<SELF>', 1, 0, 1),
+        |  (200, '<SELF>', '<SELF>', '+15551', 'Ann', 2, 0, 1),
+        |  (1000, '<SELF>', '<SELF>', '+15552,<UNAVAILABLE>', '<UNAVAILABLE>,NoPhone', 2, 1, 2),
+        |  (2000, '+15551', 'Ann', '<SELF>', '<SELF>', 1, 1, 0))
+        |  t(ts, sender_address, sender_name, recipient_address, recipient_name,
+        |    msg_box, message_type, n_parts)
         |ORDER BY 1""".stripMargin,
     "store_export_roundtrip" ->
       """SELECT CAST(ts AS BIGINT) AS "timestamp", hash FROM (VALUES

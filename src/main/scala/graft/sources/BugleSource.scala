@@ -1,0 +1,113 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrayTransform}
+import graft.store.Model
+
+/** Google Messages ("Bugle") SQLite ingest connector (SURVEY.md S4–S5, J1,
+  * J4, P5–P6, P11; reference sms-db.pl:94-117).
+  *
+  * Spark-first shape: the reference's per-message prepared-statement loops
+  * (parts fetch per message, participant fan-out per conversation,
+  * sms-db.pl:100-113) become whole-table scans + joins — Catalyst picks
+  * broadcast for the small dimension tables, and the N-point-query pattern
+  * disappears. The source tables arrive as plain DataFrames
+  * ([[BugleTables]]) so the transform is testable without a SQLite driver;
+  * [[readJdbc]] wires the real source (`jdbc:sqlite:`), which pushes
+  * column pruning down into SQLite.
+  */
+object BugleSource {
+
+  /** The five source tables the reference reads (sms-db.pl:96-100).
+    * `parts._id` orders parts within a message (the real Bugle schema has
+    * it, sms-db.pl:55; Perl relies on result order). */
+  case class BugleTables(messages: DataFrame, participants: DataFrame,
+                         conversations: DataFrame, conversationParticipants: DataFrame,
+                         parts: DataFrame)
+
+  def readJdbc(s: SparkSession, dbPath: String): BugleTables = {
+    def t(name: String) = s.read.format("jdbc")
+      .option("url", s"jdbc:sqlite:$dbPath").option("dbtable", name).load()
+    BugleTables(t("messages"), t("participants"), t("conversations"),
+      t("conversation_participants"), t("parts"))
+  }
+
+  /** source tables → RawMessage rows (Model.rawMessageSchema). */
+  def transform(t: BugleTables, messageType: String = "all"): DataFrame = {
+    val sender = t.participants.select(
+      col("_id").as("sender_id"),
+      col("normalized_destination").as("sender_nd"),
+      col("full_name"))
+    val conv = t.conversations.select(
+      col("_id").as("conversation_id"),
+      col("participant_normalized_destination").as("conv_pnd"),
+      col("participant_count"), col("name").as("conv_name"), col("sub_id"))
+
+    // J1 — the bulk 3-way join the reference pushes into SQLite (sms-db.pl:98)
+    val base0 = t.messages
+      .join(sender, "sender_id")
+      .join(conv, "conversation_id")
+    val base = messageType match {
+      case "sms" => base0.filter(col("message_protocol") === 0)
+      case "mms" => base0.filter(col("message_protocol") === 1)
+      case _     => base0
+    }
+
+    // J4 — participant fan-out, decorrelated: one aggregation over
+    // conversation_participants ⋈ participants instead of two prepared
+    // statements per message (sms-db.pl:96-97,105-112). Member order is
+    // pinned by participant_id (the reference depends on unspecified
+    // result order).
+    val members = t.conversationParticipants
+      .join(t.participants.select(col("_id").as("participant_id"),
+        col("normalized_destination").as("member_nd")), "participant_id")
+      .groupBy("conversation_id")
+      .agg(arrayTransform(
+        array_sort(collect_list(struct(col("participant_id"), col("member_nd")))),
+        m => m.getField("member_nd")).as("member_nds"))
+
+    val joined = base.join(members, Seq("conversation_id"), "left")
+
+    val received = col("sub_id") === -2
+    val baseRecipient = when(received, Model.Sentinels.Self).otherwise(col("conv_pnd"))
+    val needGroup = col("participant_count") > 1 && col("conv_pnd").isNull
+    // Perl appends each member to whatever recipient_address already holds
+    // (even '<SELF>' for received group messages, sms-db.pl:105-111);
+    // undefined members join as '' (join on undef).
+    val expanded = array_join(
+      concat(filter(array(baseRecipient), _.isNotNull),
+        coalesce(col("member_nds"), array())),
+      ",", "")
+    val recipientAddress = when(needGroup, expanded).otherwise(baseRecipient)
+
+    // parts: one scan + aggregation replaces the per-message SELECT
+    // (sms-db.pl:100,113); P11 data coalesce text // "<uri>".
+    val nestedParts = t.parts
+      .groupBy(col("message_id"))
+      .agg(arrayTransform(
+        array_sort(collect_list(struct(col("_id"), col("text"), col("uri"),
+          col("content_type")))),
+        p => struct(
+          encode(coalesce(p.getField("text"),
+            concat(lit("<"), coalesce(p.getField("uri"), lit("")), lit(">"))), "UTF-8")
+            .as("data"),
+          p.getField("content_type").as("content_type"),
+          lit(null).cast("string").as("filename"),
+          lit(false).as("is_bytes"))).as("parts"))
+      .withColumnRenamed("message_id", "_id")
+
+    joined.join(nestedParts, Seq("_id"), "left")
+      .select(
+        col("received_timestamp").cast("long").as("timestamp"),
+        col("sender_nd").as("sender_address"),
+        coalesce(col("full_name"), lit(Model.Sentinels.Unavailable)).as("sender_name"),
+        recipientAddress.as("recipient_address"),
+        when(received, Model.Sentinels.Self).otherwise(col("conv_name")).as("recipient_name"),
+        when(received, 1).otherwise(2).as("msg_box"),
+        col("message_protocol").cast("int").as("message_type"),
+        lit(Model.SourceFormat.Bugle).as("source_format"),
+        coalesce(col("parts"),
+          array().cast(Model.rawMessageSchema("parts").dataType)).as("parts"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic in-memory source fixtures for the Bugle and Signal
+  * connectors (schemas from FIXTURES.md §3–§4, field-for-field what
+  * sms-db.pl reads). Shared by the ScalaTest suites and the driver-gated
+  * `store_bugle_ingest` / `store_signal_ingest` CORRECTNESS queries —
+  * the environment ships no SQLite JDBC driver, so the *transforms* are
+  * exercised on these frames while [[BugleSource.readJdbc]] /
+  * [[SignalSource.read]] carry the production wiring. */
+object ConnectorFixtures {
+
+  def bugle(s: SparkSession): BugleSource.BugleTables = {
+    import s.implicits._
+    BugleSource.BugleTables(
+      messages = Seq(
+        // _id, received_timestamp, message_protocol, sender_id, conversation_id
+        (1L, 1000L, 0, 10L, 1L), // sent 1:1 sms
+        (2L, 2000L, 0, 1L, 3L),  // received sms
+        (3L, 3000L, 1, 10L, 2L)  // sent group mms
+      ).toDF("_id", "received_timestamp", "message_protocol", "sender_id", "conversation_id"),
+      participants = Seq(
+        (1L, "+15550001", "Alice"),
+        (2L, "+15550002", null),
+        (3L, "+15550003", "Carol"),
+        (10L, "+15559999", "Me")
+      ).toDF("_id", "normalized_destination", "full_name"),
+      conversations = Seq(
+        // _id, participant_normalized_destination, participant_count, name, sub_id
+        (1L, "+15550001", 1, "Alice", 1),
+        (2L, null, 3, "Group", 1),
+        (3L, "+15550001", 1, "Alice", -2)
+      ).toDF("_id", "participant_normalized_destination", "participant_count", "name", "sub_id"),
+      conversationParticipants = Seq(
+        (1L, 1L), (3L, 1L), (2L, 1L), (2L, 2L), (2L, 3L)
+      ).toDF("conversation_id", "participant_id"),
+      parts = Seq(
+        // _id, message_id, text, uri, content_type
+        (1L, 1L, "hi", null, "text/plain"),
+        (2L, 2L, "yo", null, "text/plain"),
+        (3L, 3L, null, "content://mms/part/7", "image/jpeg"),
+        (4L, 3L, "caption", null, "text/plain")
+      ).toDF("_id", "message_id", "text", "uri", "content_type"))
+  }
+
+  def signal(s: SparkSession): SignalSource.SignalTables = {
+    import s.implicits._
+    SignalSource.SignalTables(
+      sms = Seq(
+        // address, date, type, body
+        (1L, 100L, 20L, "in msg"),       // received
+        (1L, 200L, 23L, "out msg"),      // sent
+        (2L, 300L, 2097156L, "notice"),  // skipped: "is on Signal!"
+        (1L, 400L, 2L, "call"),          // skipped: audio call
+        (1L, 500L, 999L, "mystery")      // skipped: unknown type
+      ).toDF("address", "date", "type", "body"),
+      mms = Seq(
+        // _id, thread_id, address, date, msg_box, body
+        (100L, 7L, 20L, 1000L, 23L, "grp body"),    // sent group mms
+        (101L, 8L, 1L, 2000L, 10485780L, null),     // received, no body
+        (102L, 7L, 1L, 3000L, 42L, "bad")           // skipped: unknown msg_box
+      ).toDF("_id", "thread_id", "address", "date", "msg_box", "body"),
+      recipient = Seq(
+        // _id, phone, system_display_name, group_id
+        (1L, "+15551", "Ann", null),
+        (2L, "+15552", null, null),
+        (3L, null, "NoPhone", null),
+        (20L, null, null, "grp1"),
+        (30L, null, null, "grp2")
+      ).toDF("_id", "phone", "system_display_name", "group_id"),
+      thread = Seq((7L, 30L)).toDF("_id", "thread_recipient_id"),
+      groups = Seq(("grp1", "1,2,3"), ("grp2", "2,3")).toDF("group_id", "members"),
+      part = Seq(
+        // mid, ct, file_name, unique_id
+        (100L, "image/png", "pic.png", 555L),
+        (100L, "application/pdf", "doc.pdf", 777L) // file missing ⇒ dropped
+      ).toDF("mid", "ct", "file_name", "unique_id"),
+      attachments = Seq(
+        ("file:/backup/attachment/555_abc", Array[Byte](1, 2, 3))
+      ).toDF("path", "content"),
+      layout = SignalSource.LayoutA)
+  }
+}

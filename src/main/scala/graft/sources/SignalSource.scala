@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{transform => arrayTransform}
+import graft.store.Model
+
+/** Signal decrypted-backup ingest connector (SURVEY.md S6–S11, J2–J9,
+  * P7–P8; reference sms-db.pl:119-229) — the hardest connector: layout
+  * sniffing, a message-type allowlist with warn+skip side-channel, two
+  * levels of group-member expansion, a thread→recipient→group chain, and
+  * attachment-file resolution.
+  *
+  * Spark-first shape: every per-row prepared-statement lookup
+  * (groups/members/thread/recipient, sms-db.pl:160-163,183-199) becomes a
+  * join against a once-scanned table; attachment files arrive as a
+  * `binaryFile` DataFrame keyed by the unique_id extracted from the path
+  * (J9) instead of a readdir + per-file slurp; and the skip counters are
+  * an aggregation over the anti-side of the type filter instead of
+  * mutable warn counters.
+  */
+object SignalSource {
+
+  /** Layout sniff (S6, sms-db.pl:120-123). */
+  case class Layout(dbName: String, attachDir: String, uidRegex: String)
+  val LayoutA: Layout = Layout("signal_backup.db", "attachment", "^(\\d+)_.*$")
+  val LayoutB: Layout = Layout("database.sqlite", "attachments", "^(\\d+)\\.bin$")
+
+  def sniffLayout(backupDir: String): Layout =
+    if (Files.isRegularFile(Paths.get(backupDir, LayoutA.dbName))) LayoutA
+    else if (Files.isRegularFile(Paths.get(backupDir, LayoutB.dbName))) LayoutB
+    else throw new IllegalArgumentException(
+      s"Unrecognized Signal backup format in '$backupDir'")
+
+  /** Source tables (sms-db.pl:133,160-163,170-171) + the attachment-file
+    * DataFrame (`path`,`content` — the binaryFile source's columns). */
+  case class SignalTables(sms: DataFrame, mms: DataFrame, recipient: DataFrame,
+                          thread: DataFrame, groups: DataFrame, part: DataFrame,
+                          attachments: DataFrame, layout: Layout)
+
+  def read(s: SparkSession, backupDir: String): SignalTables = {
+    val layout = sniffLayout(backupDir)
+    def t(name: String) = s.read.format("jdbc")
+      .option("url", s"jdbc:sqlite:$backupDir/${layout.dbName}")
+      .option("dbtable", name).load()
+    val attachments = s.read.format("binaryFile")
+      .load(s"$backupDir/${layout.attachDir}")
+      .select(col("path"), col("content"))
+    SignalTables(t("sms"), t("mms"), t("recipient"), t("thread"), t("groups"),
+      t("part"), attachments, layout)
+  }
+
+  /** The reference's type allowlist (sms-db.pl:131): various outgoing
+    * codes → 2 (sent), incoming → 1 (received); everything else skipped
+    * with a warning. */
+  val MessageTypes: Column = typedLit(Map(
+    23L -> 2, 24L -> 2, 87L -> 2, 88L -> 2, 10485783L -> 2,
+    20L -> 1, 10485780L -> 1))
+
+  private def skipReason(typeCol: Column): Column =
+    when(typeCol === 2097156L, "is_on_signal_notice") // sms-db.pl:137-139
+      .when(typeCol === 2L, "outgoing_audio_call")    // sms-db.pl:141-142
+      .otherwise("unknown_type")                      // sms-db.pl:144-146
+
+  case class Result(raw: DataFrame, ignored: DataFrame) {
+    def ignoredCount: Long =
+      ignored.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+  }
+
+  private val unavailable = lit(Model.Sentinels.Unavailable)
+  private val self = lit(Model.Sentinels.Self)
+
+  /** Ordered member phone/name arrays per group (J5 prep): split the
+    * comma-joined member id list, explode WITH position, join recipient,
+    * re-assemble in source order (A2 ordinal discipline — the reference's
+    * index-aligned phones↔names lists, sms-db.pl:181-189). */
+  private def groupMembers(t: SignalTables): DataFrame =
+    t.groups.select(col("group_id"),
+        posexplode(split(col("members"), ",")).as(Seq("pos", "member_id")))
+      .join(t.recipient.select(col("_id").cast("string").as("member_id"),
+        col("phone").as("m_phone"), col("system_display_name").as("m_name")), Seq("member_id"), "left")
+      .groupBy("group_id")
+      .agg(
+        arrayTransform(array_sort(collect_list(struct(col("pos"), col("m_phone")))),
+          x => x.getField("m_phone")).as("g_phones"),
+        arrayTransform(array_sort(collect_list(struct(col("pos"), col("m_name")))),
+          x => x.getField("m_name")).as("g_names"))
+
+  /** `sms` table → RawMessage rows + skip counters (sms-db.pl:132-157). */
+  def transformSms(t: SignalTables): Result = {
+    val base = t.sms.join(
+      t.recipient.select(col("_id").as("address"), col("phone"),
+        col("system_display_name")), Seq("address"))
+    val mapped = element_at(MessageTypes, col("type").cast("long"))
+    val ignored = base.filter(mapped.isNull)
+      .groupBy(skipReason(col("type").cast("long")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+    val sent = mapped === 2
+    val raw = base.filter(mapped.isNotNull).select(
+      col("date").cast("long").as("timestamp"),
+      when(sent, self).otherwise(coalesce(col("phone"), unavailable)).as("sender_address"),
+      when(sent, self).otherwise(coalesce(col("system_display_name"), unavailable)).as("sender_name"),
+      when(sent, coalesce(col("phone"), unavailable)).otherwise(self).as("recipient_address"),
+      when(sent, coalesce(col("system_display_name"), unavailable)).otherwise(self).as("recipient_name"),
+      mapped.as("msg_box"),
+      lit(Model.MessageType.Sms).as("message_type"),
+      lit(Model.SourceFormat.Signal).as("source_format"),
+      array(struct(
+        encode(col("body"), "UTF-8").as("data"),
+        lit("text/plain").as("content_type"),
+        lit(null).cast("string").as("filename"),
+        lit(false).as("is_bytes"))).as("parts"))
+    Result(raw, ignored)
+  }
+
+  /** `mms` table → RawMessage rows + skip counters (sms-db.pl:159-227). */
+  def transformMms(t: SignalTables): Result = {
+    val base = t.mms.join(
+      t.recipient.select(col("_id").as("address"), col("phone"),
+        col("system_display_name"), col("group_id")), Seq("address"))
+    val mapped = element_at(MessageTypes, col("msg_box").cast("long"))
+    val ignored = base.filter(mapped.isNull)
+      .groupBy(lit("unknown_msg_box").as("reason")) // sms-db.pl:174-176
+      .agg(count(lit(1)).as("n"))
+    val kept = base.filter(mapped.isNotNull)
+
+    val members = groupMembers(t)
+
+    // J5 — sender-side expansion when the mms's own recipient is a group:
+    // raw join('') semantics — undefined members become '' (sms-db.pl:184-188).
+    val g1 = kept.join(members, Seq("group_id"), "left")
+      .withColumn("eff_phone",
+        when(col("group_id").isNotNull, array_join(col("g_phones"), ",", ""))
+          .otherwise(col("phone")))
+      .withColumn("eff_name",
+        when(col("group_id").isNotNull, array_join(col("g_names"), ",", ""))
+          .otherwise(col("system_display_name")))
+
+    // J6 — thread → thread_recipient → group chain (sms-db.pl:162-163,192-193)
+    val threadChain = t.thread.select(col("_id").as("thread_id"),
+        col("thread_recipient_id"))
+      .join(t.recipient.select(col("_id").as("thread_recipient_id"),
+        col("group_id").as("thread_group_id")), Seq("thread_recipient_id"))
+    // J7 — recipient-side expansion with per-member <UNAVAILABLE> fill
+    // (sms-db.pl:194-204)
+    val members2 = members.select(
+      col("group_id").as("thread_group_id"),
+      array_join(arrayTransform(col("g_phones"), p => coalesce(p, unavailable)), ",")
+        .as("r_phones"),
+      array_join(arrayTransform(col("g_names"), n => coalesce(n, unavailable)), ",")
+        .as("r_names"))
+    val g2 = g1
+      .join(threadChain, Seq("thread_id"), "left")
+      .join(members2, Seq("thread_group_id"), "left")
+
+    val sent = mapped === 2
+    val directedRecipAddr =
+      when(sent, coalesce(col("eff_phone"), unavailable)).otherwise(self)
+    val directedRecipName =
+      when(sent, coalesce(col("eff_name"), unavailable)).otherwise(self)
+
+    // parts: optional text body first (sms-db.pl:210), then attachments
+    // resolved via the binaryFile scan keyed on unique_id (J9,
+    // sms-db.pl:211-223); parts whose file is missing are dropped with the
+    // reference's warn semantics (sms-db.pl:217). Order: body, then
+    // unique_id ascending (the reference relies on part-table order).
+    val uid = regexp_extract(element_at(split(col("path"), "/"), -1),
+      t.layout.uidRegex, 1).cast("long")
+    val files = t.attachments.select(uid.as("unique_id"), col("content"))
+    val attParts = t.part
+      .join(files, Seq("unique_id")) // inner: missing file ⇒ part skipped
+      .groupBy(col("mid"))
+      .agg(arrayTransform(
+        array_sort(collect_list(struct(col("unique_id"), col("content"),
+          col("ct"), col("file_name")))),
+        p => struct(
+          p.getField("content").as("data"),
+          p.getField("ct").as("content_type"),
+          p.getField("file_name").as("filename"),
+          lit(true).as("is_bytes"))).as("att_parts"))
+      .withColumnRenamed("mid", "_id")
+
+    val bodyPart = struct(
+      encode(col("body"), "UTF-8").as("data"),
+      lit("text/plain").as("content_type"),
+      lit(null).cast("string").as("filename"),
+      lit(false).as("is_bytes"))
+    val emptyParts = array().cast(Model.rawMessageSchema("parts").dataType)
+
+    val raw = g2.join(attParts, Seq("_id"), "left").select(
+      col("date").cast("long").as("timestamp"),
+      when(sent, self).otherwise(coalesce(col("eff_phone"), unavailable)).as("sender_address"),
+      when(sent, self).otherwise(coalesce(col("eff_name"), unavailable)).as("sender_name"),
+      // thread-chain group overrides whatever direction assigned
+      // (sms-db.pl:206-207)
+      coalesce(col("r_phones"), directedRecipAddr).as("recipient_address"),
+      coalesce(col("r_names"), directedRecipName).as("recipient_name"),
+      mapped.as("msg_box"),
+      lit(Model.MessageType.Mms).as("message_type"),
+      lit(Model.SourceFormat.Signal).as("source_format"),
+      concat(
+        when(col("body").isNotNull, array(bodyPart)).otherwise(emptyParts),
+        coalesce(col("att_parts"), emptyParts)).as("parts"))
+    Result(raw, ignored)
+  }
+
+  /** Full backup → RawMessage rows + combined skip counters, honoring the
+    * `-t` gate (P1). */
+  def transform(t: SignalTables, messageType: String = "all"): Result = {
+    val rs = messageType match {
+      case "sms" => Seq(transformSms(t))
+      case "mms" => Seq(transformMms(t))
+      case _     => Seq(transformSms(t), transformMms(t))
+    }
+    Result(
+      rs.map(_.raw).reduce(_ unionByName _),
+      rs.map(_.ignored).reduce(_ unionByName _))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.store.Ingest
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Bugle + Signal connector transforms over the FIXTURES.md frames:
+  * direction truth tables, group expansion (order + sentinel fill),
+  * type-allowlist skip counters, uri/body part coalescing, attachment
+  * resolution with missing-file drop. */
+class ConnectorSpec extends SparkSpec {
+
+  private def metaOf(df: org.apache.spark.sql.DataFrame): Map[Long, (String, String, String, String, Int, Int)] =
+    df.collect().map { r =>
+      r.getAs[Long]("timestamp") ->
+        ((r.getAs[String]("sender_address"), r.getAs[String]("sender_name"),
+          r.getAs[String]("recipient_address"), r.getAs[String]("recipient_name"),
+          r.getAs[Int]("msg_box"), r.getAs[Int]("message_type")))
+    }.toMap
+
+  test("bugle: direction, group fan-out order, uri part fallback (sms-db.pl:94-117)") {
+    val raw = BugleSource.transform(ConnectorFixtures.bugle(spark))
+    val m = metaOf(raw)
+    assert(m(1000L) == (("+15559999", "Me", "+15550001", "Alice", 2, 0)))
+    assert(m(2000L) == (("+15550001", "Alice", "<SELF>", "<SELF>", 1, 0)))
+    // group fan-out: pnd NULL + count>1 ⇒ member list in participant order
+    assert(m(3000L) == (("+15559999", "Me", "+15550001,+15550002,+15550003", "Group", 2, 1)))
+    // parts: _id order; non-text part degraded to "<uri>" (P11)
+    val parts3 = raw.filter(col("timestamp") === 3000)
+      .select(explode(col("parts")).as("p")).select("p.*").collect()
+    assert(parts3.map(_.getString(1)).toSeq == Seq("image/jpeg", "text/plain"))
+    assert(new String(parts3(0).getAs[Array[Byte]](0), "UTF-8") == "<content://mms/part/7>")
+    assert(new String(parts3(1).getAs[Array[Byte]](0), "UTF-8") == "caption")
+  }
+
+  test("bugle: message-type gate (P1)") {
+    val t = ConnectorFixtures.bugle(spark)
+    assert(BugleSource.transform(t, "sms").count() == 2)
+    assert(BugleSource.transform(t, "mms").count() == 1)
+  }
+
+  test("signal sms: type allowlist + skip reasons (sms-db.pl:131-151)") {
+    val r = SignalSource.transformSms(ConnectorFixtures.signal(spark))
+    val m = metaOf(r.raw)
+    assert(m.keySet == Set(100L, 200L))
+    assert(m(100L) == (("+15551", "Ann", "<SELF>", "<SELF>", 1, 0)))
+    assert(m(200L) == (("<SELF>", "<SELF>", "+15551", "Ann", 2, 0)))
+    val reasons = r.ignored.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(reasons == Map("is_on_signal_notice" -> 1L, "outgoing_audio_call" -> 1L,
+      "unknown_type" -> 1L))
+  }
+
+  test("signal mms: double group expansion, thread chain, attachments (sms-db.pl:159-227)") {
+    val r = SignalSource.transformMms(ConnectorFixtures.signal(spark))
+    val m = metaOf(r.raw)
+    // sent group mms: thread→recipient→grp2 expansion overrides recipients
+    // with per-member <UNAVAILABLE> fill, index-aligned phones↔names
+    assert(m(1000L) == (("<SELF>", "<SELF>", "+15552,<UNAVAILABLE>",
+      "<UNAVAILABLE>,NoPhone", 2, 1)))
+    // received mms, no thread row: direction fills plain recipient
+    assert(m(2000L) == (("+15551", "Ann", "<SELF>", "<SELF>", 1, 1)))
+    assert(r.ignored.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("unknown_msg_box", 1L)))
+    // parts of the group mms: body first, then resolved attachment;
+    // missing-file part (unique_id 777) dropped
+    val parts = r.raw.filter(col("timestamp") === 1000)
+      .select(explode(col("parts")).as("p")).select("p.*").collect()
+    assert(parts.map(_.getString(1)).toSeq == Seq("text/plain", "image/png"))
+    assert(parts(1).getAs[Array[Byte]](0).toSeq == Seq[Byte](1, 2, 3))
+    assert(parts(1).getString(2) == "pic.png")
+    assert(parts(1).getBoolean(3)) // attachment bytes are a Perl byte string
+    // bodyless received mms has no parts
+    assert(r.raw.filter(col("timestamp") === 2000).select(size(col("parts")))
+      .head.getInt(0) == 0)
+  }
+
+  test("signal: full ingest with ignored counters feeding the stats invariant") {
+    val res = SignalSource.transform(ConnectorFixtures.signal(spark))
+    val ing = Ingest(res.raw, ignored = res.ignoredCount)
+    assert(ing.stats == Ingest.Stats(total = 8, inserted = 4, duplicates = 0,
+      ignored = 4, parts = 4))
+  }
+
+  test("signal: layout sniff picks db + attachment regex (S6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-signal-sniff")
+    java.nio.file.Files.createFile(dir.resolve("database.sqlite"))
+    assert(SignalSource.sniffLayout(dir.toString) == SignalSource.LayoutB)
+    intercept[IllegalArgumentException] {
+      SignalSource.sniffLayout(java.nio.file.Files.createTempDirectory("empty").toString)
+    }
+  }
+}
