@@ -143,13 +143,34 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** A2 — order-aligned string aggregation (the group-members comma list,
-    * sms-db.pl:83,187). Deterministic via sort_array before joining. */
+  /** A2 (simple form) — deterministic string aggregation via sort_array.
+    * Alphabetical: fine when the list is a set (nation names). */
   def groupConcat(s: SparkSession, d: String): DataFrame =
     nation(s, d)
       .groupBy("n_regionkey")
       .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("n_regionkey")
+
+  /** A2 (full contract) — SOURCE-ordered, index-aligned multi-column
+    * string aggregation: the reference keeps group-member phones↔names
+    * aligned by position (sms-db.pl:184-188), so both joined strings must
+    * come from ONE explicitly-ordered struct array — collect_list alone is
+    * nondeterministic after shuffles. Same discipline as the Signal
+    * connector's group expansion. */
+  def groupConcatOrdered(s: SparkSession, d: String): DataFrame = {
+    val ordered = sort_array(collect_list(struct(
+      col("o_orderdate"), col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))))
+    orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .groupBy("o_custkey")
+      .agg(
+        array_join(transform(ordered, x => x.getField("o_orderkey").cast("string")), ",")
+          .as("order_keys"),
+        array_join(transform(ordered, x => x.getField("cents").cast("string")), ",")
+          .as("order_cents"))
+      .orderBy("o_custkey")
+  }
 
   /** A4 — exact dedup semantics: one surviving row per key, duplicate
     * counts (the count the reference reports, sms-db.pl:325-331).
@@ -213,6 +234,7 @@ object Relational {
     "rel_agg_counters"   -> aggCounters _,
     "rel_pricing_summary" -> pricingSummary _,
     "rel_group_concat"   -> groupConcat _,
+    "rel_group_concat_ordered" -> groupConcatOrdered _,
     "rel_dedup_exact"    -> dedupExact _,
     "rel_order_by_time"  -> orderByTime _,
     "rel_first_per_group" -> firstPerGroup _,
@@ -265,6 +287,13 @@ object Relational {
     "rel_group_concat" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "rel_group_concat_ordered" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey) AS order_keys,
+        |  string_agg(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), ','
+        |             ORDER BY o_orderdate, o_orderkey) AS order_cents
+        |FROM orders WHERE o_custkey <= 100
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "rel_dedup_exact" ->
       """SELECT COUNT(1) AS distinct_docs, CAST(SUM(copies - 1) AS BIGINT) AS duplicates FROM (
         |  SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(1) AS copies

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.store.MessageHash
+
+/** Structured Streaming extension of the ingest pipeline (SURVEY.md §2.8 —
+  * design, not reference-derived: the reference is strictly batch).
+  *
+  * [[dedupStream]] is the streaming twin of the UNIQUE-hash constraint
+  * (sms-db.pl:49,326-328): messages arrive continuously (file-arrival
+  * `readStream` in production), each gets the byte-exact [[MessageHash]]
+  * key, and duplicates are dropped in-stream.
+  *
+  * State discipline at 100 TB: `dropDuplicates("hash")` alone would grow
+  * keyed state forever (the reference's semantics — its UNIQUE index IS
+  * unbounded state, which SQLite pays on disk). The streaming engine
+  * bounds it instead: with an event-time watermark the engine evicts keys
+  * older than the horizon (`dropDuplicatesWithinWatermark`), and
+  * cross-horizon duplicates are left to the batch anti-join
+  * ([[graft.store.Ingest]]) at compaction time — the standard
+  * lambda-ish split of cheap-online vs exact-offline dedup.
+  */
+object StreamingIngest {
+
+  /** RawMessage stream → hash-deduplicated stream (exact within the
+    * watermark horizon). `eventTimeCol` must be a timestamp column used
+    * for state eviction. */
+  def dedupStream(raw: DataFrame, eventTimeCol: String = "event_time",
+                  watermark: String = "1 hour"): DataFrame =
+    raw
+      .withColumn("hash", MessageHash.forRawMessages)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("hash")
+
+  /** Windowed throughput/volume aggregation over an event stream
+    * (watermark + tumbling window — the standard late-data-tolerant
+    * rollup; analog of the reference's import stats, continuously). */
+  def windowedCounts(events: DataFrame, eventTimeCol: String = "ts",
+                     window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTimeCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+}

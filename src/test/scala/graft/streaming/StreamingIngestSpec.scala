@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming ingest: hash dedup across micro-batches within the watermark,
+  * windowed aggregation with late-data handling. */
+class StreamingIngestSpec extends SparkSpec {
+
+  import graft.store.Model.{RawMessage, RawPart}
+
+  private def msg(ts: Long, body: String): RawMessage =
+    RawMessage(ts, "+1", "A", "<SELF>", "<SELF>", 1, 0, 0,
+      Seq(RawPart(body.getBytes("UTF-8"), "text/plain", None, is_bytes = false)))
+
+  case class TimedRaw(event_time: Timestamp, timestamp: Long, sender_address: String,
+                      sender_name: String, recipient_address: String, recipient_name: String,
+                      msg_box: Int, message_type: Int, source_format: Int, parts: Seq[RawPart])
+
+  private def timed(t: Long, m: RawMessage): TimedRaw =
+    TimedRaw(new Timestamp(t), m.timestamp, m.sender_address, m.sender_name,
+      m.recipient_address, m.recipient_name, m.msg_box, m.message_type,
+      m.source_format, m.parts)
+
+  test("streaming dedup drops intra- and cross-batch duplicates within the watermark") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[TimedRaw]
+    val deduped = StreamingIngest.dedupStream(input.toDF())
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val base = 1700000000000L
+      // batch 1: two distinct + one intra-batch duplicate
+      input.addData(timed(base, msg(1, "a")), timed(base, msg(2, "b")), timed(base, msg(1, "a")))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate of "a" + one new
+      input.addData(timed(base + 1000, msg(1, "a")), timed(base + 2000, msg(3, "c")))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT timestamp FROM dedup_out").collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("windowed counts aggregate by tumbling window and type") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    case class Ev(ts: Timestamp, event_type: String, value: Double)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(events, window = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), "click", 1.0),
+        (new Timestamp(t0 + 60000), "click", 2.0),
+        (new Timestamp(t0 + 11 * 60000), "click", 5.0),
+        (new Timestamp(t0), "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n, total_value FROM win_out ORDER BY window_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 1.0), ("click", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
