@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    def plan(name: String): String = {
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    for (q <- Seq("rel_filter_eq", "rel_filter_conj", "rel_join_inner", "rel_join_multi_agg", "rel_pricing_summary", "rel_dedup_exact")) {
+      val p = plan(q)
+      val pushed = p.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).take(4).mkString("\n")
+      val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("(")).map(_.trim.takeWhile(_ != '[')).take(3).mkString("; ")
+      val codegen = p.linesIterator.count(_.contains("WholeStageCodegen"))
+      println(s"=== $q\n$pushed\njoins: $joins\nwholestage spans: $codegen\n")
+    }
+    spark.stop()
+  }
+}
