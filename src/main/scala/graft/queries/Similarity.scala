@@ -95,21 +95,26 @@ object Similarity {
     * tested against [[bruteTopK]] in PipelineSpec; the driver records a
     * rows-only check (approximate results have no SQL oracle). */
   def lshBucketTopK(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    def sigs(v: Column): Seq[Column] =
-      (0 until Tables).map(t => srpSignature(v, BitsPerTable, t * BitsPerTable))
+    // Index build: the 32-expression signature projection is computed ONCE
+    // and cached — this cached frame IS the ANN index (at 100 TB it would
+    // be a persisted, bucketed-by-signature table instead of a cache).
+    val indexed = embeddings(s, d).select(
+      col("vec_id") +: col("embedding") +:
+        (0 until Tables).map(t =>
+          srpSignature(col("embedding"), BitsPerTable, t * BitsPerTable).as(s"sig_$t")): _*)
+      .cache()
 
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      explode(array(sigs(col("embedding")).zipWithIndex.map { case (c, t) =>
-        struct(lit(t).as("t"), c.as("sig"))
-      }: _*)).as("b"))
+    val corpus = indexed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      explode(array((0 until Tables).map(t =>
+        struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
       .select(col("neighbor_id"), col("cv"), col("b.t").as("t"), col("b.sig").as("sig"))
 
-    val probes = sigs(col("embedding")).zipWithIndex.flatMap { case (c, t) =>
+    val probes = (0 until Tables).flatMap { t =>
+      val c = col(s"sig_$t")
       val flips = c +: (0 until BitsPerTable).map(j => c.bitwiseXOR(lit(1L << j)))
       flips.map(f => struct(lit(t).as("t"), f.as("sig")))
     }
-    val queries = e.filter(col("vec_id") < NumQueries)
+    val queries = indexed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         explode(array(probes: _*)).as("p"))
       .select(col("query_id"), col("qv"), col("p.t").as("t"), col("p.sig").as("sig"))

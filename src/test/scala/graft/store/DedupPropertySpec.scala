@@ -1,0 +1,71 @@
+package graft.store
+
+import graft.SparkSpec
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated properties for the dedup kernel (SURVEY.md §5.4):
+  * idempotence (`ingest(x ++ x) ≡ ingest(x)`), hash injectivity under
+  * field perturbation (README.md:115 "never fail to store
+  * non-duplicates"), and union-order invariance of the surviving set.
+  * Samples are drawn with fixed seeds (no scalatest-scalacheck bridge in
+  * the offline cache) — deterministic, still generator-diverse. */
+class DedupPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val genPart: Gen[Model.RawPart] = for {
+    data <- Gen.oneOf(
+      Gen.alphaNumStr.map(_.getBytes("UTF-8")),
+      Gen.listOf(Arbitrary.arbByte.arbitrary).map(_.toArray))
+    ct <- Gen.oneOf("text/plain", "image/jpeg", "video/mp4")
+    fn <- Gen.option(Gen.alphaNumStr)
+    isB <- Gen.oneOf(true, false)
+  } yield Model.RawPart(data, ct, fn, isB)
+
+  private val genMsg: Gen[Model.RawMessage] = for {
+    ts <- Gen.chooseNum(0L, 2000000000000L)
+    sa <- Gen.oneOf("+15551", "+15552", "<SELF>")
+    sn <- Gen.oneOf("Alice", "Bob", "<UNAVAILABLE>")
+    ra <- Gen.oneOf("+15551", "+15551,+15552", "<SELF>")
+    rn <- Gen.oneOf("Alice", "Group", "<SELF>")
+    box <- Gen.oneOf(1, 2)
+    mt <- Gen.oneOf(0, 1)
+    fmt <- Gen.oneOf(0, 1, 2)
+    parts <- Gen.listOfN(2, genPart)
+  } yield Model.RawMessage(ts, sa, sn, ra, rn, box, mt, fmt, parts)
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def hashes(msgs: Seq[Model.RawMessage]): Seq[String] =
+    Ingest(msgs.toDF()).messages
+      .select("hash").collect().map(_.getString(0)).sorted.toSeq
+
+  test("property: ingest(x ++ x) keeps exactly ingest(x)'s messages") {
+    (1L to 4L).foreach { seed =>
+      val msgs = sample(Gen.listOfN(4, genMsg), seed)
+      assert(hashes(msgs ++ msgs) == hashes(msgs), s"seed $seed")
+    }
+  }
+
+  test("property: ingest is union-order invariant") {
+    (10L to 13L).foreach { seed =>
+      val msgs = sample(Gen.listOfN(4, genMsg), seed)
+      assert(hashes(msgs) == hashes(msgs.reverse), s"seed $seed")
+    }
+  }
+
+  test("property: any single-field perturbation changes the hash") {
+    (20L to 23L).foreach { seed =>
+      val m = sample(genMsg, seed)
+      val variants = Seq(
+        m.copy(timestamp = m.timestamp + 1),
+        m.copy(sender_address = m.sender_address + "x"),
+        m.copy(msg_box = 3 - m.msg_box),
+        m.copy(message_type = 1 - m.message_type))
+      val hs = hashes(Seq(m))
+      variants.foreach(v => assert(hashes(Seq(v)) != hs, s"seed $seed"))
+    }
+  }
+}
