@@ -81,14 +81,17 @@ object Scalars {
       .agg(count(lit(1)).as("n"), min(col("epoch_ms")).as("first_ms"))
       .orderBy("day")
 
-  /** JSON side-data extraction (events.props) — get_json_object is the
-    * Spark-native path; at scale this stays inside codegen (Jackson parse
-    * per row, no UDF). */
+  /** JSON side-data extraction (events.props) — `from_json` with an
+    * explicit schema: ONE parse per row regardless of how many keys are
+    * later pulled (get_json_object re-parses per path), codegen'd, no UDF.
+    */
   def jsonExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
       .groupBy("k")
       .agg(count(lit(1)).as("n"))
       .orderBy("k")

@@ -129,9 +129,38 @@ object Similarity {
     topK(bucketScored, K)
   }
 
+  /** Embedding-cosine near-dup candidates (the brief's fourth dedup
+    * method): top-3 most-similar pairs inside each `label` block. Blocking
+    * on a coarse key (label / cluster id) keeps the pair join per-block
+    * quadratic instead of corpus-quadratic — the standard candidate-review
+    * query; at 100 TB the blocks come from [[lshBucketTopK]]'s buckets
+    * instead of labels. Top-3 per block via the same bounded two-level
+    * aggregation as [[topK]]. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val scoredPairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        (dotd(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cos"))
+    val cand = struct(negate(col("cos")).as("negcos"),
+      col("vec_a").as("vec_a"), col("vec_b").as("vec_b"))
+    scoredPairs
+      .groupBy(col("label"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, 3).as("cands"))
+      .select(col("label"), explode(col("cands")).as("c"))
+      .groupBy("label")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, 3).as("cands"))
+      .select(col("label"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.vec_a").as("vec_a"), col("c.vec_b").as("vec_b"))
+      .orderBy("label", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_cosine_topk" -> bruteTopK _,
-    "sim_ann_lsh"     -> lshBucketTopK _,
+    "sim_cosine_topk"   -> bruteTopK _,
+    "sim_ann_lsh"       -> lshBucketTopK _,
+    "sim_embed_neardup" -> embeddingNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -155,5 +184,24 @@ object Similarity {
         |)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |), p AS (
+        |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |              for i in range(1, len(a.embedding) + 1)]) /
+        |    (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+        |                    for i in range(1, len(a.embedding) + 1)])) *
+        |     sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+        |                    for i in range(1, len(b.embedding) + 1)]))) AS cos
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |), r AS (
+        |  SELECT label, vec_a, vec_b,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_a, vec_b) AS rank
+        |  FROM p
+        |)
+        |SELECT label, CAST(rank AS BIGINT) AS rank, vec_a, vec_b FROM r
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin,
   )
 }
