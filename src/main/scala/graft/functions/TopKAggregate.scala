@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregate (SURVEY.md §7.3 "custom vs built-in": the one
+  * aggregation shape Spark lacks a built-in for). Keeps at most k
+  * (score, id) candidates per group at every reduce/merge — memory is
+  * O(k) per group regardless of group size, and the whole top-k is ONE
+  * hash aggregation (map-side partial combine included) instead of the
+  * two-round collect_list + slice composition in
+  * [[graft.queries.Similarity]] — fewer passes and no k×partitions
+  * intermediate. A typed `Aggregator` registered via `udaf()` — the
+  * documented custom-aggregate surface, exactly how percentile-style
+  * sketches plug in. */
+object TopKAggregate {
+
+  case class Scored(score: Double, id: Long)
+
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def trim(s: Seq[Scored]): Seq[Scored] =
+      s.sortBy(x => (-x.score, x.id)).take(k)
+    override def zero: Seq[Scored] = Nil
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
+      if (b.size < k || a.score > b.last.score ||
+          (a.score == b.last.score && a.id < b.last.id)) trim(a +: b) else b
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
+    override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
+    override def bufferEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** usage: `df.groupBy(g).agg(TopKAggregate(10)(col("score"), col("id")))` */
+  def apply(k: Int): UserDefinedFunction = udaf(new TopK(k))
+}

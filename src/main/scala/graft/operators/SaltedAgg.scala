@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resistant aggregation (the 100 TB playbook's salting pattern).
+  *
+  * A plain `groupBy(key).agg(...)` puts every row of a heavy-hitter key in
+  * one reduce partition. Salting splits each key into `salts` sub-groups
+  * for the wide first phase (uniform shuffle), then merges the per-salt
+  * partials in a second, tiny aggregation. Works for any algebraic
+  * aggregate (sum/count/min/max here). AQE's skew handling covers joins;
+  * this covers aggregations, where AQE does not re-split groups.
+  */
+object SaltedAgg {
+
+  /** `groupBy(keys).agg(count, sum(valueCol))`, salted. The salt is a
+    * uniform random int — safe for algebraic merges because phase 2
+    * re-combines exactly the partials, whatever the split was. */
+  def countSum(df: DataFrame, keyCol: String, valueCol: String,
+               salts: Int = 32): DataFrame =
+    df
+      .withColumn("_salt", (rand(seed = 42) * salts).cast("int"))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_pn"), sum(col(valueCol)).as("_ps"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_pn")).as("n"), sum(col("_ps")).as("total"))
+}

@@ -47,10 +47,15 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
     val grams = gramSets(s, d).cache()
 
-    // k min-hashes per doc: one explode + one hash-agg shuffle on doc_id.
-    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
-    val sig = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // k min-hashes per doc as per-row array FOLDS — a narrow projection
+    // with NO shuffle (the naive explode + groupBy(doc_id) form shuffles
+    // every shingle; at 100 TB that's the corpus re-keyed by doc). Each
+    // fold is codegen'd: min over xxhash64(seed_i, gram).
+    val sigCols = (0 until NumHashes).map { i =>
+      aggregate(col("grams"), lit(Long.MaxValue),
+        (acc, g) => least(acc, xxhash64(lit(i), g))).as(s"h$i")
+    }
+    val sig = grams.select(col("doc_id") +: sigCols: _*)
 
     // band keys: hash of each R-row slice of the signature.
     val bandStructs = (0 until Bands).map { b =>

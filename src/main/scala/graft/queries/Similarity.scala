@@ -53,7 +53,7 @@ object Similarity {
   /** Bounded two-level top-k: per-partition candidates, then global merge —
     * replaces a per-query global sort (which would put the whole corpus in
     * one partition per query). */
-  private def topK(scoredDf: DataFrame, k: Int): DataFrame = {
+  private[graft] def topK(scoredDf: DataFrame, k: Int): DataFrame = {
     val cand = struct(negate(col("cos")).as("negcos"), col("neighbor_id").as("neighbor_id"))
     val local = scoredDf
       .groupBy(col("query_id"), spark_partition_id().as("p"))
@@ -69,6 +69,20 @@ object Similarity {
 
   /** Exact cosine top-K for the fixed query set. */
   def bruteTopK(s: SparkSession, d: String): DataFrame = topK(scored(s, d), K)
+
+  /** Same contract as [[topK]] through the custom bounded
+    * [[graft.functions.TopKAggregate]]: ONE hash aggregation (O(k) state
+    * per group, map-side combine) instead of two collect_list rounds.
+    * Used by the ANN path; equivalence with [[topK]] is spec-pinned. */
+  private[graft] def topKAgg(scoredDf: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAggregate(k)
+    scoredDf.groupBy("query_id")
+      .agg(topk(col("cos"), col("neighbor_id")).as("cands"))
+      .select(col("query_id"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Sign-random-projection signature: bit j = sgn(Σ_i s_ij · v_i) where
     * s_ij ∈ {±1} comes from xxhash64(seedOffset+j, i) — deterministic, no
@@ -126,7 +140,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
-    topK(bucketScored, K)
+    topKAgg(bucketScored, K)
   }
 
   /** Embedding-cosine near-dup candidates (the brief's fourth dedup

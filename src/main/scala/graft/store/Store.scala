@@ -24,9 +24,13 @@ object Store {
     s.read.parquet(s"$dir/parts")
 
   /** Import one raw batch (append semantics, like repeated `-i` runs,
-    * README.md:39-43). Returns the reference's printed counters. */
+    * README.md:39-43). Returns the reference's printed counters.
+    * `partitioned = true` lays messages out hive-partitioned by
+    * `source_format` (the 100 TB layout: queries gated on a source — the
+    * reference's `-t`/format filters — prune whole partitions at the
+    * scan; a time bucket would be the second partition level). */
   def importBatch(s: SparkSession, dir: String, raw: DataFrame,
-                  ignored: Long = 0L): Ingest.Stats = {
+                  ignored: Long = 0L, partitioned: Boolean = false): Ingest.Stats = {
     val existing = if (exists(dir)) Some(messages(s, dir)) else None
     val (nextMsgId, nextPartId) = existing match {
       case Some(m) =>
@@ -36,7 +40,9 @@ object Store {
       case None => (1L, 1L)
     }
     val result = Ingest(raw, existing, ignored, nextMsgId, nextPartId)
-    result.messages.write.mode(SaveMode.Append).parquet(s"$dir/messages")
+    val msgWriter = result.messages.write.mode(SaveMode.Append)
+    (if (partitioned) msgWriter.partitionBy("source_format") else msgWriter)
+      .parquet(s"$dir/messages")
     result.parts.write.mode(SaveMode.Append).parquet(s"$dir/parts")
     result.stats
   }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.SynctechXml
+import graft.store.{DemoStore, Store}
+import org.apache.spark.sql.functions._
+
+/** Scale-path utilities: salted aggregation correctness on skewed data,
+  * partitioned store writes with partition pruning at the scan. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted aggregation equals plain groupBy on skewed data") {
+    import spark.implicits._
+    // heavy hitter: 10k rows on one key, a handful elsewhere
+    val skewed = (Seq.fill(10000)("hot") ++ Seq("a", "a", "b"))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }
+      .toDF("k", "v").repartition(8)
+    val salted = SaltedAgg.countSum(skewed, "k", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = skewed.groupBy("k").agg(count(lit(1)), sum("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+  }
+
+  test("partitioned store write prunes partitions on source_format filters") {
+    val dir = Files.createTempDirectory("graft-part-store").resolve("store").toString
+    val xml = Files.createTempDirectory("graft-part-xml").resolve("b.xml")
+    Files.write(xml, DemoStore.FixtureXml.getBytes("UTF-8"))
+    Store.importBatch(spark, dir, SynctechXml.read(spark, xml.toString),
+      partitioned = true)
+    val q = Store.messages(spark, dir).filter(col("source_format") === 0)
+    assert(q.count() == 3)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("source_format"), s"no partition pruning in:\n$plan")
+    // a non-matching partition filter scans zero files
+    assert(Store.messages(spark, dir).filter(col("source_format") === 2).count() == 0)
+  }
+}

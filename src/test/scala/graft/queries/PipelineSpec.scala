@@ -56,6 +56,20 @@ class PipelineSpec extends SparkSpec {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("bounded TopK aggregate equals the two-level collect_list top-k") {
+    import spark.implicits._
+    // adversarial scored data: duplicates, score ties (tie-break by id), >k rows
+    val scored = (0L until 3L).flatMap { q =>
+      (0L until 40L).map(n => (q, n, (n % 7).toDouble / 7.0))
+    }.toDF("query_id", "neighbor_id", "cos").repartition(5)
+    val a = Similarity.topK(scored, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Similarity.topKAgg(scored, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+    assert(a.size == 30)
+  }
+
   test("simhash matches independent python golden vectors") {
     val rows = TextAnalysis.simhash(spark, sf).filter(col("doc_id") < 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
