@@ -37,17 +37,22 @@ object Similarity {
 
   private def norm(v: Column): Column = sqrt(dotd(v, v))
 
-  /** (query ⨯ corpus) cosine scores for the fixed query set vec_id < NumQueries. */
+  /** (query ⨯ corpus) cosine scores for the fixed query set vec_id < NumQueries.
+    * Norms are precomputed per VECTOR before the pair join — one dot per
+    * pair instead of three (cos = dot/(‖a‖‖b‖), and sqrt of the same
+    * double is the same double, so results stay bit-identical). */
   private def scored(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val queries = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
     // query set is a bounded dimension — the one join where a broadcast
     // hint is structurally safe at any corpus size.
     corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dotd(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
   }
 
   /** Bounded two-level top-k: per-partition candidates, then global merge —
@@ -113,15 +118,16 @@ object Similarity {
     // and cached — this cached frame IS the ANN index (at 100 TB it would
     // be a persisted, bucketed-by-signature table instead of a cache).
     val indexed = embeddings(s, d).select(
-      col("vec_id") +: col("embedding") +:
+      col("vec_id") +: col("embedding") +: norm(col("embedding")).as("nrm") +:
         (0 until Tables).map(t =>
           srpSignature(col("embedding"), BitsPerTable, t * BitsPerTable).as(s"sig_$t")): _*)
       .cache()
 
     val corpus = indexed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"),
       explode(array((0 until Tables).map(t =>
         struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
-      .select(col("neighbor_id"), col("cv"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("b.t").as("t"), col("b.sig").as("sig"))
 
     val probes = (0 until Tables).flatMap { t =>
       val c = col(s"sig_$t")
@@ -130,16 +136,18 @@ object Similarity {
     }
     val queries = indexed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(array(probes: _*)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.t").as("t"), col("p.sig").as("sig"))
+        col("nrm").as("qn"), explode(array(probes: _*)).as("p"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("p.t").as("t"), col("p.sig").as("sig"))
 
     val bucketScored = corpus.join(broadcast(queries), Seq("t", "sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       // union of candidates across tables/probes → dedup before re-rank
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
+        col("cv"), col("cn"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dotd(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv")))).as("cos"))
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
     topKAgg(bucketScored, K)
   }
 
@@ -152,11 +160,15 @@ object Similarity {
     * aggregation as [[topK]]. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")) // norm per vector, not per pair
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
     val scoredPairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        (dotd(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))).as("cos"))
+        (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
     val cand = struct(negate(col("cos")).as("negcos"),
       col("vec_a").as("vec_a"), col("vec_b").as("vec_b"))
     scoredPairs
