@@ -66,6 +66,21 @@ object StoreQueries {
       .orderBy("timestamp")
   }
 
+  /** §3.3 ad-hoc SQL surface — the reference's documented query text runs
+    * VERBATIM through spark.sql over registered views (querying.md:39,
+    * lowercase keywords and all); only the binary `data` column is decoded
+    * afterwards for the driver compare. */
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    val b = DemoStore.get(s)
+    Store.messages(s, b.storeDir).createOrReplaceTempView("messages")
+    Store.parts(s, b.storeDir).createOrReplaceTempView("parts")
+    val verbatim = s.sql(
+      "select sender_name,recipient_name,timestamp,data FROM messages INNER JOIN parts " +
+        "ON messages._id = parts.message_id where sender_name = 'Alice' " +
+        "and content_type LIKE 'text%' ORDER BY timestamp")
+    verbatim.withColumn("data", decode(col("data"), "UTF-8"))
+  }
+
   private def rawMeta(raw: DataFrame): DataFrame =
     raw.select(
       col("timestamp"), col("sender_address"), col("sender_name"),
@@ -93,6 +108,7 @@ object StoreQueries {
     "store_export_roundtrip" -> exportRoundtrip _,
     "store_bugle_ingest"     -> bugleIngest _,
     "store_signal_ingest"    -> signalIngest _,
+    "store_sql_surface"      -> sqlSurface _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -141,6 +157,10 @@ object StoreQueries {
         |  t(ts, sender_address, sender_name, recipient_address, recipient_name,
         |    msg_box, message_type, n_parts)
         |ORDER BY 1""".stripMargin,
+    "store_sql_surface" ->
+      """SELECT sender_name, recipient_name, CAST(ts AS BIGINT) AS "timestamp", data
+        |FROM (VALUES ('Alice', '<SELF>', 1593900000000, 'hello from Alice'))
+        |  t(sender_name, recipient_name, ts, data) ORDER BY 3""".stripMargin,
     "store_export_roundtrip" ->
       """SELECT CAST(ts AS BIGINT) AS "timestamp", hash FROM (VALUES
         |  (1593900000000, '791a37875baed03222254387e4d70b5b6356b3f4ac407a87153d2c448d2fba0f'),
