@@ -28,8 +28,14 @@ object Similarity {
 
   val K = 10
   val NumQueries = 5
-  val Tables = 4
+  val Tables = 8
   val BitsPerTable = 8
+  /** Probe all buckets within this Hamming distance of the query's own
+    * bucket, per table. Radius 2 over 8 bits = 1+8+28 = 37 probes/table —
+    * the standard multi-probe trade: more probes buys recall without
+    * growing the index (probes are driver-side expressions on the bounded
+    * query set; the corpus-side shuffle shape is unchanged). */
+  val ProbeRadius = 2
 
   private def dotd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -113,26 +119,40 @@ object Similarity {
     * or probes → higher recall, same single shuffle shape. Recall is
     * tested against [[bruteTopK]] in PipelineSpec; the driver records a
     * rows-only check (approximate results have no SQL oracle). */
-  def lshBucketTopK(s: SparkSession, d: String): DataFrame = {
-    // Index build: the 32-expression signature projection is computed ONCE
-    // and cached — this cached frame IS the ANN index (at 100 TB it would
-    // be a persisted, bucketed-by-signature table instead of a cache).
+  def lshBucketTopK(s: SparkSession, d: String): DataFrame =
+    lshBucketTopK(s, d, Tables, BitsPerTable, ProbeRadius)
+
+  /** All Hamming-≤radius bit-flip masks over `bits` bits (incl. the zero
+    * mask), enumerated once on the driver — the probe set is O(bits^radius)
+    * per table, independent of corpus size. */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    def choose(from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (from until bits).flatMap(j => choose(j + 1, left - 1).map(_ | (1L << j)))
+    (0 to radius).flatMap(r => choose(0, r))
+  }
+
+  private[graft] def lshBucketTopK(s: SparkSession, d: String,
+      tables: Int, bits: Int, radius: Int): DataFrame = {
+    // Index build: the signature projection is computed ONCE and cached —
+    // this cached frame IS the ANN index (at 100 TB it would be a
+    // persisted, bucketed-by-signature table instead of a cache).
     val indexed = embeddings(s, d).select(
       col("vec_id") +: col("embedding") +: norm(col("embedding")).as("nrm") +:
-        (0 until Tables).map(t =>
-          srpSignature(col("embedding"), BitsPerTable, t * BitsPerTable).as(s"sig_$t")): _*)
+        (0 until tables).map(t =>
+          srpSignature(col("embedding"), bits, t * bits).as(s"sig_$t")): _*)
       .cache()
 
     val corpus = indexed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       col("nrm").as("cn"),
-      explode(array((0 until Tables).map(t =>
+      explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("b.t").as("t"), col("b.sig").as("sig"))
 
-    val probes = (0 until Tables).flatMap { t =>
+    val masks = probeMasks(bits, radius)
+    val probes = (0 until tables).flatMap { t =>
       val c = col(s"sig_$t")
-      val flips = c +: (0 until BitsPerTable).map(j => c.bitwiseXOR(lit(1L << j)))
-      flips.map(f => struct(lit(t).as("t"), f.as("sig")))
+      masks.map(m => struct(lit(t).as("t"), c.bitwiseXOR(lit(m)).as("sig")))
     }
     val queries = indexed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),

@@ -43,17 +43,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multi-probe LSH ANN recalls a usable share of true top-k") {
-    val brute = Similarity.bruteTopK(spark, sf).collect()
+  /** Recall vs the exact brute-force ground truth. 8 tables × radius-2
+    * multi-probe measures 0.96 (sf0.001) / 0.98 (sf0.1); the bar at 0.8
+    * leaves head-room for hash-distribution noise but would catch any
+    * signature/probe bug (a broken signature tanks recall to ~top-k/N). */
+  private def annRecall(dir: String): Double = {
+    val brute = Similarity.bruteTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = Similarity.lshBucketTopK(spark, sf).collect()
+    val ann = Similarity.lshBucketTopK(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(ann.nonEmpty)
-    val recall = (ann & brute).size.toDouble / brute.size
-    // approximate by design; the bar asserts "useful", not "exact"
-    assert(recall >= 0.2, s"recall $recall")
     // every ANN hit must be a genuine corpus vector for its query
     assert(ann.forall { case (q, n) => q != n })
+    (ann & brute).size.toDouble / brute.size
+  }
+
+  test("multi-probe LSH ANN recall >= 0.8 vs brute force (sf0.001)") {
+    val recall = annRecall(sf)
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multi-probe LSH ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
+    val recall = annRecall("/root/testdata/sf0.1")
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("bounded TopK aggregate equals the two-level collect_list top-k") {
