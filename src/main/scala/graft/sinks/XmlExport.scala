@@ -118,7 +118,12 @@ object XmlExport {
       Files.newOutputStream(Paths.get(outPath)), StandardCharsets.UTF_8))
     try {
       out.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-      out.write("\n<!--File Created By graft-->\n")
+      // F8: local-time creation stamp in Perl `scalar localtime` layout
+      // (sms-db.pl:240). A comment — decoders and the re-import hash are
+      // unaffected (ExportSpec round-trip pins that).
+      val stamp = java.time.ZonedDateTime.now(java.time.ZoneId.systemDefault()).format(
+        java.time.format.DateTimeFormatter.ofPattern("EEE MMM ppd HH:mm:ss yyyy", java.util.Locale.US))
+      out.write(s"\n<!--File Created By graft v0.1 on $stamp-->\n")
       out.write(s"""<smses count="$count">\n""")
       if (doSms) smsRows.toLocalIterator().forEachRemaining { (r: Row) =>
         out.write("  <sms")

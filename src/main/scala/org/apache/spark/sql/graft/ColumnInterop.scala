@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge.
+  *
+  * Spark 4's `Column` wraps a ColumnNode and the converters
+  * (`classic.ExpressionUtils`) are `private[sql]`, so a library defining
+  * native codegen expressions needs one shim inside an
+  * `org.apache.spark.sql` subpackage — the standard pattern for Spark
+  * extension libraries (Sedona, Delta, etc. do the same). This is the ONLY
+  * file outside the `graft` namespace; keep it a thin passthrough.
+  */
+object ColumnInterop {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

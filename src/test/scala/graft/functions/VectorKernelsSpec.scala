@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The codegen'd dot kernel must be BIT-identical to the interpreted
+  * `aggregate(zip_with(...))` formulation it replaced — the DuckDB oracle
+  * hashes (sim_cosine_topk, sim_embed_neardup) ride on that equality. */
+class VectorKernelsSpec extends SparkSpec {
+
+  test("dot_double is bit-identical to the aggregate/zip_with formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val out = df.select(
+        VectorKernels.dotDouble(col("a"), col("b")).as("fast"), hof.as("slow"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("dot_double: null input propagates, real embeddings match brute dot") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f))),
+    ).toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+    val out = df.select(VectorKernels.dotDouble(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+}

@@ -72,6 +72,14 @@ class ExportSpec extends SparkSpec {
       "abdfbf8aa0118a657a34cd9e4be65d679d198ca42bcc7360e4d057939df1f514"))
   }
 
+  test("export header carries the localtime creation stamp (F8)") {
+    val out = exportToTemp()
+    val header = Files.readAllLines(java.nio.file.Paths.get(out)).get(1)
+    // Perl `scalar localtime` layout: "Tue Aug 12 09:56:14 2026" (day space-padded)
+    val re = """<!--File Created By graft v[\d.]+ on \w{3} \w{3} [ \d]\d \d\d:\d\d:\d\d \d{4}-->""".r
+    assert(re.matches(header), s"header was: $header")
+  }
+
   test("CSV export writes header + one row per text part") {
     val outDir = Files.createTempDirectory("graft-csv").resolve("csv").toString
     CsvExport.export(spark, built.storeDir, outDir, singleFile = true)
