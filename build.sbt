@@ -32,3 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// JDBC integration tests: sqlite-jdbc does NOT resolve offline (attempted
+// r5 — "Not found" in the pre-warmed cache; see README). DuckDB's JDBC
+// driver IS cached, so the K1/K2 sink + S4 source wiring is exercised
+// against it in tests; production SQLite needs only the sqlite-jdbc jar
+// and the default DDL (dialect differences are confined to DDL strings).
+libraryDependencies += "org.duckdb" % "duckdb_jdbc" % "1.0.0" % Test

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, DriverManager}
+import java.sql.{Connection, DriverManager, PreparedStatement}
 
 import org.apache.spark.sql.{DataFrame, Row}
 
@@ -45,40 +45,57 @@ object SqliteSink {
     DriverManager.getConnection(s"jdbc:sqlite:$dbPath")
   }
 
+  /** SQLite-dialect DDL + version pragma (reference layout, sms-db.pl:48-56). */
+  val SqliteDdl: Seq[String] = Seq(MessagesDdl, PartsDdl, "PRAGMA user_version = 2")
+
   /** Write messages + parts into a reference-layout SQLite db: DDL-if-absent
     * (K1), then one transaction of batched prepared inserts (K2). */
   def write(dbPath: String, messages: DataFrame, parts: DataFrame,
             batchSize: Int = 1000): Unit = {
     val conn = connect(dbPath)
-    try {
-      conn.setAutoCommit(false)
-      val st = conn.createStatement()
-      st.execute(MessagesDdl); st.execute(PartsDdl)
-      st.execute(s"PRAGMA user_version = 2")
-      st.close()
+    try writeTo(conn, messages, parts, batchSize, SqliteDdl)
+    finally conn.close()
+  }
 
-      val msgPs = conn.prepareStatement(
-        "INSERT INTO messages(_id,timestamp,sender_address,sender_name," +
-          "recipient_address,recipient_name,msg_box,message_type,source_format,hash)" +
-          " VALUES(?,?,?,?,?,?,?,?,?,?)")
-      var n = 0
-      messages.toLocalIterator().forEachRemaining { (r: Row) =>
-        (1 to 10).foreach(i => msgPs.setObject(i, r.get(i - 1)))
-        msgPs.addBatch(); n += 1
-        if (n % batchSize == 0) msgPs.executeBatch()
-      }
-      msgPs.executeBatch(); msgPs.close()
+  private def bind(ps: PreparedStatement, i: Int, v: Any): Unit = v match {
+    case b: Array[Byte] => ps.setBytes(i, b) // BLOB portability (not every driver maps setObject(byte[]))
+    case x              => ps.setObject(i, x)
+  }
 
-      val partPs = conn.prepareStatement(
-        "INSERT INTO parts(_id,message_id,data,content_type,filename) VALUES(?,?,?,?,?)")
-      n = 0
-      parts.toLocalIterator().forEachRemaining { (r: Row) =>
-        (1 to 5).foreach(i => partPs.setObject(i, r.get(i - 1)))
-        partPs.addBatch(); n += 1
-        if (n % batchSize == 0) partPs.executeBatch()
-      }
-      partPs.executeBatch(); partPs.close()
-      conn.commit()
-    } finally conn.close()
+  /** Dialect-neutral core: run `ddl` if tables are absent, then stream both
+    * frames through batched prepared inserts in ONE transaction. The insert
+    * SQL is plain SQL-92 — executed end-to-end against DuckDB's JDBC driver
+    * in JdbcSpec (sqlite-jdbc does not resolve in this offline build; only
+    * `ddl` is dialect-specific, so a production SQLite deployment swaps the
+    * driver jar and keeps this code path). */
+  def writeTo(conn: Connection, messages: DataFrame, parts: DataFrame,
+              batchSize: Int, ddl: Seq[String]): Unit = {
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    ddl.foreach(st.execute)
+    st.close()
+
+    val msgPs = conn.prepareStatement(
+      "INSERT INTO messages(_id,timestamp,sender_address,sender_name," +
+        "recipient_address,recipient_name,msg_box,message_type,source_format,hash)" +
+        " VALUES(?,?,?,?,?,?,?,?,?,?)")
+    var n = 0
+    messages.toLocalIterator().forEachRemaining { (r: Row) =>
+      (1 to 10).foreach(i => bind(msgPs, i, r.get(i - 1)))
+      msgPs.addBatch(); n += 1
+      if (n % batchSize == 0) msgPs.executeBatch()
+    }
+    msgPs.executeBatch(); msgPs.close()
+
+    val partPs = conn.prepareStatement(
+      "INSERT INTO parts(_id,message_id,data,content_type,filename) VALUES(?,?,?,?,?)")
+    n = 0
+    parts.toLocalIterator().forEachRemaining { (r: Row) =>
+      (1 to 5).foreach(i => bind(partPs, i, r.get(i - 1)))
+      partPs.addBatch(); n += 1
+      if (n % batchSize == 0) partPs.executeBatch()
+    }
+    partPs.executeBatch(); partPs.close()
+    conn.commit()
   }
 }

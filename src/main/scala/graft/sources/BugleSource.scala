@@ -26,9 +26,15 @@ object BugleSource {
                          conversations: DataFrame, conversationParticipants: DataFrame,
                          parts: DataFrame)
 
-  def readJdbc(s: SparkSession, dbPath: String): BugleTables = {
+  def readJdbc(s: SparkSession, dbPath: String): BugleTables =
+    readJdbcUrl(s, s"jdbc:sqlite:$dbPath")
+
+  /** Same wiring against any embedded-db JDBC url — exercised end-to-end
+    * with `jdbc:duckdb:` in JdbcSpec (the offline build has no sqlite-jdbc
+    * jar; the Spark-side scan/pushdown code is identical either way). */
+  def readJdbcUrl(s: SparkSession, url: String): BugleTables = {
     def t(name: String) = s.read.format("jdbc")
-      .option("url", s"jdbc:sqlite:$dbPath").option("dbtable", name).load()
+      .option("url", url).option("dbtable", name).load()
     BugleTables(t("messages"), t("participants"), t("conversations"),
       t("conversation_participants"), t("parts"))
   }

@@ -58,8 +58,13 @@ object SynctechXml {
   /** `<sms>` rows → RawMessage (sms-db.pl:66-74). Direction ternary P2:
     * type==1 ⇒ received (address is the sender), else sent. Exactly one
     * text/plain part holding the body (possibly null). */
-  def sms(s: SparkSession, path: String): DataFrame = {
-    val df = readTag(s, path, "sms", smsSchema)
+  def sms(s: SparkSession, path: String): DataFrame =
+    smsProject(readTag(s, path, "sms", smsSchema))
+
+  /** Column-level `<sms>` projection — shared by the batch scan above and
+    * the [[stream]]ing file-arrival reader (same attribute columns either
+    * way, so the transform is written once). */
+  private def smsProject(df: DataFrame): DataFrame = {
     val received = col("_type") === "1"
     df.select(
       col("_date").cast("long").as("timestamp"),
@@ -84,8 +89,10 @@ object SynctechXml {
     *    AND `text` is the literal string "null" (sms-db.pl:88), in which
     *    case data is base64-decoded; otherwise the text attr's UTF-8 bytes.
     */
-  def mms(s: SparkSession, path: String): DataFrame = {
-    val df = readTag(s, path, "mms", mmsSchema)
+  def mms(s: SparkSession, path: String): DataFrame =
+    mmsProject(readTag(s, path, "mms", mmsSchema))
+
+  private def mmsProject(df: DataFrame): DataFrame = {
     val received = col("_msg_box") === "1"
 
     // P4/A2: recipients = (base address unless received) ++ To/CC/BCC addrs.
@@ -132,4 +139,27 @@ object SynctechXml {
       case "mms" => mms(s, path)
       case _     => sms(s, path).unionByName(mms(s, path))
     }
+
+  /** Structured-Streaming file-arrival twin of [[read]] (SURVEY.md §2.8):
+    * whole backup files land in a watched directory (`readStream` text
+    * source, `wholetext` — one row per file, exactly the arrival
+    * granularity of phone backups), each is parsed with `from_xml` against
+    * a root schema, and the `<sms>`/`<mms>` arrays explode into the SAME
+    * RawMessage projection the batch path uses. Feeds
+    * [[graft.streaming.StreamingIngest.dedupStream]] for continuous
+    * hash-deduplicated ingest. */
+  def stream(s: SparkSession, dir: String, messageType: String = "all"): DataFrame = {
+    val root = StructType(Seq(
+      StructField("sms", ArrayType(smsSchema)),
+      StructField("mms", ArrayType(mmsSchema))))
+    val docs = s.readStream.format("text").option("wholetext", "true").load(dir)
+      .select(from_xml(col("value"), root, new java.util.HashMap[String, String]()).as("doc"))
+    lazy val smsRows = smsProject(docs.select(explode(col("doc.sms")).as("r")).select("r.*"))
+    lazy val mmsRows = mmsProject(docs.select(explode(col("doc.mms")).as("r")).select("r.*"))
+    messageType match {
+      case "sms" => smsRows
+      case "mms" => mmsRows
+      case _     => smsRows.unionByName(mmsRows)
+    }
+  }
 }

@@ -32,6 +32,6 @@ object FrameCache {
     }
   }
 
-  private[graft] def size(s: SparkSession): Int =
-    frames.keys.count(_._1 == System.identityHashCode(s))
+  private[graft] def keys(s: SparkSession): Set[String] =
+    frames.keys.collect { case (id, k) if id == System.identityHashCode(s) => k }.toSet
 }

@@ -1,0 +1,109 @@
+package graft.sinks
+
+import java.nio.file.Files
+import java.sql.{Connection, DriverManager}
+
+import graft.SparkSpec
+import graft.sources.{BugleSource, ConnectorFixtures}
+import graft.store.{DemoStore, Model, Store}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** K1/K2 (JDBC sink) + S4 (JDBC source) wiring, EXECUTED for real.
+  *
+  * The offline build cannot resolve sqlite-jdbc (attempted round 5:
+  * `sbt update` → "Not found" for org.xerial:sqlite-jdbc — see README),
+  * but DuckDB's JDBC driver ships in the build's dependency cache and the
+  * sink's batched-transaction insert path plus the source's Spark-JDBC
+  * scans are dialect-neutral SQL-92. Production SQLite = the sqlite-jdbc
+  * jar + [[SqliteSink.SqliteDdl]]; everything tested here is the code
+  * that actually runs either way. */
+class JdbcSpec extends SparkSpec {
+
+  private val duckDdl = Seq(
+    """CREATE TABLE IF NOT EXISTS messages(
+      |_id BIGINT PRIMARY KEY, timestamp BIGINT, sender_address VARCHAR,
+      |sender_name VARCHAR, recipient_address VARCHAR, recipient_name VARCHAR,
+      |msg_box INT, message_type INT, source_format INT, hash VARCHAR UNIQUE)""".stripMargin,
+    """CREATE TABLE IF NOT EXISTS parts(
+      |_id BIGINT PRIMARY KEY, message_id BIGINT, data BLOB,
+      |content_type VARCHAR, filename VARCHAR)""".stripMargin)
+
+  private def withDb[A](name: String)(f: (String, Connection) => A): A = {
+    val path = Files.createTempDirectory("graft-jdbc").resolve(name).toString
+    val conn = DriverManager.getConnection(s"jdbc:duckdb:$path")
+    try f(path, conn) finally conn.close()
+  }
+
+  test("K1/K2: batched single-transaction JDBC write, then read-back") {
+    val built = DemoStore.get(spark)
+    withDb("store.duckdb") { (_, conn) =>
+      // batchSize=2 forces mid-stream executeBatch over 3 messages / 4 parts
+      SqliteSink.writeTo(conn,
+        Store.messages(spark, built.storeDir)
+          .select(Model.messagesSchema.fieldNames.map(col).toIndexedSeq: _*),
+        Store.parts(spark, built.storeDir)
+          .select(Model.partsSchema.fieldNames.map(col).toIndexedSeq: _*),
+        batchSize = 2, ddl = duckDdl)
+
+      val st = conn.createStatement()
+      val rs = st.executeQuery("SELECT hash FROM messages ORDER BY timestamp")
+      val hashes = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toList
+      assert(hashes == List(
+        DemoStore.GoldenHashes("sms_received"),
+        DemoStore.GoldenHashes("sms_sent"),
+        DemoStore.GoldenHashes("mms_group")))
+      // binary part: bytes 00 01 02 80 FF must round-trip through the BLOB
+      val rb = st.executeQuery("SELECT data FROM parts WHERE content_type = 'image/jpeg'")
+      assert(rb.next())
+      // DuckDB's JDBC ResultSet lacks getBytes — fetch the blob generically
+      val bytes = rb.getObject(1) match {
+        case b: Array[Byte]   => b
+        case b: java.sql.Blob => b.getBytes(1, b.length().toInt)
+        case other            => fail(s"unexpected blob representation: ${other.getClass}")
+      }
+      assert(bytes.toSeq == Seq[Byte](0, 1, 2, 0x80.toByte, 0xFF.toByte))
+      val rc = st.executeQuery("SELECT count(*) FROM parts")
+      rc.next(); assert(rc.getLong(1) == 4)
+    }
+  }
+
+  private def sqlType(dt: DataType): String = dt match {
+    case LongType    => "BIGINT"
+    case IntegerType => "INT"
+    case StringType  => "VARCHAR"
+    case other       => fail(s"unhandled fixture type $other")
+  }
+
+  /** Persist a tiny fixture frame through plain JDBC (single writer). */
+  private def store(conn: Connection, name: String, df: DataFrame): Unit = {
+    val cols = df.schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+    val st = conn.createStatement()
+    st.execute(s"CREATE TABLE $name ($cols)")
+    st.close()
+    val ps = conn.prepareStatement(
+      s"INSERT INTO $name VALUES (${df.schema.fields.map(_ => "?").mkString(",")})")
+    df.collect().foreach { r =>
+      (1 to r.length).foreach(i => ps.setObject(i, r.get(i - 1)))
+      ps.addBatch()
+    }
+    ps.executeBatch(); ps.close()
+  }
+
+  test("S4: Spark JDBC scans of the Bugle tables match the fixture-frame path") {
+    val fx = ConnectorFixtures.bugle(spark)
+    val url = withDb("bugle.duckdb") { (path, conn) =>
+      store(conn, "messages", fx.messages)
+      store(conn, "participants", fx.participants)
+      store(conn, "conversations", fx.conversations)
+      store(conn, "conversation_participants", fx.conversationParticipants)
+      store(conn, "parts", fx.parts)
+      s"jdbc:duckdb:$path"
+    } // writer closed before Spark opens its scan connections
+
+    val viaJdbc = BugleSource.transform(BugleSource.readJdbcUrl(spark, url))
+    val viaFrames = BugleSource.transform(fx)
+    assert(viaJdbc.toJSON.collect().sorted.toSeq == viaFrames.toJSON.collect().sorted.toSeq)
+  }
+}

@@ -46,6 +46,43 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-arrival e2e: XML backups land in a dir, dedup holds across files") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+
+    val dir = Files.createTempDirectory("graft-stream-in")
+    // file 1: the demo backup — 4 raw messages, one intra-file duplicate
+    Files.write(dir.resolve("backup1.xml"),
+      graft.store.DemoStore.FixtureXml.getBytes(StandardCharsets.UTF_8))
+
+    val raw = graft.sources.SynctechXml.stream(spark, dir.toString)
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+    val q = StreamingIngest.dedupStream(raw)
+      .writeStream.format("memory").queryName("file_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def hashes = spark.sql("SELECT hash FROM file_dedup_out").collect().map(_.getString(0))
+      assert(hashes.length == 3, "intra-file duplicate must be dropped")
+      assert(hashes.distinct.length == 3)
+
+      // file 2 arrives later: a byte-identical copy of the first sms
+      // (cross-file duplicate, within the watermark) + one genuinely new sms
+      val backup2 =
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<smses count="2">
+          |  <sms date="1593900000000" type="1" address="+15551230001" contact_name="Alice" body="hello from Alice" read="1" status="-1"/>
+          |  <sms date="1593900180000" type="1" address="+15551230001" contact_name="Alice" body="fresh arrival" read="1" status="-1"/>
+          |</smses>
+          |""".stripMargin
+      Files.write(dir.resolve("backup2.xml"), backup2.getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      assert(hashes.length == 4, "cross-file duplicate dropped, new message kept")
+      assert(hashes.distinct.length == 4)
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate by tumbling window and type") {
     val sql = spark.sqlContext
     import sql.implicits._
