@@ -1,0 +1,35 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench guardrail's baseline loader: sf-gated, comment-immune,
+  * silently empty when absent (no baseline ⇒ no comparisons, never a
+  * crash in the driver's bench run). */
+class BenchSpec extends AnyFunSuite {
+
+  private def write(body: String): String = {
+    val p = Files.createTempFile("bench-baseline", ".json")
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("parses per-query medians, skips sf and the comment text") {
+    val p = write(
+      """{"comment":"known-good (round 5, sf0.1, local[32]) 1.5x bar",
+        |"sf": 0.1, "queries": {"q1_agg": 0.25, "dedup_minhash_lsh": 2.5}}""".stripMargin)
+    val b = Bench.loadBaseline(p, "0.1")
+    assert(b == Map("q1_agg" -> 0.25, "dedup_minhash_lsh" -> 2.5))
+  }
+
+  test("baseline recorded at a different sf is ignored") {
+    val p = write("""{"sf": 0.1, "queries": {"q": 1.0}}""")
+    assert(Bench.loadBaseline(p, "0.001").isEmpty)
+  }
+
+  test("missing file yields no comparisons, not a failure") {
+    assert(Bench.loadBaseline("/nonexistent/bench.json", "0.1").isEmpty)
+  }
+}
