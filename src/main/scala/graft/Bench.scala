@@ -30,6 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   val RegressThreshold = 1.5
+  /** A query lands in `regressed` only when BOTH the ratio exceeds
+    * [[RegressThreshold]] AND the absolute slowdown exceeds this — a 0.15s
+    * query measuring 0.25s on a busy box is scheduler noise, not signal. */
+  val RegressMinDeltaSec = 0.75
 
   private def runOnce(df: DataFrame): Double = {
     val t0 = System.nanoTime()
@@ -96,8 +100,11 @@ object Bench {
         k -> BigDecimal(v / baseline(k)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     val vsPrev = ratios.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
-    val regressed = ratios.collect { case (k, r) if r > RegressThreshold => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val byName = results.toMap
+    val regressed = ratios.collect {
+      case (k, r) if r > RegressThreshold && byName(k) - baseline(k) > RegressMinDeltaSec =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec","queries":$qs,"sf":$sfNum,"vs_prev":$vsPrev,"regressed":$regressed,"baseline_queries":${baseline.size},"failed":${results.size - ok.size}}""")
     spark.stop()
   }

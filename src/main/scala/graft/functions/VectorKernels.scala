@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnInterop
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** The embedding hot kernel as a native codegen'd Catalyst expression.
   *
@@ -29,6 +29,15 @@ object VectorKernels {
   /** Σ_i (double)a(i) · (double)b(i) over two array<float> columns. */
   def dotDouble(a: Column, b: Column): Column =
     ColumnInterop.column(DotProductDouble(
+      ColumnInterop.expression(a), ColumnInterop.expression(b)))
+
+  /** |A ∩ B| for two array<long> columns SORTED ascending (sets, no
+    * duplicates) — a codegen'd two-pointer merge. The exact-Jaccard verify
+    * kernel: `array_intersect` on string arrays costs a hash set build per
+    * pair (measured ~6µs on 50-gram docs — 35 s over the sf0.1 candidate
+    * set), this runs the same comparison in ~100 long compares. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnInterop.column(SortedIntersectCount(
       ColumnInterop.expression(a), ColumnInterop.expression(b)))
 }
 
@@ -69,6 +78,60 @@ case class DotProductDouble(left: Expression, right: Expression)
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sorted array<long> ⨯ sorted array<long> → intersection size (long);
+  * null iff either input is null. Inputs MUST be ascending and duplicate
+  * free (`sort_array` over a distinct set — the producers in
+  * [[graft.queries.Dedup]] guarantee it). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $vx = $a.getLong($i);
+         |  final long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
        """.stripMargin
     })
 

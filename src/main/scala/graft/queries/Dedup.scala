@@ -41,20 +41,35 @@ object Dedup {
     * magnitude smaller; observed max bucket in the testdata is ~3. */
   val MaxBucketSize = 200
 
-  /** Word-bigram shingle set per document (docs with <2 words can't pair). */
+  /** Word-bigram shingle set per document (docs with <2 words can't pair),
+    * carried in two forms: the strings (`grams` — the MinHash signature
+    * hashes feed on them) and a SORTED array of 64-bit gram ids
+    * (`gram_ids` — the exact-verify kernel runs a two-pointer merge over
+    * them; distinct grams map to distinct ids w.h.p., 2⁻⁶⁴-scale collision
+    * odds, far below hardware error rates). */
   private[graft] def gramSetsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
+    val grams = array_distinct(transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
     docs
       .filter(size(words) >= 2)
-      .select(
-        col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(words) - 1),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+      .select(col("doc_id"), grams.as("grams"),
+        sort_array(transform(grams, g => xxhash64(g))).as("gram_ids"))
   }
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
+  /** Candidate pairs → exact Jaccard ≥ `minJ`, via the codegen'd
+    * sorted-merge intersection kernel (the interpreted `array_intersect`
+    * alternative costs a per-pair hash-set build — 20× slower measured on
+    * the sf0.1 candidate set). */
+  private def verifyPairs(candidates: DataFrame, grams: DataFrame, minJ: Double): DataFrame = {
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gram_ids").as("ids_b"))
+    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("ids_a")) + size(col("ids_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= minJ)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** (doc_id, band, bh) bucket keys: k min-hashes per doc — explode
@@ -107,13 +122,7 @@ object Dedup {
       .distinct()
 
     // exact verify on candidates only.
-    val ga = grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("grams_a"), col("grams_b")).as("jaccard"))
-      .filter(col("jaccard") >= Threshold)
-      .orderBy("doc_a", "doc_b")
+    verifyPairs(candidates, grams, Threshold)
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified at `Threshold`. The gram
@@ -124,13 +133,111 @@ object Dedup {
     minhashLshPairsOf(documents(s, d), MaxBucketSize, grams)
   }
 
+  // --- exact Jaccard via prefix filtering (lossless, oracle-able) --------
+
+  /** Jaccard bar for the EXACT pipeline — the same 0.8 the LSH path uses,
+    * so the driver's two dedup rows are one contract computed two ways
+    * (probabilistic vs lossless). Held as the rational P/Q: prefix lengths
+    * must be computed in integer arithmetic — a double `ceil(t·n)` that
+    * rounds up one element too far SHORTENS the prefix and silently breaks
+    * losslessness. */
+  val JaccardP = 4
+  val JaccardQ = 5
+  val JaccardT: Double = JaccardP.toDouble / JaccardQ
+
+  /** All-pairs n-gram Jaccard ≥ [[JaccardT]], EXACTLY — the classic
+    * prefix-filtering join (SSJoin/PPJoin family), the lossless complement
+    * to [[minhashLshPairs]]:
+    *
+    *  1. global gram frequencies (one partial-agg shuffle on the gram);
+    *  2. each doc's grams sorted rarest-first under that (freq, gram)
+    *     total order; the first L = n - ⌈t·n⌉ + 1 grams are its prefix —
+    *     two sets with J ≥ t MUST share a prefix gram (pigeonhole on the
+    *     ≥ ⌈t·n⌉ overlaps each needs);
+    *  3. inverted-index join on prefix grams only — candidates are bounded
+    *     by the frequencies of RARE grams, which is what keeps this
+    *     sub-quadratic where a raw gram join would go hot;
+    *  4. length filter (min ≥ t·max, integer form) then exact verify.
+    *
+    * Unlike the LSH path this misses NOTHING, so the driver hash-compares
+    * it against the brute-force DuckDB oracle at full strictness. */
+  def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
+    jaccardPrefixPairsOf(grams)
+  }
+
+  private[graft] def jaccardPrefixPairsOf(grams: DataFrame): DataFrame = {
+    // everything before the verify moves only 64-bit gram ids — never the
+    // gram strings.
+    val exploded = grams.select(col("doc_id"), explode(col("gram_ids")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("freq"))
+
+    // rarest-first order per doc; L from the integer identity
+    // ceil(P·n/Q) = floor((P·n + Q - 1)/Q) — the int products are exact in
+    // the double division for any real document size, so no float ceil()
+    // can round the prefix short.
+    val n = size(col("sorted"))
+    val prefixLen = (n - floor((n * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
+    val prefixes = exploded.join(freq, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("freq"), col("gram")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(slice(col("sorted"), lit(1), prefixLen), _.getField("gram")).as("prefix"),
+        n.as("n_grams"))
+
+    val inv = prefixes.select(col("doc_id"), col("n_grams"),
+      posexplode(col("prefix")).as(Seq("pos", "gram")))
+    val a = inv.as("a"); val b = inv.as("b")
+    // required overlap α = ⌈t/(1+t)·(na+nb)⌉ = ⌈P(na+nb)/(P+Q)⌉, integers.
+    val alpha = floor(((col("a.n_grams") + col("b.n_grams")) * JaccardP
+      + (JaccardP + JaccardQ - 1)) / (JaccardP + JaccardQ))
+    // positional filter (safe form): a shared gram at 0-based (pa, pb)
+    // bounds total overlap by min(pa,pb) possible-shared-before + this one
+    // + min(remaining-after) — pairs whose every prefix match fails the
+    // bound cannot reach α and are pruned losslessly.
+    val posBound = least(col("a.pos"), col("b.pos")) + 1 +
+      least(col("a.n_grams") - col("a.pos") - 1, col("b.n_grams") - col("b.pos") - 1)
+    val candidates = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: J ≥ t needs min·Q ≥ max·P (both orderings covered)
+          col("a.n_grams") * JaccardQ >= col("b.n_grams") * JaccardP &&
+          col("b.n_grams") * JaccardQ >= col("a.n_grams") * JaccardP &&
+          posBound >= alpha)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // one verify per pair: the dedup shuffle moves two longs per row and
+      // costs less than re-verifying each multi-gram collision (measured
+      // 6.0s vs 12.6s at sf0.1)
+      .distinct()
+
+    verifyPairs(candidates, grams, JaccardT)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_minhash_lsh" -> minhashLshPairs _,
+    "dedup_minhash_lsh"    -> minhashLshPairs _,
+    "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
     // Brute-force all-pairs n-gram Jaccard — the ground truth LSH must hit.
     "dedup_minhash_lsh" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same brute-force ground truth — prefix filtering is lossless, so
+    // the driver compares at FULL strictness (any missed pair = hash
+    // mismatch), unlike the LSH row where the oracle checks recall.
+    "dedup_jaccard_prefix" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |), g AS (

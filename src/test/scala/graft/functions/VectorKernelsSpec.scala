@@ -27,6 +27,35 @@ class VectorKernelsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals array_intersect size on random sorted sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      def set() = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong).distinct.sorted
+      (i, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+        VectorKernels.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("sorted_intersect_count: empty, identical, and null edges") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)),
+    ).toDF("a", "b")
+    val out = df.select(VectorKernels.sortedIntersectCount(col("a"), col("b"))).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L, 2L))
+    val nul = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(VectorKernels.sortedIntersectCount(col("a"), col("b"))).collect()
+    assert(nul(0).isNullAt(0))
+  }
+
   test("dot_double: null input propagates, real embeddings match brute dot") {
     import spark.implicits._
     val df = Seq(

@@ -33,6 +33,26 @@ class PipelineSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("prefix-filter Jaccard is LOSSLESS: exactly the brute-force pairs at its bar") {
+    val pf = Dedup.jaccardPrefixPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val words = split(col("text"), " ")
+    val g = docs.filter(size(words) >= 2).select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+    val a = g.select(col("doc_id").as("a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("b"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val brute = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("j"))
+      .filter(col("j") >= Dedup.JaccardT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(pf == brute, "prefix filtering must miss nothing and add nothing")
+  }
+
   test("hot-bucket cap bounds LSH candidates on a degenerate corpus") {
     import spark.implicits._
     // 300 docs with IDENTICAL text: every band bucket holds all 300 docs —
