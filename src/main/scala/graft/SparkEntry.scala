@@ -19,11 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ StoreQueries.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ IvfAnn.queries ++
+      TextAnalysis.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql ++ TextAnalysis.oracleSql ++
-      Multimodal.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ IvfAnn.oracleSql ++
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql
 }

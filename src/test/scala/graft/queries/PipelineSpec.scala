@@ -161,6 +161,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${brute.size} true pairs")
   }
 
+  test("IVF ANN: recall >= 0.8 vs brute force, k ranks per query, no self-matches") {
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rows = IvfAnn.ivfTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until Similarity.NumQueries).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.K))
+      assert(!rs.exists(r => r.getLong(2) == r.getLong(0)))
+    }
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall with ${IvfAnn.NumProbes}/${IvfAnn.NumLists} probes")
+  }
+
   test("bounded TopK aggregate equals the two-level collect_list top-k") {
     import spark.implicits._
     // adversarial scored data: duplicates, score ties (tie-break by id), >k rows

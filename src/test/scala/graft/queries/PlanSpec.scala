@@ -42,12 +42,14 @@ class PlanSpec extends SparkSpec {
       s"scan reads pruned-away columns:\n$read")
   }
 
-  /** The one structurally-justified BroadcastNestedLoopJoin: sim_cosine_topk
+  /** The structurally-justified BroadcastNestedLoopJoins: sim_cosine_topk
     * joins the bounded broadcast query set against the corpus under a
-    * non-equi predicate (documented in Similarity.scored). Everything else
-    * must stay hash/merge-joined — a BNLJ appearing anywhere else is a
-    * join-key regression that would never survive 100 TB. */
-  private val bnljAllowed = Set("sim_cosine_topk")
+    * non-equi predicate (documented in Similarity.scored); sim_ann_ivf
+    * crosses against the bounded broadcast CENTROID set (nlist rows —
+    * IvfAnn.ivfIndex/ivfTopK). Everything else must stay hash/merge-joined
+    * — a BNLJ appearing anywhere else is a join-key regression that would
+    * never survive 100 TB. */
+  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
