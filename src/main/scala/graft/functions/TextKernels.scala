@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Document-LOCAL text kernels as native expressions.
+  *
+  * SimHash and the MinHash signature are per-document reductions over the
+  * token/gram set — there is no cross-row dependency, so computing them
+  * via explode + groupBy(doc_id) (the composed-builtins formulation) pays
+  * a whole corpus exchange for nothing. These expressions do the same
+  * arithmetic in one narrow pass: at 100 TB that deletes a full shuffle
+  * from the simhash and LSH-dedup pipelines, and on the sf0.1 bench it
+  * halves both queries.
+  *
+  * Hash-compatibility contracts (spec- and oracle-pinned):
+  *  - [[SimHash64]] bit b comes from md5 hex digit (b mod 32), bit
+  *    (b div 32) — identical to the DuckDB SQL twin in
+  *    [[graft.queries.TextAnalysis]];
+  *  - [[MinHashSignature]] slot i is min over grams of
+  *    `xxhash64(i, gram)` computed through Spark's own
+  *    [[XxHash64Function]], so signatures (and thus band keys) are
+  *    bit-identical to the previous `min(xxhash64(lit(i), gram))`
+  *    aggregation. */
+object TextKernels {
+
+  /** 64-bit SimHash (16-char lower-hex) over an array<string> token set. */
+  def simhash64(tokens: Column): Column =
+    ColumnInterop.column(SimHash64(ColumnInterop.expression(tokens)))
+
+  /** k-slot MinHash signature (array<long>) over an array<string> gram set. */
+  def minhashSignature(grams: Column, k: Int): Column =
+    ColumnInterop.column(MinHashSignature(ColumnInterop.expression(grams), k))
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def computeHash(arr: ArrayData): UTF8String = {
+    val counters = new Array[Int](64)
+    val digest = md5.get()
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        digest.reset()
+        val h = digest.digest(arr.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 64) {
+          val nib = b % 32
+          val byteV = h(nib / 2) & 0xFF
+          val digit = if (nib % 2 == 0) (byteV >>> 4) & 0xF else byteV & 0xF
+          counters(b) += (if (((digit >>> (b / 32)) & 1) == 1) 1 else -1)
+          b += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Byte](16)
+    var nb = 0
+    while (nb < 16) {
+      var v = 0
+      var i = 0
+      while (i < 4) { if (counters(nb * 4 + i) >= 0) v |= (8 >> i); i += 1 }
+      out(nb) = Character.forDigit(v, 16).toByte
+      nb += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = computeHash(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64Expr", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeHash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  /** Per-slot seeds: xxhash64's fold state after hashing the slot index i
+    * with Spark's default seed 42 — exactly what `xxhash64(lit(i), gram)`
+    * computes before folding in the gram. */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XxHash64Function.hash(i, IntegerType, 42L))
+
+  /** Called from both interpreted eval and generated code. */
+  def computeSignature(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val g = arr.getUTF8String(t)
+        var i = 0
+        while (i < k) {
+          val h = XxHash64Function.hash(g, StringType, seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(a: Any): Any = computeSignature(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeSignature($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -72,19 +72,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** (doc_id, band, bh) bucket keys: k min-hashes per doc — explode
-    * (narrow: grams stay colocated with their doc row) + codegen'd min()
-    * hash-agg. Map-side partial aggregation collapses each doc to its
-    * 64-long signature BEFORE the exchange, so the shuffle carries
-    * signatures, not shingles — and the codegen'd agg beats the
-    * interpreted array-fold alternative ~4× (measured at sf0.1: 1.2s vs
-    * 4.4s). Band key = hash of each R-row signature slice. */
+  /** (doc_id, band, bh) bucket keys: k min-hashes per doc via the native
+    * [[graft.functions.TextKernels.minhashSignature]] expression — the
+    * signature is a per-document reduction, so this is ONE narrow pass
+    * with NO exchange (the explode + 64-min groupBy formulation it
+    * replaces shuffled a signature row per doc; hash-identical output,
+    * the slot seeds fold through Spark's own XxHash64Function). Band key
+    * = xxhash64 of each R-slot signature slice — byte-identical to the
+    * previous column form. */
   private def bandKeys(grams: DataFrame): DataFrame = {
-    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val sigCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
-    val sig = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = grams.select(col("doc_id"),
+      graft.functions.TextKernels.minhashSignature(col("grams"), NumHashes).as("sig"))
     val bandStructs = (0 until Bands).map { b =>
-      val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      val slice = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))

@@ -103,31 +103,19 @@ object TextAnalysis {
   /** 64-bit SimHash over distinct whitespace tokens. Bit b of a token's
     * contribution comes from md5 hex digit (b mod 32), bit (b div 32) —
     * a hash-engine-portable bit extraction (identical in DuckDB SQL).
-    * One explode + one 64-column hash aggregation; at 100 TB this is a
-    * single shuffle on doc_id with map-side partial aggregation.
-    */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
-      .withColumn("m", md5(col("t")))
-    // per-bit ±1 sums (64 aggregates, one pass)
-    val sums = (0 until 64).map { b =>
-      val digit = conv(substring(col("m"), (b % 32) + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(digit, b / 32).bitwiseAND(1)
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    // bit b = (sum_b >= 0); nibble n packs bits 4n..4n+3 MSB-first
-    val nibbles = (0 until 16).map { nb =>
-      val v = (0 until 4).map { i =>
-        val b = nb * 4 + i
-        when(col(s"s$b") >= 0, lit(8 >> i)).otherwise(0)
-      }.reduce(_ + _)
-      lower(conv(v.cast("string"), 10, 16))
-    }
-    agg.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+    *
+    * Computed by the native [[graft.functions.TextKernels.simhash64]]
+    * expression — SimHash is a per-document reduction, so the composed
+    * explode + 64-column groupBy formulation this replaces paid a whole
+    * corpus shuffle for arithmetic that one narrow pass does (2× on the
+    * sf0.1 bench; one fewer exchange at any scale). The python golden
+    * vectors and the DuckDB oracle pin equality with the old form. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.simhash64(array_distinct(split(col("text"), " ")))
+          .as("simhash"))
       .orderBy("doc_id")
-  }
 
   // ------------------------------------------------------------ registry
 

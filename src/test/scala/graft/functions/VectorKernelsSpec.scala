@@ -56,6 +56,24 @@ class VectorKernelsSpec extends SparkSpec {
     assert(nul(0).isNullAt(0))
   }
 
+  test("minhash_signature equals the explode + min(xxhash64) aggregation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a b", "b c", "c d")),
+      (2L, Seq("x y")),
+      (3L, Seq("ça va", "va —", "— bien")), // non-ASCII bytes
+    ).toDF("doc_id", "grams")
+    val viaExpr = docs.select(col("doc_id"),
+        TextKernels.minhashSignature(col("grams"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigCols = (0 until 8).map(i => min(xxhash64(lit(i), col("gram"))).as(s"h$i"))
+    val viaAgg = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_))).toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
+  }
+
   test("dot_double: null input propagates, real embeddings match brute dot") {
     import spark.implicits._
     val df = Seq(
