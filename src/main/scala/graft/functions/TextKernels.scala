@@ -39,6 +39,10 @@ object TextKernels {
   /** k-slot MinHash signature (array<long>) over an array<string> gram set. */
   def minhashSignature(grams: Column, k: Int): Column =
     ColumnInterop.column(MinHashSignature(ColumnInterop.expression(grams), k))
+
+  /** Per-word-set occurrence counts (array<long>, one slot per set). */
+  def stopwordHits(tokens: Column, wordSets: Seq[Seq[String]]): Column =
+    ColumnInterop.column(StopwordHits(ColumnInterop.expression(tokens), wordSets))
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -92,6 +96,52 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("simhash64Expr", this, classOf[SimHash64].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeHash($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Occurrence counts of each word set over a token array — one pass,
+  * codegen. `filter(toks, _.isin(words…))` per language is an interpreted
+  * higher-order lambda per row per language; this folds all sets in a
+  * single token sweep against precomputed hash sets. */
+case class StopwordHits(child: Expression, wordSets: Seq[Seq[String]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"stopword_hits expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "stopword_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    wordSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.size * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  def computeHits(arr: ArrayData): ArrayData = {
+    val hits = new Array[Long](sets.length)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val tok = arr.getUTF8String(t)
+        var i = 0
+        while (i < sets.length) { if (sets(i).contains(tok)) hits(i) += 1; i += 1 }
+      }
+      t += 1
+    }
+    new GenericArrayData(hits)
+  }
+
+  override def nullSafeEval(a: Any): Any = computeHits(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeHits($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

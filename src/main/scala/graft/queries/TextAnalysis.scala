@@ -48,7 +48,8 @@ object TextAnalysis {
       (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / n).as("alpha_ratio"),
       (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n).as("punct_ratio"),
       (n.cast("double") / size(toks)).as("mean_tok_span"),
-      (size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+      (element_at(graft.functions.TextKernels.stopwordHits(toks,
+          Seq(Seq("the", "a", "of", "and", "to", "in", "is", "it"))), 1)
         .cast("double") / size(toks)).as("stopword_ratio"))
       .withColumn("keep",
         col("n_chars") >= 40 && col("alpha_ratio") >= 0.5 && col("punct_ratio") <= 0.2)
@@ -66,21 +67,28 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "un", "que", "les", "est"))
 
   /** Predicted language = argmax stopword hits (ties → first in
-    * [[LangStopwords]] order), "und" (undetermined) when no hits. */
+    * [[LangStopwords]] order), "und" (undetermined) when no hits. The hit
+    * counts come from ONE token sweep through the codegen'd
+    * [[graft.functions.TextKernels.stopwordHits]] kernel — the composed
+    * form (an interpreted `filter` lambda per language per row) was the
+    * single most expensive text query on the bench. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val hits: Seq[(String, Column)] = LangStopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    val hitsArr = graft.functions.TextKernels.stopwordHits(
+      split(col("text"), " "), LangStopwords.map(_._2))
+    val hits: Seq[(String, Column)] = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("hits_arr"), i + 1)
     }
     val best = hits.tail.foldLeft[Column](
       struct(hits.head._2.as("hits"), lit(hits.head._1).as("lang"))) { case (acc, (lang, c)) =>
         when(c > acc.getField("hits"), struct(c.as("hits"), lit(lang).as("lang"))).otherwise(acc)
     }
-    documents(s, d).select(
-      col("doc_id"), col("lang").as("labeled_lang"),
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
-        .as("predicted_lang"),
-      best.getField("hits").as("stopword_hits"))
+    documents(s, d)
+      .withColumn("hits_arr", hitsArr)
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+          .as("predicted_lang"),
+        best.getField("hits").as("stopword_hits"))
       .orderBy("doc_id")
   }
 
