@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.store.MessageHash
 
 /** Structured Streaming extension of the ingest pipeline (SURVEY.md §2.8 —
@@ -46,4 +47,47 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Gap-based conversation sessionization — the NATIVE path: Spark's
+    * `session_window` merges events per correspondent into sessions closed
+    * by `gap` of silence, with watermark-bounded state. Preferred over
+    * custom state wherever the built-in expresses the semantics (it does
+    * here — this is the brief's "compose existing ops first" rule). */
+  def conversationSessions(messages: DataFrame, eventTimeCol: String = "event_time",
+                           gap: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    messages
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(session_window(col(eventTimeCol), gap), col("address"))
+      .agg(count(lit(1)).as("n_messages"))
+      .select(col("address"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_messages"))
+
+  case class Keyed(address: String, ts: Long)
+  case class SeqState(nextSeq: Long)
+  case class SeqOut(address: String, ts: Long, seq: Long)
+
+  /** Per-correspondent running message ordinal — custom cross-batch state
+    * via `flatMapGroupsWithState`, because no built-in emits a PER-EVENT
+    * output that depends on all prior events of the key across batches
+    * (streaming window aggs emit per-window rows; row_number() is
+    * batch-only). State is one long per correspondent — bounded by the
+    * address book, not the stream. Events within a batch are ordered by
+    * (ts) before numbering so replays are deterministic. */
+  def runningIndex(messages: Dataset[Keyed]): Dataset[SeqOut] = {
+    import messages.sparkSession.implicits._
+    messages
+      .groupByKey(_.address)
+      .flatMapGroupsWithState[SeqState, SeqOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (address, rows, state: GroupState[SeqState]) =>
+          var next = state.getOption.map(_.nextSeq).getOrElse(1L)
+          val out = rows.toSeq.sortBy(_.ts).map { r =>
+            val o = SeqOut(address, r.ts, next); next += 1; o
+          }
+          state.update(SeqState(next))
+          out.iterator
+      }
+  }
 }

@@ -83,6 +83,56 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows close after the gap, per correspondent") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[(Timestamp, String)]
+    val msgs = input.toDF().toDF("event_time", "address")
+    val q = StreamingIngest.conversationSessions(msgs, gap = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val m = 60000L
+      input.addData(
+        (new Timestamp(t0), "alice"), (new Timestamp(t0 + 5 * m), "alice"), // one session
+        (new Timestamp(t0), "bob"))
+      q.processAllAvailable()
+      // 40 min later: closes both earlier sessions once the watermark passes
+      input.addData((new Timestamp(t0 + 40 * m), "alice"))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 120 * m), "carol")) // advance watermark again
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT address, n_messages FROM sess_out ORDER BY session_start, address")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("alice", 2L), ("bob", 1L), ("alice", 1L)))
+    } finally q.stop()
+  }
+
+  test("running per-correspondent ordinal survives across batches (custom state)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    import StreamingIngest.{Keyed, SeqOut}
+    val input = MemoryStream[Keyed]
+    val q = StreamingIngest.runningIndex(input.toDS())
+      .writeStream.format("memory").queryName("seq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Keyed("alice", 30L), Keyed("alice", 10L), Keyed("bob", 5L))
+      q.processAllAvailable()
+      input.addData(Keyed("alice", 50L), Keyed("bob", 7L))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT address, ts, seq FROM seq_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("alice", 10L, 1L), ("alice", 30L, 2L), ("alice", 50L, 3L),
+        ("bob", 5L, 1L), ("bob", 7L, 2L)))
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate by tumbling window and type") {
     val sql = spark.sqlContext
     import sql.implicits._
