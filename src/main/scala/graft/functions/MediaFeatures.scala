@@ -58,4 +58,52 @@ object MediaFeatures {
       .as[MediaRow]
     extract(media)
   }
+
+  // ------------------------------------------------------ resize / frames
+
+  case class ResizedMedia(media_id: Long, kind: String, width: Int, height: Int,
+                          data: Array[Byte])
+  case class Frame(media_id: Long, frame_no: Int, frame_ts_ms: Long, data: Array[Byte])
+
+  /** STUB resize: a real pipeline decodes + rescales + re-encodes; the
+    * stub emits a deterministic byte budget of w·h/64 (bounded output —
+    * the property the downstream stages rely on). */
+  private[graft] def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val budget = math.max(1, w * h / 64)
+    val out = new Array[Byte](math.min(budget, math.max(1, data.length)))
+    var i = 0
+    while (i < out.length) { out(i) = data(i % math.max(1, data.length)); i += 1 }
+    out
+  }
+
+  /** Batched resize stage — same iterator-in/iterator-out shape as
+    * [[extract]] (codec context per partition, not per row). Output bytes
+    * are BOUNDED by the target dims regardless of input size: the
+    * contract that makes a downstream shuffle of resized media safe. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => ResizedMedia(r.media_id, r.kind, w, h, resizeStub(r.data, w, h)))
+    }
+  }
+
+  /** Frame sampling: one video row fans OUT to ≤ `maxFrames` frame rows at
+    * a fixed `everyMs` cadence — the flatMap shape (iterator yielding
+    * multiple outputs per input) a real demuxer needs, with the fan-out
+    * bound that keeps one long video from exploding a partition. The frame
+    * extractor is a deterministic STUB (byte slices standing in for
+    * keyframe decode). */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000, maxFrames: Int = 8): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = math.min(maxFrames, math.max(1, r.data.length / 16))
+        (0 until n).iterator.map { f =>
+          val start = (r.data.length.toLong * f / n).toInt
+          val end = math.min(r.data.length, start + 16)
+          Frame(r.media_id, f, f * everyMs, java.util.Arrays.copyOfRange(r.data, start, end))
+        }
+      }
+    }
+  }
 }

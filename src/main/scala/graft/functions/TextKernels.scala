@@ -43,6 +43,51 @@ object TextKernels {
   /** Per-word-set occurrence counts (array<long>, one slot per set). */
   def stopwordHits(tokens: Column, wordSets: Seq[Seq[String]]): Column =
     ColumnInterop.column(StopwordHits(ColumnInterop.expression(tokens), wordSets))
+
+  /** (alpha, punct) code-point counts — array<long> of 2. */
+  def charClassCounts(text: Column): Column =
+    ColumnInterop.column(CharClassCounts(ColumnInterop.expression(text)))
+}
+
+/** Counts of `[A-Za-z]` and `[^A-Za-z0-9\s]` code points in one sweep —
+  * replaces two full-string regex scans per row. Code-point iteration, not
+  * bytes/chars, so multi-byte letters ('ç') count once, exactly as the
+  * regex (and the DuckDB oracle) counts them. Whitespace = Java regex \s. */
+case class CharClassCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"char_class_counts expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_class_counts"
+
+  def computeCounts(s: UTF8String): ArrayData = {
+    val str = s.toString
+    var alpha = 0L
+    var punct = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val isAlpha = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      if (isAlpha) alpha += 1
+      else if (!isDigit && !isWs) punct += 1
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(Array(alpha, punct))
+  }
+
+  override def nullSafeEval(a: Any): Any = computeCounts(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("charClassExpr", this, classOf[CharClassCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeCounts($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {

@@ -42,11 +42,14 @@ object TextAnalysis {
   def qualityScore(s: SparkSession, d: String): DataFrame = {
     val n = length(col("text"))
     val toks = split(col("text"), " ")
+    // alpha+punct counted in ONE code-point sweep (TextKernels) instead of
+    // two whole-string regex scans; identical counts, oracle-pinned.
+    val classes = graft.functions.TextKernels.charClassCounts(col("text"))
     documents(s, d).select(
       col("doc_id"),
       n.cast("long").as("n_chars"),
-      (regexp_count(col("text"), lit("[A-Za-z]")).cast("double") / n).as("alpha_ratio"),
-      (regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") / n).as("punct_ratio"),
+      (element_at(classes, 1).cast("double") / n).as("alpha_ratio"),
+      (element_at(classes, 2).cast("double") / n).as("punct_ratio"),
       (n.cast("double") / size(toks)).as("mean_tok_span"),
       (element_at(graft.functions.TextKernels.stopwordHits(toks,
           Seq(Seq("the", "a", "of", "and", "to", "in", "is", "it"))), 1)

@@ -74,6 +74,24 @@ class VectorKernelsSpec extends SparkSpec {
     viaExpr.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
   }
 
+  test("char_class_counts equals the regexp_count formulation, incl. non-ASCII") {
+    import spark.implicits._
+    val df = Seq(
+      "Hello, World! 123", "   ", "ça va — très bien", "a\tb\ncd\fe\rf",
+      "ALLCAPS", "12345", "!@#$%^&*()", "mixed ç 9 Z .", "😀 emoji here",
+    ).toDF("text")
+    val out = df.select(
+        TextKernels.charClassCounts(col("text")).as("fast"),
+        regexp_count(col("text"), lit("[A-Za-z]")).cast("long").as("alpha"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("punct"))
+      .collect()
+    out.foreach { r =>
+      val fast = r.getSeq[Long](0)
+      assert(fast(0) == r.getLong(1), s"alpha mismatch: $r")
+      assert(fast(1) == r.getLong(2), s"punct mismatch: $r")
+    }
+  }
+
   test("dot_double: null input propagates, real embeddings match brute dot") {
     import spark.implicits._
     val df = Seq(

@@ -234,6 +234,26 @@ class PipelineSpec extends SparkSpec {
       .forall { case (x, y) => x.features.sameElements(y.features) })
   }
 
+  test("media resize bounds output bytes; frame sampling fans out bounded frames") {
+    import spark.implicits._
+    import MediaFeatures.MediaRow
+    val media = Seq(
+      MediaRow(1L, Array.fill(10000)(7.toByte), "video"),
+      MediaRow(2L, Array[Byte](1, 2, 3), "video"),
+    ).toDS()
+    val resized = MediaFeatures.resize(media, 64, 64).collect()
+    assert(resized.forall(_.data.length <= 64 * 64 / 64), "resize must bound bytes by target dims")
+    assert(resized.forall(r => r.width == 64 && r.height == 64))
+    val frames = MediaFeatures.sampleFrames(media, everyMs = 500, maxFrames = 8).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId(1L).length == 8, "long video capped at maxFrames")
+    assert(byId(2L).length == 1, "short clip yields one frame")
+    assert(byId(1L).map(_.frame_ts_ms).sorted.toSeq == (0 until 8).map(_ * 500L))
+    val again = MediaFeatures.sampleFrames(media, everyMs = 500, maxFrames = 8).collect()
+    assert(frames.map(f => (f.media_id, f.frame_no, f.data.toSeq)).toSet ==
+      again.map(f => (f.media_id, f.frame_no, f.data.toSeq)).toSet)
+  }
+
   test("langid predicts a language for every doc and is deterministic") {
     val out = TextAnalysis.langId(spark, sf).collect()
     assert(out.length == 500)
