@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{BugleSource, SignalSource, SynctechXml}
+import graft.store.{Ingest, Store}
+
+/** Command-line twin of the reference's interface (sms-db.pl:28-32):
+  *
+  * {{{
+  *   -d <store>   message store directory (default "graft-store";
+  *                the reference's default is its sms-db.db SQLite file)
+  *   -i <input>   import: XML backup file, Bugle SQLite db, or Signal
+  *                backup directory
+  *   -o <output>  export: Synctech XML file
+  *   -f <format>  xml | bugle | signal  (required, like the reference)
+  *   -t <type>    sms | mms | all        (default all)
+  * }}}
+  *
+  * Import prints the reference's counter block verbatim in shape
+  * (sms-db.pl:233); export prints the message count. The store is the
+  * parquet [[graft.store.Store]] instead of a single SQLite file — same
+  * canonical schema and dedup semantics, cluster-scalable layout (the
+  * SQLite on-disk twin is [[graft.sinks.SqliteSink]]).
+  */
+object Cli {
+
+  case class Opts(store: String = "graft-store", input: Option[String] = None,
+                  output: Option[String] = None, format: Option[String] = None,
+                  messageType: String = "all")
+
+  private[graft] def parse(args: List[String], acc: Opts = Opts()): Opts = args match {
+    case "-d" :: v :: rest => parse(rest, acc.copy(store = v))
+    case "-i" :: v :: rest => parse(rest, acc.copy(input = Some(v)))
+    case "-o" :: v :: rest => parse(rest, acc.copy(output = Some(v)))
+    case "-f" :: v :: rest => parse(rest, acc.copy(format = Some(v)))
+    case "-t" :: v :: rest => parse(rest, acc.copy(messageType = v))
+    case Nil               => acc
+    case other             => sys.error(s"Unrecognized arguments: ${other.mkString(" ")}")
+  }
+
+  /** Side-effecting core, separated from session creation for tests. */
+  private[graft] def run(spark: SparkSession, opts: Opts): Unit = {
+    val fmt = opts.format.getOrElse(sys.error("A format must be specified via '-f format'"))
+    val t = opts.messageType
+
+    opts.input.foreach { in =>
+      println(s"Importing messages from '$in' ...")
+      val t0 = System.nanoTime()
+      val (raw, ignored) = fmt match {
+        case "xml"    => (SynctechXml.read(spark, in, t), 0L)
+        case "bugle"  => (BugleSource.transform(BugleSource.readJdbc(spark, in), t), 0L)
+        case "signal" =>
+          val r = SignalSource.transform(SignalSource.read(spark, in), t)
+          (r.raw, r.ignored.count())
+        case other    => sys.error(s"Unknown format '$other'")
+      }
+      val stats: Ingest.Stats = Store.importBatch(spark, opts.store, raw, ignored)
+      val rows = Store.messages(spark, opts.store).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the reference's counter block, sms-db.pl:233 (Stats.total already
+      // includes ignored — the invariant total == inserted+duplicates+ignored)
+      println(s"Total messages seen:\t\t${stats.total}")
+      println(s"Total messages imported:\t${stats.inserted}")
+      println(s"Duplicate messages:\t\t${stats.duplicates}")
+      println(s"Ignored messages:\t\t${stats.ignored}")
+      println(s"Total message parts imported:\t${stats.parts}")
+      println(s"Messages in database:\t\t$rows")
+      println(f"Elapsed time:\t\t\t$secs%.3f seconds")
+    }
+
+    opts.output.foreach { out =>
+      println(s"Exporting messages to '$out' ...")
+      val n = graft.sinks.XmlExport.export(spark, opts.store, out, t)
+      println(s"$n messages exported")
+    }
+
+    if (opts.input.isEmpty && opts.output.isEmpty)
+      println("Nothing to do: pass -i <input> to import or -o <output> to export")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, parse(args.toList))
+    finally spark.stop()
+  }
+}

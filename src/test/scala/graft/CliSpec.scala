@@ -1,0 +1,66 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import graft.store.{DemoStore, Store}
+
+/** The reference-shaped CLI end-to-end: import a backup, re-import (all
+  * duplicates), export, re-import the export — driving only through
+  * [[Cli.run]] the way a reference user would through sms-db.pl. */
+class CliSpec extends SparkSpec {
+
+  private def captured(f: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos, true, "UTF-8")) {
+      scala.util.Try(f).get
+    }
+    new String(bos.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  test("import -> duplicate import -> export, with the reference's counter block") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val xml = dir.resolve("backup.xml")
+    Files.write(xml, DemoStore.FixtureXml.getBytes(StandardCharsets.UTF_8))
+    val store = dir.resolve("store").toString
+
+    val out1 = captured(Cli.run(spark,
+      Cli.parse(List("-d", store, "-i", xml.toString, "-f", "xml"))))
+    assert(out1.contains("Total messages seen:\t\t4"))
+    assert(out1.contains("Total messages imported:\t3"))
+    assert(out1.contains("Duplicate messages:\t\t1"))
+    assert(out1.contains("Messages in database:\t\t3"))
+
+    // second import of the same file: all 4 raw messages are duplicates
+    // (3 inter-batch + the fixture's 1 intra-batch copy; README.md:39-43)
+    val out2 = captured(Cli.run(spark,
+      Cli.parse(List("-d", store, "-i", xml.toString, "-f", "xml"))))
+    assert(out2.contains("Total messages imported:\t0"))
+    assert(out2.contains("Duplicate messages:\t\t4"))
+
+    val export = dir.resolve("export.xml").toString
+    val out3 = captured(Cli.run(spark,
+      Cli.parse(List("-d", store, "-o", export, "-f", "xml"))))
+    assert(out3.contains("3 messages exported"))
+    assert(Files.size(java.nio.file.Paths.get(export)) > 0)
+    assert(Store.messages(spark, store).count() == 3)
+  }
+
+  test("format is required, like the reference") {
+    val e = intercept[RuntimeException](Cli.run(spark, Cli.Opts(input = Some("x"))))
+    assert(e.getMessage.contains("format must be specified"))
+  }
+
+  test("-t gate restricts import to one message type") {
+    val dir = Files.createTempDirectory("graft-cli-t")
+    val xml = dir.resolve("backup.xml")
+    Files.write(xml, DemoStore.FixtureXml.getBytes(StandardCharsets.UTF_8))
+    val store = dir.resolve("store").toString
+    captured(Cli.run(spark,
+      Cli.parse(List("-d", store, "-i", xml.toString, "-f", "xml", "-t", "mms"))))
+    val types = Store.messages(spark, store).select("message_type")
+      .collect().map(_.getInt(0)).toSet
+    assert(types == Set(1))
+  }
+}
