@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnInterop
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** The embedding hot kernel as a native codegen'd Catalyst expression.
   *
@@ -39,6 +39,77 @@ object VectorKernels {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnInterop.column(SortedIntersectCount(
       ColumnInterop.expression(a), ColumnInterop.expression(b)))
+
+  /** Sign-random-projection signature over an array<float> vector. */
+  def srpSignature(v: Column, bits: Int, seedOffset: Int): Column =
+    ColumnInterop.column(SrpSignatureExpr(ColumnInterop.expression(v), bits, seedOffset))
+}
+
+/** [[graft.queries.Similarity]]'s SRP signature as one tight loop: bit j =
+  * sgn(Σ_i s_ij·v_i) with s_ij ∈ {±1} from `pmod(xxhash64(seedOffset+j, i),
+  * 2)` — the sign matrix is folded through Spark's own
+  * [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]] ONCE at
+  * plan time (it depends only on (j, i), never on data), so the per-row
+  * work is pure multiply-accumulate instead of the interpreted
+  * aggregate/zip_with/when tree it replaces (64 HOF evaluations per bit
+  * per row). Signatures are bit-identical — spec-pinned. */
+case class SrpSignatureExpr(child: Expression, bits: Int, seedOffset: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"srp_signature expects array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_signature"
+
+  private val MaxDim = 1024
+
+  /** signs(j)(i) = +1 or -1; precomputed for i < MaxDim (embedding dims in
+    * practice are ≪ 1024; wider vectors fall back to hashing inline). */
+  @transient private lazy val signs: Array[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    Array.tabulate(bits) { j =>
+      val seed = XxHash64Function.hash(seedOffset + j, IntegerType, 42L)
+      Array.tabulate(MaxDim) { i =>
+        val h = XxHash64Function.hash(i, IntegerType, seed)
+        if (((h % 2) + 2) % 2 == 0) 1.toByte else -1.toByte
+      }
+    }
+  }
+
+  private def signAt(j: Int, i: Int): Int =
+    if (i < MaxDim) signs(j)(i)
+    else {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      val seed = XxHash64Function.hash(seedOffset + j, IntegerType, 42L)
+      val h = XxHash64Function.hash(i, IntegerType, seed)
+      if (((h % 2) + 2) % 2 == 0) 1 else -1
+    }
+
+  def computeSignature(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += signAt(j, i) * arr.getFloat(i).toDouble; i += 1 }
+      if (proj >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(a: Any): Any = computeSignature(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("srpExpr", this, classOf[SrpSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeSignature($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** array<float> ⨯ array<float> → double; null iff either input is null.

@@ -99,18 +99,13 @@ object Similarity {
 
   /** Sign-random-projection signature: bit j = sgn(Σ_i s_ij · v_i) where
     * s_ij ∈ {±1} comes from xxhash64(seedOffset+j, i) — deterministic, no
-    * stored planes, fully codegen'd. */
-  private[graft] def srpSignature(v: Column, bits: Int, seedOffset: Int): Column = {
-    val bitCols: Seq[Column] = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => when(pmod(xxhash64(lit(seedOffset + j), i), lit(2)) === 0, x.cast("double"))
-            .otherwise(-x.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    * stored planes. Computed by the native
+    * [[graft.functions.VectorKernels.srpSignature]] kernel (sign matrix
+    * folded once at plan time, per-row multiply-accumulate only);
+    * bit-identical to the aggregate/zip_with formulation it replaced —
+    * spec-pinned in VectorKernelsSpec. */
+  private[graft] def srpSignature(v: Column, bits: Int, seedOffset: Int): Column =
+    graft.functions.VectorKernels.srpSignature(v, bits, seedOffset)
 
   /** ANN via multi-table, multi-probe LSH: `Tables` independent 8-bit
     * sign-projection tables index the corpus (one explode → one bucket

@@ -74,6 +74,29 @@ class VectorKernelsSpec extends SparkSpec {
     viaExpr.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
   }
 
+  test("srp_signature is bit-identical to the aggregate/zip_with formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    for ((bits, seedOffset) <- Seq((8, 0), (8, 24), (4, 4))) {
+      // the original composed-builtin formulation, verbatim
+      val bitCols: Seq[org.apache.spark.sql.Column] = (0 until bits).map { j =>
+        val proj = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, i) => when(pmod(xxhash64(lit(seedOffset + j), i), lit(2)) === 0, x.cast("double"))
+              .otherwise(-x.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      val out = df.select(
+          VectorKernels.srpSignature(col("v"), bits, seedOffset).as("fast"),
+          bitCols.reduce(_ + _).as("slow"))
+        .collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits seed=$seedOffset"))
+    }
+  }
+
   test("char_class_counts equals the regexp_count formulation, incl. non-ASCII") {
     import spark.implicits._
     val df = Seq(
