@@ -176,6 +176,16 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall with ${IvfAnn.NumProbes}/${IvfAnn.NumLists} probes")
   }
 
+  test("IVF ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
+    val dir = "/root/testdata/sf0.1"
+    val brute = Similarity.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = IvfAnn.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall at sf0.1")
+  }
+
   test("bounded TopK aggregate equals the two-level collect_list top-k") {
     import spark.implicits._
     // adversarial scored data: duplicates, score ties (tie-break by id), >k rows
