@@ -46,15 +46,21 @@ object Bench {
   /** Per-query baseline seconds, or empty when the file is absent or was
     * recorded at a different sf. Parsed with a regex — the file is our own
     * flat {"sf":N,"queries":{"name":sec,...}} and the build has no JSON
-    * library on the main classpath. */
+    * library on the main classpath. The key:number scan runs ONLY inside
+    * the extracted "queries" object so other numeric fields ("failed",
+    * "value", a pasted full Bench line) can never inject phantom baseline
+    * entries. */
   private[graft] def loadBaseline(path: String, sfNum: String): Map[String, Double] =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
       val sfOk = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt).exists(_.group(1) == sfNum)
       if (!sfOk) Map.empty
-      else """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.Ee+-]*)""".r.findAllMatchIn(txt)
-        .filter(_.group(1) != "sf")
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt) match {
+        case None => Map.empty
+        case Some(q) =>
+          """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.Ee+-]*)""".r.findAllMatchIn(q.group(1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -94,10 +100,14 @@ object Bench {
       name -> timing
     }
     val ok = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ms precision everywhere: full-precision doubles once made the line
+    // outgrow the driver's stdout capture window (BENCH_r05 parsed:null) —
+    // and sub-ms digits are noise on this box anyway.
+    def r3(v: Double): Double =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val ratios = results.collect {
-      case (k, v) if v >= 0 && baseline.contains(k) =>
-        k -> BigDecimal(v / baseline(k)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      case (k, v) if v >= 0 && baseline.contains(k) => k -> r3(v / baseline(k))
     }
     val vsPrev = ratios.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
     val byName = results.toMap
@@ -105,7 +115,12 @@ object Bench {
       case (k, r) if r > RegressThreshold && byName(k) - baseline(k) > RegressMinDeltaSec =>
         "\"" + k + "\""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ok.map(_._2).sum},"unit":"sec","queries":$qs,"sf":$sfNum,"vs_prev":$vsPrev,"regressed":$regressed,"baseline_queries":${baseline.size},"failed":${results.size - ok.size}}""")
+    val line = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":$sfNum,"vs_prev":$vsPrev,"regressed":$regressed,"baseline_queries":${baseline.size},"failed":${results.size - ok.size}}"""
+    // Printed TWICE — the first and the last stdout line (nothing else
+    // prints to stdout) — so the line survives a capture window that
+    // truncates from either direction.
+    println(line)
+    println(line)
     spark.stop()
   }
 }

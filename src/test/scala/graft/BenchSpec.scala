@@ -24,6 +24,17 @@ class BenchSpec extends AnyFunSuite {
     assert(b == Map("q1_agg" -> 0.25, "dedup_minhash_lsh" -> 2.5))
   }
 
+  test("numeric fields outside the queries object never become baselines") {
+    // a full Bench output line pasted as a baseline must contribute ONLY
+    // its queries map — not value/failed/baseline_queries/vs_prev entries.
+    val p = write(
+      """{"metric":"total","value":18.2,"unit":"sec",
+        |"queries":{"q1_agg":0.25},"sf":0.1,
+        |"vs_prev":{"q1_agg":1.01},"regressed":[],
+        |"baseline_queries":44,"failed":0}""".stripMargin)
+    assert(Bench.loadBaseline(p, "0.1") == Map("q1_agg" -> 0.25))
+  }
+
   test("baseline recorded at a different sf is ignored") {
     val p = write("""{"sf": 0.1, "queries": {"q": 1.0}}""")
     assert(Bench.loadBaseline(p, "0.001").isEmpty)
