@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.concurrent.TrieMap
 
 /** Memoized `.cache()` handles for frames that act as reusable indexes
-  * (the MinHash gram sets, the SRP-LSH signature index).
+  * (the MinHash gram sets, the SRP-LSH signature index, the IVF index).
   *
   * Why: a query method that calls `.cache()` inline creates a NEW persisted
   * copy on every invocation and can never unpersist it (the frame is still
@@ -14,24 +14,67 @@ import scala.collection.concurrent.TrieMap
   * means repeated invocations share ONE cached frame — which is also the
   * honest 100 TB story: the signature index is built once and persisted
   * (there, as a bucketed table), not rebuilt per query.
+  *
+  * Keying: WEAKLY on the session object itself. `identityHashCode` keys
+  * (the previous form) can collide between live sessions — or match a
+  * GC'd session's reused hash — handing back a frame bound to the wrong
+  * or dead session; a weak key also lets a dropped session's entries be
+  * collected instead of pinning them forever.
   */
 object FrameCache {
 
-  private val frames = TrieMap.empty[(Int, String), DataFrame]
+  private val frames = new java.util.WeakHashMap[SparkSession, TrieMap[String, DataFrame]]()
+  private val values = new java.util.WeakHashMap[SparkSession, TrieMap[String, Any]]()
+
+  private def tableFor[V](map: java.util.WeakHashMap[SparkSession, TrieMap[String, V]],
+                          s: SparkSession): TrieMap[String, V] = map.synchronized {
+    var m = map.get(s)
+    if (m == null) { m = TrieMap.empty[String, V]; map.put(s, m) }
+    m
+  }
 
   /** Build-once cached frame per (session, key). `build` must be pure —
-    * same key ⇒ same logical plan. */
-  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    frames.getOrElseUpdate((System.identityHashCode(s), key), build.cache())
-
-  /** Unpersist + forget every frame owned by `s` (test/session teardown). */
-  def clear(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
-    frames.keys.filter(_._1 == id).foreach { k =>
-      frames.remove(k).foreach(_.unpersist())
+    * same key ⇒ same logical plan. Under a concurrent double-build the
+    * loser's persist is rolled back (putIfAbsent, not getOrElseUpdate —
+    * the latter can leave an orphaned persisted frame nobody can ever
+    * unpersist). */
+  def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = tableFor(frames, s)
+    m.get(key) match {
+      case Some(df) => df
+      case None =>
+        val fresh = build.cache()
+        m.putIfAbsent(key, fresh) match {
+          case Some(winner) => fresh.unpersist(); winner
+          case None         => fresh
+        }
     }
   }
 
+  /** Driver-side computed values that share the frames' lifecycle (e.g.
+    * IvfAnn's trained centroid matrix — a few KB that must die with its
+    * session). A lost race just recomputes the pure value; no rollback
+    * needed. */
+  def cachedValue[T](s: SparkSession, key: String)(build: => T): T = {
+    val m = tableFor(values, s)
+    m.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val fresh = build
+        m.putIfAbsent(key, fresh) match {
+          case Some(winner) => winner.asInstanceOf[T]
+          case None         => fresh
+        }
+    }
+  }
+
+  /** Unpersist + forget everything owned by `s` (test/session teardown). */
+  def clear(s: SparkSession): Unit = {
+    val m = frames.synchronized(frames.remove(s))
+    if (m != null) m.values.foreach(_.unpersist())
+    values.synchronized { values.remove(s); () }
+  }
+
   private[graft] def keys(s: SparkSession): Set[String] =
-    frames.keys.collect { case (id, k) if id == System.identityHashCode(s) => k }.toSet
+    tableFor(frames, s).keySet.toSet
 }
