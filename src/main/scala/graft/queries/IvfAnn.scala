@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -16,10 +14,15 @@ import graft.tables.Testdata._
   *
   *  - **train**: spherical k-means (Spark ML KMeans on L2-normalized
   *    vectors, fixed seed — Euclidean on the unit sphere ≈ cosine) learns
-  *    [[NumLists]] centroids;
-  *  - **index**: every corpus vector is assigned to its nearest centroid —
-  *    one narrow pass, memoized like the LSH signature index (at 100 TB: a
-  *    table bucketed by `cluster`, so each probe reads only its lists);
+  *    [[NumLists]] centroids from a bounded SAMPLE of the corpus
+  *    ([[FitSampleCap]] vectors — at 100 TB the quantizer never trains on
+  *    the full corpus; a few hundred points per centroid is what k-means
+  *    convergence needs);
+  *  - **index**: every corpus vector is assigned to its top-R centroids in
+  *    ONE narrow projection — the centroids are plan-time literals, so the
+  *    per-row top-R is an expression (score array → sort → slice), with NO
+  *    exchange anywhere in the build (at 100 TB: written as a table
+  *    bucketed by `cluster`, so each probe reads only its lists);
   *  - **search**: each query ranks centroids by cosine (a 5×16 broadcast
   *    cross — both sides bounded), probes its top [[NumProbes]] lists, and
   *    exact cosine re-ranks ONLY vectors in probed lists via the bounded
@@ -39,28 +42,34 @@ object IvfAnn {
     * centroids (IVF multi-assignment): borderline vectors near a list
     * boundary stay findable without raising nprobe. Index size × R. */
   val Replication = 2
-
-  /** Trained centroids per (session, dir) — driver-side float matrix
-    * (NumLists × dim, a few KB); the k-means fit runs once per session. */
-  private val centroidCache = TrieMap.empty[(Int, String), Array[Array[Float]]]
+  /** Max vectors the k-means fit sees (256 per centroid) — the fit is a
+    * driver-coordinated iterative job, so its input must stay bounded no
+    * matter the corpus size. Sampling is seed-fixed for determinism. */
+  val FitSampleCap: Long = 256L * NumLists
 
   private def nrm(c: org.apache.spark.sql.Column) =
     sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, v) => a + v))
 
-  /** Spherical k-means fit, once per (session, dir). */
+  /** Spherical k-means fit on a bounded sample, once per (session, dir);
+    * the trained matrix (NumLists × dim floats, a few KB) lives in
+    * [[FrameCache.cachedValue]] so it shares the index frames' session
+    * lifecycle and teardown. */
   private def train(s: SparkSession, d: String): Array[Array[Float]] =
-    centroidCache.getOrElseUpdate((System.identityHashCode(s), s"$d:$NumLists"), {
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        nrm(col("embedding")).as("nrm"))
-      val feat = e.withColumn("features",
+    FrameCache.cachedValue(s, s"ivf-centroids:$d:$NumLists") {
+      val e = embeddings(s, d).select(col("embedding"), nrm(col("embedding")).as("nrm"))
+      val n = e.count()
+      val sampled =
+        if (n <= FitSampleCap) e
+        else e.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 13L)
+      val feat = sampled.withColumn("features",
         array_to_vector(transform(col("embedding"), x => x.cast("double") / col("nrm"))))
       val model = new KMeans().setK(NumLists).setSeed(13).setMaxIter(10).fit(feat)
       model.clusterCenters.map(_.toArray.map(_.toFloat))
-    })
+    }
 
-  /** Tiny (cluster, centroid: array<float>, cnrm) frame for assignment and
-    * probe ranking. */
+  /** Tiny (cluster, centroid: array<float>, cnrm) frame for query-side
+    * probe ranking (bounded: NumLists rows). */
   private def centroidFrame(s: SparkSession, d: String): DataFrame = {
     val cents = train(s, d)
     import s.implicits._
@@ -70,22 +79,37 @@ object IvfAnn {
         nrm(col("centroid")).as("cnrm"))
   }
 
+  /** Top-R cluster assignment as a PER-ROW expression: the centroids are
+    * plan-time literals (a quantizer is small by construction), each row
+    * scores all of them inside one projection, sorts the (−cos, cluster)
+    * struct array and keeps the first R. Nothing here depends on any other
+    * row — no Exchange in the plan at any corpus size (the
+    * crossJoin+Window form this replaces shuffled an R×-exploded corpus
+    * just to rank each row's own 16 scores; PlanSpec pins the no-Exchange
+    * shape). Tie-break (−cos asc, cluster asc) ≡ the window's
+    * (cos desc, cluster asc). */
+  private[graft] def assignClusters(e: DataFrame, cents: Array[Array[Float]],
+                                    replication: Int): DataFrame = {
+    val scoredCents = array(cents.zipWithIndex.map { case (cArr, i) =>
+      val cn = math.sqrt(cArr.map(x => x.toDouble * x.toDouble).sum)
+      struct(
+        negate(VectorKernels.dotDouble(col("embedding"), typedLit(cArr.toSeq))
+          / (col("nrm") * lit(cn))).as("negccos"),
+        lit(i).as("cluster"))
+    }: _*)
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(slice(array_sort(scoredCents), 1, replication)).as("c"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("c.cluster").as("cluster"))
+  }
+
   /** (vec_id, embedding, nrm, cluster) — the IVF index frame with top-R
-    * multi-assignment, memoized. One broadcast cross against the bounded
-    * centroid set + a per-vector rank: narrow at any corpus size. */
+    * multi-assignment, memoized. One narrow pass over the corpus. */
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
     FrameCache.cached(s, s"ivf-index:$d:$NumLists:$Replication") {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         nrm(col("embedding")).as("nrm"))
-      e.crossJoin(broadcast(centroidFrame(s, d)))
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"),
-          (VectorKernels.dotDouble(col("embedding"), col("centroid")) / (col("nrm") * col("cnrm")))
-            .as("ccos"))
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-            .orderBy(desc("ccos"), col("cluster"))))
-        .filter(col("rnk") <= Replication)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+      assignClusters(e, train(s, d), Replication)
     }
 
   /** ANN top-K via IVF probing; same output contract as

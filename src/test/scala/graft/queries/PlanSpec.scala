@@ -61,6 +61,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF index build is exchange-free (per-row top-R assignment)") {
+    // the centroid scoring + top-R selection must stay a per-row
+    // expression: any Exchange here means the build went back to the
+    // crossJoin+Window shape that shuffles an R×-exploded corpus.
+    import org.apache.spark.sql.functions._
+    val cents = Array.tabulate(16, 8)((i, j) => (i * 8 + j).toFloat / 128f)
+    val e = graft.tables.Testdata.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)).as("nrm"))
+    val plan = IvfAnn.assignClusters(e, cents, 2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("Exchange"), s"IVF index build shuffles:\n$plan")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the kernel-heavy queries must keep at least one codegen span; zero
     // spans means something non-codegen (UDF/interpreted expr) broke the
