@@ -252,24 +252,56 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-label block bound for [[embeddingNearDup]]: a label holding more
+    * vectors than this is sub-split before the pair join (and still-
+    * degenerate sub-blocks dropped) — one hot label (a dominant cluster,
+    * a default/null label) must not go quadratic at 100×. Labels within
+    * the bound are compared exactly, so at test SFs — where no label comes
+    * near it — results are byte-identical to the unguarded join. */
+  val MaxLabelBlock = 10000
+  /** Sub-key width for over-bound labels: 8 SRP bits ≈ 256-way sub-split.
+    * Seed offset is disjoint from [[annIndex]]'s tables (t·bits < 1024)
+    * so sub-keys don't correlate with the ANN signatures. */
+  val LabelSubBits = 8
+  val LabelSubSeed = 1024
+
+  /** The guarded per-label candidate pairs: labels over `maxBlock` get an
+    * SRP sub-key (pairs compared only within a sub-block — a bounded
+    * recall trade on pathological labels ONLY; [[srpNearDup]] is the
+    * principled signature-blocked variant), and sub-blocks still over the
+    * bound (e.g. one embedding duplicated en masse — identical vectors
+    * share a signature) are dropped, mirroring [[NearDupMaxBucket]]. Both
+    * count aggregations shuffle on (a prefix of) the pair join's own key. */
+  private[graft] def labelBlockPairs(emb: DataFrame, maxBlock: Int): DataFrame = {
+    val e = emb.select(col("label"), col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")) // norm per vector, not per pair
+    val sizes = e.groupBy("label").agg(count(lit(1)).as("block_n"))
+    val keyed = e.join(sizes, "label")
+      .select(col("label"), col("vec_id"), col("embedding"), col("nrm"),
+        when(col("block_n") <= maxBlock, lit(0L))
+          .otherwise(srpSignature(col("embedding"), LabelSubBits, LabelSubSeed))
+          .as("subkey"))
+    val subSizes = keyed.groupBy("label", "subkey").agg(count(lit(1)).as("sub_n"))
+    val kept = keyed.join(subSizes.filter(col("sub_n") <= maxBlock), Seq("label", "subkey"))
+    val a = kept.select(col("label"), col("subkey"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = kept.select(col("label"), col("subkey"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label", "subkey")).filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+  }
+
   /** Embedding-cosine near-dup candidates (the brief's fourth dedup
     * method): top-3 most-similar pairs inside each `label` block. Blocking
     * on a coarse key (label / cluster id) keeps the pair join per-block
     * quadratic instead of corpus-quadratic — the curated-blocking REVIEW
     * query; [[srpNearDup]] is the scale variant whose blocks come from the
-    * SRP signatures instead of labels. Top-3 per block via the same
+    * SRP signatures instead of labels. Per-label blocks are bounded by
+    * [[MaxLabelBlock]] ([[labelBlockPairs]]). Top-3 per block via the same
     * bounded two-level aggregation as [[topK]]. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-      .select(col("label"), col("vec_id"), col("embedding"),
-        norm(col("embedding")).as("nrm")) // norm per vector, not per pair
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    val scoredPairs = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"),
-        (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+    val scoredPairs = labelBlockPairs(embeddings(s, d), MaxLabelBlock)
     val cand = struct(negate(col("cos")).as("negcos"),
       col("vec_a").as("vec_a"), col("vec_b").as("vec_b"))
     scoredPairs

@@ -161,6 +161,44 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${brute.size} true pairs")
   }
 
+  test("hot-label guard bounds the embedding near-dup pair join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    // one hot label far over an engineered bound of 32, two ordinary labels
+    val rows = (0L until 300L).map(i => ("hot", i, vec())) ++
+      (300L until 310L).map(i => ("a", i, vec())) ++
+      (310L until 318L).map(i => ("b", i, vec()))
+    val emb = rows.toDF("label", "vec_id", "embedding")
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val pairs = Similarity.labelBlockPairs(emb, maxBlock = 32).cache()
+    // uncapped, the hot label alone would emit 300·299/2 = 44850 pairs; the
+    // 256-way sub-split leaves ≈ C(300,2)/256 ≈ 175 expected
+    val hotPairs = pairs.filter(col("label") === "hot").count()
+    assert(hotPairs > 0 && hotPairs < 2000, s"hot label pair count: $hotPairs")
+    // labels under the bound stay exactly quadratic — compared in full
+    assert(pairs.filter(col("label") === "a").count() == 10L * 9 / 2)
+    assert(pairs.filter(col("label") === "b").count() == 8L * 7 / 2)
+    pairs.unpersist()
+    // degenerate hot label: identical vectors share one sub-signature, the
+    // oversized sub-block is dropped — nothing goes quadratic
+    val clone = vec()
+    val dup = (0L until 100L).map(i => ("dup", i, clone))
+      .toDF("label", "vec_id", "embedding")
+      .select(col("label"), col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    assert(Similarity.labelBlockPairs(dup, maxBlock = 32).count() == 0)
+    // and on the REAL corpus the default bound changes nothing: guarded ==
+    // unguarded pair set (maxBlock = MaxValue ⇒ the plain label join),
+    // which is what keeps the driver's oracle row triple-green
+    val real = graft.tables.Testdata.embeddings(spark, sf)
+    def pairSet(maxBlock: Int) =
+      Similarity.labelBlockPairs(real, maxBlock).select("label", "vec_a", "vec_b")
+        .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairSet(Similarity.MaxLabelBlock) == pairSet(Int.MaxValue))
+  }
+
   test("IVF ANN: recall >= 0.8 vs brute force, k ranks per query, no self-matches") {
     val brute = Similarity.bruteTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
