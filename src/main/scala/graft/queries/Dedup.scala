@@ -172,22 +172,41 @@ object Dedup {
     val exploded = grams.select(col("doc_id"), explode(col("gram_ids")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("freq"))
 
-    // rarest-first order per doc; L from the integer identity
-    // ceil(P·n/Q) = floor((P·n + Q - 1)/Q) — the int products are exact in
-    // the double division for any real document size, so no float ceil()
-    // can round the prefix short.
+    // rarest-first order per doc. Two prefix lengths (PPJoin asymmetry):
+    //  - PROBING prefix L_p = n - ⌈t·n⌉ + 1 — pigeonhole for any partner;
+    //  - INDEXING mid-prefix L_i = n - ⌈2t/(1+t)·n⌉ + 1 — enough for the
+    //    (length, doc_id)-SMALLER record of a pair, whose required overlap
+    //    is ≥ ⌈2t/(1+t)·n⌉ because its partner is at least as long. A
+    //    qualifying pair must then share a gram between the smaller's
+    //    mid-prefix and the larger's probing prefix, so indexing only
+    //    mid-prefixes is lossless while shrinking the inverted index and
+    //    the candidate join (at t=0.8: n/9 vs n/5 entries per doc).
+    // Integer identity everywhere: ceil(a/b) = floor((a + b - 1)/b) — the
+    // int products are exact in the double division for any real document
+    // size, so no float ceil() can round a prefix short.
     val n = size(col("sorted"))
-    val prefixLen = (n - floor((n * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
+    val probeLen = (n - floor((n * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
+    val midLen = (n - floor((n * 2 * JaccardP + (JaccardP + JaccardQ) - 1)
+      / (JaccardP + JaccardQ)) + 1).cast("int")
     val prefixes = exploded.join(freq, "gram")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("freq"), col("gram")))).as("sorted"))
       .select(col("doc_id"),
-        transform(slice(col("sorted"), lit(1), prefixLen), _.getField("gram")).as("prefix"),
+        transform(slice(col("sorted"), lit(1), probeLen), _.getField("gram")).as("prefix"),
+        midLen.as("mid_len"),
         n.as("n_grams"))
 
-    val inv = prefixes.select(col("doc_id"), col("n_grams"),
+    // the mid-prefix is a prefix of the probing prefix — one slice, no
+    // second sort.
+    val probeInv = prefixes.select(col("doc_id"), col("n_grams"),
       posexplode(col("prefix")).as(Seq("pos", "gram")))
-    val a = inv.as("a"); val b = inv.as("b")
+    val indexInv = prefixes.select(col("doc_id"), col("n_grams"),
+      posexplode(slice(col("prefix"), lit(1), col("mid_len"))).as(Seq("pos", "gram")))
+    val a = indexInv.as("a"); val b = probeInv.as("b")
+    // a is the (length, doc_id)-smaller side of the pair — strict total
+    // order, so each unordered pair is tried exactly once.
+    val aSmaller = (col("a.n_grams") < col("b.n_grams")) ||
+      (col("a.n_grams") === col("b.n_grams") && col("a.doc_id") < col("b.doc_id"))
     // required overlap α = ⌈t/(1+t)·(na+nb)⌉ = ⌈P(na+nb)/(P+Q)⌉, integers.
     val alpha = floor(((col("a.n_grams") + col("b.n_grams")) * JaccardP
       + (JaccardP + JaccardQ - 1)) / (JaccardP + JaccardQ))
@@ -198,12 +217,15 @@ object Dedup {
     val posBound = least(col("a.pos"), col("b.pos")) + 1 +
       least(col("a.n_grams") - col("a.pos") - 1, col("b.n_grams") - col("b.pos") - 1)
     val candidates = a.join(b,
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
-          // length filter: J ≥ t needs min·Q ≥ max·P (both orderings covered)
+        col("a.gram") === col("b.gram") && aSmaller &&
+          // length filter: J ≥ t needs small·Q ≥ large·P (the other
+          // direction is implied by a.n_grams <= b.n_grams since Q > P)
           col("a.n_grams") * JaccardQ >= col("b.n_grams") * JaccardP &&
-          col("b.n_grams") * JaccardQ >= col("a.n_grams") * JaccardP &&
           posBound >= alpha)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // canonical id order for the output/oracle contract (the join's
+      // order is by length, not id)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       // one verify per pair: the dedup shuffle moves two longs per row and
       // costs less than re-verifying each multi-gram collision (measured
       // 6.0s vs 12.6s at sf0.1)
