@@ -31,7 +31,15 @@ object Ingest {
       s"counter invariant violated: $this")
   }
 
-  case class Result(messages: DataFrame, parts: DataFrame, stats: Stats)
+  /** `release()` unpersists the per-batch id-assignment cache once the
+    * caller has materialized both frames (e.g. written them) — without it a
+    * long-lived session importing many batches stacks one cached frame per
+    * batch (the ingest-path twin of the FrameCache fix; VERDICT r5 defect
+    * #3). After release the frames recompute on next use — against their
+    * CURRENT inputs, so release only once downstream writes are done (an
+    * appended store changes what the anti-join would see). */
+  case class Result(messages: DataFrame, parts: DataFrame, stats: Stats,
+                    release: () => Unit = () => ())
 
   /** Deterministic distributed id assignment: global order by `orderCol`,
     * ids startId, startId+1, … via zipWithIndex (two passes, no global
@@ -100,6 +108,7 @@ object Ingest {
     val nParts = parts.count()
 
     Result(messages, parts,
-      Stats(total, inserted, total - inserted - ignored, ignored, nParts))
+      Stats(total, inserted, total - inserted - ignored, ignored, nParts),
+      () => { withIds.unpersist(); () })
   }
 }

@@ -40,10 +40,12 @@ object Store {
       case None => (1L, 1L)
     }
     val result = Ingest(raw, existing, ignored, nextMsgId, nextPartId)
-    val msgWriter = result.messages.write.mode(SaveMode.Append)
-    (if (partitioned) msgWriter.partitionBy("source_format") else msgWriter)
-      .parquet(s"$dir/messages")
-    result.parts.write.mode(SaveMode.Append).parquet(s"$dir/parts")
+    try {
+      val msgWriter = result.messages.write.mode(SaveMode.Append)
+      (if (partitioned) msgWriter.partitionBy("source_format") else msgWriter)
+        .parquet(s"$dir/messages")
+      result.parts.write.mode(SaveMode.Append).parquet(s"$dir/parts")
+    } finally result.release() // both writes done — drop the batch cache
     result.stats
   }
 }

@@ -74,6 +74,17 @@ class IngestSpec extends SparkSpec {
     assert(mmsParts == Seq("text/plain", "image/jpeg"))
   }
 
+  test("repeated importBatch does not stack persisted batch caches") {
+    val dir = Files.createTempDirectory("graft-store-cache").resolve("store").toString
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Store.importBatch(spark, dir, SynctechXml.read(spark, fixtureXml))
+    }
+    // each batch's assignIds cache is released once both writes land —
+    // a long-lived session importing N batches must not hold N frames
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("ingest(x ++ x) == ingest(x) modulo stats (dedup idempotence)") {
     val raw = SynctechXml.read(spark, fixtureXml)
     val doubled = raw.unionByName(raw)
