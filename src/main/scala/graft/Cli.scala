@@ -42,6 +42,11 @@ object Cli {
   private[graft] def run(spark: SparkSession, opts: Opts): Unit = {
     val fmt = opts.format.getOrElse(sys.error("A format must be specified via '-f format'"))
     val t = opts.messageType
+    // fail a typo'd -t loudly: the connectors' default match arm would
+    // otherwise import ALL messages where the reference imports none —
+    // a silent divergence on user error.
+    if (!Set("sms", "mms", "all").contains(t))
+      sys.error(s"Unknown message type '$t' (expected sms, mms or all)")
 
     opts.input.foreach { in =>
       println(s"Importing messages from '$in' ...")
@@ -70,8 +75,12 @@ object Cli {
 
     opts.output.foreach { out =>
       println(s"Exporting messages to '$out' ...")
+      val t0 = System.nanoTime()
       val n = graft.sinks.XmlExport.export(spark, opts.store, out, t)
-      println(s"$n messages exported")
+      val secs = (System.nanoTime() - t0) / 1e9
+      // the reference's export counter block, sms-db.pl:312
+      println(s"Total messages exported:\t$n")
+      println(f"Elapsed time:\t\t\t$secs%.3f seconds")
     }
 
     if (opts.input.isEmpty && opts.output.isEmpty)

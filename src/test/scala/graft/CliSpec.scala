@@ -42,7 +42,9 @@ class CliSpec extends SparkSpec {
     val export = dir.resolve("export.xml").toString
     val out3 = captured(Cli.run(spark,
       Cli.parse(List("-d", store, "-o", export, "-f", "xml"))))
-    assert(out3.contains("3 messages exported"))
+    // the reference's export counter block shape (sms-db.pl:312)
+    assert(out3.contains("Total messages exported:\t3"))
+    assert(out3.contains("Elapsed time:\t\t\t"))
     assert(Files.size(java.nio.file.Paths.get(export)) > 0)
     assert(Store.messages(spark, store).count() == 3)
   }
@@ -50,6 +52,12 @@ class CliSpec extends SparkSpec {
   test("format is required, like the reference") {
     val e = intercept[RuntimeException](Cli.run(spark, Cli.Opts(input = Some("x"))))
     assert(e.getMessage.contains("format must be specified"))
+  }
+
+  test("a typo'd -t fails loudly instead of silently importing everything") {
+    val e = intercept[RuntimeException](Cli.run(spark,
+      Cli.Opts(input = Some("x"), format = Some("xml"), messageType = "smss")))
+    assert(e.getMessage.contains("Unknown message type 'smss'"))
   }
 
   test("-t gate restricts import to one message type") {
