@@ -74,7 +74,11 @@ object StreamingIngest {
     * (streaming window aggs emit per-window rows; row_number() is
     * batch-only). State is one long per correspondent — bounded by the
     * address book, not the stream. Events within a batch are ordered by
-    * (ts) before numbering so replays are deterministic. */
+    * ts before numbering, so replays are deterministic for distinct
+    * timestamps; same-key events with EQUAL ts keep iterator order, which
+    * is not stable across replays (Keyed carries no finer field to break
+    * the tie — callers needing total determinism under ties must pass a
+    * strictly monotone ts, e.g. epoch-ms ⊕ a sequence suffix). */
   def runningIndex(messages: Dataset[Keyed]): Dataset[SeqOut] = {
     import messages.sparkSession.implicits._
     messages
