@@ -4,7 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main — prints ONE JSON line on stdout:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":0.1,
-  *  "vs_prev":{...},"regressed":[...],"failed":0}
+  *  "regressed":[...],"failed":0}
+  *
+  * The stdout line is deliberately MINIMAL and printed exactly once, as the
+  * LAST stdout line. The driver captures a bounded tail of stdout; rounds 5
+  * and 6 both produced `parsed: null` because the line carried the full
+  * per-query `vs_prev` map (~1.3 KB) and outgrew that window — printing it
+  * twice (round 6) only made stdout longer. The rich self-policing data
+  * (vs_prev ratios, baseline size, re-measure decisions) now goes to
+  * [[ReportPath]] as a file, where length is not a constraint;
+  * [[renderLine]] is spec-gated to stay under [[LineBudget]] chars.
   *
   * Harness discipline (VERDICT r2 items):
   *  - one warmup pass per query (JVM/codegen/IO cache init is not the
@@ -30,6 +39,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   val RegressThreshold = 1.5
+  /** Hard budget for the stdout JSON line (chars). The r6 driver tail held
+    * ~2.6 KB including sbt's own `[success]` trailer; 2000 leaves margin. */
+  val LineBudget = 2000
+  /** Where the full report (vs_prev, baseline size, re-measures) lands. */
+  val ReportPath = "bench_report.json"
   /** A query lands in `regressed` only when BOTH the ratio exceeds
     * [[RegressThreshold]] AND the absolute slowdown exceeds this — a 0.15s
     * query measuring 0.25s on a busy box is scheduler noise, not signal. */
@@ -99,28 +113,61 @@ object Bench {
         }
       name -> timing
     }
-    val ok = results.filter(_._2 >= 0)
-    // ms precision everywhere: full-precision doubles once made the line
-    // outgrow the driver's stdout capture window (BENCH_r05 parsed:null) —
-    // and sub-ms digits are noise on this box anyway.
-    def r3(v: Double): Double =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val ratios = results.collect {
-      case (k, v) if v >= 0 && baseline.contains(k) => k -> r3(v / baseline(k))
-    }
-    val vsPrev = ratios.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
-    val byName = results.toMap
-    val regressed = ratios.collect {
-      case (k, r) if r > RegressThreshold && byName(k) - baseline(k) > RegressMinDeltaSec =>
-        "\"" + k + "\""
-    }.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":$sfNum,"vs_prev":$vsPrev,"regressed":$regressed,"baseline_queries":${baseline.size},"failed":${results.size - ok.size}}"""
-    // Printed TWICE — the first and the last stdout line (nothing else
-    // prints to stdout) — so the line survives a capture window that
-    // truncates from either direction.
-    println(line)
-    println(line)
+    writeReport(ReportPath, results, baseline, sfNum)
+    // Exactly ONE stdout line, printed LAST (nothing else prints to
+    // stdout): the driver keeps the tail of stdout, so the final line is
+    // the one guaranteed to survive its capture window.
+    println(renderLine(results, baseline, sfNum))
     spark.stop()
   }
+
+  // ms precision everywhere: full-precision doubles once made the line
+  // outgrow the driver's stdout capture window (BENCH_r05 parsed:null) —
+  // and sub-ms digits are noise on this box anyway.
+  private def r3(v: Double): Double =
+    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def regressedOf(results: Seq[(String, Double)],
+                          baseline: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (k, v) if v >= 0 && baseline.get(k).exists(b =>
+        v / b > RegressThreshold && v - b > RegressMinDeltaSec) => k
+    }
+
+  /** The minimal driver-facing JSON line. Spec-gated ≤ [[LineBudget]].
+    * `regressed` is capped at 10 names here (full list in the report file):
+    * past 10 the signal is already unambiguous, and an unbounded array is
+    * exactly how the r5/r6 lines outgrew the driver's capture window. */
+  private[graft] def renderLine(results: Seq[(String, Double)],
+                                baseline: Map[String, Double],
+                                sfNum: String): String = {
+    val ok = results.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val regressed = regressedOf(results, baseline).take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":$sfNum,"regressed":$regressed,"failed":${results.size - ok.size}}"""
+  }
+
+  /** Full self-policing report — per-query vs_prev ratios against the
+    * checked-in baseline, baseline size, regression verdicts. A file, so
+    * the driver's stdout window puts no length pressure on it. */
+  private[graft] def writeReport(path: String, results: Seq[(String, Double)],
+                                 baseline: Map[String, Double], sfNum: String): Unit =
+    try {
+      val ratios = results.collect {
+        case (k, v) if v >= 0 && baseline.contains(k) => k -> r3(v / baseline(k))
+      }
+      val vsPrev = ratios.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+      val regressed = regressedOf(results, baseline).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val json =
+        s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
+           |"baseline_queries":${baseline.size},"vs_prev":$vsPrev,"regressed":$regressed,
+           |"line":${"\"" + renderLine(results, baseline, sfNum).replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
+           |""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes("UTF-8"))
+      System.err.println(s"[bench] full report -> $path")
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] report write failed (non-fatal): $e")
+    }
 }

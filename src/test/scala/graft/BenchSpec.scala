@@ -43,4 +43,33 @@ class BenchSpec extends AnyFunSuite {
   test("missing file yields no comparisons, not a failure") {
     assert(Bench.loadBaseline("/nonexistent/bench.json", "0.1").isEmpty)
   }
+
+  // --- stdout line budget (BENCH_r05/r06 parsed:null root cause) ---
+
+  private def fakeResults: Seq[(String, Double)] =
+    SparkEntry.queries.keys.toSeq.sorted.map(_ -> 123.456789)
+
+  test("stdout line with every registered query stays under the budget") {
+    // worst realistic case: every query present, 3-digit-second timings,
+    // every query regressed (longest possible `regressed` array).
+    val baseline = fakeResults.map { case (k, _) => k -> 0.001 }.toMap
+    val line = Bench.renderLine(fakeResults, baseline, "0.1")
+    assert(line.length <= Bench.LineBudget,
+      s"stdout line is ${line.length} chars (> ${Bench.LineBudget}); " +
+        "the driver's tail capture will truncate it — trim fields, not precision")
+    // the bulky per-query ratio map must never ride the stdout line
+    assert(!line.contains("vs_prev"))
+    assert(line.startsWith("{\"metric\":\"total\""))
+  }
+
+  test("full vs_prev report lands in the file, not on stdout") {
+    val p = Files.createTempFile("bench-report", ".json").toString
+    val baseline = Map(fakeResults.head._1 -> 100.0)
+    Bench.writeReport(p, fakeResults, baseline, "0.1")
+    val txt = new String(Files.readAllBytes(java.nio.file.Paths.get(p)), StandardCharsets.UTF_8)
+    assert(txt.contains("\"vs_prev\""))
+    assert(txt.contains("\"baseline_queries\":1"))
+    // ratio = 123.456789/100 rounded to ms precision
+    assert(txt.contains("1.235"))
+  }
 }
