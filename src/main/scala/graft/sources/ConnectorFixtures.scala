@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.FrameCache
 
 /** Deterministic in-memory source fixtures for the Bugle and Signal
   * connectors (schemas from FIXTURES.md §3–§4, field-for-field what
@@ -9,10 +10,29 @@ import org.apache.spark.sql.functions._
   * `store_bugle_ingest` / `store_signal_ingest` CORRECTNESS queries —
   * the environment ships no SQLite JDBC driver, so the *transforms* are
   * exercised on these frames while [[BugleSource.readJdbc]] /
-  * [[SignalSource.read]] carry the production wiring. */
+  * [[SignalSource.read]] carry the production wiring.
+  *
+  * The fixture table-sets are memoized per session ([[FrameCache
+  * .cachedValue]] — plain reuse of the same LocalRelation frames, no
+  * `.cache()`): rebuilding the `toDF` frames cost ~50–90 ms of driver time
+  * per bench invocation. Profiled r7 for the `store_bugle_ingest` vs_prev
+  * watch item (r5: 5.3×, r6: 1.876×, both under the 0.75 s absolute gate):
+  * the timed portion is ~5 sequential tiny AQE jobs (four broadcast-
+  * exchange builds + the final stage), each paying 30–80 ms of scheduler
+  * latency that scales with ambient box load — re-executing the SAME
+  * DataFrame measured 200–400 ms under load vs the 164 ms quiet-box
+  * baseline. The ratio noise is stage-scheduling variance on a sub-0.2 s
+  * query, which is exactly what the bench's absolute-delta gate exists to
+  * absorb; this hoist removes the one avoidable driver-side component. */
 object ConnectorFixtures {
 
-  def bugle(s: SparkSession): BugleSource.BugleTables = {
+  def bugle(s: SparkSession): BugleSource.BugleTables =
+    FrameCache.cachedValue(s, "fixture:bugle")(buildBugle(s))
+
+  def signal(s: SparkSession): SignalSource.SignalTables =
+    FrameCache.cachedValue(s, "fixture:signal")(buildSignal(s))
+
+  private def buildBugle(s: SparkSession): BugleSource.BugleTables = {
     import s.implicits._
     BugleSource.BugleTables(
       messages = Seq(
@@ -45,7 +65,7 @@ object ConnectorFixtures {
       ).toDF("_id", "message_id", "text", "uri", "content_type"))
   }
 
-  def signal(s: SparkSession): SignalSource.SignalTables = {
+  private def buildSignal(s: SparkSession): SignalSource.SignalTables = {
     import s.implicits._
     SignalSource.SignalTables(
       sms = Seq(

@@ -36,8 +36,12 @@ object Ingest {
     * long-lived session importing many batches stacks one cached frame per
     * batch (the ingest-path twin of the FrameCache fix; VERDICT r5 defect
     * #3). After release the frames recompute on next use — against their
-    * CURRENT inputs, so release only once downstream writes are done (an
-    * appended store changes what the anti-join would see). */
+    * CURRENT inputs, so a released Result must be treated as INVALID: any
+    * re-evaluation after the store changed (including after a partial
+    * importBatch failure) would re-run the anti-join against the mutated
+    * store and renumber ids. Callers either release after all downstream
+    * writes complete, or release-and-discard (what [[Store.importBatch]]
+    * does on its failure path — the Result never escapes it). */
   case class Result(messages: DataFrame, parts: DataFrame, stats: Stats,
                     release: () => Unit = () => ())
 

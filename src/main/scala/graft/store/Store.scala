@@ -40,12 +40,23 @@ object Store {
       case None => (1L, 1L)
     }
     val result = Ingest(raw, existing, ignored, nextMsgId, nextPartId)
+    // The Result never escapes this method (only `stats` is returned), so
+    // releasing in `finally` can't hand anyone an invalidated frame — it is
+    // pure memory hygiene on both the success and the failure path. What a
+    // failure between the two appends DOES leave behind is a store with
+    // messages but not their parts (parquet append is not an atomic
+    // two-table commit): a retried importBatch anti-joins those messages
+    // away as duplicates and their parts stay missing. That window is
+    // inherent to plain-directory parquet; the 100 TB deployment closes it
+    // with a transactional table format (single multi-table commit) — here
+    // the honest contract is: an importBatch that throws leaves the store
+    // needing restore-from-backup, not retry.
     try {
       val msgWriter = result.messages.write.mode(SaveMode.Append)
       (if (partitioned) msgWriter.partitionBy("source_format") else msgWriter)
         .parquet(s"$dir/messages")
       result.parts.write.mode(SaveMode.Append).parquet(s"$dir/parts")
-    } finally result.release() // both writes done — drop the batch cache
+    } finally result.release()
     result.stats
   }
 }

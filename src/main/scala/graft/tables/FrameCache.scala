@@ -18,8 +18,11 @@ import scala.collection.concurrent.TrieMap
   * Keying: WEAKLY on the session object itself. `identityHashCode` keys
   * (the previous form) can collide between live sessions — or match a
   * GC'd session's reused hash — handing back a frame bound to the wrong
-  * or dead session; a weak key also lets a dropped session's entries be
-  * collected instead of pinning them forever.
+  * or dead session; weak keys fix that collision class. They do NOT make
+  * the frames map self-cleaning: a cached Dataset strongly references its
+  * own SparkSession, so a frames entry pins its key and survives until
+  * [[clear]] (which tests and the CLI call at teardown). Only the values
+  * map (plain driver-side data) is collectable once a session is dropped.
   */
 object FrameCache {
 
