@@ -128,6 +128,73 @@ object TextAnalysis {
           .as("simhash"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------- repetition
+
+  /** Repetition signals (the Gopher/C4 rule family): fraction of the doc
+    * covered by its most frequent word, and the duplicate-bigram fraction.
+    * This corpus has no newlines, so the line/paragraph variants of the
+    * rule degenerate; the word/bigram forms are the live ones.
+    *
+    * Scale shape: both metrics are PER-ROW array folds (sort + one
+    * `aggregate` pass for the max word frequency; `array_distinct` for
+    * bigrams) — no explode, no shuffle, nothing leaves the row. The
+    * explode + two-level groupBy formulation would shuffle every token of
+    * a 100 TB corpus to compute a per-document number. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    repetitionOf(documents(s, d))
+
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    // max word frequency = longest run in the sorted word array, one fold.
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val best = aggregate(
+      sort_array(words), zero,
+      (st, w) => {
+        val run = when(w === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"), greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    docs
+      .filter(size(words) >= 2)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        (best.cast("double") / size(words)).as("top_word_frac"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  /** Knuth's multiplicative-hash constant — chosen over `xxhash64`/`hash`
+    * because the sampling decision must be REPRODUCIBLE outside Spark
+    * (the oracle, a python audit, a later re-run): `(id·A) mod 2³² mod 100`
+    * is exact int64 arithmetic in any engine, while the built-in hash
+    * functions differ across engines. At 100 TB ids may exceed 2³¹ and the
+    * product can overflow int64 — there the key is pre-folded (e.g.
+    * `id mod 2³²`) or the arithmetic widened to 128-bit; same contract. */
+  val SampleHashA = 2654435761L
+  val SampleBuckets = 100L
+
+  /** Deterministic stratified sampling for training-mix shaping: keep a
+    * per-language rate (downsample dominant `en` to 20%, others 50%) by
+    * hash-bucketing the stable `doc_id` — NOT `rand()`, which is neither
+    * reproducible across retried tasks nor auditable after the fact. A
+    * pure narrow filter: no shuffle, no state, prunes at the scan. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    sampleStratifiedOf(documents(s, d))
+
+  private[graft] def sampleStratifiedOf(docs: DataFrame): DataFrame = {
+    val bucket = ((col("doc_id") * SampleHashA) % 4294967296L) % SampleBuckets
+    val rate = when(col("lang") === "en", 20L).otherwise(50L)
+    docs
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -136,6 +203,8 @@ object TextAnalysis {
     "text_langid"      -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_simhash"     -> simhash _,
+    "text_repetition"  -> repetition _,
+    "text_sample_stratified" -> sampleStratified _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -197,5 +266,34 @@ object TextAnalysis {
         |SELECT doc_id,
         |  string_agg(substr('0123456789abcdef', CAST(v AS INTEGER) + 1, 1), '' ORDER BY n) AS simhash
         |FROM nib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // max word frequency via unnest+groupBy here (DuckDB has no array
+    // fold); the Spark side computes the identical integers per row.
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), f AS (
+        |  SELECT doc_id, MAX(cnt) AS max_cnt FROM (
+        |    SELECT doc_id, COUNT(*) AS cnt
+        |    FROM (SELECT doc_id, unnest(words) AS word FROM w)
+        |    GROUP BY doc_id, word)
+        |  GROUP BY doc_id
+        |), g AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |    [words[i] || ' ' || words[i+1] for i in range(1, len(words))] AS bigrams
+        |  FROM w
+        |)
+        |SELECT g.doc_id AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(max_cnt AS DOUBLE) / n_words AS top_word_frac,
+        |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
+        |FROM g JOIN f ON g.doc_id = f.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang,
+        |  ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        |FROM documents
+        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-7 pipeline additions: connected-component dedup clustering,
+  * repetition signals, deterministic stratified sampling. */
+class ClusterSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connected components: engineered graphs label to the component min") {
+    // lone pair — the shape the original (buggy) small-star lost entirely
+    assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
+    // chain 1-2-3-4-5: needs actual contraction across rounds
+    assert(ccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))) ==
+      (1L to 5L).map(_ -> 1L).toMap)
+    // two components + a triangle (cycle) in one edge list
+    val two = ccOf(Seq((10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)))
+    assert(two == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // star already at fixpoint
+    assert(ccOf(Seq((5L, 1L), (9L, 1L), (7L, 1L))) ==
+      Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 9L -> 1L))
+  }
+
+  test("dedup clusters agree with the pairwise Jaccard output") {
+    val pairs = Dedup.jaccardPrefixPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = labels.map(t => t._1 -> t._2).toMap
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // every paired doc is labeled, paired docs share a rep, rep = member min
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across clusters")
+    }
+    val members = labels.groupBy(_._2)
+    members.foreach { case (r, ms) =>
+      assert(ms.map(_._1).min == r, s"rep $r is not its cluster's min id")
+      assert(ms.forall(_._3 == ms.length), s"cluster_size wrong for rep $r")
+    }
+    // labels cover exactly the docs that appear in some pair
+    assert(rep.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("connected components converge within the round cap and are distinct-per-node") {
+    val labels = Dedup.dedupClusters(spark, sf).select("doc_id").collect()
+    assert(labels.map(_.getLong(0)).distinct.length == labels.length,
+      "a node must receive exactly one label")
+  }
+
+  test("repetition: hand-computed word/bigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // top word 'a' 3/4; bigrams [a a, a a, a b] -> dup 1/3
+      (2L, "x y x y"),        // top 2/4; bigrams [x y, y x, x y] -> dup 1/3
+      (3L, "p q r s"),        // top 1/4; all bigrams distinct -> dup 0
+      (4L, "solo")            // single word: filtered out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toList
+    assert(got == List(
+      (1L, 4L, 3.0 / 4.0, 1.0 - 2.0 / 3.0),
+      (2L, 4L, 2.0 / 4.0, 1.0 - 2.0 / 3.0),
+      (3L, 4L, 1.0 / 4.0, 0.0)))
+  }
+
+  test("stratified sample: deterministic, rate-correct, formula-reproducible") {
+    import spark.implicits._
+    val docs = (0L until 10000L).map(i => (i, s"text $i", if (i % 5 == 0) "de" else "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.sampleStratifiedOf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exact reproduction outside Spark — the point of hash-based sampling
+    val expect = (0L until 10000L).flatMap { i =>
+      val lang = if (i % 5 == 0) "de" else "en"
+      val bucket = ((i * TextAnalysis.SampleHashA) % 4294967296L) % TextAnalysis.SampleBuckets
+      val rate = if (lang == "en") 20L else 50L
+      if (bucket < rate) Some((i, lang, bucket)) else None
+    }
+    assert(got.toSeq == expect)
+    // rates land near the target (hash uniformity, not exact)
+    val en = got.count(_._2 == "en").toDouble / 8000
+    val de = got.count(_._2 == "de").toDouble / 2000
+    assert(math.abs(en - 0.20) < 0.02, s"en rate $en")
+    assert(math.abs(de - 0.50) < 0.03, s"de rate $de")
+    // determinism across invocations (no rand() anywhere)
+    val again = TextAnalysis.sampleStratifiedOf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+}
