@@ -170,12 +170,16 @@ object TextAnalysis {
 
   /** Knuth's multiplicative-hash constant — chosen over `xxhash64`/`hash`
     * because the sampling decision must be REPRODUCIBLE outside Spark
-    * (the oracle, a python audit, a later re-run): `(id·A) mod 2³² mod 100`
-    * is exact int64 arithmetic in any engine, while the built-in hash
-    * functions differ across engines. At 100 TB ids may exceed 2³¹ and the
-    * product can overflow int64 — there the key is pre-folded (e.g.
-    * `id mod 2³²`) or the arithmetic widened to 128-bit; same contract. */
+    * (the oracle, a python audit, a later re-run): the bucket formula is
+    * exact int64 arithmetic in any engine, while the built-in hash
+    * functions differ across engines. The id is pre-folded to
+    * `pmod(id, 2³¹)` BEFORE the multiply: the raw product overflows int64
+    * for id ≳ 3.47e9 (and under Spark's default non-ANSI mode wraps
+    * negative, making `bucket < rate` vacuously true — 100% sampling),
+    * while the folded product is ≤ (2³¹-1)·A ≈ 5.7e18 < 2⁶³-1, exact in
+    * any engine. pmod (not %) so negative ids fold non-negative too. */
   val SampleHashA = 2654435761L
+  val SampleFold = 2147483648L // 2³¹
   val SampleBuckets = 100L
 
   /** Deterministic stratified sampling for training-mix shaping: keep a
@@ -187,7 +191,7 @@ object TextAnalysis {
     sampleStratifiedOf(documents(s, d))
 
   private[graft] def sampleStratifiedOf(docs: DataFrame): DataFrame = {
-    val bucket = ((col("doc_id") * SampleHashA) % 4294967296L) % SampleBuckets
+    val bucket = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L) % SampleBuckets
     val rate = when(col("lang") === "en", 20L).otherwise(50L)
     docs
       .filter(bucket < rate)
@@ -288,11 +292,13 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the (id % 2^31) pre-fold mirrors the Spark side's pmod (testdata ids
+    // are positive, so % = pmod here); see SampleFold.
     "text_sample_stratified" ->
       """SELECT doc_id, lang,
-        |  ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+        |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket
         |FROM documents
-        |WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+        |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 <
         |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
   )

@@ -16,4 +16,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnInterop {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * frame. `Dataset.localCheckpoint` persists an internal RDD that no
+    * public handle can unpersist (`Dataset.unpersist` only touches
+    * CacheManager entries), so an iterative algorithm that checkpoints
+    * per round leaks every superseded round's blocks until the context
+    * cleaner happens to run. The checkpointed RDD sits in the plan's
+    * `LogicalRDD` leaf — reach it there and drop its storage. No-op on
+    * frames without checkpointed leaves. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

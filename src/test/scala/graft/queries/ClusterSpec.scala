@@ -55,6 +55,15 @@ class ClusterSpec extends SparkSpec {
       "a node must receive exactly one label")
   }
 
+  test("connected components release superseded checkpoints (no storage stacking)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a chain forces several star rounds — each one localCheckpoints
+    ccOf((1L to 40L).sliding(2).map(s => (s.head, s.last)).toSeq)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the final labels snapshot may remain persisted
+    assert(leaked.size <= 1, s"checkpoint blocks leaked: $leaked")
+  }
+
   test("repetition: hand-computed word/bigram fractions") {
     import spark.implicits._
     val docs = Seq(
@@ -94,5 +103,28 @@ class ClusterSpec extends SparkSpec {
     val again = TextAnalysis.sampleStratifiedOf(docs)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
+  }
+
+  test("stratified sample: ids past 2^31 stay non-negative and rate-correct") {
+    import spark.implicits._
+    // ids around 4e9: the unfolded product doc_id * A overflows int64 and
+    // wraps NEGATIVE under non-ANSI %, making `bucket < rate` always true
+    // (100% sampling). The pmod-2^31 pre-fold keeps buckets in [0, 100).
+    val base = 4000000000L
+    val docs = (0L until 20000L).map(i => (base + i, "t", "en")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.sampleStratifiedOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.forall(_._2 >= 0), "bucket went negative — overflow regression")
+    // driver-side reproduction of the folded formula, the portability contract
+    val expect = (0L until 20000L).flatMap { i =>
+      val id = base + i
+      val bucket = (((id % TextAnalysis.SampleFold) * TextAnalysis.SampleHashA)
+        % 4294967296L) % TextAnalysis.SampleBuckets
+      if (bucket < 20L) Some((id, bucket)) else None
+    }
+    assert(got.toSeq == expect)
+    // 100%-sampling is the bug symptom; the fixed rate lands near 20%
+    val rate = got.length.toDouble / 20000
+    assert(math.abs(rate - 0.20) < 0.03, s"en rate $rate")
   }
 }
