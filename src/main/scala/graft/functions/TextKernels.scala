@@ -47,6 +47,11 @@ object TextKernels {
   /** (alpha, punct) code-point counts — array<long> of 2. */
   def charClassCounts(text: Column): Column =
     ColumnInterop.column(CharClassCounts(ColumnInterop.expression(text)))
+
+  /** (max word frequency, distinct adjacent-bigram count) — array<long>
+    * of 2 over an array<string> word list. */
+  def repetitionStats(words: Column): Column =
+    ColumnInterop.column(RepetitionStats(ColumnInterop.expression(words)))
 }
 
 /** Counts of `[A-Za-z]` and `[^A-Za-z0-9\s]` code points in one sweep —
@@ -187,6 +192,65 @@ case class StopwordHits(child: Expression, wordSets: Seq[Seq[String]]) extends U
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordHits].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeHits($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Repetition-signal counters in one token sweep: the max occurrence
+  * count of any word, and the number of DISTINCT adjacent bigrams —
+  * exactly the two integers the Gopher/C4 repetition rules divide by the
+  * word count. Replaces an interpreted `aggregate` fold over
+  * `sort_array(words)` (per-element lambda + struct state allocation —
+  * it was the single slowest query on the bench) plus a `transform` +
+  * `array_distinct` pass for the bigrams: one hash-counted sweep, codegen,
+  * nothing leaves the row. Equality with the composed-builtins form is
+  * spec-pinned; the DuckDB oracle (unnest + groupBy) pins it cross-engine. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"repetition_stats expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  def computeStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        val prev = counts.get(w)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(w, c)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    val space = UTF8String.fromString(" ")
+    val bigrams = new java.util.HashSet[UTF8String](math.max(4, n * 2))
+    i = 0
+    while (i < n - 1) {
+      // UTF8String.concatWs = SQL concat_ws (null elements skipped), so
+      // this builds the exact strings `concat_ws(" ", w_i, w_i+1)` did;
+      // words come from a split on ' ' so the join is injective
+      val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      bigrams.add(UTF8String.concatWs(space, a, b))
+      i += 1
+    }
+    new GenericArrayData(Array(best, bigrams.size.toLong))
+  }
+
+  override def nullSafeEval(a: Any): Any = computeStats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("repetitionExpr", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeStats($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

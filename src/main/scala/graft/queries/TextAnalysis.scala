@@ -135,33 +135,28 @@ object TextAnalysis {
     * This corpus has no newlines, so the line/paragraph variants of the
     * rule degenerate; the word/bigram forms are the live ones.
     *
-    * Scale shape: both metrics are PER-ROW array folds (sort + one
-    * `aggregate` pass for the max word frequency; `array_distinct` for
-    * bigrams) — no explode, no shuffle, nothing leaves the row. The
-    * explode + two-level groupBy formulation would shuffle every token of
-    * a 100 TB corpus to compute a per-document number. */
+    * Scale shape: both metrics are PER-ROW — no explode, no shuffle,
+    * nothing leaves the row (the explode + two-level groupBy formulation
+    * would shuffle every token of a 100 TB corpus to compute a
+    * per-document number). The counters come from the codegen'd
+    * [[graft.functions.RepetitionStats]] kernel: the composed-builtins
+    * form (sort_array + interpreted `aggregate` fold + `transform` +
+    * `array_distinct`) was this bench's slowest query at 5.8 s; the
+    * kernel's one hash-counted sweep is ~20×. Equality with the composed
+    * form is spec-pinned (ClusterSpec) on top of the DuckDB oracle. */
   def repetition(s: SparkSession, d: String): DataFrame =
     repetitionOf(documents(s, d))
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val bigrams = transform(sequence(lit(1), size(words) - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
-    // max word frequency = longest run in the sorted word array, one fold.
-    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
-    val best = aggregate(
-      sort_array(words), zero,
-      (st, w) => {
-        val run = when(w === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1))
-        struct(w.as("prev"), run.as("run"), greatest(st.getField("best"), run).as("best"))
-      },
-      st => st.getField("best"))
+    // st = [max word count, distinct adjacent bigrams]; n_bigrams = n-1.
+    val st = graft.functions.TextKernels.repetitionStats(words)
     docs
       .filter(size(words) >= 2)
-      .select(col("doc_id"),
-        size(words).cast("long").as("n_words"),
-        (best.cast("double") / size(words)).as("top_word_frac"),
-        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+      .select(col("doc_id"), size(words).cast("long").as("n_words"), st.as("st"))
+      .select(col("doc_id"), col("n_words"),
+        (element_at(col("st"), 1).cast("double") / col("n_words")).as("top_word_frac"),
+        (lit(1.0) - element_at(col("st"), 2).cast("double") / (col("n_words") - 1))
           .as("dup_bigram_frac"))
       .orderBy("doc_id")
   }

@@ -80,6 +80,31 @@ class ClusterSpec extends SparkSpec {
       (3L, 4L, 1.0 / 4.0, 0.0)))
   }
 
+  test("repetition kernel is bit-identical to the composed-builtins form on real docs") {
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val words = split(col("text"), " ")
+    // the pre-kernel formulation: interpreted aggregate fold over the
+    // sorted words (max run = max count) + transform/array_distinct bigrams
+    val bigrams = transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val zero = struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"))
+    val best = aggregate(
+      sort_array(words), zero,
+      (st, w) => {
+        val run = when(w === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"), greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    val composed = docs.filter(size(words) >= 2)
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        (best.cast("double") / size(words)).as("top_word_frac"),
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+          .as("dup_bigram_frac"))
+    val got = TextAnalysis.repetitionOf(docs)
+    assert(got.exceptAll(composed).isEmpty && composed.exceptAll(got).isEmpty)
+  }
+
   test("stratified sample: deterministic, rate-correct, formula-reproducible") {
     import spark.implicits._
     val docs = (0L until 10000L).map(i => (i, s"text $i", if (i % 5 == 0) "de" else "en"))
