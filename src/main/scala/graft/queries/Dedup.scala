@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnInterop
 import graft.tables.Testdata._
 import graft.tables.FrameCache
 
@@ -234,6 +235,123 @@ object Dedup {
     verifyPairs(candidates, grams, JaccardT)
   }
 
+  // --- SimHash hamming near-dup ------------------------------------------
+
+  /** Max Hamming distance (over the 64-bit SimHash) for a near-dup pair —
+    * the classic web-dedup bar (Manku et al., WWW'07 use k=3 at 64 bits). */
+  val HammingK = 3
+  /** Pigeonhole band count: with k+1 disjoint bands, a pair within
+    * Hamming k has ≥1 band with ZERO differing bits — so blocking on
+    * exact band equality is LOSSLESS, not probabilistic. 4 bands of 16
+    * bits = 4 hex chars each. */
+  val SimhashBands: Int = HammingK + 1
+
+  /** SimHash near-dup pairs at Hamming ≤ [[HammingK]] — the third member
+    * of the near-dup family (MinHash-LSH ≈ Jaccard, prefix-filter = exact
+    * Jaccard, SimHash = cosine-ish bit sketch), and the cheapest at scale:
+    * the whole corpus state is ONE 8-byte sketch per doc, the candidate
+    * join keys on 16-bit band equality, and the verify is a single
+    * xor+popcount — no gram sets move at all.
+    *
+    * Same hot-bucket discipline as the LSH path: band buckets beyond
+    * `maxBucket` are dropped (16-bit bands collide easily on boilerplate
+    * corpora), a bounded recall trade documented at [[MaxBucketSize]].
+    * The DuckDB oracle is brute-force all-pairs Hamming from the same
+    * nibble-built simhash hex, so the driver compare checks the blocking
+    * end-to-end at full strictness (no bucket at sf0.01 nears the cap). */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame =
+    simhashNearDupOf(documents(s, d))
+
+  private[graft] def simhashNearDupOf(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      graft.functions.TextKernels.simhash64(array_distinct(split(col("text"), " "))).as("sh"))
+    // hex → signed 64-bit: two 32-bit halves via conv (each fits a long
+    // exactly), recombined — a direct 16-char conv overflows signed long
+    // for high-bit sketches.
+    val bits = shiftleft(conv(substring(col("sh"), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(col("sh"), 9, 8), 16, 10).cast("long"))
+    val withBits = sh.select(col("doc_id"), col("sh"), bits.as("bits"))
+
+    val bandStructs = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("chunk"))
+    }
+    val bands = withBits.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val sizes = bands.groupBy("band", "chunk").agg(count(lit(1)).as("bucket_n"))
+    val kept = bands.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "chunk"))
+      .select("doc_id", "band", "chunk")
+
+    val x = kept.as("x"); val y = kept.as("y")
+    val candidates = x.join(y,
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val ba = withBits.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"))
+    val bb = withBits.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"))
+    candidates.join(ba, "doc_a").join(bb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingK)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- incremental dedup: new batch vs existing corpus --------------------
+
+  /** Bloom false-positive rate for [[incrementalNew]] — every FP costs one
+    * row in the exact-verify shuffle, nothing in correctness. */
+  val BloomFpp = 0.01
+
+  /** Which BATCH docs are new vs an existing CORPUS — the incremental form
+    * of exact dedup that a continuously-fed training pipeline actually
+    * runs (full-corpus re-dedup per batch is a non-starter at 100 TB).
+    * Corpus = even doc_id, batch = odd (a deterministic stand-in for
+    * "yesterday's store" vs "today's crawl" on the fixed test tables).
+    *
+    * Shape: a Bloom filter over the corpus keys rides to every batch
+    * partition as a broadcast-sized literal; batch rows the filter
+    * disclaims are DEFINITELY new (no false negatives) and never enter an
+    * exchange — only the might-contain sliver (true dups + fpp·|batch|)
+    * pays the exact anti-join that removes false positives. Result is
+    * EXACT, so the DuckDB `NOT IN` oracle compares at full strictness.
+    * At real scale the filter is sized from the corpus count (~1.2 MB per
+    * 1M keys at 1% fpp); past broadcast size you shard it by key range.
+    * The filter is built once per (session, dir) ([[FrameCache]]), the
+    * 100 TB analogue of maintaining it as a store artifact.
+    *
+    * Dedup is against the CORPUS only (batch-internal dups both survive —
+    * they are "new" relative to the store; A4's exact dedup handles them
+    * at ingest). Keys are `sha2(text, 256)` — the same exact-dup identity
+    * as `rel_dedup_exact`; the Bloom probe uses `xxhash64(key)` longs. */
+  def incrementalNew(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(sha2(col("text"), 256).as("h"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+
+    val bloomBytes = FrameCache.cachedValue(s, s"bloom-corpus:$d") {
+      val keyed = corpus.select(xxhash64(col("h")).as("hl"))
+      val bf = keyed.stat.bloomFilter("hl", math.max(keyed.count(), 1L), BloomFpp)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val mightContain = ColumnInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnInterop.expression(xxhash64(col("h")))))
+
+    val definiteNew = batch.filter(!mightContain)
+    val survivors = batch.filter(mightContain)
+      .join(corpus.distinct(), Seq("h"), "left_anti") // false positives only
+    definiteNew.unionByName(survivors.select("doc_id", "h"))
+      .select(col("doc_id"), col("h"))
+      .orderBy("doc_id")
+  }
+
   // --- dedup clusters: connected components over near-dup pairs ---------
 
   /** Round cap for [[connectedComponents]] — alternating star rounds halve
@@ -374,6 +492,8 @@ object Dedup {
     "dedup_minhash_lsh"    -> minhashLshPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
+    "dedup_simhash"        -> simhashNearDup _,
+    "dedup_incremental"    -> incrementalNew _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -411,6 +531,47 @@ object Dedup {
         |)
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force all-pairs Hamming over the SAME nibble-built simhash as
+    // text_simhash's oracle — blocking is lossless (pigeonhole), so the
+    // compare is full-strictness.
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |      substr(md5(t), (b % 32) + 1, 1)) - 1) >> (b // 32)) & 1 = 1
+        |      THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tok, range(64) r(b) GROUP BY doc_id, b
+        |), nib AS (
+        |  SELECT doc_id, b // 4 AS n,
+        |    SUM(bit * (8 >> (b % 4))) AS v
+        |  FROM bits GROUP BY doc_id, b // 4
+        |), sh AS (
+        |  SELECT doc_id,
+        |    string_agg(substr('0123456789abcdef', CAST(v AS INTEGER) + 1, 1), '' ORDER BY n) AS simhash
+        |  FROM nib GROUP BY doc_id
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum([bit_count(xor(
+        |      strpos('0123456789abcdef', substr(a.simhash, i, 1)) - 1,
+        |      strpos('0123456789abcdef', substr(b.simhash, i, 1)) - 1)) for i in range(1, 17)]) AS BIGINT) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Exact set-difference ground truth: the Bloom prefilter has no false
+    // negatives and the anti-join removes false positives, so the Spark
+    // result must equal the plain NOT IN at full strictness.
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0
+        |), batch AS (
+        |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 2 = 1
+        |)
+        |SELECT doc_id, h FROM batch
+        |WHERE h NOT IN (SELECT h FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
     // Ground truth for the component labels: brute-force pairs (as above),
     // then transitive closure by recursive CTE — `rep` = min node reachable
     // from each node. Exact, so the driver compares at full strictness:

@@ -80,4 +80,7 @@ object FrameCache {
 
   private[graft] def keys(s: SparkSession): Set[String] =
     tableFor(frames, s).keySet.toSet
+
+  private[graft] def valueKeys(s: SparkSession): Set[String] =
+    tableFor(values, s).keySet.toSet
 }

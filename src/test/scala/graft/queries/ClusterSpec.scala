@@ -3,11 +3,59 @@ package graft.queries
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Round-7 pipeline additions: connected-component dedup clustering,
-  * repetition signals, deterministic stratified sampling. */
+/** Round-7/8 pipeline additions: connected-component dedup clustering,
+  * repetition signals, deterministic stratified sampling, SimHash hamming
+  * near-dup, Bloom-prefiltered incremental dedup. */
 class ClusterSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
+
+  test("simhash near-dup: banded blocking finds exactly the brute-force hamming pairs") {
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val got = Dedup.simhashNearDupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side brute force over the same kernel sketches
+    val sketches = docs.select(col("doc_id"),
+        graft.functions.TextKernels.simhash64(array_distinct(split(col("text"), " "))))
+      .collect().map(r => (r.getLong(0), java.lang.Long.parseUnsignedLong(r.getString(1), 16)))
+    val expect = (for {
+      (a, ha) <- sketches; (b, hb) <- sketches if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= Dedup.HammingK
+    } yield (a, b, d.toLong)).toSet
+    assert(got == expect, "banded blocking must be lossless at hamming <= k")
+    assert(got.nonEmpty)
+  }
+
+  test("simhash near-dup: hot-bucket cap bounds a degenerate corpus") {
+    import spark.implicits._
+    // 300 identical docs: every band bucket holds all 300 — over the cap,
+    // so the candidate join sees nothing instead of 300^2/2 pairs
+    val degenerate = (1L to 300L).map(i => (i, "same text here every time")).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDupOf(degenerate, maxBucket = 200).count() == 0)
+    // and an ordinary corpus is untouched by the cap
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    assert(Dedup.simhashNearDupOf(docs, maxBucket = 200).count() ==
+      Dedup.simhashNearDupOf(docs, maxBucket = Int.MaxValue).count())
+  }
+
+  test("incremental dedup equals the exact anti-join and never loses a new doc") {
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val got = Dedup.incrementalNew(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exact reference: plain anti-join, no Bloom anywhere
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(sha2(col("text"), 256).as("h"))
+    val exact = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(corpus, Seq("h"), "left_anti")
+      .select("doc_id", "h").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == exact.toSeq)
+    assert(got.nonEmpty)
+    // the serialized filter is memoized per (session, dir)
+    Dedup.incrementalNew(spark, sf).count()
+    assert(graft.tables.FrameCache.valueKeys(spark).contains(s"bloom-corpus:$sf"))
+  }
 
   private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
