@@ -194,6 +194,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- packing
+
+  /** Token budget per packed training sequence (a GPT-style 2k context). */
+  val PackBudget = 2048L
+  /** Range partitions for the packing scan — one contiguous doc_id slice
+    * each; at 100 TB this is thousands, here the local core count. */
+  val PackParts = 32
+
+  /** Concat-and-chunk sequence packing — the op that turns a deduped,
+    * filtered corpus into fixed-budget training sequences: documents are
+    * concatenated in doc_id order and cut every [[PackBudget]] tokens;
+    * each doc's span is `(pack_id, pack_offset)` of its first token (docs
+    * straddle cuts, exactly like pretraining data loaders chunk).
+    *
+    * The whole op is one GLOBAL EXCLUSIVE PREFIX SUM over doc order — and
+    * the naive formulation, `sum() over (order by doc_id)` with no
+    * partitioning, is a single-task window (one reducer sorting 100 TB:
+    * the canonical scale killer, and exactly what the DuckDB oracle runs
+    * at sf0.01). The distributed shape here:
+    *
+    *  1. range-partition by doc_id — partition i holds a contiguous id
+    *     slice, ascending with i ([[packParts]]);
+    *  2. per-partition token totals: a [[PackParts]]-row aggregate,
+    *     prefix-summed ON THE DRIVER into per-partition start offsets
+    *     (tiny, exact);
+    *  3. per-partition exclusive prefix sums via a window partitioned by
+    *     the slice id — all slices in parallel — plus the broadcast-mapped
+    *     start offset.
+    *
+    * The partitioned frame is memoized per (session, dir): steps 2 and 3
+    * must read the SAME partition assignment (and production would reuse
+    * the materialized `n_tokens` column from `text_tokens` anyway rather
+    * than re-tokenizing). */
+  def packSpans(s: SparkSession, d: String): DataFrame = {
+    val parts = graft.tables.FrameCache.cached(s, s"pack-parts:$d")(packParts(documents(s, d)))
+    packSpansOf(parts)
+  }
+
+  /** (doc_id, n_tokens, pid) with pid = the contiguous doc_id range slice. */
+  private[graft] def packParts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(PackParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+
+  private[graft] def packSpansOf(parts: DataFrame): DataFrame = {
+    // per-slice totals → driver-side exclusive prefix (PackParts rows)
+    val totals = parts.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val starts = totals.scanLeft(0 -> 0L) { case ((_, acc), (pid, t)) => pid -> (acc + t) }
+      .init.map { case (_, acc) => acc } // exclusive: slice i starts after slices < i
+    val startsByPid = totals.map(_._1).zip(starts).toMap
+    val startCol = coalesce(
+      element_at(typedLit(startsByPid), col("pid")), lit(0L))
+
+    // exclusive prefix within each slice, all slices in parallel
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = (startCol + coalesce(sum(col("n_tokens")).over(w), lit(0L))).as("cum_start")
+    parts.select(col("doc_id"), col("n_tokens"), cum)
+      .select(col("doc_id"), col("n_tokens"), col("cum_start"),
+        expr(s"cum_start div $PackBudget").as("pack_id"),
+        (col("cum_start") % PackBudget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -204,6 +270,7 @@ object TextAnalysis {
     "text_simhash"     -> simhash _,
     "text_repetition"  -> repetition _,
     "text_sample_stratified" -> sampleStratified _,
+    "text_pack_spans"  -> packSpans _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -287,6 +354,25 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // The oracle runs the NAIVE single-sequence window (fine at sf0.01) —
+    // the Spark side must produce the identical global prefix sums from
+    // its distributed two-phase shape. CASTs: DuckDB widens SUM(BIGINT)
+    // to HUGEINT, which the driver can't hash — pin every output column
+    // back to BIGINT.
+    "text_pack_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, cum_start,
+        |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     // the (id % 2^31) pre-fold mirrors the Spark side's pmod (testdata ids
     // are positive, so % = pmod here); see SampleFold.
     "text_sample_stratified" ->

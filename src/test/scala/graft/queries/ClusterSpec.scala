@@ -63,6 +63,36 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("pack spans: distributed prefix sum equals the naive global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // uneven doc sizes across many partitions; ids shuffled on write so
+    // range partitioning has real work to do
+    val docs = scala.util.Random.shuffle((1L to 5000L).toList)
+      .map(i => (i, ("w " * (i % 97 + 1).toInt).trim))
+      .toDF("doc_id", "text").repartition(16)
+    val got = TextAnalysis.packSpansOf(TextAnalysis.packParts(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val naive = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_start", coalesce(
+        sum("n_tokens").over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("cum_start"),
+        expr(s"cum_start div ${TextAnalysis.PackBudget}").as("pack_id"),
+        (col("cum_start") % TextAnalysis.PackBudget).as("pack_offset"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == naive.toSeq)
+    // spans tile the token stream exactly: each start = previous end
+    val byId = got.sortBy(_._1)
+    byId.sliding(2).foreach {
+      case Array((_, n, c, _, _), (_, _, c2, _, _)) => assert(c + n == c2)
+      case _ =>
+    }
+    assert(byId.head._3 == 0L)
+  }
+
   test("connected components: engineered graphs label to the component min") {
     // lone pair — the shape the original (buggy) small-star lost entirely
     assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
