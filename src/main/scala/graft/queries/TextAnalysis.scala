@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Testdata._
+import graft.tables.FrameCache
 
 /** Text-analysis operators over the `documents` table (the brief's
   * training-data-pipeline components): token counting, quality scoring,
@@ -194,6 +195,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- retrieval
+
+  /** Fixed keyword query for the BM25 row — terms with distinct
+    * frequencies in the synthetic corpus (common / mid / mid-rare). */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "stream")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** BM25 keyword retrieval over the corpus — the scoring half of a
+    * quality-filter or targeted-subset step ("pull the docs about X out
+    * of 100 TB"). Classic Okapi term shape
+    * `w_t · tf/(tf + k1·(1-b + b·dl/avgdl))` with ONE deliberate
+    * deviation, documented here: the term weight `w_t` is the RATIONAL
+    * Robertson idf `(N - df + ½)/(df + ½)` without the log. `ln` is not
+    * bit-reproducible across engines (libm vs JVM intrinsics differ in
+    * the last ulp), and this repo's contract is exact cross-engine
+    * hashes — same reasoning as the Knuth-hash sampler ([[SampleHashA]]).
+    * The log is monotone in the rational idf, so single-term rankings are
+    * identical and multi-term rankings skew mildly toward rare terms;
+    * plug `ln` back in (both engines) if exact Okapi weights matter more
+    * than reproducibility. All remaining arithmetic is IEEE +,·,/ with
+    * matched association order — deterministic everywhere.
+    *
+    * Scale shape: per-term tf comes from the one-pass [[graft.functions.StopwordHits]]
+    * token sweep (no explode), corpus stats (N, Σdl, per-term df) are ONE
+    * tiny aggregate whose scalars fold into the scoring projection as
+    * literals, and the only wide op is the bounded top-k sort. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val toks = split(col("text"), " ")
+    val base = docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+      graft.functions.TextKernels.stopwordHits(toks, Bm25Terms.map(Seq(_))).as("tf"))
+
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("totdl")) ++
+      Bm25Terms.indices.map(i =>
+        sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val (n, totdl, dfs) = FrameCache.cachedValue[(Long, Long, Seq[Long])](s, s"bm25-stats:$d") {
+      val r = base.agg(aggs.head, aggs.tail: _*).head
+      (r.getLong(0), r.getLong(1), Bm25Terms.indices.map(i => r.getLong(2 + i)))
+    }
+    val avgdl = totdl.toDouble / n
+
+    // norm = k1·(0.25 + (0.75·dl)/avgdl) — parenthesization mirrored
+    // verbatim in the oracle SQL (IEEE ops are deterministic only if the
+    // evaluation order matches)
+    val norm = lit(Bm25K1) * (lit(0.25) + (lit(Bm25B) * col("dl").cast("double")) / lit(avgdl))
+    val score = Bm25Terms.indices.map { i =>
+      val idf = (n - dfs(i) + 0.5) / (dfs(i) + 0.5)
+      val tf = element_at(col("tf"), i + 1).cast("double")
+      lit(idf) * (tf / (tf + norm))
+    }.reduce(_ + _)
+
+    base.select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   // ------------------------------------------------------------- packing
 
   /** Token budget per packed training sequence (a GPT-style 2k context). */
@@ -271,6 +331,7 @@ object TextAnalysis {
     "text_repetition"  -> repetition _,
     "text_sample_stratified" -> sampleStratified _,
     "text_pack_spans"  -> packSpans _,
+    "text_bm25"        -> bm25 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -354,6 +415,34 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Rational-idf BM25 (see bm25's scaladoc for the no-ln rationale).
+    // Every float op and its parenthesization mirrors the Spark side
+    // exactly; score alias is referenced from a subquery so the filter
+    // and sort see the identical double.
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS f0,
+        |    CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS f1,
+        |    CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS f2
+        |  FROM t
+        |), s AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    SUM(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    SUM(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM b
+        |), scored AS (
+        |  SELECT doc_id,
+        |    ((n - df0 + 0.5) / (df0 + 0.5)) * (f0 / (f0 + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |    + ((n - df1 + 0.5) / (df1 + 0.5)) * (f1 / (f1 + 1.2 * (0.25 + (0.75 * dl) / avgdl)))
+        |    + ((n - df2 + 0.5) / (df2 + 0.5)) * (f2 / (f2 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) AS score
+        |  FROM b, s
+        |)
+        |SELECT doc_id, score FROM scored WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // The oracle runs the NAIVE single-sequence window (fine at sf0.01) —
     // the Spark side must produce the identical global prefix sums from
     // its distributed two-phase shape. CASTs: DuckDB widens SUM(BIGINT)
