@@ -76,6 +76,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF index build shuffles:\n$plan")
   }
 
+  test("pack spans never runs a global single-partition window") {
+    // the distributed prefix sum exists precisely to avoid
+    // `sum() over (order by ...)` with no partitioning — one reducer
+    // sorting the corpus. Every Window in the plan must be partitioned.
+    // sparkPlan, not executedPlan: AQE's wrapper node hides the tree from
+    // collect until execution, and window partitioning is a static property
+    val wins = TextAnalysis.packSpans(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }
+    assert(wins.nonEmpty, "pack spans lost its window entirely")
+    assert(wins.forall(_.nonEmpty), "pack spans regressed to an unpartitioned global window")
+  }
+
+  test("incremental dedup probes the Bloom filter before any join") {
+    val plan = formatted("dedup_incremental")
+    assert(plan.contains("might_contain"),
+      s"dedup_incremental: Bloom probe missing from the plan")
+    // the join that survives must be the anti-join that removes FPs
+    assert(plan.contains("LeftAnti"), "dedup_incremental: exact FP-removal anti-join missing")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the kernel-heavy queries must keep at least one codegen span; zero
     // spans means something non-codegen (UDF/interpreted expr) broke the
