@@ -52,6 +52,57 @@ object TextKernels {
     * of 2 over an array<string> word list. */
   def repetitionStats(words: Column): Column =
     ColumnInterop.column(RepetitionStats(ColumnInterop.expression(words)))
+
+  /** Adjacent word bigrams ("w1 w2") over an array<string> word list;
+    * `distinct = true` keeps first occurrences only (array_distinct
+    * order). */
+  def wordBigrams(words: Column, distinct: Boolean): Column =
+    ColumnInterop.column(WordBigrams(ColumnInterop.expression(words), distinct))
+}
+
+/** The bigram builder `transform(sequence(...), i ⇒ concat_ws(" ", wᵢ,
+  * wᵢ₊₁))` (optionally under `array_distinct`) as one codegen call — the
+  * composed form pays an interpreted lambda + struct plumbing per element
+  * and sits on the hot path of every gram pipeline (n-gram counts, the
+  * MinHash/Jaccard gram index). Bit-identical output order: adjacency
+  * order, or first-occurrence order when `distinct` (array_distinct
+  * semantics); nulls joined under concat_ws rules via
+  * [[org.apache.spark.unsafe.types.UTF8String#concatWs]]. */
+case class WordBigrams(child: Expression, distinct: Boolean) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_bigrams expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_bigrams"
+
+  def computeBigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val space = UTF8String.fromString(" ")
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](n - 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](n * 2) else null
+    var i = 0
+    while (i < n - 1) {
+      val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      val g = UTF8String.concatWs(space, a, b)
+      if (seen == null || seen.add(g)) out.add(g)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = computeBigrams(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bigramsExpr", this, classOf[WordBigrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeBigrams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Counts of `[A-Za-z]` and `[^A-Za-z0-9\s]` code points in one sweep —

@@ -50,8 +50,9 @@ object Dedup {
     * odds, far below hardware error rates). */
   private[graft] def gramSetsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val grams = array_distinct(transform(sequence(lit(1), size(words) - 1),
-      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1))))
+    // codegen'd kernel; bit-identical to
+    // array_distinct(transform(sequence(...), concat_ws)) — spec-pinned
+    val grams = graft.functions.TextKernels.wordBigrams(words, distinct = true)
     docs
       .filter(size(words) >= 2)
       .select(col("doc_id"), grams.as("grams"),

@@ -316,15 +316,52 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * transform that shrinks a 100 TB float corpus 4× before ANN indexing
+    * (dequantized scores then re-rank a top-k'·4 candidate set against
+    * the exact floats). Per-vector scale = 127/max|x|; q = ⌊x·scale + ½⌋
+    * — floor, not round(): round-half-even vs half-away differs between
+    * engines, floor-plus-half is bit-deterministic everywhere (the same
+    * cross-engine discipline as the sampler/BM25). Output is the exploded
+    * (vec_id, idx, q) triple list: scalar BIGINT columns the driver can
+    * hash (array-typed results are not in the compare contract). A pure
+    * narrow projection — nothing leaves the row until the final sort. */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (a, v) => greatest(a, v))
+    val scale = lit(127.0) / greatest(maxAbs, lit(1e-30))
+    graft.tables.Testdata.embeddings(s, d)
+      .select(col("vec_id"), scale.as("scale"), col("embedding"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .select(col("vec_id"), col("idx").cast("long").as("idx"),
+        floor(col("x").cast("double") * col("scale") + 0.5).cast("long").as("q"))
+      .orderBy("vec_id", "idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk"   -> bruteTopK _,
     "sim_ann_lsh"       -> lshBucketTopK _,
     "sim_embed_neardup" -> embeddingNearDup _,
+    "sim_quantize_int8" -> quantizeInt8 _,
     "sim_srp_neardup"   -> ((s, d) => srpNearDup(s, d)),
   )
 
   val oracleSql: Map[String, String] = Map(
     // sim_ann_lsh: intentionally no oracle (approximate; rows-only check).
+    // int8 quantization: same per-vector scale and floor-plus-half rule —
+    // all IEEE-exact ops, so the compare is full strictness. Dim is the
+    // testdata contract's fixed 64.
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(i AS BIGINT) AS idx,
+        |  CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q
+        |FROM s, range(64) r(i)
+        |ORDER BY vec_id, idx""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

@@ -195,6 +195,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- n-gram stats
+
+  val NgramTopK = 50
+
+  /** Corpus-level bigram frequency top-k — the n-gram table a tokenizer
+    * build or contamination scan reads. The classic word-count shape, and
+    * deliberately so at scale: `groupBy(gram).count` partial-aggregates
+    * map-side, so a hot gram ("of the" at web scale) arrives at its
+    * reducer as ONE partial count per upstream partition, never as raw
+    * rows — count is algebraic; no salting needed (contrast
+    * [[graft.operators.SaltedAgg]], which exists for the aggregates that
+    * aren't). The final top-k is a bounded TakeOrdered, not a global
+    * sort. Ties break on the gram string (pure-ASCII corpus — byte order
+    * and lexicographic order agree across engines). */
+  def ngramTopK(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val bigrams = graft.functions.TextKernels.wordBigrams(words, distinct = false)
+    documents(s, d)
+      .filter(size(words) >= 2)
+      .select(explode(bigrams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(NgramTopK)
+  }
+
   // ----------------------------------------------------------- retrieval
 
   /** Fixed keyword query for the BM25 row — terms with distinct
@@ -332,6 +357,7 @@ object TextAnalysis {
     "text_sample_stratified" -> sampleStratified _,
     "text_pack_spans"  -> packSpans _,
     "text_bm25"        -> bm25 _,
+    "text_ngram_topk"  -> ngramTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -415,6 +441,16 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_ngram_topk" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), g AS (
+        |  SELECT unnest([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS gram
+        |  FROM w
+        |)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
     // Rational-idf BM25 (see bm25's scaladoc for the no-ln rationale).
     // Every float op and its parenthesization mirrors the Spark side
     // exactly; score alias is referenced from a subquery so the filter

@@ -93,6 +93,73 @@ class ClusterSpec extends SparkSpec {
     assert(again.toSeq == top.toSeq)
   }
 
+  test("word-bigrams kernel is bit-identical to the composed form, both modes, on real docs") {
+    val docs = graft.tables.Testdata.documents(spark, sf)
+    val words = split(col("text"), " ")
+    val composed = transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    for (distinct <- Seq(true, false)) {
+      val ref = if (distinct) array_distinct(composed) else composed
+      val kern = graft.functions.TextKernels.wordBigrams(words, distinct)
+      val diffs = docs.filter(size(words) >= 2)
+        .select(ref.as("a"), kern.as("b")).filter(col("a") =!= col("b")).count()
+      assert(diffs == 0, s"kernel (distinct=$distinct) diverges from composed form")
+    }
+    // degenerate inputs
+    import spark.implicits._
+    val edge = Seq((1L, "one"), (2L, "a a a"), (3L, "x y")).toDF("doc_id", "text")
+    val got = edge.select(col("doc_id"),
+        graft.functions.TextKernels.wordBigrams(split(col("text"), " "), distinct = true).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got == Map(1L -> Nil, 2L -> List("a a"), 3L -> List("x y")))
+  }
+
+  test("int8 quantization: values in range, dequantization error bounded by half a step") {
+    val e = graft.tables.Testdata.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q.forall { case (_, _, v) => v >= -127 && v <= 127 },
+      "quantized value outside int8 symmetric range")
+    val dims = e.selectExpr("size(embedding)").head.getInt(0)
+    assert(q.length == e.count() * dims)
+    // reconstruct per-vector scales and check |x - q/scale| <= 1/(2*scale)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val byVec = q.groupBy(_._1)
+    byVec.foreach { case (id, rows) =>
+      val xs = vecs(id)
+      val scale = 127.0 / math.max(xs.map(x => math.abs(x.toDouble)).max, 1e-30)
+      rows.foreach { case (_, idx, v) =>
+        assert(math.abs(xs(idx.toInt).toDouble - v / scale) <= 0.5 / scale + 1e-12,
+          s"vec $id idx $idx: dequant error exceeds half a quantization step")
+      }
+    }
+  }
+
+  test("ngram top-k matches a driver-side count on engineered docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: a b, b a, a b, b c
+      (2L, "a b x"),     // a b, b x
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val words = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(1), size(words) - 1),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))
+    val got = docs.filter(size(words) >= 2)
+      .select(explode(bigrams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("a b", 3L), ("b a", 1L), ("b c", 1L), ("b x", 1L)))
+    // and the real query returns exactly k rows, count-descending
+    val top = TextAnalysis.ngramTopK(spark, sf).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == TextAnalysis.NgramTopK)
+    assert(top.sliding(2).forall {
+      case Array((ga, a), (gb, b)) => a > b || (a == b && ga < gb)
+      case _ => true
+    })
+  }
+
   test("pack spans: distributed prefix sum equals the naive global window") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
