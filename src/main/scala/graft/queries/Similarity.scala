@@ -202,17 +202,40 @@ object Similarity {
     * not go quadratic. Candidates per probe row are ≤ this. */
   val NearDupMaxBucket = 4096
 
+  /** Expected bucket occupancy the adaptive signature width aims at —
+    * comfortably under [[NearDupMaxBucket]] (the cap handles skewed
+    * buckets; the target sizes the AVERAGE one). */
+  val NearDupTargetBucket = 64
+
+  /** Corpus-adaptive signature width: bits ≈ log₂(n / target) keeps the
+    * EXPECTED bucket size constant as the corpus grows — with static bits
+    * the buckets (and the quadratic-in-the-bucket candidate join) grow
+    * linearly with n, which is exactly the creep that kills a fixed-param
+    * LSH at 100× (the scaladoc's bits ≈ log₂(n/target_bucket) sizing
+    * rule, now executed instead of advised). Floor at [[NearDupBits]]
+    * (below ~2·target the extra bits only cost recall), cap at 24 (16M
+    * buckets/table — past that you shard tables). Count memoized per
+    * (session, dir) alongside the index. */
+  private[graft] def adaptiveNearDupBits(s: SparkSession, d: String): Int = {
+    val n = graft.tables.FrameCache.cachedValue[Long](s, s"emb-count:$d")(
+      embeddings(s, d).count())
+    val grown = math.ceil(math.log(math.max(n, 1L).toDouble / NearDupTargetBucket) /
+      math.log(2.0)).toInt
+    math.min(24, math.max(NearDupBits, grown))
+  }
+
   /** Embedding near-dup via SRP-LSH blocks — the 100 TB variant of
     * [[embeddingNearDup]]: the block key is [[srpSignature]] (no curated
     * label needed), the pair join runs inside (table, signature) buckets
-    * only, and exact cosine verifies candidates. Output = all pairs with
+    * only, and exact cosine verifies candidates. Signature width scales
+    * with the corpus ([[adaptiveNearDupBits]]). Output = all pairs with
     * cos ≥ [[NearDupCos]] that collide in ≥1 table (recall vs the exact
     * all-pairs ground truth: ≈0.94 theoretical at this corpus's cos band,
-    * spec-asserted ≥ 0.8; precision exactly 1.0 — candidates are
-    * exact-verified). Approximate ⇒ driver records a rows-only check,
+    * spec-asserted ≥ 0.8 at BOTH SFs; precision exactly 1.0 — candidates
+    * are exact-verified). Approximate ⇒ driver records a rows-only check,
     * like sim_ann_lsh. */
   def srpNearDup(s: SparkSession, d: String): DataFrame =
-    srpNearDup(s, d, NearDupTables, NearDupBits, NearDupCos, NearDupMaxBucket)
+    srpNearDup(s, d, NearDupTables, adaptiveNearDupBits(s, d), NearDupCos, NearDupMaxBucket)
 
   private[graft] def srpNearDup(s: SparkSession, d: String, tables: Int, bits: Int,
       minCos: Double, maxBucket: Int): DataFrame = {

@@ -161,6 +161,29 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${brute.size} true pairs")
   }
 
+  test("SRP near-dup recall >= 0.8 holds at sf0.1 with corpus-adaptive bits") {
+    val dir = "/root/testdata/sf0.1"
+    // adaptive width must actually widen at the 10x corpus
+    assert(Similarity.adaptiveNearDupBits(spark, dir) > Similarity.NearDupBits)
+    val e = graft.tables.Testdata.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    // codegen dot kernel — the interpreted HOF would take minutes on 12.5M pairs
+    val dk = graft.functions.VectorKernels.dotDouble _
+    val brute = a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dk(col("ea"), col("eb")) /
+          (sqrt(dk(col("ea"), col("ea"))) * sqrt(dk(col("eb"), col("eb"))))).as("cos"))
+      .filter(col("cos") >= Similarity.NearDupCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = Similarity.srpNearDup(spark, dir).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(srp.subsetOf(brute), "exact verify means no false positives")
+    val recall = (srp & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall over ${brute.size} true pairs at sf0.1")
+  }
+
   test("hot-label guard bounds the embedding near-dup pair join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
