@@ -57,48 +57,58 @@ object TextKernels {
     * `distinct = true` keeps first occurrences only (array_distinct
     * order). */
   def wordBigrams(words: Column, distinct: Boolean): Column =
-    ColumnInterop.column(WordBigrams(ColumnInterop.expression(words), distinct))
+    wordShingles(words, 2, distinct)
+
+  /** Width-n word shingles over an array<string> word list. */
+  def wordShingles(words: Column, n: Int, distinct: Boolean): Column =
+    ColumnInterop.column(WordShingles(ColumnInterop.expression(words), n, distinct))
 }
 
-/** The bigram builder `transform(sequence(...), i ⇒ concat_ws(" ", wᵢ,
-  * wᵢ₊₁))` (optionally under `array_distinct`) as one codegen call — the
-  * composed form pays an interpreted lambda + struct plumbing per element
-  * and sits on the hot path of every gram pipeline (n-gram counts, the
-  * MinHash/Jaccard gram index). Bit-identical output order: adjacency
-  * order, or first-occurrence order when `distinct` (array_distinct
-  * semantics); nulls joined under concat_ws rules via
+/** The n-word shingle builder `transform(sequence(...), i ⇒
+  * concat_ws(" ", slice(words, i, n)))` (optionally under
+  * `array_distinct`) as one codegen call — the composed form pays an
+  * interpreted lambda + struct plumbing per element and sits on the hot
+  * path of every gram pipeline (n-gram counts, the MinHash/Jaccard gram
+  * index, decontamination shingles). Bit-identical output order:
+  * adjacency order, or first-occurrence order when `distinct`
+  * (array_distinct semantics); nulls joined under concat_ws rules via
   * [[org.apache.spark.unsafe.types.UTF8String#concatWs]]. */
-case class WordBigrams(child: Expression, distinct: Boolean) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int, distinct: Boolean) extends UnaryExpression {
+  require(n >= 2, "shingle width must be >= 2")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"word_bigrams expects array<string>, got $other")
+    case other => TypeCheckResult.TypeCheckFailure(s"word_shingles expects array<string>, got $other")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_bigrams"
+  override def prettyName: String = "word_shingles"
 
-  def computeBigrams(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
+  def computeShingles(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
     val space = UTF8String.fromString(" ")
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new java.util.ArrayList[UTF8String](n - 1)
-    val seen = if (distinct) new java.util.HashSet[UTF8String](n * 2) else null
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](len - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](len * 2) else null
+    val win = new Array[UTF8String](n)
     var i = 0
-    while (i < n - 1) {
-      val a = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
-      val b = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
-      val g = UTF8String.concatWs(space, a, b)
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) {
+        win(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val g = UTF8String.concatWs(space, win: _*)
       if (seen == null || seen.add(g)) out.add(g)
       i += 1
     }
     new GenericArrayData(out.toArray)
   }
 
-  override def nullSafeEval(a: Any): Any = computeBigrams(a.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any): Any = computeShingles(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("bigramsExpr", this, classOf[WordBigrams].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeBigrams($c);")
+    val self = ctx.addReferenceObj("shinglesExpr", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeShingles($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -195,6 +195,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------ decontamination
+
+  /** Shingle width for contamination scans. Production pipelines use
+    * 8–13 words (the GPT-3/Gopher "sharing one is no accident" bar); the
+    * synthetic corpus's independent word draws make ≥5-gram collisions
+    * vanishingly rare, so the test contract pins 4 — the operator is
+    * width-generic, only this constant (and its oracle twin) encodes the
+    * choice. */
+  val ContamN = 4
+  /** The stand-in eval set: the first [[ContamEvalDocs]] doc_ids play the
+    * benchmark; everything else is the training corpus under scan. */
+  val ContamEvalDocs = 3
+
+  /** Benchmark decontamination: which corpus docs share ≥1 word-8-gram
+    * with the eval set, and how many — the scan every serious training
+    * pipeline runs before the eval numbers mean anything. Scale shape:
+    * the EVAL side is tiny by construction (benchmarks are KBs, corpora
+    * are TBs), so its distinct shingles broadcast and the corpus side
+    * stays a narrow explode→hash-join — no shuffle of corpus text, no
+    * corpus-×-eval join blowup; the per-doc hit count partial-aggregates
+    * map-side. */
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateOf(documents(s, d))
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    // codegen'd shingle kernel — bit-identical to array_distinct(
+    // transform(sequence(...), concat_ws(slice))); spec-pinned
+    val grams = graft.functions.TextKernels.wordShingles(words, ContamN, distinct = true)
+    val withGrams = docs.filter(size(words) >= ContamN)
+    val eval = withGrams.filter(col("doc_id") < ContamEvalDocs)
+      .select(explode(grams).as("gram")).distinct()
+    val corpus = withGrams.filter(col("doc_id") >= ContamEvalDocs)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    // grams are per-doc distinct, so count(*) = distinct shared shingles
+    corpus.join(broadcast(eval), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- n-gram stats
 
   val NgramTopK = 50
@@ -358,6 +398,7 @@ object TextAnalysis {
     "text_pack_spans"  -> packSpans _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
+    "text_decontaminate" -> decontaminate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -441,6 +482,22 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)])) AS gram
+        |  FROM w
+        |), e AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id < 3
+        |), c AS (
+        |  SELECT doc_id, gram FROM g WHERE doc_id >= 3
+        |)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM c JOIN e USING (gram)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "text_ngram_topk" ->
       """WITH w AS (
         |  SELECT string_split(text, ' ') AS words FROM documents

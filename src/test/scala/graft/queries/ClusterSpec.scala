@@ -105,6 +105,14 @@ class ClusterSpec extends SparkSpec {
         .select(ref.as("a"), kern.as("b")).filter(col("a") =!= col("b")).count()
       assert(diffs == 0, s"kernel (distinct=$distinct) diverges from composed form")
     }
+    // width-4 shingles (the decontamination width) against the composed form
+    val composed4 = transform(sequence(lit(1), size(words) - lit(3)),
+      i => concat_ws(" ", slice(words, i, lit(4))))
+    val d4 = docs.filter(size(words) >= 4)
+      .select(array_distinct(composed4).as("a"),
+        graft.functions.TextKernels.wordShingles(words, 4, distinct = true).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(d4 == 0, "width-4 shingle kernel diverges from composed form")
     // degenerate inputs
     import spark.implicits._
     val edge = Seq((1L, "one"), (2L, "a a a"), (3L, "x y")).toDF("doc_id", "text")
@@ -133,6 +141,25 @@ class ClusterSpec extends SparkSpec {
           s"vec $id idx $idx: dequant error exceeds half a quantization step")
       }
     }
+  }
+
+  test("decontamination flags exactly the docs sharing an eval shingle") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // eval: grams abcd, bcde
+      (1L, "one two three four"),             // eval: one gram
+      (2L, "p q r s"),                        // eval
+      (3L, "xx alpha beta gamma delta yy"),   // shares exactly "alpha beta gamma delta"
+      (4L, "totally different words here indeed"),
+      (5L, "one two three four"),             // exact dup of eval doc 1
+      (6L, "short one")                       // under the shingle width: ignored
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 1L, 5L -> 1L))
+    // and the real corpus row carries hits (the driver row must not be
+    // vacuously empty)
+    assert(TextAnalysis.decontaminate(spark, sf).count() > 0)
   }
 
   test("ngram top-k matches a driver-side count on engineered docs") {
