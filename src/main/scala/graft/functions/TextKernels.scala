@@ -62,6 +62,48 @@ object TextKernels {
   /** Width-n word shingles over an array<string> word list. */
   def wordShingles(words: Column, n: Int, distinct: Boolean): Column =
     ColumnInterop.column(WordShingles(ColumnInterop.expression(words), n, distinct))
+
+  /** Ascending-sorted xxhash64 ids of an array<string> — one pass, codegen. */
+  def hashedSortedIds(grams: Column): Column =
+    ColumnInterop.column(HashedSortedIds(ColumnInterop.expression(grams)))
+}
+
+/** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
+  * the gram-id builder of the Jaccard/MinHash index (the ids feed the
+  * sorted-merge intersect verify kernel). Hash contract: Spark's own
+  * [[XxHash64Function]] at the default seed 42, null elements folding to
+  * the seed — bit-identical to the composed form, spec-pinned. */
+case class HashedSortedIds(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"hashed_sorted_ids expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_sorted_ids"
+
+  def computeIds(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) 42L
+               else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = computeIds(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedIdsExpr", this, classOf[HashedSortedIds].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeIds($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** The n-word shingle builder `transform(sequence(...), i ⇒

@@ -56,7 +56,7 @@ object Dedup {
     docs
       .filter(size(words) >= 2)
       .select(col("doc_id"), grams.as("grams"),
-        sort_array(transform(grams, g => xxhash64(g))).as("gram_ids"))
+        graft.functions.TextKernels.hashedSortedIds(grams).as("gram_ids"))
   }
 
   /** Candidate pairs → exact Jaccard ≥ `minJ`, via the codegen'd

@@ -113,6 +113,13 @@ class ClusterSpec extends SparkSpec {
         graft.functions.TextKernels.wordShingles(words, 4, distinct = true).as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(d4 == 0, "width-4 shingle kernel diverges from composed form")
+    // hashed-sorted-ids kernel vs the composed transform+sort_array form
+    val bg = graft.functions.TextKernels.wordBigrams(words, distinct = true)
+    val idDiffs = docs.filter(size(words) >= 2)
+      .select(sort_array(transform(bg, g => xxhash64(g))).as("a"),
+        graft.functions.TextKernels.hashedSortedIds(bg).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(idDiffs == 0, "hashed-sorted-ids kernel diverges from composed form")
     // degenerate inputs
     import spark.implicits._
     val edge = Seq((1L, "one"), (2L, "a a a"), (3L, "x y")).toDF("doc_id", "text")
