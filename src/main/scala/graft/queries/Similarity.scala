@@ -143,6 +143,75 @@ object Similarity {
             srpSignature(col("embedding"), bits, t * bits).as(s"sig_$t")): _*)
     }
 
+  /** Exact-float re-rank breadth of the quantized ANN path: the int8
+    * shortlist keeps K·this candidates per query before the float pass. */
+  val QRerankFactor = 4
+
+  /** [[annIndex]] plus int8 columns: `q` (quantized vector, array<int>)
+    * and `qs` (its scale) — the [[quantizeInt8]] transform applied to the
+    * ANN index. At 100 TB THIS is the frame the candidate join carries
+    * (4× less IO than floats); the float `embedding` column stays only
+    * for the final re-rank and would live in a separate colocated table. */
+  private[graft] def annIndexQ(s: SparkSession, d: String, tables: Int, bits: Int): DataFrame =
+    graft.tables.FrameCache.cached(s, s"ann-index-q:$d:$tables:$bits") {
+      val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v))
+      annIndex(s, d, tables, bits)
+        .withColumn("qs", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") * col("qs") + 0.5).cast("int")))
+    }
+
+  /** ANN with QUANTIZED candidate scoring — the integration that makes
+    * [[quantizeInt8]] earn its keep: bucket candidates are scored with
+    * the exact-int64 [[graft.functions.VectorKernels.intDot]] over int8
+    * arrays (what a SIMD engine runs as integer FMA over a 4×-smaller
+    * index), a K·[[QRerankFactor]] shortlist survives, and only the
+    * shortlist touches float vectors for the exact cosine re-rank.
+    * Dequantized cosine ≈ intDot/(qsₐ·qs_b)/(nₐ·n_b); the quantization
+    * error only needs to preserve the top-K·4 boundary, which the exact
+    * re-rank then corrects — recall vs brute force is spec-gated ≥ 0.8
+    * like the float path. Approximate ⇒ rows-only driver check. */
+  def lshBucketTopKQuantized(s: SparkSession, d: String): DataFrame = {
+    val indexed = annIndexQ(s, d, Tables, BitsPerTable)
+
+    val corpus = indexed.select(col("vec_id").as("neighbor_id"), col("q").as("cq"),
+      col("qs").as("cqs"), col("nrm").as("cn"),
+      explode(array((0 until Tables).map(t =>
+        struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
+      .select(col("neighbor_id"), col("cq"), col("cqs"), col("cn"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
+
+    val masks = probeMasks(BitsPerTable, ProbeRadius)
+    val probes = (0 until Tables).flatMap { t =>
+      val c = col(s"sig_$t")
+      masks.map(m => struct(lit(t).as("t"), c.bitwiseXOR(lit(m)).as("sig")))
+    }
+    val qs = indexed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("qs").as("qqs"), col("nrm").as("qn"), explode(array(probes: _*)).as("p"))
+      .select(col("query_id"), col("qq"), col("qqs"), col("qn"),
+        col("p.t").as("t"), col("p.sig").as("sig"))
+
+    val approx = corpus.join(broadcast(qs), Seq("t", "sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (graft.functions.VectorKernels.intDot(col("qq"), col("cq")).cast("double") /
+          (col("qqs") * col("cqs")) / (col("qn") * col("cn"))).as("cos"))
+    val shortlist = topKAgg(approx, K * QRerankFactor).select("query_id", "neighbor_id")
+
+    // exact float re-rank on the shortlist only
+    val va = indexed.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("nrm").as("qn"))
+    val vb = indexed.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    val exact = shortlist.join(va, "query_id").join(vb, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    topKAgg(exact, K)
+  }
+
   private[graft] def lshBucketTopK(s: SparkSession, d: String,
       tables: Int, bits: Int, radius: Int): DataFrame = {
     val indexed = annIndex(s, d, tables, bits)
@@ -364,6 +433,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk"   -> bruteTopK _,
     "sim_ann_lsh"       -> lshBucketTopK _,
+    "sim_ann_lsh_q"     -> lshBucketTopKQuantized _,
     "sim_embed_neardup" -> embeddingNearDup _,
     "sim_quantize_int8" -> quantizeInt8 _,
     "sim_srp_neardup"   -> ((s, d) => srpNearDup(s, d)),

@@ -130,6 +130,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("quantized-rerank ANN recall >= 0.8 vs brute force at both SFs") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val brute = Similarity.bruteTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val annq = Similarity.lshBucketTopKQuantized(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(annq.nonEmpty && annq.forall { case (q, n) => q != n })
+      // exactly K ranks per query survive the re-rank
+      val perQuery = Similarity.lshBucketTopKQuantized(spark, dir).collect()
+        .groupBy(_.getLong(0))
+      perQuery.values.foreach(rs =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.K)))
+      val recall = (annq & brute).size.toDouble / brute.size
+      assert(recall >= 0.8, s"quantized recall $recall at $dir")
+    }
+  }
+
   test("multi-probe LSH ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
     val recall = annRecall("/root/testdata/sf0.1")
     assert(recall >= 0.8, s"recall $recall")
