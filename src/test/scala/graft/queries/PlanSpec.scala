@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF index build shuffles:\n$plan")
   }
 
+  test("documents-table pipeline queries prune to the columns they use") {
+    // the documents table carries source/n_chars (and lang) that most
+    // pipeline ops never touch — a scan reading them at 100 TB is pure
+    // wasted IO. ReadSchema must exclude them.
+    for (q <- Seq("text_ngram_topk", "text_repetition", "text_pack_spans",
+        "dedup_minhash_lsh", "dedup_simhash", "text_bm25", "text_decontaminate")) {
+      val read = formatted(q).linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+      assert(read.nonEmpty, s"$q: no ReadSchema line")
+      assert(!read.contains("source") && !read.contains("n_chars"),
+        s"$q: scan reads pruned-away document columns:\n$read")
+    }
+  }
+
   test("pack spans never runs a global single-partition window") {
     // the distributed prefix sum exists precisely to avoid
     // `sum() over (order by ...)` with no partitioning — one reducer
