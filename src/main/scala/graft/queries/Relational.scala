@@ -235,6 +235,48 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** As-of join — each 'click' event paired with the most recent
+    * at-or-before 'error' of the SAME user (the brief's canonical
+    * "operator Spark lacks"). Spark has no native as-of; the scalable
+    * composition is union-and-carry: tag both streams, union them, and
+    * let ONE window partitioned by the join key and ordered by
+    * (ts, side) carry the latest right-side row forward with
+    * `last(..., ignoreNulls)`; left rows then read it. Cost = one
+    * shuffle keyed on user_id + a per-user sort — no range-join
+    * explosion (the naive `l.ts >= r.ts` theta-join is O(|L|·|R|) per
+    * key and would BNLJ). Tie rule: at equal ts the right side sorts
+    * first (side 0 < 1), so ties count as "before" — ASOF's `>=`
+    * contract; `Testdata.events` µs-truncates ts exactly like DuckDB,
+    * so the boundary agrees across engines by construction. The oracle
+    * is DuckDB's NATIVE `ASOF JOIN` — the composition must reproduce it
+    * bit-for-bit. Inner semantics: clicks with no prior error drop. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    asofJoinOf(e.filter(col("event_type") === "click"),
+               e.filter(col("event_type") === "error"))
+  }
+
+  /** Union-and-carry as-of core over two (event_id, user_id, ts) frames. */
+  private[graft] def asofJoinOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val clicks = left
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("rid"), lit(null).cast("timestamp_ntz").as("rts"))
+    val errors = right
+      .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("rid"), col("ts").as("rts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(errors)
+      .withColumn("asof_error_id", last(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("asof_error_ts", last(col("rts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("asof_error_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("asof_error_id"),
+        unix_micros(col("asof_error_ts").cast("timestamp")).as("asof_ts_us"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,6 +287,7 @@ object Relational {
     "rel_join_inner"     -> joinInner _,
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
+    "rel_join_asof"      -> asofJoin _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -281,6 +324,21 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    // DuckDB's native ASOF JOIN — the union-and-carry composition must
+    // reproduce it exactly (inner semantics, >= at-or-before boundary).
+    "rel_join_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), errors AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        |)
+        |SELECT c.event_id, c.user_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us,
+        |  e.event_id AS asof_error_id,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS asof_ts_us
+        |FROM clicks c ASOF JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin,
     "rel_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

@@ -224,6 +224,22 @@ class ClusterSpec extends SparkSpec {
     assert(byId.head._3 == 0L)
   }
 
+  test("as-of join: boundary, latest-wins, no-match-drop, per-user isolation") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+    // user 1: errors at t=100, 200; clicks at 50 (no match), 150 (→100),
+    //         200 (tie: at-or-before → 200), 300 (latest wins → 200)
+    // user 2: error at 1000; user 1's clicks must not see it
+    val left = df(Seq((10L, 1L, 50L), (11L, 1L, 150L), (12L, 1L, 200L), (13L, 1L, 300L),
+      (14L, 2L, 999L)))
+    val right = df(Seq((90L, 1L, 100L), (91L, 1L, 200L), (92L, 2L, 1000L)))
+    val got = Relational.asofJoinOf(left, right).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toList
+    assert(got == List((11L, 90L, 100L), (12L, 91L, 200L), (13L, 91L, 200L)))
+  }
+
   test("connected components: engineered graphs label to the component min") {
     // lone pair — the shape the original (buggy) small-star lost entirely
     assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
