@@ -277,6 +277,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Conversion window for [[rangeJoin]] — purchases within this many
+    * microseconds AFTER a click count as conversions. */
+  val RangeWindowUs = 3600000000L // 1 hour
+
+  /** Range join — every (click, purchase) pair of the same user with the
+    * purchase inside `[click, click + 1h]`: the funnel/conversion join,
+    * and the brief's second named "operator Spark lacks". The naive
+    * `p.ts BETWEEN c.ts AND c.ts + w` theta-join has no equi-key — Spark
+    * plans it as a BNLJ that explodes at scale. The scalable shape is
+    * BUCKETED equi-join: quantize time into window-sized buckets, explode
+    * the CLICK side into (its bucket, next bucket) — any purchase within
+    * the window lands in one of the two — equi-join on
+    * (user_id, bucket), then the exact range filter prunes false
+    * candidates. Cost: 2× left duplication, candidates bounded by bucket
+    * occupancy, one hash-join shuffle; never quadratic. The oracle is
+    * DuckDB's native range join (IEJoin) at full strictness. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    rangeJoinOf(e.filter(col("event_type") === "click"),
+                e.filter(col("event_type") === "purchase"))
+  }
+
+  private[graft] def rangeJoinOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val cUs = unix_micros(col("ts").cast("timestamp"))
+    val clicks = left.select(col("event_id").as("click_id"), col("user_id"),
+        cUs.as("c_us"))
+      .select(col("click_id"), col("user_id"), col("c_us"),
+        explode(array(floor(col("c_us") / RangeWindowUs).cast("long"),
+          floor(col("c_us") / RangeWindowUs).cast("long") + 1)).as("bucket"))
+    val purchases = right.select(col("event_id").as("purchase_id"), col("user_id"),
+        cUs.as("p_us"), floor(cUs / RangeWindowUs).cast("long").as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + RangeWindowUs)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("delta_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,6 +326,7 @@ object Relational {
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
     "rel_join_asof"      -> asofJoin _,
+    "rel_join_range"     -> rangeJoin _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -324,6 +363,23 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    // DuckDB's native range join (IEJoin) — the bucketed equi-join
+    // composition must reproduce it exactly. Integer microsecond
+    // arithmetic on both sides so the window boundary is engine-exact.
+    "rel_join_range" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  p.p_us - c.c_us AS delta_us
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
+        |ORDER BY c.click_id, p.purchase_id""".stripMargin,
     // DuckDB's native ASOF JOIN — the union-and-carry composition must
     // reproduce it exactly (inner semantics, >= at-or-before boundary).
     "rel_join_asof" ->

@@ -240,6 +240,29 @@ class ClusterSpec extends SparkSpec {
     assert(got == List((11L, 90L, 100L), (12L, 91L, 200L), (13L, 91L, 200L)))
   }
 
+  test("range join: window boundaries inclusive, bucket straddle found, never duplicated") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, Long, Long)]) = rows.toDF("event_id", "user_id", "us")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+    val W = Relational.RangeWindowUs
+    // click 1 window [0, W]: p50 at 0 (inclusive lower), p51 at W (inclusive
+    // upper); click 2 window [W+10, 2W+10]: p51 just BEFORE it is out, p52 in;
+    // click 3 (user 8) sits late in bucket 0, its purchase in bucket 1 —
+    // found only via the bucket explode; user 9's purchase matches nobody
+    val clicks = df(Seq((1L, 7L, 0L), (2L, 7L, W + 10L), (3L, 8L, W - 5L)))
+    val purchases = df(Seq((50L, 7L, 0L), (51L, 7L, W), (52L, 7L, W + 100L),
+      (53L, 8L, W + 20L), (54L, 9L, 0L)))
+    val got = Relational.rangeJoinOf(clicks, purchases).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    assert(got == List(
+      (1L, 50L, 0L), (1L, 51L, W),   // inclusive both ends
+      (2L, 52L, 90L),                // second window; p51 just before it is out
+      (3L, 53L, 25L)))               // straddles the bucket edge
+    // no (click, purchase) pair may appear twice (bucket explode is disjoint)
+    assert(got.map(t => (t._1, t._2)).distinct.length == got.length)
+  }
+
   test("connected components: engineered graphs label to the component min") {
     // lone pair — the shape the original (buggy) small-star lost entirely
     assert(ccOf(Seq((7L, 3L))) == Map(7L -> 3L, 3L -> 3L))
