@@ -315,6 +315,27 @@ object Relational {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Exact grouped percentiles — order-price quartiles/p90 per priority
+    * class. EXACT `percentile` (sort-based), not `approx_percentile`:
+    * the t-digest/KLL sketches differ across engines so an approximate
+    * form could never hash-match an oracle; exact interpolated
+    * percentiles are the standard `index = p·(n-1), lower + (upper -
+    * lower)·frac` definition in both Spark and DuckDB (`quantile_cont`)
+    * and compare bit-for-bit. At 100 TB you'd flip to
+    * `approx_percentile` (mergeable sketch, one pass) and accept a
+    * rows-only gate — the exact form documents the ground truth it
+    * approximates. */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.9)
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), typedLit(ps)).as("q"))
+      .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("i", "value")))
+      .select(col("o_orderpriority"),
+        element_at(typedLit(ps), col("i") + 1).as("p"), col("value"))
+      .orderBy("o_orderpriority", "p")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -327,6 +348,7 @@ object Relational {
     "rel_join_anti"      -> joinAnti _,
     "rel_join_asof"      -> asofJoin _,
     "rel_join_range"     -> rangeJoin _,
+    "rel_percentiles"    -> percentiles _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -363,6 +385,19 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'MACHINERY' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey ORDER BY revenue_e4 DESC, o_orderkey LIMIT 10""".stripMargin,
+    // quantile_cont demands constant parameters — one call per p, unpivoted
+    "rel_percentiles" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS q25,
+        |    quantile_cont(o_totalprice, 0.5)  AS q50,
+        |    quantile_cont(o_totalprice, 0.9)  AS q90
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, CAST(0.25 AS DOUBLE) AS p, q25 AS value FROM g
+        |UNION ALL SELECT o_orderpriority, CAST(0.5 AS DOUBLE), q50 FROM g
+        |UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), q90 FROM g
+        |ORDER BY o_orderpriority, p""".stripMargin,
     // DuckDB's native range join (IEJoin) — the bucketed equi-join
     // composition must reproduce it exactly. Integer microsecond
     // arithmetic on both sides so the window boundary is engine-exact.
