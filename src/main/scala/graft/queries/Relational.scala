@@ -336,6 +336,88 @@ object Relational {
       .orderBy("o_orderpriority", "p")
   }
 
+  /** Grouping-sets aggregation — ROLLUP over (priority, status) with
+    * subtotal and grand-total rows, the OLAP report shape. Spark plans
+    * this as ONE scan + Expand (each row emitted once per grouping set)
+    * + a single hash aggregate — no per-level rescan, so at 100 TB a
+    * 3-level rollup costs one pass, not three. Rolled-up columns are
+    * coalesced to a sentinel because the driver hash treats NULL sort
+    * order engine-specifically; `grouping_id` disambiguates (0 = leaf,
+    * 1 = status rolled, 3 = grand total) exactly as DuckDB's
+    * `GROUPING(a, b)` bitmask — same bit order per the SQL standard. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n"), col("total_cents"))
+      .orderBy("gid", "priority", "status")
+
+  /** Running/cumulative window aggregates — per-user ordinal, running
+    * total, 3-row moving total, and inter-event gap. All three frames
+    * share ONE window partitioning (user_id), so the whole query is a
+    * single shuffle + per-user sort; at 100 TB the partition key
+    * cardinality (users) dwarfs the executor count, so the sort is
+    * per-user-local and never global. Money accumulates as integer
+    * cents: a running DOUBLE sum would be association-sensitive (DuckDB
+    * evaluates windowed SUM over a segment tree, Spark sequentially —
+    * different FP grouping), while BIGINT addition is associative and
+    * hash-compares exactly. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val mov = w.rowsBetween(-2, 0)
+    events(s, d)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("cents")).over(run).as("running_cents"),
+        sum(col("cents")).over(mov).as("moving_cents_3"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Session gap for [[sessionize]] — a new session starts after this
+    * many microseconds of per-user inactivity (6 h; the testdata's
+    * median inter-event gap is ~7.4 h, so roughly a third of events
+    * chain into multi-event sessions). */
+  val SessionGapUs = 21600000000L
+
+  /** Batch gap-based sessionization — the classic lag+cumsum
+    * composition: flag rows whose gap from the previous same-user event
+    * exceeds the threshold, running-sum the flags into a session
+    * ordinal, then aggregate per (user, session). The batch twin of the
+    * streaming `session_window` in
+    * [[graft.streaming.StreamingIngest]]. Two window frames + the final
+    * aggregate all key on user_id first, so Spark plans ONE exchange;
+    * the (user, session) hash agg that follows is map-side-combinable
+    * because rows arrive already clustered by user. No state: unlike
+    * streaming sessionization there is no watermark to size — the
+    * window sort bounds memory per user, not per corpus. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) <= SessionGapUs, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -349,6 +431,9 @@ object Relational {
     "rel_join_asof"      -> asofJoin _,
     "rel_join_range"     -> rangeJoin _,
     "rel_percentiles"    -> percentiles _,
+    "rel_rollup"         -> rollupAgg _,
+    "rel_window_running" -> windowRunning _,
+    "rel_sessionize"     -> sessionize _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -398,6 +483,52 @@ object Relational {
         |UNION ALL SELECT o_orderpriority, CAST(0.5 AS DOUBLE), q50 FROM g
         |UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), q90 FROM g
         |ORDER BY o_orderpriority, p""".stripMargin,
+    // GROUPING(a, b) emits the same standard bitmask as Spark's
+    // grouping_id(); rolled-up columns coalesce to a sentinel so NULL
+    // ordering never enters the hash compare.
+    "rel_rollup" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin,
+    // Integer-cents accumulation: windowed SUM over DOUBLE would be
+    // association-sensitive (segment tree vs sequential) — BIGINT is not.
+    "rel_window_running" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents_3,
+        |  ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM e ORDER BY user_id, rn""".stripMargin,
+    "rel_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts, ts_us,
+        |    CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= 21600000000 THEN 0 ELSE 1 END AS new_session
+        |  FROM e
+        |), numbered AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(1) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     // DuckDB's native range join (IEJoin) — the bucketed equi-join
     // composition must reproduce it exactly. Integer microsecond
     // arithmetic on both sides so the window boundary is engine-exact.

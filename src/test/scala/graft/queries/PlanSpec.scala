@@ -103,6 +103,27 @@ class PlanSpec extends SparkSpec {
     assert(wins.forall(_.nonEmpty), "pack spans regressed to an unpartitioned global window")
   }
 
+  test("rollup is one Expand + one aggregation pass, not a rescan per level") {
+    val plan = Relational.rollupAgg(spark, sf).queryExecution.sparkPlan
+    val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1, s"rollup expected exactly one Expand, got ${expands.size}")
+    val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"rollup rescans the input: ${scans.size} scans")
+  }
+
+  test("running-window and sessionization windows are all partitioned") {
+    // same discipline as pack spans: an unpartitioned `sum() over (order
+    // by ...)` is one reducer sorting the whole corpus at 100 TB.
+    for (q <- Seq("rel_window_running", "rel_sessionize")) {
+      val wins = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+        }
+      assert(wins.nonEmpty, s"$q: lost its windows entirely")
+      assert(wins.forall(_.nonEmpty), s"$q: unpartitioned global window")
+    }
+  }
+
   test("incremental dedup probes the Bloom filter before any join") {
     val plan = formatted("dedup_incremental")
     assert(plan.contains("might_contain"),
