@@ -242,6 +242,76 @@ object Dedup {
     verifyPairs(candidates, grams, JaccardT)
   }
 
+  // --- asymmetric containment (sub-document duplication) ----------------
+
+  /** All ORDERED pairs with containment C(A→B) = |A∩B| / |A| ≥
+    * [[JaccardT]], EXACTLY — "A's grams are mostly inside B": the
+    * sub-document duplication detector (quoted articles, boilerplate
+    * wrappers, doc-inside-crawl-dump) that symmetric Jaccard structurally
+    * misses (a tweet inside a book has J ≈ 0 but C = 1).
+    *
+    * Prefix filtering adapts, asymmetrically:
+    *  - the CONTAINED side A probes with its rarest-first prefix of
+    *    L = n_A - ⌈t·n_A⌉ + 1 grams — pigeonhole: ≥ ⌈t·n_A⌉ shared grams
+    *    cannot all hide in the other n_A - L = ⌈t·n_A⌉ - 1 slots;
+    *  - the CONTAINER side B indexes ALL its grams: containment puts no
+    *    upper bound on |B| (any document can contain a smaller one), so
+    *    a B-side prefix would be lossy. The full inverted index is the
+    *    honest cost of the asymmetric predicate; candidates stay bounded
+    *    because A probes only RARE grams — the join fan-out is
+    *    Σ freq(g) over prefix grams, not over all grams.
+    *  - filters: |B| ≥ ⌈t·n_A⌉ (the overlap can't exceed |B|) and the
+    *    positional bound min(pa,pb) + 1 + min(rest_a, rest_b) ≥ ⌈t·n_A⌉,
+    *    both in exact integer arithmetic (same ⌈⌉ identity as the
+    *    Jaccard path — a float ceil that rounds a prefix short breaks
+    *    losslessness silently).
+    * Verify = one sorted-merge intersect per candidate; both (A→B) and
+    * (B→A) emit when both qualify (exact dups score 1.0 both ways).
+    * Lossless, so the DuckDB brute-force oracle compares at FULL
+    * strictness. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
+    containmentPairsOf(grams)
+  }
+
+  private[graft] def containmentPairsOf(grams: DataFrame): DataFrame = {
+    val exploded = grams.select(col("doc_id"), explode(col("gram_ids")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("freq"))
+    val n = size(col("sorted"))
+    val probeLen = (n - floor((n * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
+    val sorted = exploded.join(freq, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("freq"), col("gram")))).as("sorted"))
+      .select(col("doc_id"), n.as("n_grams"),
+        transform(col("sorted"), _.getField("gram")).as("by_freq"),
+        probeLen.as("probe_len"))
+
+    val probe = sorted.select(col("doc_id"), col("n_grams"),
+      posexplode(slice(col("by_freq"), lit(1), col("probe_len"))).as(Seq("pos", "gram")))
+    val index = sorted.select(col("doc_id"), col("n_grams"),
+      posexplode(col("by_freq")).as(Seq("pos", "gram")))
+    val a = probe.as("a"); val b = index.as("b")
+    // required overlap α = ⌈t·n_A⌉ depends on the contained side only.
+    val alpha = floor((col("a.n_grams") * JaccardP + JaccardQ - 1) / JaccardQ)
+    val posBound = least(col("a.pos"), col("b.pos")) + 1 +
+      least(col("a.n_grams") - col("a.pos") - 1, col("b.n_grams") - col("b.pos") - 1)
+    val candidates = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n_grams") * JaccardQ >= col("a.n_grams") * JaccardP &&
+          posBound >= alpha)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))
+    val gb = grams.select(col("doc_id").as("doc_b"), col("gram_ids").as("ids_b"))
+    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / size(col("ids_a"))).as("containment"))
+      .filter(col("containment") >= JaccardT)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // --- SimHash hamming near-dup ------------------------------------------
 
   /** Max Hamming distance (over the 64-bit SimHash) for a near-dup pair —
@@ -509,6 +579,7 @@ object Dedup {
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
     "dedup_simhash"        -> simhashNearDup _,
+    "dedup_containment"    -> containmentPairs _,
     "dedup_incremental"    -> incrementalNew _,
   )
 
@@ -575,6 +646,23 @@ object Dedup {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |)
         |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // Brute-force ordered-pair containment — the asymmetric prefix
+    // filter is lossless, so the compare is full-strictness. The division
+    // is the same two-small-ints IEEE op in both engines.
+    "dedup_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS containment
+        |  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |)
+        |SELECT doc_a, doc_b, containment FROM p WHERE containment >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     // Exact set-difference ground truth: the Bloom prefilter has no false
     // negatives and the anti-join removes false positives, so the Spark

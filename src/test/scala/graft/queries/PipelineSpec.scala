@@ -53,6 +53,37 @@ class PipelineSpec extends SparkSpec {
     assert(pf == brute, "prefix filtering must miss nothing and add nothing")
   }
 
+  test("containment is LOSSLESS and catches sub-document dups Jaccard misses") {
+    import spark.implicits._
+    // a short doc verbatim inside a much longer one: C(short→long) = 1.0
+    // while J ≈ |short| / |long| is far below any near-dup bar.
+    val sub = "alpha beta gamma delta epsilon"
+    val container = sub + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, sub), (2L, container), (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(Dedup.gramSetsOf(docs))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"expected exactly short→long containment, got $got")
+
+    // losslessness on the real corpus: exactly the brute-force ordered pairs
+    val pf = Dedup.containmentPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val real = graft.tables.Testdata.documents(spark, sf)
+    val words = split(col("text"), " ")
+    val g = real.filter(size(words) >= 2).select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(words) - 1),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+    val a = g.select(col("doc_id").as("a"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("b"), col("grams").as("gb"))
+    val brute = a.join(b, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") / size(col("ga"))).as("c"))
+      .filter(col("c") >= Dedup.JaccardT)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(pf == brute, "asymmetric prefix filtering must miss nothing and add nothing")
+  }
+
   test("hot-bucket cap bounds LSH candidates on a degenerate corpus") {
     import spark.implicits._
     // 300 docs with IDENTICAL text: every band bucket holds all 300 docs —
