@@ -145,8 +145,77 @@ object IvfAnn {
     Similarity.topKAgg(bucketScored, Similarity.K)
   }
 
+  /** IVF index with int8 columns riding along: `qs` (per-vector scale)
+    * and `q` (the [[Similarity.quantizeInt8]] transform) — at 100 TB the
+    * int8 index is what actually lives in the lists (4× smaller scan per
+    * probe, the float vectors live only in the re-rank store). Memoized
+    * like the float index. */
+  private[graft] def ivfIndexQ(s: SparkSession, d: String): DataFrame =
+    FrameCache.cached(s, s"ivf-index-q:$d:$NumLists:$Replication") {
+      val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v))
+      ivfIndex(s, d)
+        .withColumn("qs", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+        .withColumn("q", transform(col("embedding"),
+          x => floor(x.cast("double") * col("qs") + 0.5).cast("int")))
+    }
+
+  /** IVF ANN with QUANTIZED list scoring — the IVF twin of
+    * [[Similarity.lshBucketTopKQuantized]]: probe selection stays float
+    * (centroids are [[NumLists]] tiny literals — nothing to save), but
+    * every vector scanned inside a probed list is scored via the exact
+    * int64 [[VectorKernels.intDot]] over int8 codes; a K·QRerankFactor
+    * shortlist survives per query and only that shortlist touches float
+    * vectors for the exact re-rank. Same output contract as [[ivfTopK]];
+    * approximate ⇒ rows-only driver check + recall spec at both SFs. */
+  def ivfTopKQuantized(s: SparkSession, d: String): DataFrame = {
+    val indexed = ivfIndexQ(s, d)
+    val queries = embeddings(s, d).filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        nrm(col("embedding")).as("qn"))
+      .withColumn("qqs", lit(127.0) / greatest(
+        aggregate(transform(col("qv"), x => abs(x.cast("double"))),
+          lit(0.0), (a, v) => greatest(a, v)), lit(1e-30)))
+      .withColumn("qq", transform(col("qv"),
+        x => floor(x.cast("double") * col("qqs") + 0.5).cast("int")))
+
+    val scoredCents = queries.crossJoin(broadcast(centroidFrame(s, d)))
+      .select(col("query_id"), col("qq"), col("qqs"), col("qn"), col("cluster"),
+        (VectorKernels.dotDouble(col("qv"), col("centroid")) / (col("qn") * col("cnrm")))
+          .as("ccos"))
+    val probes = scoredCents
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("ccos"), col("cluster"))))
+      .filter(col("rnk") <= NumProbes)
+      .select(col("query_id"), col("qq"), col("qqs"), col("qn"), col("cluster"))
+
+    val bucketScored = indexed.join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"),
+        (VectorKernels.intDot(col("qq"), col("q")).cast("double") /
+          (col("qqs") * col("qs")) / (col("qn") * col("nrm"))).as("cos"),
+        col("vec_id").as("neighbor_id"))
+    val shortlist = Similarity.topKAgg(bucketScored, Similarity.K * Similarity.QRerankFactor)
+      .select("query_id", "neighbor_id")
+
+    // exact float re-rank on the shortlist only
+    val base = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      nrm(col("embedding")).as("vnrm"))
+    val va = base.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("vnrm").as("qn"))
+    val vb = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("vnrm").as("cn"))
+    val exact = shortlist.join(va, "query_id").join(vb, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorKernels.dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    Similarity.topKAgg(exact, Similarity.K)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf" -> ivfTopK _,
+    "sim_ann_ivf_q" -> ivfTopKQuantized _,
   )
 
   /** Approximate — no SQL oracle (rows-only driver check + recall spec). */

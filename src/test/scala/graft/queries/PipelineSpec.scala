@@ -178,6 +178,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantized IVF ANN recall >= 0.8 vs brute force at both SFs") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val brute = Similarity.bruteTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rows = IvfAnn.ivfTopKQuantized(spark, dir).collect()
+      val ivfq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(ivfq.nonEmpty && ivfq.forall { case (q, n) => q != n })
+      rows.groupBy(_.getLong(0)).values.foreach(rs =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.K)))
+      val recall = (ivfq & brute).size.toDouble / brute.size
+      assert(recall >= 0.8, s"quantized IVF recall $recall at $dir")
+    }
+  }
+
   test("multi-probe LSH ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
     val recall = annRecall("/root/testdata/sf0.1")
     assert(recall >= 0.8, s"recall $recall")

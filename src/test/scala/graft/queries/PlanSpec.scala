@@ -49,7 +49,7 @@ class PlanSpec extends SparkSpec {
     * IvfAnn.ivfIndex/ivfTopK). Everything else must stay hash/merge-joined
     * — a BNLJ appearing anywhere else is a join-key regression that would
     * never survive 100 TB. */
-  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf")
+  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_q")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
