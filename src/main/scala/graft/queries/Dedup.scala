@@ -563,14 +563,52 @@ object Dedup {
     * the cached-label read + the size join, and the one-time CC cost is
     * the warmup's, same contract as the LSH/IVF index builds. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val labels = FrameCache.cached(s, s"dedup-labels:$d") {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("node").as("doc_id"), col("rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** The memoized (session, dir) component-label frame shared by
+    * [[dedupClusters]] and [[keepBest]] — one CC fixpoint per corpus, no
+    * matter how many downstream ops consume the labels. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    FrameCache.cached(s, s"dedup-labels:$d") {
       val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
       val pairs = FrameCache.cached(s, s"jaccard-pairs:$d")(jaccardPrefixPairsOf(grams))
       connectedComponents(pairs)
     }
-    val sizes = labels.groupBy("rep").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
-      .select(col("node").as("doc_id"), col("rep"), col("cluster_size"))
+
+  /** Quality-aware canonical selection: the keep/drop decision a pipeline
+    * actually executes once clusters are known. [[dedupClusters]]' `rep`
+    * (the min doc_id) is a fine LABEL but a bad SURVIVOR policy — it
+    * discards the longest/cleanest copy whenever that copy is not the
+    * oldest id. Here best-in-cluster = max `n_chars`, ties to min
+    * `doc_id`, encoded as ONE exact int64 key (`n_chars·2³² − doc_id`) so
+    * the argmax is a plain `max_by` — no float score whose last-bit
+    * ordering could disagree across engines, no struct comparator.
+    * Singleton docs (never in any near-dup pair) keep themselves via the
+    * left join + coalesce.
+    *
+    * Scale shape: `labels` is a skinny frame over clustered docs only (a
+    * sliver of any real corpus), so the corpus pays one hash join on
+    * doc_id, one shuffle on `rep` whose hash-agg partials combine
+    * map-side, and one join of the per-cluster best back onto the
+    * labeled rows — all narrow columns, text never moves. */
+  def keepBest(s: SparkSession, d: String): DataFrame =
+    keepBestOf(documents(s, d), clusterLabels(s, d))
+
+  private[graft] def keepBestOf(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"), col("n_chars"))
+    val best = labeled.groupBy("rep").agg(
+      max_by(col("doc_id"), col("n_chars") * lit(4294967296L) - col("doc_id")).as("best_id"),
+      count(lit(1)).as("cluster_size"))
+    labeled.join(best, "rep")
+      .select(col("doc_id"), col("rep"), col("cluster_size"),
+        (col("doc_id") === col("best_id")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -578,6 +616,7 @@ object Dedup {
     "dedup_minhash_lsh"    -> minhashLshPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
+    "dedup_keep_best"      -> keepBest _,
     "dedup_simhash"        -> simhashNearDup _,
     "dedup_containment"    -> containmentPairs _,
     "dedup_incremental"    -> incrementalNew _,
@@ -706,6 +745,41 @@ object Dedup {
         |)
         |SELECT lab.node AS doc_id, lab.rep, sz.cluster_size
         |FROM lab JOIN sz ON lab.rep = sz.rep
+        |ORDER BY doc_id""".stripMargin,
+    // Same closure ground truth, then the survivor policy in plain SQL:
+    // arg_max over the identical int64 key (n_chars·2³² − doc_id) — exact
+    // integer arithmetic in both engines, so full strictness.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM p
+        |), reach(node, x) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN e ON r.x = e.u
+        |), lab AS (
+        |  SELECT node, MIN(x) AS rep FROM reach GROUP BY node
+        |), l AS (
+        |  SELECT d.doc_id, COALESCE(lab.rep, d.doc_id) AS rep, d.n_chars
+        |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+        |), b AS (
+        |  SELECT rep, arg_max(doc_id, n_chars * 4294967296 - doc_id) AS best_id,
+        |    COUNT(*) AS cluster_size
+        |  FROM l GROUP BY rep
+        |)
+        |SELECT l.doc_id, l.rep, b.cluster_size, l.doc_id = b.best_id AS keep
+        |FROM l JOIN b ON l.rep = b.rep
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -418,6 +418,36 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Pivot value list for [[pivotActivity]], pinned as literals: with
+    * explicit values Spark plans ONE scan + one hash aggregate keyed on
+    * user_id carrying 2·|types| conditional partials — `.pivot(col)`
+    * without values would first run a whole extra distinct-values job,
+    * and a per-type union of filtered scans would rescan the log five
+    * times. */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Long-to-wide pivot: the event log reshaped into one feature row per
+    * user (count + spend per event type) — the activity-matrix shape
+    * feature stores and report dashboards consume. Money pivots as
+    * integer cents (associative, cross-engine exact); a (user, type)
+    * cell with no events is count 0 / cents 0 via the same
+    * sentinel-not-NULL rule as the rollup. Map-side combinable, one
+    * exchange on user_id, wide columns materialize only after the agg. */
+  def pivotActivity(s: SparkSession, d: String): DataFrame =
+    pivotActivityOf(events(s, d))
+
+  private[graft] def pivotActivityOf(ev: DataFrame): DataFrame = {
+    val wide = ev
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val cols = col("user_id") +: PivotTypes.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents")))
+    wide.select(cols: _*).orderBy("user_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -434,6 +464,7 @@ object Relational {
     "rel_rollup"         -> rollupAgg _,
     "rel_window_running" -> windowRunning _,
     "rel_sessionize"     -> sessionize _,
+    "rel_pivot"          -> pivotActivity _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -529,6 +560,20 @@ object Relational {
         |  MAX(ts_us) - MIN(ts_us) AS duration_us
         |FROM numbered GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // Conditional aggregation is the portable spelling of PIVOT; COUNT
+    // FILTER yields 0 for absent cells (matching the Spark side's
+    // coalesce over pivot NULLs) and SUM widens to HUGEINT → CAST.
+    "rel_pivot" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id,
+        |""".stripMargin +
+        PivotTypes.map(t =>
+          s"""  COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+             |  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""".stripMargin)
+          .mkString(",\n") +
+        "\nFROM e GROUP BY user_id ORDER BY user_id"),
     // DuckDB's native range join (IEJoin) — the bucketed equi-join
     // composition must reproduce it exactly. Integer microsecond
     // arithmetic on both sides so the window boundary is engine-exact.

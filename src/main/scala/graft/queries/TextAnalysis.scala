@@ -195,6 +195,105 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ surprisal
+
+  /** Unigram-frequency surprisal score — the cheap stand-in for the
+    * LM-perplexity quality filter (the CCNet family): documents of
+    * globally rare tokens score high, boilerplate built from
+    * corpus-dominant tokens scores low. Per token occurrence the
+    * surprisal is the INTEGER ⌊log₂(N div c(t))⌋ (N = corpus token
+    * count, c = token count), computed as bit-length-minus-one of the
+    * exact int64 quotient — a floating log₂ is not bit-reproducible
+    * across engines, while the binary-string length of an integer is
+    * pure integer arithmetic in any of them.
+    *
+    * Scale shape: the vocabulary frame (token, count) is orders of
+    * magnitude smaller than the corpus (Heaps' law) and broadcasts; the
+    * corpus side is explode → broadcast hash join → sum keyed on doc_id
+    * whose partials combine map-side, so the only exchange moves one
+    * (doc_id, long) pair per doc. At 100 TB the vocab tail gets capped
+    * to the top-K tokens with an OOV default of c = 1 (max surprisal)
+    * to bound the broadcast; the synthetic corpus's vocabulary is tiny,
+    * so the full table ships. */
+  def surprisal(s: SparkSession, d: String): DataFrame =
+    surprisalOf(documents(s, d))
+
+  private[graft] def surprisalOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    // exact ⌊n/c⌋ (subtract the remainder, then divide an exactly
+    // divisible pair), then ⌊log₂⌋ as binary-digit count minus one.
+    // The one-row total crosses against the VOCAB frame only — the
+    // corpus side never carries n, it hash-joins the pre-scored
+    // (token, bits) lookup.
+    val q = ((col("n") - pmod(col("n"), col("c"))) / col("c")).cast("long")
+    val scoredVocab = freq.crossJoin(broadcast(total))
+      .select(col("t"),
+        (length(conv(q.cast("string"), 10, 2)) - 1).cast("long").as("s"))
+    tok.join(broadcast(scoredVocab), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("s").as("surprisal_bits"))
+      .withColumn("mean_bits", col("surprisal_bits").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- mix resample
+
+  /** Token budget for [[mixResample]] — the target corpus size, in
+    * whitespace tokens, after mixing. Sized so the synthetic corpus
+    * exercises BOTH regimes: at sf0.01 every language upsamples
+    * (epochs > 1), at sf0.1 the dominant `en` downsamples (epochs < 1). */
+  val MixBudget = 50000L
+  /** Per-language target shares in percent (sum = 100) — the training
+    * "data recipe": dominant `en` capped at 40%, the rest split evenly. */
+  val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 40L, "es" -> 15L, "de" -> 15L, "fr" -> 15L, "zh" -> 15L)
+
+  /** Deterministic token-budget mixture resampling — the data-recipe
+    * step that turns per-source target shares into per-document integer
+    * repeat counts (epochs). epochs_l = (w_l·B)/(100·T_l) held as an
+    * exact int64 rational: every doc repeats ⌊epochs⌋ times, plus once
+    * more for the deterministic hash-bucket slice of size frac(epochs) —
+    * the same Knuth multiplicative bucket as [[sampleStratified]]
+    * (reproducible in any engine, auditable after the fact; `rand()` is
+    * neither), with the fractional accept decided by the int64 cross
+    * product `bucket·den < rem·100` — no float epochs whose last-bit
+    * rounding could disagree across engines. Corpus-wide,
+    * Σ n_repeats·n_tokens lands within one doc of each language's target
+    * share.
+    *
+    * Scale shape: the per-language totals are a tiny aggregate (one row
+    * per language) broadcast back onto the corpus; the corpus side is a
+    * narrow projection — text never shuffles, and the broadcast join
+    * cannot skew (every corpus row matches exactly one of ~dozens of
+    * language rows). */
+  def mixResample(s: SparkSession, d: String): DataFrame =
+    mixResampleOf(documents(s, d))
+
+  private[graft] def mixResampleOf(docs: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val base = docs.select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+    val totals = base.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val weight = MixWeights.tail.foldLeft[Column](
+      when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, lit(w))
+    }.otherwise(lit(0L))
+    val num = weight * lit(MixBudget)
+    val den = col("lang_tokens") * lit(100L)
+    // exact ⌊num/den⌋: subtract the remainder first so the int64→double
+    // division is of an exactly-divisible pair (no float-floor hazard)
+    val whole = ((num - pmod(num, den)) / den).cast("long")
+    val rem = pmod(num, den)
+    val bucket = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA)
+      % 4294967296L) % SampleBuckets
+    base.join(broadcast(totals), "lang")
+      .withColumn("n_repeats",
+        whole + when(bucket * den < rem * lit(100L), lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_repeats"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Shingle width for contamination scans. Production pipelines use
@@ -399,6 +498,8 @@ object TextAnalysis {
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
     "text_decontaminate" -> decontaminate _,
+    "text_mix_resample"  -> mixResample _,
+    "text_surprisal"     -> surprisal _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -564,5 +665,53 @@ object TextAnalysis {
         |WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 <
         |  CASE WHEN lang = 'en' THEN 20 ELSE 50 END
         |ORDER BY doc_id""".stripMargin,
+    // Identical int64 rational arithmetic (num//den + hash-bucket
+    // fractional accept) — SUM(BIGINT) widens to HUGEINT in DuckDB, so
+    // the total is cast back before any product; full strictness.
+    "text_mix_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tot AS (
+        |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+        |  FROM t GROUP BY lang
+        |), j AS (
+        |  SELECT t.doc_id, t.lang, t.n_tokens,
+        |    CASE t.lang WHEN 'en' THEN 40 WHEN 'es' THEN 15 WHEN 'de' THEN 15
+        |                WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END
+        |      * 50000 AS num,
+        |    tot.lang_tokens * 100 AS den
+        |  FROM t JOIN tot ON t.lang = tot.lang
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(num // den +
+        |    CASE WHEN ((((doc_id % 2147483648) * 2654435761) % 4294967296) % 100)
+        |           * den < (num % den) * 100
+        |         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // Same integer surprisal: ⌊log₂(N // c)⌋ = length(bin(quotient)) - 1
+    // (DuckDB's bin() is unpadded, like Spark's conv(_, 10, 2)); counts
+    // CAST back from HUGEINT; the final mean is one double division of
+    // identical int64 values on both sides. Full strictness.
+    "text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |), f AS (
+        |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        |), n AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM f
+        |), sc AS (
+        |  SELECT tok.doc_id,
+        |    CAST(length(bin(n.n // f.c)) - 1 AS BIGINT) AS s
+        |  FROM tok JOIN f ON tok.t = f.t CROSS JOIN n
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    CAST(SUM(s) AS BIGINT) AS surprisal_bits
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, surprisal_bits,
+        |  CAST(surprisal_bits AS DOUBLE) / n_tokens AS mean_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
   )
 }

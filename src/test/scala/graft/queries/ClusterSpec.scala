@@ -297,6 +297,32 @@ class ClusterSpec extends SparkSpec {
     assert(rep.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
 
+  test("keep-best: longest-wins survivor, min-id tiebreak, singletons keep themselves") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), // cluster 1: 2 and 3 tie on length → min id 2 keeps
+      (7L, 30L),                       // singleton: keeps itself
+      (8L, 5L), (9L, 99L)              // cluster 8: 9 is longest → keeps despite larger id
+    ).toDF("doc_id", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L)).toDF("node", "rep")
+    val got = Dedup.keepBestOf(docs, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toList
+    assert(got == List(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, false),
+      (7L, 7L, 1L, true),
+      (8L, 8L, 2L, false), (9L, 8L, 2L, true)))
+    // real corpus: every doc labeled, exactly one keeper per cluster, and
+    // at least one actual duplicate is dropped
+    val real = Dedup.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(real.length == graft.tables.Testdata.documents(spark, sf).count())
+    real.groupBy(_._2).foreach { case (rep, ms) =>
+      assert(ms.count(_._4) == 1, s"cluster $rep must keep exactly one doc")
+      assert(ms.forall(_._3 == ms.length), s"cluster_size wrong for rep $rep")
+    }
+    assert(real.exists(t => t._3 > 1 && !t._4), "no duplicate was dropped")
+  }
+
   test("connected components converge within the round cap and are distinct-per-node") {
     val labels = Dedup.dedupClusters(spark, sf).select("doc_id").collect()
     assert(labels.map(_.getLong(0)).distinct.length == labels.length,
@@ -376,6 +402,84 @@ class ClusterSpec extends SparkSpec {
     val again = TextAnalysis.sampleStratifiedOf(docs)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == got.toSeq)
+  }
+
+  test("pivot: engineered events produce the exact wide matrix, absent cells are zero") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "click", 1.00), (2L, 10L, "click", 2.50), (3L, 10L, "purchase", 9.99),
+      (4L, 20L, "view", 0.0) // user 20 never clicks or buys
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val got = Relational.pivotActivityOf(ev).collect()
+      .map(r => (0 until r.length).map(i => r.getLong(i)).toList).toList
+    // columns: user_id, then (n, cents) for click, error, purchase, signup, view
+    assert(got == List(
+      List(10L, 2L, 350L, 0L, 0L, 1L, 999L, 0L, 0L, 0L, 0L),
+      List(20L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L)))
+    // real corpus: row per user, column totals re-add to the event count
+    val real = Relational.pivotActivity(spark, sf)
+    val nCols = real.columns.count(_.endsWith("_n"))
+    assert(nCols == Relational.PivotTypes.length)
+    val totalN = real.select(Relational.PivotTypes.map(t => sum(col(s"${t}_n"))).reduce(_ + _))
+      .head.getLong(0)
+    assert(totalN == graft.tables.Testdata.events(spark, sf).count())
+  }
+
+  test("surprisal: hand-computed bit counts and exact reproduction on real docs") {
+    import spark.implicits._
+    // corpus tokens: a×4, b×2, c×1, d×1 → N=8; s(a)=⌊log₂ 2⌋=1,
+    // s(b)=⌊log₂ 4⌋=2, s(c)=s(d)=⌊log₂ 8⌋=3
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisalOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got == List((1L, 4L, 7L, 1.75), (2L, 4L, 7L, 1.75)))
+    // real corpus: exact driver-side reproduction of the integer formula
+    val real = TextAnalysis.surprisal(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val toks = graft.tables.Testdata.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val freq = toks.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val n = freq.values.sum
+    val expect = toks.sortBy(_._1).map { case (id, ws) =>
+      (id, ws.length.toLong,
+        ws.map(w => (63 - java.lang.Long.numberOfLeadingZeros(n / freq(w))).toLong).sum)
+    }
+    assert(real.toSeq == expect.toSeq)
+    // rare-token docs outrank boilerplate: scores are not all equal
+    assert(real.map(_._3).distinct.length > 1)
+  }
+
+  test("mix resample: exact formula reproduction, share-accurate, deterministic") {
+    val real = TextAnalysis.mixResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exact reproduction outside Spark — the portability contract
+    val docs = graft.tables.Testdata.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val totals = docs.groupBy(_._2).map { case (l, ds) => l -> ds.map(_._3).sum }
+    val weights = TextAnalysis.MixWeights.toMap
+    val expect = docs.sortBy(_._1).map { case (id, lang, n) =>
+      val num = weights(lang) * TextAnalysis.MixBudget
+      val den = totals(lang) * 100L
+      val bucket = (((id % TextAnalysis.SampleFold) * TextAnalysis.SampleHashA)
+        % 4294967296L) % TextAnalysis.SampleBuckets
+      (id, lang, n, num / den + (if (bucket * den < (num % den) * 100L) 1L else 0L))
+    }
+    assert(real.toSeq == expect.toSeq)
+    // every doc repeats ⌊epochs⌋ or ⌊epochs⌋+1 times, and the resampled
+    // token mass per language lands near its budget share
+    real.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).distinct.sorted.sliding(2).forall {
+        case Array(a, b) => b == a + 1; case _ => true
+      }, s"$lang repeats must span exactly {whole, whole+1}")
+      val target = weights(lang).toDouble / 100 * TextAnalysis.MixBudget
+      val got = rows.map(r => r._3 * r._4).sum.toDouble
+      assert(math.abs(got - target) / target < 0.15, s"$lang mass $got vs target $target")
+    }
+    val again = TextAnalysis.mixResample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == real.toSeq)
   }
 
   test("stratified sample: ids past 2^31 stay non-negative and rate-correct") {

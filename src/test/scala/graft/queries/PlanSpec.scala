@@ -46,10 +46,13 @@ class PlanSpec extends SparkSpec {
     * joins the bounded broadcast query set against the corpus under a
     * non-equi predicate (documented in Similarity.scored); sim_ann_ivf
     * crosses against the bounded broadcast CENTROID set (nlist rows —
-    * IvfAnn.ivfIndex/ivfTopK). Everything else must stay hash/merge-joined
-    * — a BNLJ appearing anywhere else is a join-key regression that would
-    * never survive 100 TB. */
-  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_q")
+    * IvfAnn.ivfIndex/ivfTopK); text_surprisal crosses the ONE-row corpus
+    * total against the vocab frame only (the corpus side hash-joins the
+    * pre-scored vocab — TextAnalysis.surprisalOf). Everything else must
+    * stay hash/merge-joined — a BNLJ appearing anywhere else is a
+    * join-key regression that would never survive 100 TB. */
+  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_q",
+    "text_surprisal")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -81,7 +84,8 @@ class PlanSpec extends SparkSpec {
     // pipeline ops never touch — a scan reading them at 100 TB is pure
     // wasted IO. ReadSchema must exclude them.
     for (q <- Seq("text_ngram_topk", "text_repetition", "text_pack_spans",
-        "dedup_minhash_lsh", "dedup_simhash", "text_bm25", "text_decontaminate")) {
+        "dedup_minhash_lsh", "dedup_simhash", "text_bm25", "text_decontaminate",
+        "text_surprisal", "text_mix_resample")) {
       val read = formatted(q).linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
       assert(read.nonEmpty, s"$q: no ReadSchema line")
       assert(!read.contains("source") && !read.contains("n_chars"),
@@ -122,6 +126,19 @@ class PlanSpec extends SparkSpec {
       assert(wins.nonEmpty, s"$q: lost its windows entirely")
       assert(wins.forall(_.nonEmpty), s"$q: unpartitioned global window")
     }
+  }
+
+  test("pivot is one scan + one aggregation pass, no per-type rescan") {
+    val plan = Relational.pivotActivity(spark, sf).queryExecution.sparkPlan
+    val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"pivot rescans the input: ${scans.size} scans")
+    // pinned pivot values ⇒ no separate distinct-values stage: the plan
+    // holds no aggregate keyed on event_type alone
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a.groupingExpressions
+    }
+    assert(aggs.nonEmpty && aggs.forall(_.exists(_.toString.contains("user_id"))),
+      "pivot must aggregate keyed on user_id only")
   }
 
   test("incremental dedup probes the Bloom filter before any join") {
