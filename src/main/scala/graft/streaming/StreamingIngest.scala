@@ -64,6 +64,35 @@ object StreamingIngest {
         col("session_window.end").as("session_end"),
         col("n_messages"))
 
+  /** Watermarked stream-stream interval join — the streaming twin of the
+    * batch range join ([[graft.queries.Relational.rangeJoin]]): every
+    * click matched to the same user's purchases inside the following
+    * attribution window. BOTH sides carry watermarks AND the time-range
+    * predicate lives in the JOIN CONDITION — that pair is what lets the
+    * state manager derive an eviction horizon for each buffer (a click
+    * can be dropped once the purchase-side watermark passes click_ts +
+    * window; a purchase once the click-side watermark passes its ts).
+    * A stream-stream join missing either is unbounded state — Spark
+    * rejects it in Append mode for exactly that reason, and at 100 TB/day
+    * the buffer bound is the difference between a join and an OOM. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       window: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p, expr(
+      s"""user_id = purchase_user AND
+         |purchase_ts >= click_ts AND
+         |purchase_ts <= click_ts + interval $window""".stripMargin))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   case class Keyed(address: String, ts: Long)
   case class SeqState(nextSeq: Long)
   case class SeqOut(address: String, ts: Long, seq: Long)

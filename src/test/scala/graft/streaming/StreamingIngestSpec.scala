@@ -133,6 +133,43 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: in-window same-user purchases attach, others drop") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val clicksIn = MemoryStream[(Long, Long, Timestamp)]
+    val purchasesIn = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = clicksIn.toDF().toDF("event_id", "user_id", "ts")
+    val purchases = purchasesIn.toDF().toDF("event_id", "user_id", "ts")
+    // 30 min watermark: the first batch advances event time to t0+20m, and
+    // the second batch's t0+9m purchase must still be inside the lateness
+    // horizon (a 0s watermark would evict click 2 and drop that purchase)
+    val q = StreamingIngest.clickAttribution(clicks, purchases,
+        window = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val m = 60000L
+      clicksIn.addData((1L, 7L, new Timestamp(t0)), (2L, 8L, new Timestamp(t0)))
+      purchasesIn.addData(
+        (50L, 7L, new Timestamp(t0 + 5 * m)),  // in window for click 1
+        (51L, 7L, new Timestamp(t0 + 20 * m)), // past the attribution window
+        (52L, 9L, new Timestamp(t0 + 1 * m))) // other user
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id, purchase_id FROM attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 50L)))
+      // late second batch: a purchase inside click 2's window still lands
+      // (watermark 0s trails the max seen event time)
+      purchasesIn.addData((53L, 8L, new Timestamp(t0 + 9 * m)))
+      q.processAllAvailable()
+      val rows2 = spark.sql("SELECT click_id, purchase_id FROM attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows2 == Set((1L, 50L), (2L, 53L)))
+    } finally q.stop()
+  }
+
   test("windowed counts aggregate by tumbling window and type") {
     val sql = spark.sqlContext
     import sql.implicits._
