@@ -336,6 +336,43 @@ object Relational {
       .orderBy("o_orderpriority", "p")
   }
 
+  /** Sketch percentiles — the one-pass 100 TB path the exact
+    * [[percentiles]] scaladoc points at: `percentile_approx` keeps a
+    * bounded mergeable quantile sketch per group (rank error ≤
+    * n/accuracy) where the exact form must sort every group member.
+    * Approximate ⇒ no cross-engine SQL oracle (sketch layouts are
+    * engine-specific); the driver records rows>0 and the spec gates the
+    * rank error of every returned value against the group's sorted
+    * order statistics. */
+  def percentilesApprox(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.9)
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), typedLit(ps), lit(PercentileAccuracy))
+        .as("q"))
+      .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("i", "value")))
+      .select(col("o_orderpriority"),
+        element_at(typedLit(ps), col("i") + 1).as("p"), col("value"))
+      .orderBy("o_orderpriority", "p")
+  }
+
+  /** Rank-error budget denominator for [[percentilesApprox]]. */
+  val PercentileAccuracy = 1000
+
+  /** Sketch distinct counting — the 100 TB cardinality path:
+    * `approx_count_distinct` (HyperLogLog++) holds FIXED-size mergeable
+    * state per group that combines map-side, where an exact
+    * `count_distinct` must shuffle every distinct (group, key) pair and
+    * retain them all until the final merge. rsd 0.02 ⇒ ~2 % typical
+    * error from a few KB per group — the trade every counting dashboard
+    * makes at scale. Approximate ⇒ rows-only driver check; the spec
+    * gates relative error ≤ 5 % against the exact count. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
   /** Grouping-sets aggregation — ROLLUP over (priority, status) with
     * subtotal and grand-total rows, the OLAP report shape. Spark plans
     * this as ONE scan + Expand (each row emitted once per grouping set)
@@ -461,6 +498,8 @@ object Relational {
     "rel_join_asof"      -> asofJoin _,
     "rel_join_range"     -> rangeJoin _,
     "rel_percentiles"    -> percentiles _,
+    "rel_percentiles_approx" -> percentilesApprox _,
+    "rel_approx_distinct" -> approxDistinct _,
     "rel_rollup"         -> rollupAgg _,
     "rel_window_running" -> windowRunning _,
     "rel_sessionize"     -> sessionize _,

@@ -404,6 +404,41 @@ class ClusterSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("approx distinct: relative error within the HLL budget vs exact counts") {
+    val approx = Relational.approxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.tables.Testdata.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(math.abs(approx(t) - n).toDouble / n <= 0.05,
+        s"$t: approx ${approx(t)} vs exact $n exceeds 5% error")
+    }
+  }
+
+  test("approx percentiles: every value is an order statistic within the rank budget") {
+    val approx = Relational.percentilesApprox(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val groups = graft.tables.Testdata.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    assert(approx.map(_._1).distinct.sorted.toSeq == groups.keys.toSeq.sorted)
+    approx.foreach { case (g, p, v) =>
+      val vals = groups(g)
+      val n = vals.length
+      assert(vals.contains(v), s"$g p=$p: $v is not an order statistic of the group")
+      // sketch contract: rank error ≤ n/accuracy (+1 slack for boundary defs)
+      val lo = vals.count(_ < v)
+      val hi = vals.count(_ <= v)
+      val target = p * n
+      val budget = n.toDouble / Relational.PercentileAccuracy + 1
+      assert(target >= lo - budget && target <= hi + budget,
+        s"$g p=$p: value $v rank [$lo,$hi] misses target $target by more than $budget")
+    }
+  }
+
   test("pivot: engineered events produce the exact wide matrix, absent cells are zero") {
     import spark.implicits._
     val ev = Seq(
