@@ -61,18 +61,19 @@ class PipelineSpec extends SparkSpec {
     val container = sub + " " + (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, sub), (2L, container), (3L, "totally unrelated words here"))
       .toDF("doc_id", "text")
-    val got = Dedup.containmentPairsOf(Dedup.gramSetsOf(docs))
+    val got = Dedup.containmentPairsOf(Dedup.containGramSetsOf(docs))
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), s"expected exactly short→long containment, got $got")
 
-    // losslessness on the real corpus: exactly the brute-force ordered pairs
+    // losslessness on the real corpus: exactly the brute-force ordered
+    // pairs over the same width-3 shingles
     val pf = Dedup.containmentPairs(spark, sf)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val real = graft.tables.Testdata.documents(spark, sf)
     val words = split(col("text"), " ")
-    val g = real.filter(size(words) >= 2).select(col("doc_id"),
-      array_distinct(transform(sequence(lit(1), size(words) - 1),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1)))).as("grams"))
+    val g = real.filter(size(words) >= Dedup.ContainN).select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(words) - lit(Dedup.ContainN - 1)),
+        i => concat_ws(" ", slice(words, i, lit(Dedup.ContainN))))).as("grams"))
     val a = g.select(col("doc_id").as("a"), col("grams").as("ga"))
     val b = g.select(col("doc_id").as("b"), col("grams").as("gb"))
     val brute = a.join(b, col("a") =!= col("b"))
