@@ -121,11 +121,18 @@ object Bench {
     spark.stop()
   }
 
-  // ms precision everywhere: full-precision doubles once made the line
-  // outgrow the driver's stdout capture window (BENCH_r05 parsed:null) —
-  // and sub-ms digits are noise on this box anyway.
+  // ms precision for the total and the report file: full-precision doubles
+  // once made the line outgrow the driver's stdout capture window
+  // (BENCH_r05 parsed:null) — and sub-ms digits are noise on this box.
   private def r3(v: Double): Double =
     BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // per-query stdout timings at CENTISECOND precision: with 70 registered
+  // queries the 3-decimal map alone pushed the line past the budget, and
+  // the 3rd decimal of a median-of-3 on a loaded box is noise anyway —
+  // the report file keeps ms precision for anyone diffing runs.
+  private def r2(v: Double): Double =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def regressedOf(results: Seq[(String, Double)],
                           baseline: Map[String, Double]): Seq[String] =
@@ -135,15 +142,16 @@ object Bench {
     }
 
   /** The minimal driver-facing JSON line. Spec-gated ≤ [[LineBudget]].
-    * `regressed` is capped at 10 names here (full list in the report file):
-    * past 10 the signal is already unambiguous, and an unbounded array is
-    * exactly how the r5/r6 lines outgrew the driver's capture window. */
+    * `regressed` is capped at 5 names here (full list in the report file):
+    * past a handful the signal is already unambiguous, and an unbounded
+    * array is exactly how the r5/r6 lines outgrew the driver's capture
+    * window. */
   private[graft] def renderLine(results: Seq[(String, Double)],
                                 baseline: Map[String, Double],
                                 sfNum: String): String = {
     val ok = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val regressed = regressedOf(results, baseline).take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+    val regressed = regressedOf(results, baseline).take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":$sfNum,"regressed":$regressed,"failed":${results.size - ok.size}}"""
   }
 

@@ -336,6 +336,32 @@ object Relational {
       .orderBy("o_orderpriority", "p")
   }
 
+  /** Equi-join over BUCKETED tables — the co-located layout the big-join
+    * story rests on: both sides are written once `bucketBy(8,
+    * custkey).sortBy(custkey)` ([[graft.tables.Bucketed]]), so the join
+    * itself reads pre-partitioned, pre-sorted buckets and plans a
+    * SortMergeJoin with NO Exchange and no per-side sort (PlanSpec-gated)
+    * — at 100 TB that deletes the full fact-table shuffle from every
+    * query that joins or aggregates on the key. The only exchange left
+    * in this query is the unavoidable one feeding the final
+    * per-segment aggregate. The `merge` hint pins SMJ so a broadcast
+    * of the small side can't silently bypass the layout being
+    * demonstrated (at real scale neither side broadcasts). */
+  def joinBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = graft.tables.Bucketed.sanitize(d)
+    val ot = graft.tables.Bucketed.ensure(s, s"graft_orders_bkt_$tag", "o_custkey")(
+      orders(s, d).select("o_custkey", "o_totalprice"))
+    val ct = graft.tables.Bucketed.ensure(s, s"graft_customer_bkt_$tag", "c_custkey")(
+      customer(s, d).select("c_custkey", "c_mktsegment"))
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Sketch percentiles — the one-pass 100 TB path the exact
     * [[percentiles]] scaladoc points at: `percentile_approx` keeps a
     * bounded mergeable quantile sketch per group (rank error ≤
@@ -497,6 +523,7 @@ object Relational {
     "rel_join_anti"      -> joinAnti _,
     "rel_join_asof"      -> asofJoin _,
     "rel_join_range"     -> rangeJoin _,
+    "rel_join_bucketed"  -> joinBucketed _,
     "rel_percentiles"    -> percentiles _,
     "rel_percentiles_approx" -> percentilesApprox _,
     "rel_approx_distinct" -> approxDistinct _,
@@ -630,6 +657,14 @@ object Relational {
         |  ON c.user_id = p.user_id
         |  AND p.p_us >= c.c_us AND p.p_us <= c.c_us + 3600000000
         |ORDER BY c.click_id, p.purchase_id""".stripMargin,
+    // The bucketed layout is a physical property — the logical result is
+    // the plain join+agg, so the oracle is exactly that (salting-style
+    // result invariance, proven by the driver hash).
+    "rel_join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // DuckDB's native ASOF JOIN — the union-and-carry composition must
     // reproduce it exactly (inner semantics, >= at-or-before boundary).
     "rel_join_asof" ->

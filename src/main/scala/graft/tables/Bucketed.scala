@@ -1,0 +1,42 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location — the "pre-pay the shuffle once" half of the
+  * 100 TB join story that [[FrameCache]]'s scaladoc points at. A table
+  * written `bucketBy(k, key).sortBy(key)` is stored pre-hash-partitioned
+  * AND pre-sorted on the join key, so every later equi-join or aggregation
+  * on that key reads the co-located layout instead of re-exchanging the
+  * fact table per query: at 100 TB the one-time bucketed write replaces a
+  * per-query corpus shuffle, which is the difference between a join that
+  * starts immediately and one that first moves the whole table over the
+  * network. The sorted buckets also let SortMergeJoin skip its sort.
+  *
+  * Tables are EXTERNAL (explicit path) so no warehouse directory is
+  * implied; creation is idempotent per (session, table) via the same
+  * memoized-value discipline as the LSH/IVF index builds — built once in
+  * warmup, read many. */
+object Bucketed {
+
+  /** Bucket count — sized to the local[32] harness; a cluster deployment
+    * sizes this to (table size / target partition bytes), and both join
+    * sides must agree on it for the exchange-free read. */
+  val NumBuckets = 8
+
+  private[graft] def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]+", "_")
+
+  /** Ensure `name` exists as a bucketed+sorted external table holding
+    * `df`; returns the table name. The build runs once per (session,
+    * name) — repeated calls (Bench's warmup + timed runs) reuse the
+    * written layout, which is exactly the bucketing contract. */
+  def ensure(s: SparkSession, name: String, key: String)(df: => DataFrame): String = {
+    FrameCache.cachedValue[Boolean](s, s"bucketed:$name") {
+      df.write.mode("overwrite")
+        .bucketBy(NumBuckets, key).sortBy(key)
+        .option("path", s"/tmp/graft-bucketed/$name")
+        .saveAsTable(name)
+      true
+    }
+    name
+  }
+}

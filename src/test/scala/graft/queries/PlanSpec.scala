@@ -128,6 +128,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join is exchange-free and sort-free on the join key") {
+    import org.apache.spark.sql.functions._
+    val tag = graft.tables.Bucketed.sanitize(sf)
+    val ot = graft.tables.Bucketed.ensure(spark, s"graft_orders_bkt_$tag", "o_custkey")(
+      graft.tables.Testdata.orders(spark, sf).select("o_custkey", "o_totalprice"))
+    val ct = graft.tables.Bucketed.ensure(spark, s"graft_customer_bkt_$tag", "c_custkey")(
+      graft.tables.Testdata.customer(spark, sf).select("c_custkey", "c_mktsegment"))
+    // the JOIN alone (no agg): with both sides bucketed+sorted by the key,
+    // the plan must be a SortMergeJoin with NO exchange and NO sort
+    val j = spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"bucketed join still shuffles:\n$plan")
+    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"bucketed join re-sorts sorted buckets:\n$plan")
+    assert(plan.toString.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
+    // physical layout must not change the logical result
+    val plain = graft.tables.Testdata.orders(spark, sf).select("o_custkey")
+      .join(graft.tables.Testdata.customer(spark, sf).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+    assert(j.count() == plain.count())
+  }
+
   test("pivot is one scan + one aggregation pass, no per-type rescan") {
     val plan = Relational.pivotActivity(spark, sf).queryExecution.sparkPlan
     val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
