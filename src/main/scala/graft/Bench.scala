@@ -39,9 +39,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   val RegressThreshold = 1.5
-  /** Hard budget for the stdout JSON line (chars). The r6 driver tail held
-    * ~2.6 KB including sbt's own `[success]` trailer; 2000 leaves margin. */
-  val LineBudget = 2000
+  /** Hard budget for the stdout JSON line (chars). Measured from the
+    * BENCH_r05–r07 artifacts: the driver keeps EXACTLY the last 2000
+    * chars of the combined stdout+stderr stream, and sbt's `[success]
+    * Total time: …` trailer (~76 chars, length varies with the elapsed
+    * string) prints AFTER our line — so the line itself must stay under
+    * ~1900. 1880 leaves trailer-variance margin. [[renderLine]] ENFORCES
+    * the budget: entries that would overflow collapse into `"_other"`. */
+  val LineBudget = 1880
   /** Where the full report (vs_prev, baseline size, re-measures) lands. */
   val ReportPath = "bench_report.json"
   /** A query lands in `regressed` only when BOTH the ratio exceeds
@@ -141,18 +146,36 @@ object Bench {
         v / b > RegressThreshold && v - b > RegressMinDeltaSec) => k
     }
 
-  /** The minimal driver-facing JSON line. Spec-gated ≤ [[LineBudget]].
-    * `regressed` is capped at 5 names here (full list in the report file):
-    * past a handful the signal is already unambiguous, and an unbounded
-    * array is exactly how the r5/r6 lines outgrew the driver's capture
-    * window. */
+  /** The minimal driver-facing JSON line, SELF-BOUNDING at [[LineBudget]]:
+    * failure markers and the largest timings (the performance signal)
+    * ride the line first; if the per-query map would overflow the budget,
+    * the smallest remaining entries collapse into one `"_other"` sum so
+    * the total stays reconcilable and the line stays parseable at ANY
+    * registry size — a fixed 2000-char capture window cannot be grown by
+    * adding queries, only truncated into `parsed: null` (the r5/r6
+    * failure). The full uncollapsed map is always in the report file.
+    * `regressed` is capped at 5 names for the same reason. */
   private[graft] def renderLine(results: Seq[(String, Double)],
                                 baseline: Map[String, Double],
                                 sfNum: String): String = {
     val ok = results.filter(_._2 >= 0)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val regressed = regressedOf(results, baseline).take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":$sfNum,"regressed":$regressed,"failed":${results.size - ok.size}}"""
+    val head = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":{"""
+    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"failed":${results.size - ok.size}}"""
+    val (failedQ, succQ) = results.partition(_._2 < 0)
+    val ordered = failedQ ++ succQ.sortBy(-_._2) // failures first, then largest
+    val entries = ordered.map { case (k, v) => ("\"" + k + "\":" + r2(v), v) }
+    val fullLen = entries.map(_._1.length + 1).sum - 1
+    val qs =
+      if (head.length + fullLen + tail.length <= LineBudget) entries.map(_._1).mkString(",")
+      else {
+        val room = LineBudget - head.length - tail.length - 24 // 24 ≈ ,"_other":12345.67
+        var used = -1 // first entry has no comma
+        val kept = entries.takeWhile { case (e, _) => used += e.length + 1; used <= room }
+        val dropped = entries.drop(kept.size)
+        (kept.map(_._1) :+ ("\"_other\":" + r2(dropped.map(_._2).sum))).mkString(",")
+      }
+    head + qs + tail
   }
 
   /** Full self-policing report — per-query vs_prev ratios against the

@@ -511,6 +511,104 @@ object Relational {
     wide.select(cols: _*).orderBy("user_id")
   }
 
+  /** Wide-to-long unpivot — the inverse reshape of [[pivotActivity]]: the
+    * per-user activity matrix melted back to (user_id, metric, value)
+    * triples, the long form a metrics table or feature store ingests.
+    * Native `unpivot` plans ONE Expand pass — each wide row emits
+    * |metrics| skinny rows in a single projection, where the naive
+    * per-metric SELECT+UNION would rescan the wide frame ten times.
+    * Zero cells survive the round trip as 0, not NULL (the pivot's
+    * sentinel rule), so the pair is lossless in both directions. */
+  def unpivotActivity(s: SparkSession, d: String): DataFrame =
+    unpivotActivityOf(events(s, d))
+
+  private[graft] def unpivotActivityOf(ev: DataFrame): DataFrame = {
+    val metrics = PivotTypes.flatMap(t => Seq(s"${t}_n", s"${t}_cents"))
+    pivotActivityOf(ev)
+      .unpivot(Array(col("user_id")), metrics.map(col).toArray, "metric", "value")
+      .orderBy("user_id", "metric")
+  }
+
+  /** Rows kept per group by [[topkPerGroup]]. */
+  val GroupTopK = 3
+
+  /** Top-k rows per group — each customer's 3 largest orders. The rank
+    * predicate is written `row_number() <= k` precisely so Catalyst's
+    * InferWindowGroupLimit rewrite applies: a WindowGroupLimit node runs
+    * BEFORE the exchange and again before the window sort, keeping a
+    * k-row heap per group on the map side — the shuffle carries at most
+    * k rows per (group, upstream partition) instead of every order a
+    * customer ever placed, which is the difference between "top 3 per
+    * key" and "globally sort the fact table" at 100 TB (PlanSpec pins
+    * the node's presence). Price ranks as integer cents with an
+    * o_orderkey tiebreak — ordering comparisons are engine-exact either
+    * way (no accumulation), but the integer key keeps the whole
+    * contract in one domain. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    topkPerGroupOf(orders(s, d))
+
+  private[graft] def topkPerGroupOf(ord: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("cents").desc, col("o_orderkey"))
+    ord
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= GroupTopK)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Debounce gap for [[debounce]] (5 minutes, microseconds). */
+  val DebounceUs = 300000000L
+
+  /** Event debounce — drop an event when the SAME (user, type) fired
+    * within the previous 5 minutes: the duplicate-click / retry-storm
+    * suppressor an event pipeline runs before counting anything.
+    * Throttle semantics — the gap is measured to the previous RAW
+    * event, not the previous KEPT one (the kept-anchor variant needs a
+    * sequential scan per key; the throttle form is one `lag`). A single
+    * (user_id, event_type) exchange, no self-join, no state; the
+    * streaming twin holds exactly one timestamp per key in
+    * `flatMapGroupsWithState` (the
+    * [[graft.streaming.StreamingIngest]] running-ordinal shape). */
+  def debounce(s: SparkSession, d: String): DataFrame =
+    debounceOf(events(s, d))
+
+  private[graft] def debounceOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap_us").isNull || col("gap_us") > DebounceUs)
+      .select("event_id", "user_id", "event_type", "ts_us", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Bucket width (integer cents) and top clamp for [[histogram]]. */
+  val HistBucketCents = 5000000L // $50,000
+  val HistMaxBucket = 19L
+
+  /** Fixed-width histogram of order value — the distribution profile read
+    * before choosing sampling/quality thresholds. Bucketing is exact
+    * int64 division on cents (`div` here, `//` in the oracle — a float
+    * `floor(price/w)` invites boundary-value drift between engines),
+    * clamped into [0, 19] so the result width is bounded by
+    * construction. One narrow projection + one tiny hash aggregate:
+    * count/sum partials absorb everything map-side, so the exchange
+    * moves ≤ 20 rows per upstream partition at any corpus size. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    histogramOf(orders(s, d))
+
+  private[graft] def histogramOf(ord: DataFrame): DataFrame =
+    ord
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(col("cents"),
+        least(expr(s"cents div $HistBucketCents"), lit(HistMaxBucket)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .select(col("bucket"), (col("bucket") * HistBucketCents).as("bucket_lo_cents"),
+        col("n"), col("total_cents"))
+      .orderBy("bucket")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -531,6 +629,10 @@ object Relational {
     "rel_window_running" -> windowRunning _,
     "rel_sessionize"     -> sessionize _,
     "rel_pivot"          -> pivotActivity _,
+    "rel_unpivot"        -> unpivotActivity _,
+    "rel_topk_per_group" -> topkPerGroup _,
+    "rel_debounce"       -> debounce _,
+    "rel_histogram"      -> histogram _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -640,6 +742,53 @@ object Relational {
              |  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""".stripMargin)
           .mkString(",\n") +
         "\nFROM e GROUP BY user_id ORDER BY user_id"),
+    // The portable spelling of UNPIVOT: the rel_pivot wide CTE melted by
+    // one UNION ALL branch per metric column.
+    "rel_unpivot" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |""".stripMargin +
+        PivotTypes.map(t =>
+          s"""  COUNT(*) FILTER (WHERE event_type = '$t') AS ${t}_n,
+             |  CAST(COALESCE(SUM(cents) FILTER (WHERE event_type = '$t'), 0) AS BIGINT) AS ${t}_cents""".stripMargin)
+          .mkString(",\n") +
+        "\n  FROM e GROUP BY user_id)\n" +
+        PivotTypes.flatMap(t => Seq(s"${t}_n", s"${t}_cents"))
+          .map(m => s"SELECT user_id, '$m' AS metric, $m AS value FROM w")
+          .mkString("\nUNION ALL ") +
+        "\nORDER BY user_id, metric"),
+    "rel_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, cents, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "rel_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, ts
+        |  FROM events
+        |), g AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    ts_us - LAG(ts_us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_id, user_id, event_type, ts_us, gap_us FROM g
+        |WHERE gap_us IS NULL OR gap_us > 300000000
+        |ORDER BY event_id""".stripMargin,
+    "rel_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), b AS (
+        |  SELECT cents, LEAST(cents // 5000000, 19) AS bucket FROM c)
+        |SELECT bucket, bucket * 5000000 AS bucket_lo_cents,
+        |  COUNT(1) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // DuckDB's native range join (IEJoin) — the bucketed equi-join
     // composition must reproduce it exactly. Integer microsecond
     // arithmetic on both sides so the window boundary is engine-exact.

@@ -76,7 +76,14 @@ object TextAnalysis {
     * [[graft.functions.TextKernels.stopwordHits]] kernel — the composed
     * form (an interpreted `filter` lambda per language per row) was the
     * single most expensive text query on the bench. */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  def langId(s: SparkSession, d: String): DataFrame =
+    langScored(documents(s, d)).orderBy("doc_id")
+
+  /** The unsorted language-ID core [[langId]] and [[langMismatch]] share —
+    * split so the mismatch filter sits directly on the scoring projection
+    * (a Sort between them is NOT eliminated by Catalyst when a Filter
+    * intervenes, and it cost the mismatch query a full corpus sort). */
+  private def langScored(docs: DataFrame): DataFrame = {
     val hitsArr = graft.functions.TextKernels.stopwordHits(
       split(col("text"), " "), LangStopwords.map(_._2))
     val hits: Seq[(String, Column)] = LangStopwords.zipWithIndex.map { case ((lang, _), i) =>
@@ -86,14 +93,13 @@ object TextAnalysis {
       struct(hits.head._2.as("hits"), lit(hits.head._1).as("lang"))) { case (acc, (lang, c)) =>
         when(c > acc.getField("hits"), struct(c.as("hits"), lit(lang).as("lang"))).otherwise(acc)
     }
-    documents(s, d)
+    docs
       .withColumn("hits_arr", hitsArr)
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
         when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
           .as("predicted_lang"),
         best.getField("hits").as("stopword_hits"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------- fingerprint
@@ -484,6 +490,85 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ chunking
+
+  /** Context-window size / stride (words) for [[chunkOverlap]] — a
+    * 16-word overlap so no span boundary is ever unseen. */
+  val ChunkWords = 64
+  val ChunkStride = 48
+
+  /** Sliding-window chunking with overlap — each document split into
+    * 64-word windows every 48 words, the context-window prep step
+    * between cleaning and tokenization. Chunk starts are computed per
+    * row (`sequence` stepped by the stride, plus a tail start so the
+    * final window always reaches the document end, deduped and sorted),
+    * then posexplode fans them out — a narrow per-row expansion bounded
+    * by n_words/stride. Nothing shuffles and chunk TEXT never outlives
+    * the projection: the result carries the chunk's md5, the id the
+    * downstream dedup/tokenize stages key on, not the body. Contrast
+    * [[packSpans]]: packing concatenates ACROSS documents (a global
+    * prefix sum); chunking fans out WITHIN them (embarrassingly
+    * parallel). */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame =
+    chunkOverlapOf(documents(s, d))
+
+  private[graft] def chunkOverlapOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val lastStart = greatest(size(words) - ChunkWords, lit(0))
+    val starts = array_sort(array_distinct(concat(
+      sequence(lit(0), lastStart, lit(ChunkStride)), array(lastStart))))
+    docs
+      .select(col("doc_id"), words.as("words"), size(words).as("n"), starts.as("starts"))
+      .select(col("doc_id"), col("n"), col("words"),
+        posexplode(col("starts")).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(ChunkWords), col("n") - col("start_tok")).cast("long").as("n_tok"),
+        md5(array_join(slice(col("words"), col("start_tok") + 1, lit(ChunkWords)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // ---------------------------------------------------------- label audit
+
+  /** Language-label audit — the rows where the stopword-hit language
+    * model disagrees with the table's `lang` label: the QA sweep run
+    * before trusting provenance metadata, because [[mixResample]] keys
+    * the mixture on `lang` and mislabeled docs skew it silently. Same
+    * one-sweep kernel plan as [[langId]] with the disagreement
+    * predicate on top — at 100 TB the output is the (small) exception
+    * report, not a second corpus. */
+  def langMismatch(s: SparkSession, d: String): DataFrame =
+    langScored(documents(s, d))
+      .filter(col("predicted_lang") =!= col("labeled_lang"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- quality gate
+
+  /** Per-language median-length gate — keep documents strictly longer
+    * than their language's median: the percentile-style length filter
+    * (Gopher's rule family) in its scale-correct shape. The thresholds
+    * are a |langs|-row aggregate (exact interpolated `percentile`, the
+    * same cross-engine definition rel_percentiles pins) BROADCAST back
+    * against the corpus as a narrow filter — deliberately NOT a
+    * per-language window: `Window.partitionBy(lang)` would sort the
+    * whole corpus inside ~4 giant skewed partitions. At 100 TB the only
+    * change is `percentile` → `approx_percentile` over a sample (the
+    * threshold is a scalar; sketch rank error moves the cut a hair, not
+    * the plan). */
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    qualityGateOf(documents(s, d))
+
+  private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
+    val thresholds = docs.groupBy("lang")
+      .agg(percentile(col("n_chars"), lit(0.5)).as("median_chars"))
+    docs.join(broadcast(thresholds), "lang")
+      .filter(col("n_chars") > col("median_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("median_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -500,6 +585,9 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminate _,
     "text_mix_resample"  -> mixResample _,
     "text_surprisal"     -> surprisal _,
+    "text_chunk_overlap" -> chunkOverlap _,
+    "text_lang_mismatch" -> langMismatch _,
+    "text_quality_gate"  -> qualityGate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -713,5 +801,56 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, surprisal_bits,
         |  CAST(surprisal_bits AS DOUBLE) / n_tokens AS mean_bits
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // range(a, b, s) excludes b → +1 so an aligned last_start is kept;
+    // list slicing words[a:b] is 1-based inclusive = slice(words, a, 64).
+    "text_chunk_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, words, n, greatest(n - 64, 0) AS last_start FROM w
+        |), sx AS (
+        |  SELECT doc_id, words, n,
+        |    list_sort(list_distinct(list_append(range(0, last_start + 1, 48), last_start))) AS starts
+        |  FROM st
+        |), ex AS (
+        |  SELECT doc_id, words, n, unnest(starts) AS start_tok FROM sx
+        |)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - start_tok) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(words[start_tok + 1 : start_tok + 64], ' ')) AS chunk_md5
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_lang_mismatch" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','en','que','los','un'))) AS es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','den','ist','ein'))) AS de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','un','que','les','est'))) AS fr
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, labeled_lang,
+        |    CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es >= de AND es >= fr THEN 'es'
+        |         WHEN de >= fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+        |    CAST(greatest(en, es, de, fr) AS BIGINT) AS stopword_hits
+        |  FROM h)
+        |SELECT doc_id, labeled_lang, predicted_lang, stopword_hits FROM p
+        |WHERE predicted_lang <> labeled_lang ORDER BY doc_id""".stripMargin,
+    // quantile_cont = Spark's exact interpolated percentile (parity
+    // already pinned by rel_percentiles).
+    "text_quality_gate" ->
+      """WITH t AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT doc_id, d.lang AS lang, n_chars, median_chars
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE n_chars > median_chars
+        |ORDER BY doc_id""".stripMargin,
   )
 }

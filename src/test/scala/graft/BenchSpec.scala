@@ -62,6 +62,38 @@ class BenchSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\""))
   }
 
+  test("overflow collapses the smallest entries into _other, keeps failures and the big timings") {
+    val baseline = fakeResults.map { case (k, _) => k -> 0.001 }.toMap
+    val line = Bench.renderLine(fakeResults, baseline, "0.1")
+    // 77+ queries at 123.46s each cannot physically fit in the driver's
+    // 2000-char window — the line must degrade, not truncate
+    assert(line.contains("\"_other\":"), "expected collapse under pathological timings")
+    // shown entries + _other reconcile with the reported total (r2/r3
+    // rounding tolerance: half a cent-second per entry)
+    val shown = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(line)
+      .collect { case m if m.group(1) != "metric" && m.group(1) != "unit" => m.group(2).toDouble }
+      .toSeq
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    // shown includes value itself, sf, and failed count: recompute from the queries map only
+    val qmap = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).get.group(1)
+    val qsum = """:(-?[0-9.Ee]+)""".r.findAllMatchIn(qmap).map(_.group(1).toDouble).sum
+    assert(math.abs(qsum - total) <= 0.005 * fakeResults.size + 0.001,
+      s"collapsed map sum $qsum != total $total")
+    assert(shown.nonEmpty)
+  }
+
+  test("realistic timings keep every query visible (no collapse)") {
+    // the r7-scale shape: a few seconds-long queries, the rest sub-second
+    val realistic = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
+      case (k, i) => k -> (if (i % 10 == 0) 2.5 else 0.15)
+    }
+    val line = Bench.renderLine(realistic, Map.empty, "0.1")
+    assert(line.length <= Bench.LineBudget)
+    assert(!line.contains("\"_other\":"),
+      s"realistic line should carry every query (len ${line.length})")
+    for ((k, _) <- realistic) assert(line.contains("\"" + k + "\":"), s"missing $k")
+  }
+
   test("full vs_prev report lands in the file, not on stdout") {
     val p = Files.createTempFile("bench-report", ".json").toString
     val baseline = Map(fakeResults.head._1 -> 100.0)

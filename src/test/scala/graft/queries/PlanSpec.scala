@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("top-k per group plans a WindowGroupLimit (map-side k-row heap, not a full sort)") {
+    // row_number() <= k must trigger InferWindowGroupLimit: the limit
+    // node bounds the exchange to k rows per (group, mapper). Losing it
+    // means the shuffle carries every order a customer ever placed.
+    val plan = formatted("rel_topk_per_group")
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("quality gate broadcasts the threshold frame (no per-language corpus window)") {
+    // the medians must come back as a broadcast join against the corpus
+    // scan — a Window.partitionBy(lang) here would sort 100 TB inside
+    // ~4 skewed partitions.
+    val plan = formatted("text_quality_gate")
+    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
+    assert(!plan.contains("WindowGroupLimit") && !plan.linesIterator.exists(_.trim.endsWith(" Window")),
+      s"unexpected window over the corpus:\n$plan")
+  }
+
   test("IVF index build is exchange-free (per-row top-R assignment)") {
     // the centroid scoring + top-R selection must stay a per-row
     // expression: any Exchange here means the build went back to the

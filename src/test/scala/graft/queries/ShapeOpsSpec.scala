@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Engineered-input specs for the reshape/gate operators added in round 8:
+  * sliding-window chunking, top-k per group, debounce, histogram binning,
+  * pivot↔unpivot, and the per-language median gate. Each op also has a
+  * DuckDB oracle row (full strictness) — these tests pin the EDGE cases
+  * the synthetic corpus may not exercise (boundary gaps, tie ranks,
+  * clamped buckets, interpolated medians, single-chunk docs). */
+class ShapeOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // --------------------------------------------------------- chunking
+
+  private def docsOf(ns: Seq[Int]) =
+    ns.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("chunkOverlap tiles every doc: stride-spaced starts, full coverage, tail reaches the end") {
+    val ns = Seq(1, 30, 64, 65, 100, 112, 160)
+    val rows = TextAnalysis.chunkOverlapOf(docsOf(ns))
+      .collect().groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    assert(rows.map(_._1) == ns.indices.map(_.toLong))
+    for ((docId, chunks) <- rows) {
+      val n = ns(docId.toInt)
+      val sorted = chunks.sortBy(_.getLong(1))
+      // chunk ids are 0..k-1 in start order; first start is 0
+      assert(sorted.map(_.getLong(1)).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.head.getLong(2) == 0L)
+      val starts = sorted.map(_.getLong(2))
+      val nToks = sorted.map(_.getLong(3))
+      // every chunk is ≤ W tokens and ends within the doc; the LAST ends AT n
+      for ((st, nt) <- starts.zip(nToks)) {
+        assert(nt <= TextAnalysis.ChunkWords && nt >= 1)
+        assert(st + nt <= n)
+      }
+      assert(starts.last + nToks.last == n, s"doc $docId tail not covered")
+      // consecutive starts advance by exactly the stride except the tail snap
+      for (pair <- starts.sliding(2) if pair.length == 2)
+        assert(pair(1) - pair(0) <= TextAnalysis.ChunkStride && pair(1) > pair(0))
+      // docs at or under one window produce exactly one chunk
+      if (n <= TextAnalysis.ChunkWords) assert(sorted.length == 1)
+    }
+  }
+
+  test("chunkOverlap md5 matches the slice it names") {
+    val df = docsOf(Seq(100))
+    val chunk1 = TextAnalysis.chunkOverlapOf(df)
+      .filter($"chunk_id" === 1).head()
+    // start 36 (tail snap 100-64), 64 tokens w36..w99
+    assert(chunk1.getLong(2) == 36L && chunk1.getLong(3) == 64L)
+    val expected = df.select(
+      md5(array_join(slice(split($"text", " "), 37, 64), " "))).head().getString(0)
+    assert(chunk1.getString(4) == expected)
+  }
+
+  // ------------------------------------------------------ top-k per group
+
+  test("topkPerGroup: ties break on o_orderkey, short groups return whole group") {
+    val ord = Seq(
+      (1L, 10L, 500.0), (1L, 11L, 500.0), (1L, 12L, 500.0), (1L, 13L, 500.0),
+      (2L, 20L, 100.0), (2L, 21L, 300.0)
+    ).toDF("o_custkey", "o_orderkey", "o_totalprice")
+    val got = Relational.topkPerGroupOf(ord).collect()
+    // group 1: four equal prices → lowest three orderkeys kept, rank by key
+    assert(got.filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((10L, 1L), (11L, 2L), (12L, 3L)))
+    // group 2 has only two rows → both kept, highest price first
+    assert(got.filter(_.getLong(0) == 2L).map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((21L, 1L), (20L, 2L)))
+  }
+
+  // ------------------------------------------------------------ debounce
+
+  test("debounce: boundary gap is dropped (strictly-greater survives), types are independent") {
+    def ev(id: Long, user: Long, typ: String, sec: Long) =
+      (id, user, typ, new java.sql.Timestamp(sec * 1000L), 1.0)
+    val e = Seq(
+      ev(1, 1, "click", 0),    // keep: no predecessor
+      ev(2, 1, "click", 100),  // drop: 100 s gap
+      ev(3, 1, "click", 400),  // drop: gap from raw predecessor (t=100) is exactly 300 s
+      ev(4, 1, "click", 800),  // keep: 400 s gap
+      ev(5, 1, "view", 110),   // keep: different type, no predecessor
+      ev(6, 2, "click", 120)   // keep: different user
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val kept = Relational.debounceOf(e).select("event_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 4L, 5L, 6L))
+  }
+
+  // ----------------------------------------------------------- histogram
+
+  test("histogram: integer bucket boundaries are exact and the top bucket clamps") {
+    val w = Relational.HistBucketCents // 5_000_000 cents
+    val ord = Seq(
+      (w - 1).toDouble / 100.0,        // bucket 0 (one cent under the edge)
+      w.toDouble / 100.0,              // bucket 1 (exactly on the edge)
+      (25L * w).toDouble / 100.0,      // clamps to 19
+      0.0                              // bucket 0
+    ).toDF("o_totalprice")
+    val got = Relational.histogramOf(ord)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 19L -> 1L))
+  }
+
+  // ------------------------------------------------------------- unpivot
+
+  test("unpivot is the lossless inverse of the pivot (zero cells included)") {
+    def ev(id: Long, user: Long, typ: String, v: Double) =
+      (id, user, typ, new java.sql.Timestamp(id * 1000L), v)
+    val e = Seq(ev(1, 1, "click", 1.25), ev(2, 1, "click", 2.0), ev(3, 2, "view", 0.5))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val long = Relational.unpivotActivityOf(e).collect()
+    // every (user, metric) cell appears exactly once: 2 users × 10 metrics
+    assert(long.length == 2 * 2 * Relational.PivotTypes.size)
+    val cell = long.map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cell((1L, "click_n")) == 2L && cell((1L, "click_cents")) == 325L)
+    assert(cell((2L, "view_cents")) == 50L)
+    // a type with no events for that user melts to 0, not NULL / absent
+    assert(cell((1L, "purchase_n")) == 0L && cell((2L, "click_cents")) == 0L)
+    // round trip: re-pivoting the long form reproduces every wide cell
+    val wide = Relational.pivotActivityOf(e).collect()
+    for (r <- wide; (f, i) <- r.schema.fieldNames.zipWithIndex if f != "user_id")
+      assert(cell((r.getLong(0), f)) == r.getLong(i), s"cell $f")
+  }
+
+  // -------------------------------------------------------- quality gate
+
+  test("qualityGate: interpolated median, strict inequality, per-language thresholds") {
+    val docs = Seq(
+      // lang x: lengths 1,2,3,4 → median 2.5 → keep 3 and 4
+      (1L, "x", 1L), (2L, "x", 2L), (3L, "x", 3L), (4L, "x", 4L),
+      // lang y: all 5 → median 5 → strict > keeps nothing
+      (5L, "y", 5L), (6L, "y", 5L), (7L, "y", 5L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val kept = TextAnalysis.qualityGateOf(docs)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L, 4L))
+    val med = TextAnalysis.qualityGateOf(docs).select("median_chars")
+      .as[Double].collect()
+    assert(med.forall(_ == 2.5))
+  }
+}
