@@ -66,6 +66,17 @@ object TextKernels {
   /** Ascending-sorted xxhash64 ids of an array<string> — one pass, codegen. */
   def hashedSortedIds(grams: Column): Column =
     ColumnInterop.column(HashedSortedIds(ColumnInterop.expression(grams)))
+
+  /** Karp-Rabin base/modulus for [[WinnowFingerprints]] — sized so every
+    * intermediate (`acc·B + c` with acc < M, and the drop-term product
+    * `c·B^(k-1) mod M`) stays under 2^39: exact int64 in any engine. */
+  val WinnowBase = 256L
+  val WinnowMod = 1000000007L
+
+  /** Winnowed rolling-hash fingerprints (sorted distinct array<long>)
+    * over the raw text: k-char Karp-Rabin grams, min per w-gram window. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnInterop.column(WinnowFingerprints(ColumnInterop.expression(text), k, w))
 }
 
 /** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
@@ -400,6 +411,91 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("minhashExpr", this, classOf[MinHashSignature].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeSignature($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprints (the MOSS selection — Schleimer,
+  * Wilkerson & Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003 — the brief's "document fingerprinting
+  * (rolling hash)" in its canonical form): Karp-Rabin rolling hashes of
+  * every k-char gram, then the minimum hash of each window of w
+  * consecutive gram hashes, deduplicated and ascending-sorted. The
+  * winnowing guarantee: any substring match of length ≥ k + w − 1
+  * between two documents yields at least one SHARED fingerprint, while
+  * per-document density stays ~2/(w+1) — local, overlap-robust dedup
+  * keys that whole-document hashes (md5 fingerprint, SimHash over the
+  * global token set) cannot provide.
+  *
+  * Arithmetic is exact int64 throughout: `h = (h·B + c) mod M` with
+  * B = 256, M = 1e9+7 keeps every intermediate < 2^39, so the DuckDB
+  * oracle reproduces the residues bit-for-bit from a per-gram
+  * polynomial sum (same values, different association — pinned by the
+  * direct-polynomial reference in KernelPropertySpec). Characters are
+  * UTF-16 code units, which equal the oracle's `ord()` code points on
+  * this ASCII corpus (documented divergence for astral-plane input).
+  * Fewer grams than w ⇒ one window over all of them, matching list
+  * slicing's truncation in the oracle. One narrow rolling pass per row
+  * (O(n), not O(n·k)); nothing leaves the row until the bounded
+  * fingerprint set explodes. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"winnow_fingerprints expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  import TextKernels.{WinnowBase => B, WinnowMod => M}
+
+  /** B^(k-1) mod M — the drop-term multiplier of the rolling update. */
+  @transient private lazy val powK1: Long =
+    Iterator.iterate(1L)(p => p * B % M).drop(k - 1).next()
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val ng = n - k + 1
+    if (ng < 1) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](ng)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + str.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    var g = 1
+    while (g < ng) {
+      h = ((h - str.charAt(g - 1) * powK1 % M + M) % M * B + str.charAt(g + k - 1)) % M
+      hs(g) = h
+      g += 1
+    }
+    // one window when there are fewer grams than w (list slicing
+    // truncates the same way in the oracle)
+    val nw = math.max(ng - w + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p < nw) {
+      var min = Long.MaxValue
+      var q = p
+      val end = math.min(p + w, ng)
+      while (q < end) { if (hs(q) < min) min = hs(q); q += 1 }
+      set.add(min)
+      p += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -530,6 +530,33 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // ----------------------------------------------------------- winnowing
+
+  /** Gram width / window for [[winnow]]: shared substrings of
+    * k + w − 1 = 11+ chars are guaranteed to collide on a fingerprint. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Winnowed rolling-hash fingerprints — the LOCAL member of the
+    * fingerprint family ([[fingerprint]] hashes the whole normalized
+    * doc, [[simhash]] sketches the global token set; winnowing keeps
+    * ~2/(w+1) of the k-gram Karp-Rabin hashes, so PARTIAL overlap — a
+    * copied paragraph inside an otherwise-new doc — still collides on a
+    * shared key). Output is the exploded (doc_id, fingerprint) posting
+    * list: exactly the frame an inverted fingerprint index or a
+    * copy-detection bucket join consumes, under the same
+    * skinny-int64-only shuffle discipline as the gram-id joins. Per-row
+    * work is one rolling O(n) pass in the codegen'd
+    * [[graft.functions.WinnowFingerprints]] kernel. */
+  def winnow(s: SparkSession, d: String): DataFrame =
+    winnowOf(documents(s, d))
+
+  private[graft] def winnowOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextKernels.winnowFingerprints(
+          col("text"), WinnowK, WinnowW)).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+
   // ---------------------------------------------------------- label audit
 
   /** Language-label audit — the rows where the stopword-hit language
@@ -588,6 +615,7 @@ object TextAnalysis {
     "text_chunk_overlap" -> chunkOverlap _,
     "text_lang_mismatch" -> langMismatch _,
     "text_quality_gate"  -> qualityGate _,
+    "text_winnow"        -> winnow _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -841,6 +869,32 @@ object TextAnalysis {
         |  FROM h)
         |SELECT doc_id, labeled_lang, predicted_lang, stopword_hits FROM p
         |WHERE predicted_lang <> labeled_lang ORDER BY doc_id""".stripMargin,
+    // Same Karp-Rabin residues as the rolling kernel, spelled as a
+    // per-gram polynomial sum (ord·B^j literals precomputed mod M; every
+    // term < 2^39 and the 8-term sum < 2^42, exact BIGINT — the CASTs
+    // matter: ord() is INT32 and overflows on the bare product). List
+    // slicing truncates short windows exactly like the kernel.
+    "text_winnow" -> {
+      val b = graft.functions.TextKernels.WinnowBase
+      val m = graft.functions.TextKernels.WinnowMod
+      val pows = Iterator.iterate(1L)(p => p * b % m).take(WinnowK).toSeq.reverse
+      val terms = pows.zipWithIndex
+        .map { case (p, j) => s"ord(text[i+$j]) * CAST($p AS BIGINT)" }.mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT doc_id, text, len(text) AS n FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    [($terms) % $m for i in range(1, n - $WinnowK + 2)] AS hs
+         |  FROM g
+         |), wm AS (
+         |  SELECT doc_id,
+         |    [list_min(hs[i:i+${WinnowW - 1}]) for i in
+         |     range(1, greatest(len(hs) - $WinnowW + 1, least(len(hs), 1)) + 1)] AS mins
+         |  FROM h
+         |)
+         |SELECT doc_id, CAST(unnest(list_sort(list_distinct(mins))) AS BIGINT) AS fingerprint
+         |FROM wm ORDER BY doc_id, fingerprint""".stripMargin
+    },
     // quantile_cont = Spark's exact interpolated percentile (parity
     // already pinned by rel_percentiles).
     "text_quality_gate" ->
