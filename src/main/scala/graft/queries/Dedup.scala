@@ -641,8 +641,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- winnow copy detection
+
+  /** Drop fingerprints shared by more than this many documents before the
+    * pair join: the winnow analogue of [[MaxBucketSize]]. Unlike the LSH
+    * cap (a recall trade), this one is also a SIGNAL rule — a fingerprint
+    * carried by a large fraction of the corpus is boilerplate (the
+    * stop-gram of rolling hashes) and says nothing about copying between
+    * any particular pair. Corollary, documented deliberately: a block of
+    * IDENTICAL documents larger than the cap produces NO pairs here —
+    * byte-identical duplication belongs to [[Relational.dedupExact]];
+    * this operator exists for PARTIAL overlap. */
+  val WinnowPairCap = 20
+
+  /** Minimum shared fingerprints for a reported pair (≈ threshold·density:
+    * 8 survivors ≈ a few hundred chars of copied text at k=8, w=4). */
+  val WinnowMinShared = 8
+
+  /** Copy-detection pairs over the winnowed fingerprint posting list —
+    * document pairs sharing ≥ [[WinnowMinShared]] local fingerprints:
+    * the MOSS-style "who copied whom" join, and the consumer the
+    * [[TextAnalysis.winnow]] posting list exists for. Plan shape: the
+    * document-frequency filter and the self-join both key on
+    * `fingerprint`, so the exchange is reused; after the cap each
+    * fingerprint contributes ≤ cap²/2 candidate rows (never quadratic in
+    * the corpus), and only (int64, int64) pairs ever shuffle — text
+    * stays in the scan. The pair aggregate is a map-side-combinable
+    * count keyed on the pair. */
+  def winnowPairs(s: SparkSession, d: String): DataFrame =
+    winnowPairsOf(documents(s, d))
+
+  private[graft] def winnowPairsOf(docs: DataFrame,
+                                   cap: Int = WinnowPairCap,
+                                   minShared: Int = WinnowMinShared): DataFrame = {
+    val posts = TextAnalysis.winnowPostings(docs)
+    val kept = posts.groupBy("fingerprint")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("fingerprint")
+    val pruned = posts.join(kept, "fingerprint")
+    val a = pruned.select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val b = pruned.select(col("fingerprint"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh"    -> minhashLshPairs _,
+    "dedup_winnow"         -> winnowPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
     "dedup_keep_best"      -> keepBest _,
@@ -652,6 +702,22 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Built on the SAME winnow-posting CTE text as the text_winnow oracle
+    // (TextAnalysis.winnowPostingsSql — the fingerprint definition cannot
+    // drift between the two rows); cap + threshold replicated exactly, so
+    // this row is full strictness, not recall-only.
+    "dedup_winnow" ->
+      s"""WITH ${TextAnalysis.winnowPostingsSql},
+         |keep AS (
+         |  SELECT fingerprint FROM postings
+         |  GROUP BY fingerprint HAVING COUNT(*) <= $WinnowPairCap
+         |), pp AS (
+         |  SELECT postings.* FROM postings JOIN keep USING (fingerprint)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM pp a JOIN pp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // Brute-force all-pairs n-gram Jaccard — the ground truth LSH must hit.
     "dedup_minhash_lsh" ->
       """WITH w AS (

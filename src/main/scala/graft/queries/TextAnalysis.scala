@@ -552,10 +552,41 @@ object TextAnalysis {
     winnowOf(documents(s, d))
 
   private[graft] def winnowOf(docs: DataFrame): DataFrame =
+    winnowPostings(docs).orderBy("doc_id", "fingerprint")
+
+  /** The unsorted (doc_id, fingerprint) posting list [[winnow]] and
+    * [[Dedup.winnowPairs]] share. */
+  private[graft] def winnowPostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(graft.functions.TextKernels.winnowFingerprints(
-          col("text"), WinnowK, WinnowW)).as("fingerprint"))
-      .orderBy("doc_id", "fingerprint")
+      explode(graft.functions.TextKernels.winnowFingerprints(
+        col("text"), WinnowK, WinnowW)).as("fingerprint"))
+
+  /** The winnow posting-list construction as DuckDB CTEs (`g`/`h`/`wm`
+    * plus the exploded `postings`) — shared by the `text_winnow` and
+    * `dedup_winnow` oracles so the fingerprint definition cannot drift
+    * between them. */
+  private[graft] lazy val winnowPostingsSql: String = {
+    val b = graft.functions.TextKernels.WinnowBase
+    val m = graft.functions.TextKernels.WinnowMod
+    val pows = Iterator.iterate(1L)(p => p * b % m).take(WinnowK).toSeq.reverse
+    val terms = pows.zipWithIndex
+      .map { case (p, j) => s"ord(text[i+$j]) * CAST($p AS BIGINT)" }.mkString(" + ")
+    s"""g AS (
+       |  SELECT doc_id, text, len(text) AS n FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    [($terms) % $m for i in range(1, n - $WinnowK + 2)] AS hs
+       |  FROM g
+       |), wm AS (
+       |  SELECT doc_id,
+       |    [list_min(hs[i:i+${WinnowW - 1}]) for i in
+       |     range(1, greatest(len(hs) - $WinnowW + 1, least(len(hs), 1)) + 1)] AS mins
+       |  FROM h
+       |), postings AS (
+       |  SELECT doc_id, CAST(unnest(list_sort(list_distinct(mins))) AS BIGINT) AS fingerprint
+       |  FROM wm
+       |)""".stripMargin
+  }
 
   // ---------------------------------------------------------- label audit
 
@@ -874,27 +905,10 @@ object TextAnalysis {
     // term < 2^39 and the 8-term sum < 2^42, exact BIGINT — the CASTs
     // matter: ord() is INT32 and overflows on the bare product). List
     // slicing truncates short windows exactly like the kernel.
-    "text_winnow" -> {
-      val b = graft.functions.TextKernels.WinnowBase
-      val m = graft.functions.TextKernels.WinnowMod
-      val pows = Iterator.iterate(1L)(p => p * b % m).take(WinnowK).toSeq.reverse
-      val terms = pows.zipWithIndex
-        .map { case (p, j) => s"ord(text[i+$j]) * CAST($p AS BIGINT)" }.mkString(" + ")
-      s"""WITH g AS (
-         |  SELECT doc_id, text, len(text) AS n FROM documents
-         |), h AS (
-         |  SELECT doc_id,
-         |    [($terms) % $m for i in range(1, n - $WinnowK + 2)] AS hs
-         |  FROM g
-         |), wm AS (
-         |  SELECT doc_id,
-         |    [list_min(hs[i:i+${WinnowW - 1}]) for i in
-         |     range(1, greatest(len(hs) - $WinnowW + 1, least(len(hs), 1)) + 1)] AS mins
-         |  FROM h
-         |)
-         |SELECT doc_id, CAST(unnest(list_sort(list_distinct(mins))) AS BIGINT) AS fingerprint
-         |FROM wm ORDER BY doc_id, fingerprint""".stripMargin
-    },
+    "text_winnow" ->
+      s"""WITH $winnowPostingsSql
+         |SELECT doc_id, fingerprint FROM postings
+         |ORDER BY doc_id, fingerprint""".stripMargin,
     // quantile_cont = Spark's exact interpolated percentile (parity
     // already pinned by rel_percentiles).
     "text_quality_gate" ->

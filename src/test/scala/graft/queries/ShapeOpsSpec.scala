@@ -128,6 +128,33 @@ class ShapeOpsSpec extends SparkSpec {
       assert(cell((r.getLong(0), f)) == r.getLong(i), s"cell $f")
   }
 
+  // ------------------------------------------------- winnow copy pairs
+
+  test("winnowPairs: copied block is found, disjoint docs are not, cap silences identical blocks") {
+    val rnd = new scala.util.Random(11)
+    def rs(alpha: String, n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val copied = rs("xyzw", 120)
+    val docs = Seq(
+      (0L, rs("abcd", 80) + copied + rs("abcd", 80)),   // copier A
+      (1L, rs("efgh", 60) + copied + rs("efgh", 100)),  // copier B
+      (2L, rs("ijkl", 200)),                            // unrelated
+      (3L, rs("mnop", 200))                             // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsOf(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)), s"got $pairs")
+
+    // a block of identical docs LARGER than the cap produces no pairs:
+    // every fingerprint's document frequency exceeds the cap, exactly the
+    // bounded behavior (identical docs belong to exact dedup)
+    val same = rs("qrst", 150)
+    val block = (0 until 30).map(i => (i.toLong, same)).toDF("doc_id", "text")
+    assert(Dedup.winnowPairsOf(block).count() == 0)
+    // under a loose cap the same block explodes into all-pairs — the cap
+    // is what stands between this plan and quadratic candidates
+    assert(Dedup.winnowPairsOf(block, cap = 1000).count() == 30L * 29 / 2)
+  }
+
   // -------------------------------------------------------- quality gate
 
   test("qualityGate: interpolated median, strict inequality, per-language thresholds") {
