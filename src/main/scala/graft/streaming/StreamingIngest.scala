@@ -123,4 +123,39 @@ object StreamingIngest {
           out.iterator
       }
   }
+
+  case class DebounceKey(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
+  case class DebounceState(lastUs: Long)
+  case class DebounceOut(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
+
+  /** Streaming debounce — the continuous twin of
+    * [[graft.queries.Relational.debounce]]: an event is emitted only when
+    * the previous event of the same (user, type) is more than `gapUs`
+    * older. The batch form is one `lag` window; here the "previous raw
+    * event" is custom cross-batch state, and — exactly as the batch
+    * scaladoc promises — that state is ONE timestamp per key: bounded by
+    * the (user × type) key space, not the stream length, with no
+    * watermark to size because the state never grows per event. Events
+    * within a batch are ordered by (ts_us, event_id) before the gap test,
+    * so replays are deterministic; the carried state is the last RAW
+    * event's timestamp (throttle semantics — batch-identical). */
+  def debounceStream(events: Dataset[DebounceKey],
+                     gapUs: Long = graft.queries.Relational.DebounceUs): Dataset[DebounceOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((user, typ), rows, state: GroupState[DebounceState]) =>
+          var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[DebounceOut]
+          for (r <- rows.toSeq.sortBy(e => (e.ts_us, e.event_id))) {
+            if (last == Long.MinValue || r.ts_us - last > gapUs)
+              out += DebounceOut(user, typ, r.event_id, r.ts_us)
+            last = r.ts_us
+          }
+          state.update(DebounceState(last))
+          out.result().iterator
+      }
+  }
 }

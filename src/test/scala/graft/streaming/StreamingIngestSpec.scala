@@ -133,6 +133,34 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming debounce matches batch throttle semantics across batches (one-timestamp state)") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    import StreamingIngest.DebounceKey
+    val input = MemoryStream[DebounceKey]
+    val q = StreamingIngest.debounceStream(input.toDS(), gapUs = 300L)
+      .writeStream.format("memory").queryName("deb_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: keep t=0 (no predecessor), drop t=100; the other type keeps
+      input.addData(
+        DebounceKey(1L, "click", 1L, 0L), DebounceKey(1L, "click", 2L, 100L),
+        DebounceKey(1L, "view", 5L, 110L))
+      q.processAllAvailable()
+      // batch 2: t=400 measures its gap against the RAW t=100 carried in
+      // state (gap 300, not strictly greater -> drop); t=800 keeps
+      input.addData(
+        DebounceKey(1L, "click", 3L, 400L), DebounceKey(1L, "click", 4L, 800L),
+        DebounceKey(2L, "click", 6L, 120L))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT event_id FROM deb_out")
+        .collect().map(_.getLong(0)).toSet
+      // identical to Relational.debounceOf on the same events (ShapeOpsSpec)
+      assert(kept == Set(1L, 4L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: in-window same-user purchases attach, others drop") {
     val sql = spark.sqlContext
     import sql.implicits._
