@@ -609,6 +609,71 @@ object Relational {
         col("n"), col("total_cents"))
       .orderBy("bucket")
 
+  /** Ordered funnel stages for [[funnel]]. */
+  val FunnelStages = Seq("signup", "click", "purchase")
+
+  /** Ordered event funnel — how many users did signup, then (strictly
+    * later) clicked, then (strictly later) purchased. The whole funnel
+    * reduces to per-user FIRST timestamps per stage (a conditional `min`
+    * per stage — one hash aggregate keyed on user_id, map-side
+    * combinable, the event log is scanned ONCE), then the stage
+    * comparisons are a narrow projection and the final counts one more
+    * tiny aggregate. No window, no self-join per stage — the naive
+    * "join the log to itself per funnel step" plan pays |stages| − 1
+    * shuffles of the full log and explodes on hot users. Strict `<`
+    * between stages (a same-microsecond pair does not count as
+    * progression) — replicated in the oracle. */
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelOf(events(s, d))
+
+  private[graft] def funnelOf(ev: DataFrame): DataFrame = {
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val firsts = ev
+      .filter(col("event_type").isin(FunnelStages: _*))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === FunnelStages(0), tsUs)).as("t0"),
+        min(when(col("event_type") === FunnelStages(1), tsUs)).as("t1"),
+        min(when(col("event_type") === FunnelStages(2), tsUs)).as("t2"))
+    val s1 = col("t0").isNotNull
+    val s2 = s1 && col("t1").isNotNull && col("t1") > col("t0")
+    val s3 = s2 && col("t2").isNotNull && col("t2") > col("t1")
+    firsts.agg(
+      sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(s2, 1L).otherwise(0L)).as("n_then_click"),
+      sum(when(s3, 1L).otherwise(0L)).as("n_then_purchase"))
+  }
+
+  /** Week length in microseconds and the offset horizon for
+    * [[retention]]. */
+  val WeekUs = 604800000000L
+  val RetentionMaxWeeks = 8L
+
+  /** Weekly cohort retention — users grouped by the epoch-week of their
+    * FIRST event; for each cohort, how many distinct users were active
+    * 0, 1, … weeks later. Two aggregates and one join: first-event per
+    * user (hash agg on user_id), activity weeks joined back on user_id
+    * (both sides already key on user_id — one co-partitioned exchange
+    * pair), then exact `count_distinct` per (cohort, offset). Weeks are
+    * integer `div` of epoch-microseconds — no calendar/timezone logic to
+    * disagree over. At 100 TB the distinct-count flips to
+    * `approx_count_distinct` (the [[approxDistinct]] row documents that
+    * trade); the exact form is the oracle-able ground truth. */
+  def retention(s: SparkSession, d: String): DataFrame =
+    retentionOf(events(s, d))
+
+  private[graft] def retentionOf(ev: DataFrame): DataFrame = {
+    val weeks = ev.select(col("user_id"),
+      expr(s"unix_micros(cast(ts as timestamp)) div $WeekUs").as("wk"))
+    val cohorts = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    weeks.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .filter(col("week_offset") <= RetentionMaxWeeks)
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,6 +698,8 @@ object Relational {
     "rel_topk_per_group" -> topkPerGroup _,
     "rel_debounce"       -> debounce _,
     "rel_histogram"      -> histogram _,
+    "rel_funnel"         -> funnel _,
+    "rel_retention"      -> retention _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -781,6 +848,34 @@ object Relational {
         |SELECT event_id, user_id, event_type, ts_us, gap_us FROM g
         |WHERE gap_us IS NULL OR gap_us > 300000000
         |ORDER BY event_id""".stripMargin,
+    "rel_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t0,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2
+        |  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+        |  GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_then_click,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+        |      AND t2 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_then_purchase
+        |FROM f""".stripMargin,
+    "rel_retention" ->
+      """WITH w AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id
+        |)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  COUNT(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |WHERE wk - cohort_wk <= 8
+        |GROUP BY cohort_wk, week_offset
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
     "rel_histogram" ->
       """WITH c AS (
         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders

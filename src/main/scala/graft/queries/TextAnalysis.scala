@@ -602,6 +602,18 @@ object TextAnalysis {
       .filter(col("predicted_lang") =!= col("labeled_lang"))
       .orderBy("doc_id")
 
+  /** Language confusion matrix — (labeled, predicted) counts over the
+    * whole corpus: the aggregate companion of [[langMismatch]] (that one
+    * lists the exceptions; this one sizes them — "how often is labeled
+    * `es` predicted `en`?", the number a mixture owner checks before
+    * trusting either source). One tiny hash aggregate on a ≤ |langs|²
+    * key space: partials absorb everything map-side. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    langScored(documents(s, d))
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("labeled_lang", "predicted_lang")
+
   // --------------------------------------------------------- quality gate
 
   /** Per-language median-length gate — keep documents strictly longer
@@ -645,6 +657,7 @@ object TextAnalysis {
     "text_surprisal"     -> surprisal _,
     "text_chunk_overlap" -> chunkOverlap _,
     "text_lang_mismatch" -> langMismatch _,
+    "text_lang_confusion" -> langConfusion _,
     "text_quality_gate"  -> qualityGate _,
     "text_winnow"        -> winnow _,
   )
@@ -900,6 +913,24 @@ object TextAnalysis {
         |  FROM h)
         |SELECT doc_id, labeled_lang, predicted_lang, stopword_hits FROM p
         |WHERE predicted_lang <> labeled_lang ORDER BY doc_id""".stripMargin,
+    "text_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','en','que','los','un'))) AS es,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','den','ist','ein'))) AS de,
+        |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','de','et','un','que','les','est'))) AS fr
+        |  FROM documents
+        |), p AS (
+        |  SELECT labeled_lang,
+        |    CASE WHEN greatest(en, es, de, fr) = 0 THEN 'und'
+        |         WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+        |         WHEN es >= de AND es >= fr THEN 'es'
+        |         WHEN de >= fr THEN 'de' ELSE 'fr' END AS predicted_lang
+        |  FROM h)
+        |SELECT labeled_lang, predicted_lang, COUNT(1) AS n FROM p
+        |GROUP BY labeled_lang, predicted_lang
+        |ORDER BY labeled_lang, predicted_lang""".stripMargin,
     // Same Karp-Rabin residues as the rolling kernel, spelled as a
     // per-gram polynomial sum (ord·B^j literals precomputed mod M; every
     // term < 2^39 and the 8-term sum < 2^42, exact BIGINT — the CASTs

@@ -128,6 +128,43 @@ class ShapeOpsSpec extends SparkSpec {
       assert(cell((r.getLong(0), f)) == r.getLong(i), s"cell $f")
   }
 
+  // ------------------------------------------------- funnel / retention
+
+  private def evf(id: Long, user: Long, typ: String, sec: Long) =
+    (id, user, typ, new java.sql.Timestamp(sec * 1000L), 1.0)
+
+  test("funnel: strict ordering between first timestamps, stages are cumulative") {
+    val e = Seq(
+      // user 1 completes the funnel in order
+      evf(1, 1, "signup", 0), evf(2, 1, "click", 10), evf(3, 1, "purchase", 20),
+      // user 2: clicked BEFORE signing up → stops at stage 1
+      evf(4, 2, "click", 5), evf(5, 2, "signup", 6), evf(6, 2, "purchase", 50),
+      // user 3: same-second signup+click → strict < rejects progression
+      evf(7, 3, "signup", 30), evf(8, 3, "click", 30),
+      // user 4: never signed up → no stage at all
+      evf(9, 4, "click", 1), evf(10, 4, "purchase", 2),
+      // user 5: signup then click, no purchase
+      evf(11, 5, "signup", 0), evf(12, 5, "click", 100)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val r = Relational.funnelOf(e).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 2L, 1L))
+  }
+
+  test("retention: cohort = first-event week, offsets count distinct users") {
+    val wk = 604800L // seconds per week
+    val e = Seq(
+      // users 1,2 start week 0; user 1 returns weeks 1 and 2, user 2 only week 2
+      evf(1, 1, "click", 0), evf(2, 1, "view", wk + 5), evf(3, 1, "click", 2 * wk + 5),
+      evf(4, 2, "click", 10), evf(5, 2, "click", 2 * wk + 50),
+      // user 3 starts week 1, never returns; two events same week count once
+      evf(6, 3, "view", wk + 100), evf(7, 3, "click", wk + 200)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Relational.retentionOf(e)
+      .select("cohort_wk", "week_offset", "n_users").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
+  }
+
   // ------------------------------------------------- winnow copy pairs
 
   test("winnowPairs: copied block is found, disjoint docs are not, cap silences identical blocks") {
