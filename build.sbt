@@ -15,6 +15,11 @@ run / fork := true
 // logger): the driver parses graft.Bench's single JSON line from stdout,
 // and a `[info] ` prefix breaks json parsing (BENCH_r02.json parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." trailer (~76 chars) must
+// not print AFTER it: the driver keeps exactly the last 2000 chars of
+// combined output, so every trailer char shrinks the room the JSON line
+// has to survive (Bench.LineBudget). rc still reports success/failure.
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,12 +41,13 @@ object Bench {
   val RegressThreshold = 1.5
   /** Hard budget for the stdout JSON line (chars). Measured from the
     * BENCH_r05–r07 artifacts: the driver keeps EXACTLY the last 2000
-    * chars of the combined stdout+stderr stream, and sbt's `[success]
-    * Total time: …` trailer (~76 chars, length varies with the elapsed
-    * string) prints AFTER our line — so the line itself must stay under
-    * ~1900. 1880 leaves trailer-variance margin. [[renderLine]] ENFORCES
-    * the budget: entries that would overflow collapse into `"_other"`. */
-  val LineBudget = 1880
+    * chars of the combined stdout+stderr stream. sbt's `[success]`
+    * trailer is suppressed (`showSuccess := false` in build.sbt) and
+    * Spark logs at ERROR during the run, so the JSON line is the last
+    * thing printed; 1950 leaves a 50-char cushion for any stray final
+    * output. [[renderLine]] ENFORCES the budget: entries that would
+    * overflow collapse into `"_other"`. */
+  val LineBudget = 1970
   /** Where the full report (vs_prev, baseline size, re-measures) lands. */
   val ReportPath = "bench_report.json"
   /** A query lands in `regressed` only when BOTH the ratio exceeds

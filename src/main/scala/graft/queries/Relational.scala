@@ -674,6 +674,36 @@ object Relational {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Robust outlier detection per group — flag events whose value sits
+    * more than 3 scaled MADs from the per-type median (the
+    * median-absolute-deviation rule: unlike mean ± k·σ, one huge outlier
+    * cannot drag the threshold that is supposed to catch it — median and
+    * MAD each have a 50 % breakdown point; 1.4826 rescales MAD to σ
+    * under normality). Both statistics are exact interpolated
+    * percentiles (the rel_percentiles cross-engine parity) over a
+    * handful of groups, each BROADCAST back as a narrow filter — the
+    * same threshold-broadcast shape as the quality gate, never a
+    * per-group window. The threshold product `3.0 · 1.4826 · mad`
+    * multiplies left-to-right in both engines — IEEE-exact boundary.
+    * Two passes over the event scan (deviations need the median first);
+    * at 100 TB both medians flip to `approx_percentile` on a sample and
+    * the second pass fuses with the first consumer. */
+  def outliers(s: SparkSession, d: String): DataFrame =
+    outliersOf(events(s, d))
+
+  private[graft] def outliersOf(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = base.groupBy("event_type").agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type").agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+      .select("event_id", "event_type", "cents", "med", "mad")
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,6 +730,7 @@ object Relational {
     "rel_histogram"      -> histogram _,
     "rel_funnel"         -> funnel _,
     "rel_retention"      -> retention _,
+    "rel_outliers"       -> outliers _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -876,6 +907,26 @@ object Relational {
         |WHERE wk - cohort_wk <= 8
         |GROUP BY cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+    // quantile_cont == Spark's exact percentile (parity pinned by
+    // rel_percentiles); the threshold multiplies 3.0 * 1.4826 * mad
+    // left-to-right exactly like the Spark filter.
+    "rel_outliers" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, quantile_cont(cents, 0.5) AS med FROM c GROUP BY event_type
+        |), dev AS (
+        |  SELECT c.event_id, c.event_type, c.cents, med.med,
+        |    ABS(CAST(c.cents AS DOUBLE) - med.med) AS adev
+        |  FROM c JOIN med USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+        |)
+        |SELECT event_id, dev.event_type AS event_type, cents, med, mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE adev > 3.0 * 1.4826 * mad
+        |ORDER BY event_id""".stripMargin,
     "rel_histogram" ->
       """WITH c AS (
         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders

@@ -82,16 +82,22 @@ class BenchSpec extends AnyFunSuite {
     assert(shown.nonEmpty)
   }
 
-  test("realistic timings keep every query visible (no collapse)") {
-    // the r7-scale shape: a few seconds-long queries, the rest sub-second
+  test("realistic timings keep the signal visible: every slow query named, only the tail folds") {
+    // the r7-scale shape: a few seconds-long queries, the rest sub-second.
+    // Past ~80 registered queries the FULL map physically cannot fit the
+    // driver's 2000-char window, so the invariant is not "no collapse" —
+    // it is "nothing that costs time is ever hidden, and the fold stays
+    // a short cheap tail".
     val realistic = SparkEntry.queries.keys.toSeq.sorted.zipWithIndex.map {
       case (k, i) => k -> (if (i % 10 == 0) 2.5 else 0.15)
     }
     val line = Bench.renderLine(realistic, Map.empty, "0.1")
     assert(line.length <= Bench.LineBudget)
-    assert(!line.contains("\"_other\":"),
-      s"realistic line should carry every query (len ${line.length})")
-    for ((k, _) <- realistic) assert(line.contains("\"" + k + "\":"), s"missing $k")
+    for ((k, v) <- realistic if v >= 0.5)
+      assert(line.contains("\"" + k + "\":"), s"slow query $k missing from the line")
+    val shown = """"([a-z0-9_]+)":""".r.findAllMatchIn(line).map(_.group(1)).toSet
+    val hidden = realistic.collect { case (k, _) if !shown(k) => k }
+    assert(hidden.size <= 10, s"too many queries folded into _other: $hidden")
   }
 
   test("full vs_prev report lands in the file, not on stdout") {

@@ -64,22 +64,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("top-k per group plans a WindowGroupLimit (map-side k-row heap, not a full sort)") {
+  test("top-k rank filters plan a WindowGroupLimit (map-side k-row heap, not a full sort)") {
     // row_number() <= k must trigger InferWindowGroupLimit: the limit
     // node bounds the exchange to k rows per (group, mapper). Losing it
-    // means the shuffle carries every order a customer ever placed.
-    val plan = formatted("rel_topk_per_group")
-    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    // means the shuffle carries every row a group ever had.
+    for (q <- Seq("rel_topk_per_group", "text_tfidf_topk")) {
+      val plan = formatted(q)
+      assert(plan.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit:\n$plan")
+    }
   }
 
-  test("quality gate broadcasts the threshold frame (no per-language corpus window)") {
-    // the medians must come back as a broadcast join against the corpus
-    // scan — a Window.partitionBy(lang) here would sort 100 TB inside
-    // ~4 skewed partitions.
-    val plan = formatted("text_quality_gate")
-    assert(plan.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$plan")
-    assert(!plan.contains("WindowGroupLimit") && !plan.linesIterator.exists(_.trim.endsWith(" Window")),
-      s"unexpected window over the corpus:\n$plan")
+  test("threshold frames broadcast back (no per-group corpus window): gate, outliers, tf-idf vocab") {
+    // per-group statistics (medians, MADs, document frequencies) must
+    // return as broadcast joins against the big scan — a
+    // Window.partitionBy(group) would sort the corpus inside a handful
+    // of skewed partitions.
+    for (q <- Seq("text_quality_gate", "rel_outliers", "text_tfidf_topk")) {
+      val plan = formatted(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: stats join not broadcast:\n$plan")
+    }
+    // the gate and the outlier flagger have no rank stage at all — any
+    // Window node is a regression (tf-idf's own WindowGroupLimit is
+    // asserted above)
+    for (q <- Seq("text_quality_gate", "rel_outliers")) {
+      val plan = formatted(q)
+      assert(!plan.contains("WindowGroupLimit") && !plan.linesIterator.exists(_.trim.endsWith(" Window")),
+        s"$q: unexpected window over the corpus:\n$plan")
+    }
   }
 
   test("IVF index build is exchange-free (per-row top-R assignment)") {
@@ -103,7 +114,8 @@ class PlanSpec extends SparkSpec {
     // wasted IO. ReadSchema must exclude them.
     for (q <- Seq("text_ngram_topk", "text_repetition", "text_pack_spans",
         "dedup_minhash_lsh", "dedup_simhash", "text_bm25", "text_decontaminate",
-        "text_surprisal", "text_mix_resample")) {
+        "text_surprisal", "text_mix_resample",
+        "text_winnow", "dedup_winnow", "text_chunk_overlap", "text_tfidf_topk")) {
       val read = formatted(q).linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
       assert(read.nonEmpty, s"$q: no ReadSchema line")
       assert(!read.contains("source") && !read.contains("n_chars"),

@@ -165,6 +165,42 @@ class ShapeOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L), (1L, 0L, 1L)))
   }
 
+  // ------------------------------------------------- outliers / tf-idf
+
+  test("outliers: MAD flags the extreme, is not dragged by it, groups are independent") {
+    // type A: cents 100..900 step 100 plus one 100000 — median 500,
+    // deviations {400,300,200,100,0,...,99500} → MAD 300; threshold
+    // 3·1.4826·300 = 1334.34 flags ONLY the extreme (a mean ± 3σ rule
+    // would let the outlier inflate σ toward hiding itself).
+    val a = (1 to 9).map(i => (i.toLong, "A", i * 1.0)) :+ (10L, "A", 1000.0)
+    // type B: all equal → MAD 0 → nothing flagged (0 > 0 is false)
+    val b = (11 to 15).map(i => (i.toLong, "B", 7.0))
+    val e = (a ++ b).map { case (id, t, v) =>
+      (id, t, new java.sql.Timestamp(id * 1000L), v)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val got = Relational.outliersOf(e).select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(10L))
+  }
+
+  test("tfidfKeywords: rare terms outrank common ones, ties break on term, k bounds each doc") {
+    val docs = Seq(
+      (0L, "apple apple banana shared shared shared"),
+      (1L, "banana cherry shared shared"),
+      (2L, "shared shared shared shared")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywordsOf(docs, nDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // doc 0: apple tf=2 df=1 → 2·(4/2)=4 ; banana tf=1 df=2 → 4/3 ;
+    //        shared tf=3 df=3 → 3·1=3 → order apple(4), shared(3), banana(4/3)
+    assert(got.filter(_._1 == 0L).map(t => (t._3, t._4)).toSeq ==
+      Seq(("apple", 4.0), ("shared", 3.0), ("banana", 4.0 / 3.0)))
+    // doc 1: banana 4/3 == cherry tf=1 df=1 → 2.0 ; shared 2·1=2.0 —
+    //        cherry and shared TIE at 2.0 → term asc puts cherry first
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq == Seq("cherry", "shared", "banana"))
+    // doc 2 has one distinct term → one row, not padded to k
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq("shared"))
+  }
+
   // ------------------------------------------------- winnow copy pairs
 
   test("winnowPairs: copied block is found, disjoint docs are not, cap silences identical blocks") {
