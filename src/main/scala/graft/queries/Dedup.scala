@@ -669,12 +669,16 @@ object Dedup {
     * stays in the scan. The pair aggregate is a map-side-combinable
     * count keyed on the pair. */
   def winnowPairs(s: SparkSession, d: String): DataFrame =
-    winnowPairsOf(documents(s, d))
+    winnowPairsFromPosts(TextAnalysis.winnowPostingsCached(s, d))
 
   private[graft] def winnowPairsOf(docs: DataFrame,
                                    cap: Int = WinnowPairCap,
+                                   minShared: Int = WinnowMinShared): DataFrame =
+    winnowPairsFromPosts(TextAnalysis.winnowPostings(docs), cap, minShared)
+
+  private def winnowPairsFromPosts(posts: DataFrame,
+                                   cap: Int = WinnowPairCap,
                                    minShared: Int = WinnowMinShared): DataFrame = {
-    val posts = TextAnalysis.winnowPostings(docs)
     val kept = posts.groupBy("fingerprint")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)

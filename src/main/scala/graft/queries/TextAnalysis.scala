@@ -561,10 +561,17 @@ object TextAnalysis {
     * work is one rolling O(n) pass in the codegen'd
     * [[graft.functions.WinnowFingerprints]] kernel. */
   def winnow(s: SparkSession, d: String): DataFrame =
-    winnowOf(documents(s, d))
+    winnowPostingsCached(s, d).orderBy("doc_id", "fingerprint")
 
   private[graft] def winnowOf(docs: DataFrame): DataFrame =
     winnowPostings(docs).orderBy("doc_id", "fingerprint")
+
+  /** The winnow posting list IS an index — memoized per (session, corpus)
+    * like the LSH/ANN signature frames, because [[winnow]] and
+    * [[Dedup.winnowPairs]] both consume it (and a real pipeline probes it
+    * repeatedly: every copy-detection question reads the same postings). */
+  private[graft] def winnowPostingsCached(s: SparkSession, d: String): DataFrame =
+    FrameCache.cached(s, s"winnow-postings:$d")(winnowPostings(documents(s, d)))
 
   /** The unsorted (doc_id, fingerprint) posting list [[winnow]] and
     * [[Dedup.winnowPairs]] share. */

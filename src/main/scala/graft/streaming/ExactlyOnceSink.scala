@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Connection
+
+import org.apache.spark.sql.DataFrame
+
+/** Idempotent JDBC sink for `foreachBatch` — exactly-once delivery on top
+  * of Structured Streaming's at-least-once replay contract.
+  *
+  * Structured Streaming guarantees a failed micro-batch is REPLAYED with
+  * the SAME `batchId` and the same data (the offsets are checkpointed
+  * before the sink runs). A transactional sink therefore gets
+  * exactly-once by making the write idempotent per (sink, batchId): the
+  * data rows and a ledger row recording the batchId commit in ONE
+  * transaction, and a replay that finds the ledger row skips the write
+  * entirely. This is the standard recipe the built-in file/Delta sinks
+  * implement internally; JDBC needs it spelled out.
+  *
+  * Driver funnel by design: like [[graft.sinks.SqliteSink]], the rows
+  * stream through one connection via `toLocalIterator` (single-writer
+  * stores serialize concurrent writers anyway, and a micro-batch is
+  * already the small end of the pipeline — the distributed work happened
+  * upstream). `connect` is a thunk so the sink owns the connection
+  * lifecycle per batch; the DDL is caller-supplied and dialect-specific.
+  */
+object ExactlyOnceSink {
+
+  /** Commit ledger: one row per (sink, batch) ever committed. */
+  val LedgerDdl: String =
+    """CREATE TABLE IF NOT EXISTS _committed_batches(
+      |sink_id VARCHAR, batch_id BIGINT, n_rows BIGINT,
+      |PRIMARY KEY (sink_id, batch_id))""".stripMargin
+
+  /** `foreachBatch` body: `stream.writeStream.foreachBatch(
+    * ExactlyOnceSink.writeBatch(connect, "my-sink", "events_out", ddl) _)`.
+    * Returns the number of rows written (0 on a skipped replay). */
+  def writeBatch(connect: () => Connection, sinkId: String, table: String,
+                 tableDdl: String, insertBatchSize: Int = 1000)
+                (batch: DataFrame, batchId: Long): Long = {
+    val conn = connect()
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try { st.execute(LedgerDdl); st.execute(tableDdl) } finally st.close()
+
+      val seen = conn.prepareStatement(
+        "SELECT 1 FROM _committed_batches WHERE sink_id = ? AND batch_id = ?")
+      val committed = try {
+        seen.setString(1, sinkId); seen.setLong(2, batchId)
+        val rs = seen.executeQuery()
+        try rs.next() finally rs.close()
+      } finally seen.close()
+      if (committed) { conn.rollback(); return 0L } // replayed batch: done already
+
+      val cols = batch.schema.fieldNames
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})")
+      var n = 0L
+      try {
+        var pending = 0
+        val it = batch.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          var i = 0
+          while (i < cols.length) { ins.setObject(i + 1, row.get(i)); i += 1 }
+          ins.addBatch(); pending += 1; n += 1
+          if (pending >= insertBatchSize) { ins.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ins.executeBatch()
+      } finally ins.close()
+
+      val ledger = conn.prepareStatement(
+        "INSERT INTO _committed_batches (sink_id, batch_id, n_rows) VALUES (?, ?, ?)")
+      try {
+        ledger.setString(1, sinkId); ledger.setLong(2, batchId); ledger.setLong(3, n)
+        ledger.executeUpdate()
+      } finally ledger.close()
+
+      conn.commit() // rows + ledger land atomically, or neither does
+      n
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+}
