@@ -24,6 +24,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-code-change skew tool)") {
+    // SaltedAgg handles skewed AGGREGATION in the plan; for skewed JOINS
+    // the Spark-first answer is AQE's OptimizeSkewedJoin — it measures
+    // partition sizes after the map stage and splits oversized ones into
+    // parallel sub-joins, no salting code at all. Pin that it actually
+    // engages: thresholds lowered so the test's hot key (10k rows vs a
+    // few bytes elsewhere) counts as skewed at spec scale.
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.enabled" -> spark.conf.getOption("spark.sql.adaptive.enabled"),
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ, not broadcast
+    try {
+      // the join output must not feed a further shuffle: OptimizeSkewedJoin
+      // declines when splitting would break a required downstream
+      // distribution (that case needs forceOptimizeSkewedJoin — an extra
+      // shuffle trade a user opts into)
+      val big = ((1 to 10000).map(i => ("hot", s"payload-$i-" + "x" * 64)) ++
+        (1 to 50).map(i => (s"k$i", "small"))).toDF("k", "payload").repartition(8)
+      val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).map(k => (k, k.length))
+        .toDF("k", "len").repartition(8)
+      val joined = big.join(dim, "k")
+      val rows = joined.collect()
+      assert(rows.length == 10050 && rows.count(_.getString(0) == "hot") == 10000)
+      val executed = joined.queryExecution.executedPlan.toString()
+      assert(executed.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n${executed.take(2000)}")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+    }
+  }
+
   test("partitioned store write prunes partitions on source_format filters") {
     val dir = Files.createTempDirectory("graft-part-store").resolve("store").toString
     val xml = Files.createTempDirectory("graft-part-xml").resolve("b.xml")
