@@ -633,6 +633,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("labeled_lang", "predicted_lang")
 
+  // ------------------------------------------------------------ CDF rank
+
+  /** Exact percentile-rank normalization (`frac_below` = fraction of the
+    * corpus strictly shorter) — the rank/quantile TRANSFORM at corpus
+    * scale. `percent_rank() OVER (ORDER BY ...)` totally orders the
+    * corpus in one partition — the one window shape this repo bans — so
+    * the scale-correct form rides the VALUE-FREQUENCY table instead:
+    * aggregate counts per distinct value (map-side combinable), running
+    * cumulative over THAT frame (its size is the number of distinct
+    * lengths — bounded and tiny, so the unpartitioned window is over
+    * hundreds of rows, never the corpus), broadcast the CDF back as a
+    * narrow join. Same trick as the quality gate's threshold broadcast,
+    * generalized from one cut point to the whole distribution. Ranks are
+    * exact integers; the final division by the memoized corpus N is one
+    * IEEE op in matched order on both engines. */
+  def cdfRank(s: SparkSession, d: String): DataFrame = {
+    val n = FrameCache.cachedValue[Long](s, s"corpus-n:$d")(documents(s, d).count())
+    cdfRankOf(documents(s, d), n)
+  }
+
+  private[graft] def cdfRankOf(docs: DataFrame, nDocs: Long): DataFrame = {
+    val freq = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cdf = freq.select(col("n_chars"),
+      coalesce(sum(col("cnt")).over(w), lit(0L)).as("cum_lt"))
+    docs.join(broadcast(cdf), "n_chars")
+      .select(col("doc_id"), col("n_chars"),
+        (col("cum_lt").cast("double") / lit(nDocs.toDouble)).as("frac_below"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ tf-idf keywords
 
   val TfidfTopK = 3
@@ -722,6 +754,7 @@ object TextAnalysis {
     "text_quality_gate"  -> qualityGate _,
     "text_winnow"        -> winnow _,
     "text_tfidf_topk"    -> tfidfKeywords _,
+    "text_cdf_rank"      -> cdfRank _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1002,6 +1035,21 @@ object TextAnalysis {
       s"""WITH $winnowPostingsSql
          |SELECT doc_id, fingerprint FROM postings
          |ORDER BY doc_id, fingerprint""".stripMargin,
+    "text_cdf_rank" ->
+      """WITH f AS (
+        |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+        |), c AS (
+        |  SELECT n_chars,
+        |    COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt
+        |  FROM f
+        |), n AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |)
+        |SELECT doc_id, d.n_chars AS n_chars,
+        |  CAST(cum_lt AS DOUBLE) / CAST(n.n AS DOUBLE) AS frac_below
+        |FROM documents d JOIN c ON d.n_chars = c.n_chars CROSS JOIN n
+        |ORDER BY doc_id""".stripMargin,
     // score = tf · ((N+1)/(df+1)) with the division and multiplication in
     // the SAME order as the Spark projection — IEEE-exact both sides.
     "text_tfidf_topk" ->

@@ -228,6 +228,19 @@ class ShapeOpsSpec extends SparkSpec {
     assert(Dedup.winnowPairsOf(block, cap = 1000).count() == 30L * 29 / 2)
   }
 
+  // ----------------------------------------------------------- CDF rank
+
+  test("cdfRank: frac_below counts strictly-shorter docs, ties share a rank, bounds are [0, 1)") {
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), // tie at the minimum → frac 0
+      (3L, "a", 20L),                 // 2 of 5 below → 0.4
+      (4L, "a", 30L), (5L, "a", 40L)  // 3/5, 4/5
+    ).toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.cdfRankOf(docs, nDocs = 5)
+      .select("doc_id", "frac_below").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.0, 3L -> 0.4, 4L -> 0.6, 5L -> 0.8))
+  }
+
   // -------------------------------------------------------- quality gate
 
   test("qualityGate: interpolated median, strict inequality, per-language thresholds") {
