@@ -77,6 +77,11 @@ object TextKernels {
     * over the raw text: k-char Karp-Rabin grams, min per w-gram window. */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnInterop.column(WinnowFingerprints(ColumnInterop.expression(text), k, w))
+
+  /** Deflate(level 6) byte length of the UTF-8 text — the compression
+    * quality signal's numerator. */
+  def deflateLength(text: Column): Column =
+    ColumnInterop.column(DeflateLength(ColumnInterop.expression(text)))
 }
 
 /** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
@@ -495,6 +500,51 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int) extends UnaryEx
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Deflate-compressed length of the UTF-8 text — the numerator of the
+  * compression-ratio quality signal (the "gzip trick": highly repetitive
+  * or templated text compresses far below natural prose, and near-random
+  * noise barely compresses at all — the cheap single-document cousin of
+  * the repetition rules, used as a pre-filter in CCNet/Gopher-style
+  * pipelines). Level 6 (the zlib default), fixed strategy — deterministic
+  * for a given input on a given JVM. Deliberately ROWS-ONLY at the
+  * driver's gate: compression output is engine-internal (DuckDB exposes
+  * no SQL deflate), so no cross-engine twin exists; the specs pin
+  * determinism, bounds, and the monotonicity that makes the signal
+  * useful. One narrow pass per row; the Deflater is allocated per eval
+  * and explicitly `end()`ed — native zlib memory does not wait for GC. */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"deflate_length expects string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_length"
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val d = new java.util.zip.Deflater(6, false)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("deflateExpr", this, classOf[DeflateLength].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

@@ -633,6 +633,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("labeled_lang", "predicted_lang")
 
+  // --------------------------------------------------- compression ratio
+
+  /** Compression-ratio quality signal (the "gzip trick"): deflated bytes
+    * over raw UTF-8 bytes. Templated/repetitive text lands far below
+    * natural prose and noise near 1.0 — the cheap whole-document cousin
+    * of [[repetition]]'s rule-based counters, standard as a pre-filter
+    * before expensive dedup/training. ROWS-ONLY at the driver's gate BY
+    * DESIGN: compression output is engine-internal (no SQL deflate in
+    * DuckDB), so no cross-engine twin can exist — the ShapeOpsSpec pins
+    * determinism, bounds, and the repetitive-vs-diverse monotonicity
+    * that makes the signal worth computing. One narrow codegen'd pass
+    * ([[graft.functions.DeflateLength]]); both lengths ride along so a
+    * downstream gate can re-threshold without re-compressing. */
+  def compressRatio(s: SparkSession, d: String): DataFrame =
+    compressRatioOf(documents(s, d))
+
+  private[graft] def compressRatioOf(docs: DataFrame): DataFrame = {
+    val raw = length(encode(col("text"), "UTF-8")).cast("long")
+    docs.select(col("doc_id"),
+        raw.as("raw_bytes"),
+        graft.functions.TextKernels.deflateLength(col("text")).as("deflate_bytes"))
+      .withColumn("ratio",
+        col("deflate_bytes").cast("double") / greatest(col("raw_bytes"), lit(1L)))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ CDF rank
 
   /** Exact percentile-rank normalization (`frac_below` = fraction of the
@@ -755,6 +781,7 @@ object TextAnalysis {
     "text_winnow"        -> winnow _,
     "text_tfidf_topk"    -> tfidfKeywords _,
     "text_cdf_rank"      -> cdfRank _,
+    "text_compress_ratio" -> compressRatio _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -48,6 +48,25 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Windowed DISTINCT-user counts — the streaming face of the
+    * rel_approx_distinct trade: an exact streaming count_distinct would
+    * hold every user id seen per open window in state; HyperLogLog++
+    * (`approx_count_distinct`) holds a FIXED-size mergeable sketch per
+    * (window, type) instead, so state is bounded by open-window count ×
+    * sketch size no matter how many users the stream carries. Watermark
+    * evicts closed windows exactly as in [[windowedCounts]]. */
+  def windowedDistinctUsers(events: DataFrame, eventTimeCol: String = "ts",
+                            window: String = "1 hour", watermark: String = "2 hours",
+                            rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTimeCol), window),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("approx_users"))
+
   /** Gap-based conversation sessionization — the NATIVE path: Spark's
     * `session_window` merges events per correspondent into sessions closed
     * by `gap` of silence, with watermark-bounded state. Preferred over

@@ -228,6 +228,30 @@ class ShapeOpsSpec extends SparkSpec {
     assert(Dedup.winnowPairsOf(block, cap = 1000).count() == 30L * 29 / 2)
   }
 
+  // -------------------------------------------------- compression ratio
+
+  test("compressRatio: deterministic, bounded, and repetitive text compresses below diverse text") {
+    val rnd = new scala.util.Random(3)
+    val repetitive = "the same phrase again " * 40
+    val diverse = Seq.fill(800)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((0L, repetitive), (1L, diverse), (2L, "tiny")).toDF("doc_id", "text")
+    def run() = TextAnalysis.compressRatioOf(docs)
+      .select("doc_id", "raw_bytes", "deflate_bytes", "ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val a = run()
+    assert(a == run(), "compression signal must be deterministic across runs")
+    val byId = a.map(r => r._1 -> r).toMap
+    // raw lengths correct; ratio = deflate/raw
+    for ((_, raw, defl, ratio) <- a) {
+      assert(ratio == defl.toDouble / raw)
+      assert(defl > 0 && raw > 0)
+    }
+    // the signal: heavy repetition compresses WAY below random letters
+    assert(byId(0L)._4 < 0.1, s"repetitive ratio ${byId(0L)._4}")
+    assert(byId(1L)._4 > 0.5, s"diverse ratio ${byId(1L)._4}")
+    assert(byId(0L)._4 < byId(1L)._4 / 4)
+  }
+
   // ----------------------------------------------------------- CDF rank
 
   test("cdfRank: frac_below counts strictly-shorter docs, ties share a rank, bounds are [0, 1)") {

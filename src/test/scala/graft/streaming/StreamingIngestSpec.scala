@@ -221,4 +221,29 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 1.0), ("click", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("windowed distinct users: fixed-size sketch state, repeats collapse, windows separate") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val events = input.toDF().toDF("ts", "event_type", "user_id")
+    val agg = StreamingIngest.windowedDistinctUsers(events, window = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("dist_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), "click", 1L),
+        (new Timestamp(t0 + 1000), "click", 1L),          // same user repeats
+        (new Timestamp(t0 + 2000), "click", 2L),
+        (new Timestamp(t0 + 11 * 60000), "click", 1L))    // next window
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, approx_users FROM dist_out ORDER BY window_start")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // at these cardinalities HLL++ is exact: 2 distinct then 1
+      assert(rows.toSeq == Seq(("click", 2L), ("click", 1L)))
+    } finally q.stop()
+  }
 }
