@@ -32,8 +32,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame stride (bytes) and per-asset frame cap for [[frameSample]]. */
+  val FrameStride = 64
+  val MaxFrames = 4
+
+  /** Frame sampling over the binary column — the every-Nth-frame /
+    * bounded-fan-out stage a video/audio pipeline runs before decode:
+    * each asset yields at most [[MaxFrames]] frame slices at
+    * [[FrameStride]]-byte offsets, each carried as (offset, length, md5)
+    * — the id triple the decode stage keys on, never the frame bytes
+    * themselves past this projection. All arithmetic is per-row
+    * (`sequence` + posexplode, the chunk-overlap shape on bytes); the
+    * Spark side slices the REAL binary column, and the oracle rides the
+    * VARCHAR view of the same bytes (ASCII testdata ⇒ substr-on-text
+    * hashes the identical bytes; DuckDB cannot slice BLOBs). */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val data = encode(col("text"), "UTF-8")
+    documents(s, d)
+      .select(col("doc_id"), data.as("data"), length(data).cast("long").as("n"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("data"), col("n"),
+        posexplode(sequence(lit(0L),
+          least(col("n") - 1, lit(((MaxFrames - 1) * FrameStride).toLong)),
+          lit(FrameStride.toLong))).as(Seq("frame_id", "off")))
+      .select(col("doc_id"),
+        col("frame_id").cast("long").as("frame_id"),
+        col("off").as("offset"),
+        least(lit(FrameStride.toLong), col("n") - col("off")).as("n_bytes"),
+        md5(expr(s"substring(data, off + 1, $FrameStride)")).as("frame_md5"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> binaryMeta _,
+    "mm_binary_meta"  -> binaryMeta _,
+    "mm_frame_sample" -> frameSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -43,5 +75,22 @@ object Multimodal {
         |  sha256(text) AS content_sha,
         |  ['image', 'audio', 'video'][(octet_length(encode(text)) % 3) + 1] AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // substr on the VARCHAR view of the same ASCII bytes (DuckDB cannot
+    // slice BLOBs); range stop is exclusive → least(n, last_off + 1).
+    "mm_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+         |  WHERE octet_length(encode(text)) >= 1
+         |), o AS (
+         |  SELECT doc_id, text, n,
+         |    unnest(range(0, least(n, ${(MaxFrames - 1) * FrameStride} + 1), $FrameStride)) AS off
+         |  FROM b
+         |)
+         |SELECT doc_id,
+         |  CAST(off // $FrameStride AS BIGINT) AS frame_id,
+         |  CAST(off AS BIGINT) AS offset,
+         |  CAST(least($FrameStride, n - off) AS BIGINT) AS n_bytes,
+         |  md5(substr(text, CAST(off + 1 AS BIGINT), $FrameStride)) AS frame_md5
+         |FROM o ORDER BY doc_id, frame_id""".stripMargin,
   )
 }
