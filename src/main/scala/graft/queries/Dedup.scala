@@ -529,7 +529,7 @@ object Dedup {
     }
     def signature(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint()
@@ -558,13 +558,13 @@ object Dedup {
     // O(|edges|) aggregates; each star round preserves components as a
     // graph invariant, so star-shapedness here IS label correctness.
     val shape = edges.agg(
-      count(lit(1)), count_distinct(col("u")), count_distinct(col("v"))).head
+      count(lit(1)), count_distinct(col("u")), count_distinct(col("v"))).head()
     require(shape.getLong(0) == shape.getLong(1),
       "cc backstop: a node has two labels (signature collision exit)")
     // u∩v = ∅ ⇔ |distinct u| + |distinct v| = |distinct (u,v) endpoints|
     // checked via one more tiny aggregate (cheaper than an intersect job).
     val endpoints = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
-      .agg(count_distinct(col("n"))).head.getLong(0)
+      .agg(count_distinct(col("n"))).head().getLong(0)
     require(shape.getLong(1) + shape.getLong(2) == endpoints,
       "cc backstop: a labeled node is also a center (signature collision exit)")
     // fixpoint = stars into each component's min: non-centers are the `u`

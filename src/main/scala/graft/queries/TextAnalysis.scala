@@ -415,7 +415,7 @@ object TextAnalysis {
       Bm25Terms.indices.map(i =>
         sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
     val (n, totdl, dfs) = FrameCache.cachedValue[(Long, Long, Seq[Long])](s, s"bm25-stats:$d") {
-      val r = base.agg(aggs.head, aggs.tail: _*).head
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
       (r.getLong(0), r.getLong(1), Bm25Terms.indices.map(i => r.getLong(2 + i)))
     }
     val avgdl = totdl.toDouble / n

@@ -66,7 +66,7 @@ object SignalSource {
 
   case class Result(raw: DataFrame, ignored: DataFrame) {
     def ignoredCount: Long =
-      ignored.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+      ignored.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
   }
 
   private val unavailable = lit(Model.Sentinels.Unavailable)

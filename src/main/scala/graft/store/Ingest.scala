@@ -55,7 +55,7 @@ object Ingest {
       spark.conf.get("spark.sql.shuffle.partitions").toInt))
     val sorted = df.repartitionByRange(partitions, col(orderCol)).sortWithinPartitions(orderCol)
     val schema = StructType(StructField(idName, LongType, nullable = false) +: sorted.schema.fields)
-    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq((startId + i) +: r.toSeq)
     }
     spark.createDataFrame(rows, schema)

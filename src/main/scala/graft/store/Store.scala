@@ -34,8 +34,8 @@ object Store {
     val existing = if (exists(dir)) Some(messages(s, dir)) else None
     val (nextMsgId, nextPartId) = existing match {
       case Some(m) =>
-        val maxMsg = m.agg(max(col("_id"))).head.getLong(0)
-        val maxPart = parts(s, dir).agg(coalesce(max(col("_id")), lit(0L))).head.getLong(0)
+        val maxMsg = m.agg(max(col("_id"))).head().getLong(0)
+        val maxPart = parts(s, dir).agg(coalesce(max(col("_id")), lit(0L))).head().getLong(0)
         (maxMsg + 1, maxPart + 1)
       case None => (1L, 1L)
     }
