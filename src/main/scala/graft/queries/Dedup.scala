@@ -599,6 +599,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cluster-size histogram — the dedup REPORT a pipeline owner reads
+    * ("how much duplication, in what shape?"): clusters per size plus
+    * the docs they absorb. Rides the memoized label frame, so the CC
+    * fixpoint runs once per corpus no matter how many reports consume
+    * it; the histogram itself is two tiny hash aggregates over the
+    * (already small) clustered sliver. Clustered docs only — singletons
+    * never enter the pair graph, matching the closure oracle. */
+  def clusterSizes(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** The memoized (session, dir) component-label frame shared by
     * [[dedupClusters]] and [[keepBest]] — one CC fixpoint per corpus, no
     * matter how many downstream ops consume the labels. */
@@ -699,11 +715,40 @@ object Dedup {
     "dedup_winnow"         -> winnowPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
+    "dedup_cluster_sizes"  -> clusterSizes _,
     "dedup_keep_best"      -> keepBest _,
     "dedup_simhash"        -> simhashNearDup _,
     "dedup_containment"    -> containmentPairs _,
     "dedup_incremental"    -> incrementalNew _,
   )
+
+  /** The brute-force transitive-closure ground truth (gram sets → exact
+    * Jaccard pairs → recursive reachability → min-label) shared by the
+    * dedup_clusters / dedup_cluster_sizes / dedup_keep_best oracles —
+    * ONE definition, so the closure semantics cannot drift between the
+    * rows that all claim to describe the same clustering. */
+  private[graft] val ClosureCteSql: String =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+      |  FROM w WHERE len(words) >= 2
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
+      |), e AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM p
+      |), reach(node, x) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT r.node, e.v FROM reach r JOIN e ON r.x = e.u
+      |), lab AS (
+      |  SELECT node, MIN(x) AS rep FROM reach GROUP BY node
+      |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Built on the SAME winnow-posting CTE text as the text_winnow oracle
@@ -821,57 +866,25 @@ object Dedup {
     // from each node. Exact, so the driver compares at full strictness:
     // a single mis-labeled node is a hash mismatch.
     "dedup_clusters" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
-        |  FROM w WHERE len(words) >= 2
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
-        |), e AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM p
-        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM p
-        |), reach(node, x) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT r.node, e.v FROM reach r JOIN e ON r.x = e.u
-        |), lab AS (
-        |  SELECT node, MIN(x) AS rep FROM reach GROUP BY node
-        |), sz AS (
+      s"""WITH RECURSIVE $ClosureCteSql, sz AS (
         |  SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep
         |)
         |SELECT lab.node AS doc_id, lab.rep, sz.cluster_size
         |FROM lab JOIN sz ON lab.rep = sz.rep
         |ORDER BY doc_id""".stripMargin,
+    // Same closure ground truth, then the histogram the report reads.
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $ClosureCteSql, sz AS (
+        |  SELECT rep, COUNT(*) AS cluster_size FROM lab GROUP BY rep
+        |)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // Same closure ground truth, then the survivor policy in plain SQL:
     // arg_max over the identical int64 key (n_chars·2³² − doc_id) — exact
     // integer arithmetic in both engines, so full strictness.
     "dedup_keep_best" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
-        |  FROM w WHERE len(words) >= 2
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
-        |), e AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM p
-        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM p
-        |), reach(node, x) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT r.node, e.v FROM reach r JOIN e ON r.x = e.u
-        |), lab AS (
-        |  SELECT node, MIN(x) AS rep FROM reach GROUP BY node
-        |), l AS (
+      s"""WITH RECURSIVE $ClosureCteSql, l AS (
         |  SELECT d.doc_id, COALESCE(lab.rep, d.doc_id) AS rep, d.n_chars
         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
         |), b AS (
