@@ -430,7 +430,33 @@ object Similarity {
       .orderBy("vec_id", "idx")
   }
 
+  /** Per-label centroid ACCUMULATORS in exact integer space — the
+    * cluster-mean build (IVF list refresh, per-class prototypes) made
+    * hash-comparable: float component sums are association-sensitive
+    * across engines, so the vectors are first quantized int8 under ONE
+    * corpus-global scale (a folded-literal scalar, same discipline as
+    * the BM25 stats) and the centroid numerator is an exact int64
+    * `sum(q)` per (label, dim); the reader divides `sum_q / (n_vecs ·
+    * scale)` when it wants floats back. Plan shape: posexplode ×dim then
+    * hash agg — and because sum/count partials combine map-side, the
+    * exchange carries ≤ mappers × labels × dim partial rows regardless
+    * of corpus size (the explode never crosses the wire). */
+  def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = graft.tables.Testdata.embeddings(s, d)
+    val gmax = graft.tables.FrameCache.cachedValue[Double](s, s"emb-gmax:$d") {
+      e.select(max(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+        lit(0.0), (a, v) => greatest(a, v))).as("m")).head().getDouble(0)
+    }
+    val scale = lit(127.0) / greatest(lit(gmax), lit(1e-30))
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("idx", "x")))
+      .groupBy(col("label"), col("idx").cast("long").as("idx"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("x").cast("double") * scale + 0.5).cast("long")).as("sum_q"))
+      .orderBy("label", "idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_label_centroids" -> labelCentroids _,
     "sim_cosine_topk"   -> bruteTopK _,
     "sim_ann_lsh"       -> lshBucketTopK _,
     "sim_ann_lsh_q"     -> lshBucketTopKQuantized _,
@@ -440,6 +466,25 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Global-scale quantization + exact integer sums: the scalar gmax and
+    // the derived scale are the same doubles in both engines (max of
+    // exact |x| values, one division), and floor(x·scale + 0.5) matches
+    // op-for-op — full strictness.
+    "sim_label_centroids" ->
+      """WITH m AS (
+        |  SELECT MAX(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS gmax
+        |  FROM embeddings
+        |), ex AS (
+        |  SELECT label, unnest([{'i': i, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, u.i - 1 AS idx,
+        |    FLOOR(CAST(u.x AS DOUBLE) * (127.0 / greatest(m.gmax, 1e-30)) + 0.5) AS qv
+        |  FROM ex, m
+        |)
+        |SELECT label, CAST(idx AS BIGINT) AS idx, COUNT(*) AS n_vecs,
+        |  CAST(SUM(qv) AS BIGINT) AS sum_q
+        |FROM q GROUP BY label, idx ORDER BY label, idx""".stripMargin,
     // sim_ann_lsh: intentionally no oracle (approximate; rows-only check).
     // int8 quantization: same per-vector scale and floor-plus-half rule —
     // all IEEE-exact ops, so the compare is full strictness. Dim is the
