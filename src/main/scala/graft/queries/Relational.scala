@@ -674,6 +674,31 @@ object Relational {
       .orderBy("cohort_wk", "week_offset")
   }
 
+  /** Rows kept per group by [[samplePerGroup]]. */
+  val SamplePerGroup = 5L
+
+  /** Deterministic N-per-group sample — the balanced debug/eval subset
+    * ("show me 5 of each event type"): rank rows inside each group by the
+    * Knuth-multiplicative hash of their stable id (the same
+    * reproducible-outside-Spark contract as the stratified sampler —
+    * `rand()` would neither survive task retries nor be auditable) and
+    * keep the first N. Written `row_number() <= n` so
+    * InferWindowGroupLimit bounds the exchange to N rows per (group,
+    * mapper) — sampling 5 per key from 100 TB moves kilobytes, not the
+    * fact table (plan-gated with the other WindowGroupLimit queries). */
+  def samplePerGroup(s: SparkSession, d: String): DataFrame =
+    samplePerGroupOf(events(s, d))
+
+  private[graft] def samplePerGroupOf(ev: DataFrame): DataFrame = {
+    import graft.queries.TextAnalysis.{SampleFold, SampleHashA}
+    val key = (pmod(col("event_id"), lit(SampleFold)) * SampleHashA) % 4294967296L
+    val w = Window.partitionBy("event_type").orderBy(col("sort_key"), col("event_id"))
+    ev.select(col("event_id"), col("event_type"), key.as("sort_key"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SamplePerGroup)
+      .orderBy("event_type", "rn")
+  }
+
   /** Robust outlier detection per group — flag events whose value sits
     * more than 3 scaled MADs from the per-type median (the
     * median-absolute-deviation rule: unlike mean ± k·σ, one huge outlier
@@ -731,6 +756,7 @@ object Relational {
     "rel_funnel"         -> funnel _,
     "rel_retention"      -> retention _,
     "rel_outliers"       -> outliers _,
+    "rel_sample_per_group" -> samplePerGroup _,
     "rel_agg_counters"   -> aggCounters _,
     "rel_agg_salted"     -> aggSalted _,
     "rel_pricing_summary" -> pricingSummary _,
@@ -907,6 +933,15 @@ object Relational {
         |WHERE wk - cohort_wk <= 8
         |GROUP BY cohort_wk, week_offset
         |ORDER BY cohort_wk, week_offset""".stripMargin,
+    // Same Knuth-hash ordering key as the Spark side — pure int64.
+    "rel_sample_per_group" ->
+      """SELECT event_id, event_type, sort_key, rn FROM (
+        |  SELECT event_id, event_type,
+        |    (event_id % 2147483648) * 2654435761 % 4294967296 AS sort_key,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY (event_id % 2147483648) * 2654435761 % 4294967296, event_id) AS BIGINT) AS rn
+        |  FROM events)
+        |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
     // quantile_cont == Spark's exact percentile (parity pinned by
     // rel_percentiles); the threshold multiplies 3.0 * 1.4826 * mad
     // left-to-right exactly like the Spark filter.
