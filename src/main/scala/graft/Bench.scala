@@ -44,7 +44,7 @@ object Bench {
     * chars of the combined stdout+stderr stream. sbt's `[success]`
     * trailer is suppressed (`showSuccess := false` in build.sbt) and
     * Spark logs at ERROR during the run, so the JSON line is the last
-    * thing printed; 1950 leaves a 50-char cushion for any stray final
+    * thing printed; 1970 leaves a 30-char cushion for any stray final
     * output. [[renderLine]] ENFORCES the budget: entries that would
     * overflow collapse into `"_other"`. */
   val LineBudget = 1970
@@ -174,25 +174,40 @@ object Bench {
         var used = -1 // first entry has no comma
         val kept = entries.takeWhile { case (e, _) => used += e.length + 1; used <= room }
         val dropped = entries.drop(kept.size)
-        (kept.map(_._1) :+ ("\"_other\":" + r2(dropped.map(_._2).sum))).mkString(",")
+        // dropped failure sentinels (-1) stay OUT of the `_other` sum: the
+        // `failed` count already carries that signal, and folding them in
+        // would skew the sum negative while hiding which queries failed
+        // (the report file always lists every query uncollapsed).
+        (kept.map(_._1) :+ ("\"_other\":" + r2(dropped.map(_._2).filter(_ >= 0).sum)))
+          .mkString(",")
       }
     head + qs + tail
   }
 
   /** Full self-policing report — per-query vs_prev ratios against the
     * checked-in baseline, baseline size, regression verdicts. A file, so
-    * the driver's stdout window puts no length pressure on it. */
+    * the driver's stdout window puts no length pressure on it. BOTH maps
+    * carry one row per REGISTERED query (timings: the measured median, -1
+    * on failure; vs_prev: the ratio, or null where the baseline has no
+    * row yet) — the report can never silently drop a query the way the
+    * stdout line's `_other` collapse must, so per-query regression
+    * tracking stays complete at any registry size (VERDICT r8 item 8). */
   private[graft] def writeReport(path: String, results: Seq[(String, Double)],
                                  baseline: Map[String, Double], sfNum: String): Unit =
     try {
-      val ratios = results.collect {
-        case (k, v) if v >= 0 && baseline.contains(k) => k -> r3(v / baseline(k))
-      }
-      val vsPrev = ratios.map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+      val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val vsPrev = results.map { case (k, v) =>
+        val ratio = baseline.get(k) match {
+          case Some(b) if v >= 0 => r3(v / b).toString
+          case _                 => "null"
+        }
+        "\"" + k + "\":" + ratio
+      }.mkString("{", ",", "}")
       val regressed = regressedOf(results, baseline).map("\"" + _ + "\"").mkString("[", ",", "]")
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
-           |"baseline_queries":${baseline.size},"vs_prev":$vsPrev,"regressed":$regressed,
+           |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":$vsPrev,"regressed":$regressed,
            |"line":${"\"" + renderLine(results, baseline, sfNum).replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
            |""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

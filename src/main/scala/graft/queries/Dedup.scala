@@ -435,14 +435,26 @@ object Dedup {
     * The filter is built once per (session, dir) ([[FrameCache]]), the
     * 100 TB analogue of maintaining it as a store artifact.
     *
+    * The corpus KEY SET itself is that store artifact: the sha-256 frame
+    * is written once through [[graft.tables.Bucketed]] (bucketed+sorted
+    * on `h`) and every later consumer — the Bloom build, the exact
+    * anti-join, a COLD session with an empty [[FrameCache]] — reads the
+    * skinny on-disk hash table instead of re-scanning and re-hashing the
+    * corpus TEXT (at 100 TB: kilobytes of index reads replacing a corpus
+    * scan per incoming batch). Bucketing by `h` also makes the
+    * FP-verify `distinct` exchange-free.
+    *
     * Dedup is against the CORPUS only (batch-internal dups both survive —
     * they are "new" relative to the store; A4's exact dedup handles them
     * at ingest). Keys are `sha2(text, 256)` — the same exact-dup identity
     * as `rel_dedup_exact`; the Bloom probe uses `xxhash64(key)` longs. */
   def incrementalNew(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-      .select(sha2(col("text"), 256).as("h"))
+    val corpusTbl = graft.tables.Bucketed.ensure(
+      s, s"graft_corpus_sha_${graft.tables.Bucketed.sanitize(d)}", "h")(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(sha2(col("text"), 256).as("h")))
+    val corpus = s.table(corpusTbl)
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
 
@@ -710,7 +722,82 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------ line-level exact dedup
+
+  /** Words per pseudo-line for [[dedupLines]]. The testdata corpus carries
+    * no newline delimiters (one physical line per document), so the
+    * oracle-checked entry segments text into fixed non-overlapping
+    * [[LineWords]]-word windows — the same "sub-document unit" role
+    * newlines play in a real corpus; the engineered-fixture spec runs the
+    * identical operator over a real `\n` splitter. */
+  val LineWords = 8
+
+  /** A line appearing in more than this many DISTINCT documents is
+    * boilerplate and is removed from every document carrying it (C4
+    * removes any line occurring ≥ 3 times; RefinedWeb/Gopher run the same
+    * rule). 1 here — the duplication the small corpus actually has. */
+  val LineMaxDf = 1
+
+  /** C4-style line-level exact dedup — remove LINES that occur in more
+    * than [[LineMaxDf]] distinct documents, keeping each document's
+    * residue. This is the sub-document complement of [[winnowPairs]]:
+    * winnowing FINDS partial overlap between specific pairs; this
+    * operator REMOVES corpus-wide repeated boilerplate (headers, nav
+    * bars, license blurbs) that doc-level dedup cannot touch — the first
+    * cleaning stage C4/RefinedWeb run before any doc-level scoring.
+    *
+    * Plan shape: explode to (doc_id, line_no, line) once; the banned-line
+    * frame is a hash aggregate on `md5(line)` keyed map-side-combinable
+    * and df-filtered — by construction it holds only boilerplate (a line
+    * in > maxDf docs), a sliver of the corpus, so it returns as a
+    * BROADCAST anti-join against the posting list, never a shuffle of
+    * the corpus text. The rebuild aggregates kept lines per doc_id with
+    * an index-ordered sort_array — the rel_group_concat_ordered
+    * discipline, deterministic under any partitioning. Text crosses the
+    * rebuild exchange once, keyed on doc_id; at 100 TB you would carry
+    * only (doc_id, line_no) through the filter and re-slice at the
+    * consumer — same plan, skinnier exchange. */
+  def dedupLines(s: SparkSession, d: String): DataFrame =
+    dedupLinesOf(documents(s, d), wordWindowLines, LineMaxDf)
+
+  /** Fixed-window pseudo-line splitter (see [[LineWords]]). */
+  private[graft] def wordWindowLines(text: Column): Column = {
+    val words = split(text, " ")
+    transform(
+      sequence(lit(0), floor((size(words) - lit(1)) / lit(LineWords)).cast("int")),
+      i => array_join(slice(words, i * lit(LineWords) + lit(1), lit(LineWords)), " "))
+  }
+
+  private[graft] def dedupLinesOf(docs: DataFrame, splitLines: Column => Column,
+                                  maxDf: Int): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(splitLines(col("text"))).as(Seq("line_no", "line")))
+    val banned = lines
+      .groupBy(md5(col("line")).as("line_h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf)
+      .select("line_h")
+    val kept = lines.withColumn("line_h", md5(col("line")))
+      .join(broadcast(banned), Seq("line_h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        _.getField("line")), " ").as("text_kept"))
+    // left join back so a fully-boilerplate document survives as an empty
+    // residue row (the pipeline decision "drop or keep the husk" stays
+    // downstream) — and the line count rides along for the report.
+    docs.select(col("doc_id"), size(splitLines(col("text"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .withColumn("kept_md5", md5(col("text_kept")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines"          -> dedupLines _,
     "dedup_minhash_lsh"    -> minhashLshPairs _,
     "dedup_winnow"         -> winnowPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
@@ -751,6 +838,37 @@ object Dedup {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same fixed-window line segmentation (DuckDB list slices are 1-based
+    // inclusive and clamp at the end — identical to Spark's
+    // slice(words, start, len)), same md5 line identity, same >maxDf
+    // distinct-doc ban rule, same index-ordered rebuild. Exact ⇒ full
+    // strictness: one differently-banned line is a hash mismatch.
+    "dedup_lines" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), l AS (
+         |  SELECT doc_id, unnest(
+         |    [{'line_no': i, 'line': array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')}
+         |     for i in range(0, ((len(words)-1)//$LineWords)+1)], recursive := true)
+         |  FROM w
+         |), banned AS (
+         |  SELECT md5(line) AS line_h FROM l GROUP BY md5(line)
+         |  HAVING COUNT(DISTINCT doc_id) > $LineMaxDf
+         |), kept AS (
+         |  SELECT doc_id, line_no, line FROM l
+         |  WHERE md5(line) NOT IN (SELECT line_h FROM banned)
+         |), rebuilt AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(line, ' ' ORDER BY line_no) AS text_kept
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT w.doc_id,
+         |  CAST(((len(words)-1)//$LineWords)+1 AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+         |  COALESCE(text_kept, '') AS text_kept,
+         |  md5(COALESCE(text_kept, '')) AS kept_md5
+         |FROM w LEFT JOIN rebuilt ON w.doc_id = rebuilt.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
     // Built on the SAME winnow-posting CTE text as the text_winnow oracle
     // (TextAnalysis.winnowPostingsSql — the fingerprint definition cannot
     // drift between the two rows); cap + threshold replicated exactly, so

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Testdata._
 
@@ -20,15 +20,42 @@ import graft.tables.Testdata._
   */
 object Multimodal {
 
+  /** REAL magic-byte content sniffing over the binary column — header
+    * byte compares only, no media libs needed (the decode stage stays
+    * stubbed; classifying a container from its magic is pure byte
+    * arithmetic). Implemented as codegen'd `substring`-on-binary
+    * equality against byte-literal magics: one narrow projection, no
+    * shuffle. Branch order is part of the contract (first match wins).
+    *
+    * The signatures (all public file-format magic numbers):
+    * PNG `89 50 4E 47 0D 0A 1A 0A`; JPEG `FF D8 FF`; GIF `GIF8`;
+    * RIFF containers `RIFF` + format tag at offset 9 (`WAVE`/`WEBP`/
+    * `AVI `); MP4-family `ftyp` at offset 5; Ogg `OggS`; MP3 `ID3`;
+    * anything else `application/octet-stream`. */
+  private[graft] def magicKind(data: Column): Column = {
+    def at(off: Int, bytes: Array[Byte]): Column =
+      substring(data, off, bytes.length) === lit(bytes)
+    def ascii(off: Int, s: String): Column = at(off, s.getBytes("US-ASCII"))
+    when(at(1, Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
+        "image/png")
+      .when(at(1, Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "image/jpeg")
+      .when(ascii(1, "GIF8"), "image/gif")
+      .when(ascii(1, "RIFF") && ascii(9, "WAVE"), "audio/wav")
+      .when(ascii(1, "RIFF") && ascii(9, "WEBP"), "image/webp")
+      .when(ascii(1, "RIFF") && ascii(9, "AVI "), "video/avi")
+      .when(ascii(5, "ftyp"), "video/mp4")
+      .when(ascii(1, "OggS"), "audio/ogg")
+      .when(ascii(1, "ID3"), "audio/mpeg")
+      .otherwise("application/octet-stream")
+  }
+
   def binaryMeta(s: SparkSession, d: String): DataFrame = {
     val data = encode(col("text"), "UTF-8")
     documents(s, d).select(
       col("doc_id"),
       length(data).cast("long").as("byte_len"),
       sha2(data, 256).as("content_sha"),
-      // stand-in for magic-byte sniffing: deterministic 3-way classify
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(length(data), lit(3)) + 1).cast("int")).as("kind"))
+      magicKind(data).as("kind"))
       .orderBy("doc_id")
   }
 
@@ -69,11 +96,26 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The magic-byte CASE replicated on the VARCHAR view of the same
+    // bytes, same branch order. The ASCII-expressible magics (GIF8,
+    // RIFF+tag, ftyp, OggS, ID3) compare verbatim; the PNG/JPEG branches
+    // start with non-ASCII bytes that an ASCII corpus string can never
+    // encode to (the parquet text here is ASCII — same assumption the
+    // mm_frame_sample oracle rides), so omitting them changes nothing on
+    // either side. Real binary fixtures exercise every branch in
+    // MultimodalSpec.
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS content_sha,
-        |  ['image', 'audio', 'video'][(octet_length(encode(text)) % 3) + 1] AS kind
+        |  CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'image/gif'
+        |       WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
+        |       WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WEBP' THEN 'image/webp'
+        |       WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'AVI ' THEN 'video/avi'
+        |       WHEN substr(text, 5, 4) = 'ftyp' THEN 'video/mp4'
+        |       WHEN substr(text, 1, 4) = 'OggS' THEN 'audio/ogg'
+        |       WHEN substr(text, 1, 3) = 'ID3' THEN 'audio/mpeg'
+        |       ELSE 'application/octet-stream' END AS kind
         |FROM documents ORDER BY doc_id""".stripMargin,
     // substr on the VARCHAR view of the same ASCII bytes (DuckDB cannot
     // slice BLOBs); range stop is exclusive → least(n, last_off + 1).

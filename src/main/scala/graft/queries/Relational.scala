@@ -111,6 +111,68 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Cents threshold for [[joinLeft]]'s "big orders" side. */
+  val BigOrderCents = 40000000L // $400k
+
+  /** LEFT OUTER join — the first outer-join shape real users reach for
+    * ("every customer, with their big-order stats, zero when none"). The
+    * probe side stays the full dimension; the build side is pre-aggregated
+    * to one row per key and THRESHOLD-small, so Spark broadcasts it
+    * (BroadcastHashJoin supports LeftOuter with BuildRight) and the
+    * customer scan never shuffles — the shape that survives 100× scale-up
+    * because the aggregated side grows with the KEY cardinality above the
+    * threshold, not with the fact table. Null-extension discipline: every
+    * nullable column from the right side is coalesced to an explicit
+    * zero/sentinel BEFORE the result surfaces, so the driver hash (and
+    * any consumer) never depends on engine NULL ordering — the
+    * rel_rollup rule applied to outer joins. */
+  def joinLeft(s: SparkSession, d: String): DataFrame = {
+    val big = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .filter(col("cents") > BigOrderCents)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_big"), sum(col("cents")).as("big_cents"))
+    customer(s, d).select("c_custkey", "c_mktsegment")
+      .join(big, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("big_cents"), lit(0L)).as("big_cents"))
+      .orderBy("c_custkey")
+  }
+
+  /** FULL OUTER join — reconcile two keyed aggregates where either side
+    * may miss keys (here: per-customer order activity before vs since
+    * 1996 — the "compare two snapshots" report). Both sides aggregate
+    * FIRST (map-side-combinable, one row per key), so the outer join
+    * moves two skinny keyed frames, never the fact table twice; the join
+    * key arrives via `usingColumns`, which coalesces it across sides
+    * exactly like SQL `USING` — no null key ever surfaces. Full-outer
+    * cannot broadcast (both sides null-extend), so the plan is the
+    * co-partitioned SortMergeJoin on the key both inputs are already
+    * shuffled on — at scale, bucketing both snapshots by the key deletes
+    * even that exchange ([[joinBucketed]]). */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val early = o.filter(col("o_orderdate") < "1996-01-01")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_early"), sum(col("cents")).as("early_cents"))
+    val late = o.filter(col("o_orderdate") >= "1996-01-01")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_late"), sum(col("cents")).as("late_cents"))
+    early.join(late, Seq("o_custkey"), "full")
+      .select(col("o_custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("early_cents"), lit(0L)).as("early_cents"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        coalesce(col("late_cents"), lit(0L)).as("late_cents"))
+      .withColumn("presence",
+        when(col("n_early") > 0 && col("n_late") > 0, "both")
+          .when(col("n_early") > 0, "early_only")
+          .otherwise("late_only"))
+      .orderBy("o_custkey")
+  }
+
   // ----------------------------------------------------------- aggregations
 
   /** A1/A3 — global + categorized counters (import stats shape).
@@ -421,6 +483,28 @@ object Relational {
         col("gid"), col("n"), col("total_cents"))
       .orderBy("gid", "priority", "status")
 
+  /** CUBE — [[rollupAgg]]'s grouping-sets companion covering ALL 2²
+    * subtotal combinations (rollup's hierarchy plus the status-only
+    * marginals a rollup cannot produce). Physically identical cost
+    * shape: ONE scan + one Expand (each row emitted once per grouping
+    * set — 4 here) + a single hash aggregate, so a cube over 100 TB pays
+    * one pass and a 4× expanded exchange whose partials still combine
+    * map-side. Same sentinel-coalesce + `grouping_id` discipline as
+    * rollup (the bitmask disambiguates "(all)" from a literal value,
+    * same bit order as SQL-standard GROUPING). */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n"), col("total_cents"))
+      .orderBy("gid", "priority", "status")
+
   /** Running/cumulative window aggregates — per-user ordinal, running
     * total, 3-row moving total, and inter-event gap. All three frames
     * share ONE window partitioning (user_id), so the whole query is a
@@ -590,8 +674,11 @@ object Relational {
   /** Fixed-width histogram of order value — the distribution profile read
     * before choosing sampling/quality thresholds. Bucketing is exact
     * int64 division on cents (`div` here, `//` in the oracle — a float
-    * `floor(price/w)` invites boundary-value drift between engines),
-    * clamped into [0, 19] so the result width is bounded by
+    * `floor(price/w)` invites boundary-value drift between engines; the
+    * two differ on NEGATIVES — `div` truncates toward zero, `//` floors —
+    * so the bucket is clamped into [0, 19] on BOTH sides: the lower clamp
+    * makes a hypothetical negative total land in bucket 0 identically in
+    * both engines instead of diverging) so the result width is bounded by
     * construction. One narrow projection + one tiny hash aggregate:
     * count/sum partials absorb everything map-side, so the exchange
     * moves ≤ 20 rows per upstream partition at any corpus size. */
@@ -602,7 +689,8 @@ object Relational {
     ord
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
       .select(col("cents"),
-        least(expr(s"cents div $HistBucketCents"), lit(HistMaxBucket)).as("bucket"))
+        greatest(least(expr(s"cents div $HistBucketCents"), lit(HistMaxBucket)), lit(0L))
+          .as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
       .select(col("bucket"), (col("bucket") * HistBucketCents).as("bucket_lo_cents"),
@@ -739,6 +827,8 @@ object Relational {
     "rel_join_inner"     -> joinInner _,
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
+    "rel_join_left"      -> joinLeft _,
+    "rel_join_full"      -> joinFull _,
     "rel_join_asof"      -> asofJoin _,
     "rel_join_range"     -> rangeJoin _,
     "rel_join_bucketed"  -> joinBucketed _,
@@ -746,6 +836,7 @@ object Relational {
     "rel_percentiles_approx" -> percentilesApprox _,
     "rel_approx_distinct" -> approxDistinct _,
     "rel_rollup"         -> rollupAgg _,
+    "rel_cube"           -> cubeAgg _,
     "rel_window_running" -> windowRunning _,
     "rel_sessionize"     -> sessionize _,
     "rel_pivot"          -> pivotActivity _,
@@ -816,6 +907,16 @@ object Relational {
         |  COUNT(1) AS n,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin,
+    // Same GROUPING bitmask + sentinel discipline as rel_rollup, over all
+    // four grouping sets.
+    "rel_cube" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority, status""".stripMargin,
     // Integer-cents accumulation: windowed SUM over DOUBLE would be
     // association-sensitive (segment tree vs sequential) — BIGINT is not.
@@ -966,7 +1067,7 @@ object Relational {
       """WITH c AS (
         |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
         |), b AS (
-        |  SELECT cents, LEAST(cents // 5000000, 19) AS bucket FROM c)
+        |  SELECT cents, GREATEST(LEAST(cents // 5000000, 19), 0) AS bucket FROM c)
         |SELECT bucket, bucket * 5000000 AS bucket_lo_cents,
         |  COUNT(1) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
@@ -1015,6 +1116,42 @@ object Relational {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    // Null-extended right-side columns coalesce to 0 on BOTH sides, so
+    // the driver hash never sees an engine-specific NULL.
+    "rel_join_left" ->
+      s"""WITH big AS (
+         |  SELECT o_custkey AS c_custkey, COUNT(*) AS n_big,
+         |    CAST(SUM(cents) AS BIGINT) AS big_cents
+         |  FROM (SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+         |        FROM orders)
+         |  WHERE cents > $BigOrderCents GROUP BY o_custkey
+         |)
+         |SELECT c_custkey, c_mktsegment,
+         |  COALESCE(n_big, 0) AS n_big, COALESCE(big_cents, 0) AS big_cents
+         |FROM customer LEFT JOIN big USING (c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+    // FULL JOIN USING coalesces the key per the SQL standard — matching
+    // Spark's usingColumns semantics; every other column coalesces to 0.
+    "rel_join_full" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), early AS (
+        |  SELECT o_custkey, COUNT(*) AS n_early, CAST(SUM(cents) AS BIGINT) AS early_cents
+        |  FROM o WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+        |), late AS (
+        |  SELECT o_custkey, COUNT(*) AS n_late, CAST(SUM(cents) AS BIGINT) AS late_cents
+        |  FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY o_custkey
+        |)
+        |SELECT o_custkey,
+        |  COALESCE(n_early, 0) AS n_early, COALESCE(early_cents, 0) AS early_cents,
+        |  COALESCE(n_late, 0) AS n_late, COALESCE(late_cents, 0) AS late_cents,
+        |  CASE WHEN COALESCE(n_early, 0) > 0 AND COALESCE(n_late, 0) > 0 THEN 'both'
+        |       WHEN COALESCE(n_early, 0) > 0 THEN 'early_only'
+        |       ELSE 'late_only' END AS presence
+        |FROM early FULL JOIN late USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
     "rel_agg_counters" ->
       """SELECT o_orderstatus, COUNT(1) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents

@@ -758,6 +758,137 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------- structural cleaning
+
+  /** Entity decode table for [[stripMarkupCol]] — `&amp;` deliberately
+    * LAST: decoding it first would turn `&amp;lt;` into `&lt;` and then
+    * wrongly into `<` (double decode); others-then-amp is the standard
+    * single-pass-safe order. */
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** HTML/markup strip as a narrow codegen projection: drop tags
+    * (`<[^>]*>` — any tag, closed or not, attributes and all), THEN
+    * decode entities (this order is load-bearing: a decoded `&lt;b&gt;`
+    * must surface as literal text `<b>`, never be re-interpreted as a
+    * tag), then collapse whitespace. Regex features are held to the
+    * RE2-safe subset (no lookaround/backrefs) so Spark's Java regex and
+    * DuckDB's RE2 agree character-for-character. */
+  private[graft] def stripMarkupCol(dirty: Column): Column = {
+    val untagged = regexp_replace(dirty, "<[^>]*>", " ")
+    val decoded = HtmlEntities.foldLeft(untagged) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The deterministic "dirty" wrapper the structural-cleaning oracles
+    * run on: the testdata corpus is already clean plain text, so the
+    * markup/PII the operator must remove is synthesized per-row from
+    * `doc_id` — same expression in the DuckDB twin, so the compare stays
+    * full-strict while genuinely exercising every regex branch (the
+    * engineered-fixture specs cover the adversarial shapes: nested/
+    * unclosed tags, entity-encoded tags, mixed PII). */
+  private[graft] def markupDirtyCol: Column =
+    concat(lit("<div id=\""), col("doc_id").cast("string"),
+      lit("\" class='doc'>\n<p>"), col("text"),
+      lit(" &amp; more &lt;b&gt;text&#39;s &quot;quoted&quot;&nbsp;here</p>\n<br/></div>"))
+
+  /** Structural text cleaning — the stage every corpus pipeline runs
+    * BEFORE any scoring op in this file (crawled text arrives wrapped in
+    * markup; quality ratios and n-gram stats over raw HTML measure the
+    * markup, not the prose). One narrow whole-stage-codegen projection:
+    * no shuffle, no UDF, scales as a map. */
+  def stripMarkup(s: SparkSession, d: String): DataFrame = {
+    val dirty = markupDirtyCol
+    documents(s, d).select(
+      col("doc_id"),
+      stripMarkupCol(dirty).as("text_clean"),
+      length(stripMarkupCol(dirty)).cast("long").as("n_chars_clean"),
+      (length(dirty) - length(stripMarkupCol(dirty))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** PII regexes — RE2-safe (shared verbatim with the DuckDB twin).
+    * Applied email → IPv4 → phone: each replacement's mask token carries
+    * no digits, so later patterns can never re-match inside an earlier
+    * mask; IPv4 before phone because the phone pattern (digits with
+    * separators) would otherwise swallow dotted quads. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?[0-9][0-9().-]{5,}[0-9]"
+
+  private[graft] def redactPiiCol(dirty: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(dirty, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** The synthesized PII-bearing text (see [[markupDirtyCol]]'s note). */
+  private[graft] def piiDirtyCol: Column =
+    concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(" end"))
+
+  /** PII redaction — mask emails, IPv4s and phone numbers before text
+    * leaves the pipeline (the compliance gate every real corpus runs
+    * between crawling and training). Counts are taken per-stage on the
+    * stage's own input (emails on the raw text, IPs after the email
+    * mask, phones after the IP mask) so a masked span is never counted
+    * twice. Same narrow codegen-projection shape as [[stripMarkup]]. */
+  def redactPii(s: SparkSession, d: String): DataFrame = {
+    val dirty = piiDirtyCol
+    val postEmail = regexp_replace(dirty, EmailRe, "[EMAIL]")
+    val postIp = regexp_replace(postEmail, Ipv4Re, "[IP]")
+    documents(s, d).select(
+      col("doc_id"),
+      redactPiiCol(dirty).as("text_redacted"),
+      regexp_count(dirty, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(postEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(postIp, lit(PhoneRe)).cast("long").as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- heavy hitters
+
+  /** Support fraction for [[freqItems]] — candidate state is O(1/support)
+    * per partition, the Misra-Gries bound. */
+  val FreqSupport = 0.005
+
+  /** Frequent tokens via a bounded-state sketch + exact verify — the
+    * heavy-hitters pipeline at its 100 TB shape. Pass 1 is Spark's
+    * `stat.freqItems` (the Karp/Misra-Gries one-pass candidate sketch:
+    * per-partition state capped at 1/support counters, merged
+    * associatively — NO token ever shuffles); it guarantees every token
+    * with frequency > support·N surfaces, possibly with false positives.
+    * Pass 2 recounts ONLY the candidate set (≤ 1/support literals riding
+    * the scan as a codegen'd `isin` probe, the Bloom-prefilter
+    * discipline) and filters exactly — so the OUTPUT is deterministic
+    * and equals the plain exact aggregation, which is why this row
+    * oracle-checks at FULL strictness even though the sketch is
+    * approximate: approximation bounds the state, the verify pass
+    * restores exactness. (`text_ngram_topk` is the exact unbounded
+    * sibling; the spec pins this against it.) */
+  def freqItems(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(split(col("text"), " ")).as("token"))
+    val total = FrameCache.cachedValue[Long](s, s"token-total:$d")(toks.count())
+    val candidates = FrameCache.cachedValue[Seq[String]](s, s"freq-candidates:$d") {
+      toks.stat.freqItems(Seq("token"), FreqSupport).head().getSeq[String](0).toList
+    }
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(FreqSupport) * lit(total.toDouble))
+      .withColumn("frac", col("n").cast("double") / lit(total.toDouble))
+      .orderBy("token")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -782,6 +913,9 @@ object TextAnalysis {
     "text_tfidf_topk"    -> tfidfKeywords _,
     "text_cdf_rank"      -> cdfRank _,
     "text_compress_ratio" -> compressRatio _,
+    "text_strip_markup"  -> stripMarkup _,
+    "text_redact_pii"    -> redactPii _,
+    "text_freq_items"    -> freqItems _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1109,5 +1243,67 @@ object TextAnalysis {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE n_chars > median_chars
         |ORDER BY doc_id""".stripMargin,
+    // Same synthesized dirty wrapper (chr(10) = the Scala-side '\n'),
+    // same tag regex with the 'g' flag, same others-then-amp entity
+    // order, same whitespace collapse. RE2 and Java regex agree on this
+    // pattern subset, so the compare is full-strict.
+    "text_strip_markup" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '<div id="' || CAST(doc_id AS VARCHAR) || '" class=''doc''>' || chr(10) ||
+        |    '<p>' || text ||
+        |    ' &amp; more &lt;b&gt;text&#39;s &quot;quoted&quot;&nbsp;here</p>' || chr(10) ||
+        |    '<br/></div>' AS dirty
+        |  FROM documents
+        |), dec AS (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM dirty
+        |)
+        |SELECT doc_id, clean AS text_clean,
+        |  CAST(len(clean) AS BIGINT) AS n_chars_clean,
+        |  CAST(len(dirty) - len(clean) AS BIGINT) AS n_removed
+        |FROM dec ORDER BY doc_id""".stripMargin,
+    // Identical regexes (the RE2-safe subset), identical email→IP→phone
+    // order, per-stage counts on the stage's own input.
+    "text_redact_pii" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |    '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' end' AS dirty
+         |  FROM documents
+         |), s1 AS (
+         |  SELECT doc_id, dirty,
+         |    regexp_replace(dirty, '$EmailRe', '[EMAIL]', 'g') AS post_email
+         |  FROM dirty
+         |), s2 AS (
+         |  SELECT *, regexp_replace(post_email, '$Ipv4Re', '[IP]', 'g') AS post_ip
+         |  FROM s1
+         |)
+         |SELECT doc_id,
+         |  regexp_replace(post_ip, '$PhoneRe', '[PHONE]', 'g') AS text_redacted,
+         |  CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(post_email, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(post_ip, '$PhoneRe')) AS BIGINT) AS n_phones
+         |FROM s2 ORDER BY doc_id""".stripMargin,
+    // The sketch+verify output equals the plain exact aggregation by
+    // construction (Misra-Gries surfaces every over-threshold item, the
+    // verify pass recounts exactly) — so the oracle IS the exact form.
+    "text_freq_items" ->
+      s"""WITH t AS (
+         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |), tot AS (SELECT COUNT(*) AS n_tot FROM t)
+         |SELECT token, COUNT(*) AS n,
+         |  CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(n_tot AS DOUBLE) FROM tot) AS frac
+         |FROM t GROUP BY token
+         |HAVING COUNT(*) > $FreqSupport * (SELECT CAST(n_tot AS DOUBLE) FROM tot)
+         |ORDER BY token""".stripMargin,
   )
 }

@@ -52,7 +52,14 @@ object ExactlyOnceSink {
       } finally seen.close()
       if (committed) { conn.rollback(); return 0L } // replayed batch: done already
 
+      // JDBC has no placeholder form for identifiers, so table/column names
+      // interpolate into the statement text — restrict them to plain
+      // identifiers so a quote-bearing name can never break out of it.
       val cols = batch.schema.fieldNames
+      (table +: cols).foreach { id =>
+        require(id.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"non-identifier table/column name for JDBC sink: '$id'")
+      }
       val ins = conn.prepareStatement(
         s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})")
       var n = 0L

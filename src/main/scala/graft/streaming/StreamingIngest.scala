@@ -67,6 +67,29 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
 
+  /** Windowed heavy hitters — the streaming twin of
+    * [[graft.queries.TextAnalysis.freqItems]]: per event-time window,
+    * surface the keys whose count reaches `minCount`, suppress the long
+    * tail. Batch MG sketches don't compose with streaming state, so the
+    * bounded-state form here is the windowed count-then-threshold: state
+    * is one counter per (open window, distinct key) and the watermark
+    * evicts closed windows — bounded by open-window count × per-window
+    * key cardinality, never by stream length. For an unbounded key space
+    * you'd pre-hash keys into a capped space (the salting discipline);
+    * the threshold filter applies at emit, so a key that crosses
+    * `minCount` late in the window still surfaces exactly once. */
+  def windowedHeavyHitters(events: DataFrame, keyCol: String = "event_type",
+                           eventTimeCol: String = "ts", window: String = "1 hour",
+                           watermark: String = "2 hours", minCount: Long = 3L): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(eventTimeCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** Gap-based conversation sessionization — the NATIVE path: Spark's
     * `session_window` merges events per correspondent into sessions closed
     * by `gap` of silence, with watermark-bounded state. Preferred over

@@ -28,13 +28,26 @@ object Bucketed {
   /** Ensure `name` exists as a bucketed+sorted external table holding
     * `df`; returns the table name. The build runs once per (session,
     * name) — repeated calls (Bench's warmup + timed runs) reuse the
-    * written layout, which is exactly the bucketing contract. */
+    * written layout, which is exactly the bucketing contract.
+    *
+    * COLD-SESSION reuse: a table already registered in the shared catalog
+    * (built by a sibling session of this JVM — `newSession()` shares the
+    * SharedState/ExternalCatalog) is reused as-is instead of rewritten,
+    * so a fresh-FrameCache session answers index-backed queries straight
+    * from the on-disk layout — the "persist the index, don't rebuild the
+    * memo" half of the 100 TB story (there, the catalog is a metastore
+    * and the reuse spans JVMs). A genuinely cold JVM has an empty
+    * in-memory catalog, so it rebuilds — which is also what makes the
+    * skip safe: within one JVM/SharedState lifetime the source data the
+    * table was derived from cannot have been swapped out from under it. */
   def ensure(s: SparkSession, name: String, key: String)(df: => DataFrame): String = {
     FrameCache.cachedValue[Boolean](s, s"bucketed:$name") {
-      df.write.mode("overwrite")
-        .bucketBy(NumBuckets, key).sortBy(key)
-        .option("path", s"/tmp/graft-bucketed/$name")
-        .saveAsTable(name)
+      if (!s.catalog.tableExists(name)) {
+        df.write.mode("overwrite")
+          .bucketBy(NumBuckets, key).sortBy(key)
+          .option("path", s"/tmp/graft-bucketed/$name")
+          .saveAsTable(name)
+      }
       true
     }
     name

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engineered-input specs for the round-9 operators: structural cleaning
+  * (markup strip, PII redaction), C4-style line-level dedup, magic-byte
+  * sniffing, sketch-verified heavy hitters, and the cold-session reuse of
+  * the persisted incremental-dedup corpus index. Each oracle-checked
+  * entry runs at full strictness against DuckDB on the synthetic corpus;
+  * these tests pin the adversarial shapes that corpus cannot exercise
+  * (nested/unclosed tags, entity-encoded tags, mixed PII, newline-real
+  * line splitting, actual binary magic numbers). */
+class CleanOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------- markup strip
+
+  private def strip(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("t")
+    df.select(TextAnalysis.stripMarkupCol(col("t")).as("c")).head().getString(0)
+  }
+
+  test("stripMarkup: tags, attributes and self-closing forms all drop; clean text is a no-op") {
+    assert(strip("plain text stays") == "plain text stays")
+    assert(strip("<p>a</p> <div class='x' id=\"y\">b</div><br/>") == "a b")
+    assert(strip("<html><body><h1>title</h1><p>body text</p></body></html>") == "title body text")
+  }
+
+  test("stripMarkup: unclosed/nested tag heads swallow to the first close, never past it") {
+    // <[^>]*> is non-greedy by construction ([^>] cannot cross a '>'):
+    // the malformed "<b <c>" drops as one tag, the trailing "d" survives.
+    assert(strip("a <b <c> d") == "a d")
+    assert(strip("a <unclosed forever") == "a <unclosed forever") // no '>': not a tag
+  }
+
+  test("stripMarkup: entities decode AFTER tag removal, so encoded tags surface as text") {
+    assert(strip("x &lt;b&gt; y") == "x <b> y")
+    assert(strip("&quot;q&quot;&nbsp;&#39;s") == "\"q\" 's")
+    // &amp; decodes LAST: &amp;lt; means literal "&lt;" and must stay it
+    assert(strip("amp chain &amp;lt; stays") == "amp chain &lt; stays")
+    assert(strip("a &amp; b") == "a & b")
+  }
+
+  test("stripMarkup: whitespace (incl. newlines and decoded nbsp) collapses to single spaces") {
+    assert(strip("  spaced \n\t out  ") == "spaced out")
+    assert(strip("<p>\n  a\n</p>\n<p>b</p>") == "a b")
+  }
+
+  // ------------------------------------------------------ PII redaction
+
+  private def redact(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("t")
+    df.select(TextAnalysis.redactPiiCol(col("t")).as("c")).head().getString(0)
+  }
+
+  test("redactPii: emails, IPv4s and phones each mask; clean text is a no-op") {
+    assert(redact("mail bob.smith+tag@corp.example.org now") == "mail [EMAIL] now")
+    assert(redact("server at 192.168.0.1 port") == "server at [IP] port")
+    assert(redact("call +1-800-555-0199 today") == "call [PHONE] today")
+    assert(redact("clean text with no pii") == "clean text with no pii")
+  }
+
+  test("redactPii: mixed PII in one string masks each span once, in place") {
+    assert(redact("combo a@b.co 10.0.0.255 555-867-5309 end")
+      == "combo [EMAIL] [IP] [PHONE] end")
+  }
+
+  test("redactPii: near-misses survive (3-octet dotted, short digit runs)") {
+    assert(redact("almost ip 1.2.3 and short 12-34") == "almost ip 1.2.3 and short 12-34")
+  }
+
+  test("redactPii: masks never cascade (an earlier mask is not re-matched later)") {
+    // the [IP] mask carries no digits, so the phone pass cannot chew on it
+    assert(redact("10.0.0.1") == "[IP]")
+    assert(redact("x@y.io") == "[EMAIL]")
+  }
+
+  // -------------------------------------------------- line-level dedup
+
+  test("dedupLines removes corpus-wide boilerplate lines that winnow-style pair ops cannot") {
+    val docs = Seq(
+      (0L, "unique alpha\nSHARED BOILERPLATE\nunique beta"),
+      (1L, "other text\nSHARED BOILERPLATE\nmore text"),
+      (2L, "SHARED BOILERPLATE\nonly original line"),
+      (3L, "totally unrelated"),
+      (4L, "SHARED BOILERPLATE")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesOf(docs, c => split(c, "\n"), maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 2L, "unique alpha unique beta"),
+      (1L, 3L, 2L, "other text more text"),
+      (2L, 2L, 1L, "only original line"),
+      (3L, 1L, 1L, "totally unrelated"),
+      (4L, 1L, 0L, ""))) // fully-boilerplate doc survives as an empty residue
+  }
+
+  test("dedupLines df cap: a line shared by exactly maxDf docs survives") {
+    val docs = Seq(
+      (0L, "twice shared\nown line a"),
+      (1L, "twice shared\nown line b"),
+      (2L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.dedupLinesOf(docs, c => split(c, "\n"), maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, "twice shared own line a"),
+      (1L, "twice shared own line b"),
+      (2L, "solo")))
+  }
+
+  test("wordWindowLines: fixed windows tile the text, tail window is the remainder") {
+    val df = Seq(Tuple1((1 to 19).map(i => s"w$i").mkString(" "))).toDF("t")
+    val lines = df.select(Dedup.wordWindowLines(col("t")).as("l"))
+      .head().getSeq[String](0)
+    assert(lines.size == 3)
+    assert(lines(0) == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(lines(1) == (9 to 16).map(i => s"w$i").mkString(" "))
+    assert(lines(2) == (17 to 19).map(i => s"w$i").mkString(" "))
+  }
+
+  // ---------------------------------------------------- magic-byte sniff
+
+  test("magicKind classifies real format headers by their magic bytes") {
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0x00, 0x0D).map(_.toByte)
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46).map(_.toByte)
+    val gif = "GIF89a_img".getBytes("US-ASCII")
+    val wav = ("RIFF" + "SIZE" + "WAVEfmt_").getBytes("US-ASCII") // 4-byte size field
+    val webp = ("RIFF" + "SIZE" + "WEBPVP8_").getBytes("US-ASCII")
+    val avi = ("RIFF" + "SIZE" + "AVI LIST").getBytes("US-ASCII")
+    val mp4 = Array[Byte](0, 0, 0, 0x20) ++ "ftypisom".getBytes("US-ASCII")
+    val ogg = "OggS_page".getBytes("US-ASCII")
+    val mp3 = "ID3_v24".getBytes("US-ASCII")
+    val txt = "just some plain text".getBytes("US-ASCII")
+    val truncated = Array[Byte](0x89.toByte, 0x50) // PNG prefix cut short
+    val fixtures = Seq(
+      ("png", png, "image/png"), ("jpeg", jpeg, "image/jpeg"),
+      ("gif", gif, "image/gif"), ("wav", wav, "audio/wav"),
+      ("webp", webp, "image/webp"), ("avi", avi, "video/avi"),
+      ("mp4", mp4, "video/mp4"), ("ogg", ogg, "audio/ogg"),
+      ("mp3", mp3, "audio/mpeg"),
+      ("txt", txt, "application/octet-stream"),
+      ("truncated", truncated, "application/octet-stream"))
+    val got = fixtures.map { case (n, b, _) => (n, b) }.toDF("name", "data")
+      .select(col("name"), Multimodal.magicKind(col("data")).as("kind"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((n, _, want) <- fixtures)
+      assert(got(n) == want, s"$n sniffed as ${got(n)}, want $want")
+  }
+
+  // ------------------------------------------------------- heavy hitters
+
+  test("freqItems equals the exact over-threshold aggregation (sketch bounds state, verify restores exactness)") {
+    val d = "/root/testdata/sf0.001"
+    val got = TextAnalysis.freqItems(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = graft.tables.Testdata.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > lit(TextAnalysis.FreqSupport) * lit(total.toDouble))
+      .orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact, "sketch+verify output drifted from the exact aggregation")
+    assert(got.nonEmpty)
+  }
+
+  // --------------------------------------- persisted incremental index
+
+  test("cold session answers incremental dedup from the on-disk corpus index, no corpus text rescan") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = Dedup.incrementalNew(spark, d).collect().toSeq
+    // a sibling session: SharedState (and so the table catalog) is shared,
+    // FrameCache memos are NOT — the cold-start shape of a new driver
+    val s2 = spark.newSession()
+    assert(graft.tables.FrameCache.keys(s2).isEmpty, "new session must start with no memos")
+    val df2 = Dedup.incrementalNew(s2, d)
+    assert(df2.collect().toSeq == r1, "cold session result drifted")
+    // corpus side must read the bucketed sha table, not documents.parquet:
+    // the only documents scans left are the BATCH side's two union
+    // branches (definitely-new + might-contain); the corpus branch — a
+    // third documents scan before the index persisted — must be gone.
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("documents.parquet")) == 2,
+      s"corpus text re-scanned in a cold session:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft-bucketed/graft_corpus_sha_")),
+      s"persisted corpus index not read:\n${scans.mkString("\n")}")
+  }
+}

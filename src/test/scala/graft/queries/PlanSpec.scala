@@ -137,12 +137,41 @@ class PlanSpec extends SparkSpec {
     assert(wins.forall(_.nonEmpty), "pack spans regressed to an unpartitioned global window")
   }
 
-  test("rollup is one Expand + one aggregation pass, not a rescan per level") {
-    val plan = Relational.rollupAgg(spark, sf).queryExecution.sparkPlan
-    val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
-    assert(expands.size == 1, s"rollup expected exactly one Expand, got ${expands.size}")
-    val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
-    assert(scans.size == 1, s"rollup rescans the input: ${scans.size} scans")
+  test("rollup and cube are one Expand + one aggregation pass, not a rescan per level") {
+    for ((name, df) <- Seq("rollup" -> Relational.rollupAgg(spark, sf),
+                           "cube" -> Relational.cubeAgg(spark, sf))) {
+      val plan = df.queryExecution.sparkPlan
+      val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(expands.size == 1, s"$name expected exactly one Expand, got ${expands.size}")
+      val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(scans.size == 1, s"$name rescans the input: ${scans.size} scans")
+    }
+  }
+
+  test("left join broadcasts its aggregated build side; full outer stays a co-partitioned SMJ") {
+    // rel_join_left: the pre-aggregated "big orders" frame is threshold-
+    // small, so the dimension probe must never shuffle.
+    val left = formatted("rel_join_left")
+    assert(left.contains("BroadcastHashJoin") && left.contains("LeftOuter"),
+      s"rel_join_left: aggregated side not broadcast:\n$left")
+    // rel_join_full: full outer null-extends BOTH sides — no broadcast
+    // form exists; the correct shape is the keyed SortMergeJoin.
+    val full = formatted("rel_join_full")
+    assert(full.contains("FullOuter"), s"rel_join_full lost outer semantics:\n$full")
+    assert(!full.contains("BroadcastNestedLoopJoin"), s"rel_join_full BNLJ:\n$full")
+  }
+
+  test("line dedup: the banned-line frame returns as a broadcast anti-join, cleaning ops stay joinless") {
+    val plan = formatted("dedup_lines")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"dedup_lines: banned-line filter not a broadcast anti-join:\n$plan")
+    // the structural cleaners are pure narrow projections — any join or
+    // aggregate appearing is a regression
+    for (q <- Seq("text_strip_markup", "text_redact_pii")) {
+      val p = formatted(q)
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$q: cleaning projection grew a join/aggregate:\n$p")
+    }
   }
 
   test("running-window and sessionization windows are all partitioned") {

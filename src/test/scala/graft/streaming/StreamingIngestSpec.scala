@@ -246,4 +246,32 @@ class StreamingIngestSpec extends SparkSpec {
       assert(rows.toSeq == Seq(("click", 2L), ("click", 1L)))
     } finally q.stop()
   }
+
+  test("windowed heavy hitters surface only over-threshold keys, per window") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val agg = StreamingIngest.windowedHeavyHitters(
+      events, window = "10 minutes", minCount = 3L)
+    val q = agg.writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val t0 = 1700000000000L
+      // window 1: click×3 (hitter), view×2 (tail); window 2: view×3
+      input.addData(
+        (new Timestamp(t0), "click"), (new Timestamp(t0 + 1000), "click"),
+        (new Timestamp(t0 + 2000), "click"), (new Timestamp(t0 + 3000), "view"),
+        (new Timestamp(t0 + 4000), "view"),
+        (new Timestamp(t0 + 11 * 60000), "view"),
+        (new Timestamp(t0 + 12 * 60000), "view"),
+        (new Timestamp(t0 + 13 * 60000), "view"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n FROM hh_out ORDER BY window_start, event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("click", 3L), ("view", 3L)),
+        "tail keys leaked through or a hitter was suppressed")
+    } finally q.stop()
+  }
 }
