@@ -111,6 +111,50 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Left SEMI join — the EXISTS shape ([[joinAnti]]'s complement, and
+    * the other half real delegated-query users reach for first):
+    * customers WITH at least one matching order, each emitted ONCE. The
+    * semi join never multiplies rows — Spark's hash-semi probe stops at
+    * the first build-side hit, so a hot key with 10⁶ orders costs one
+    * lookup, where `inner JOIN … GROUP BY` would materialize and then
+    * collapse the fan-out. Same broadcast/shuffle selection rules as the
+    * anti join. */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    joinSemiOf(customer(s, d),
+      orders(s, d).filter(col("o_orderdate") < "1996-01-01"))
+
+  private[graft] def joinSemiOf(cust: DataFrame, ord: DataFrame): DataFrame =
+    cust.join(ord.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Bucket width for [[timeBucket]] (microseconds per hour). */
+  val HourUs = 3600000000L
+
+  /** Time-bucketed event rollup — the time-series downsample every
+    * monitoring/trend query starts from: per (hour, type) counts and
+    * integer-cents totals. The batch twin of the streaming
+    * `windowedCounts`: hour = integer `div` on epoch-micros (no
+    * calendar/timezone logic to disagree over, same discipline as
+    * retention's weeks), so the whole query is one narrow projection +
+    * one hash aggregate whose partials absorb everything map-side — the
+    * exchange carries ≤ (hours × types) rows per upstream partition at
+    * any corpus size. */
+  def timeBucket(s: SparkSession, d: String): DataFrame =
+    timeBucketOf(events(s, d))
+
+  private[graft] def timeBucketOf(ev: DataFrame): DataFrame =
+    ev
+      .select(
+        expr(s"unix_micros(cast(ts as timestamp)) div $HourUs").as("hour"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("hour", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .select(col("hour"), (col("hour") * HourUs).as("hour_start_us"),
+        col("event_type"), col("n"), col("total_cents"))
+      .orderBy("hour", "event_type")
+
   /** Cents threshold for [[joinLeft]]'s "big orders" side. */
   val BigOrderCents = 40000000L // $400k
 
@@ -827,6 +871,8 @@ object Relational {
     "rel_join_inner"     -> joinInner _,
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
+    "rel_join_semi"      -> joinSemi _,
+    "rel_time_bucket"    -> timeBucket _,
     "rel_join_left"      -> joinLeft _,
     "rel_join_full"      -> joinFull _,
     "rel_join_asof"      -> asofJoin _,
@@ -1116,6 +1162,20 @@ object Relational {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "rel_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_time_bucket" ->
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,
+        |    event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT hour, hour * 3600000000 AS hour_start_us, event_type,
+        |  COUNT(1) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM e GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
     // Null-extended right-side columns coalesce to 0 on BOTH sides, so
     // the driver hash never sees an engine-specific NULL.
     "rel_join_left" ->

@@ -889,6 +889,108 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  // --------------------------------------------------- train/val/test split
+
+  /** Percent cut points for [[splitAssign]]: < 80 train, < 90 val, else
+    * test. */
+  val SplitTrainPct = 80L
+  val SplitValPct = 90L
+
+  /** Deterministic train/val/test split assignment — the hash-based
+    * split every training pipeline needs to be REPRODUCIBLE and STABLE
+    * under corpus growth: a document's split never changes when other
+    * documents come or go (a `rand()` or row-number split reshuffles on
+    * every re-run/retry; a hash of the stable id does not). Same Knuth
+    * multiplicative hash as the samplers (pmod-2³¹ pre-fold so huge ids
+    * cannot overflow-wrap), percent = bucket mod 100 — pure int64
+    * arithmetic, reproducible in any engine, one narrow codegen
+    * projection. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val pct = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L) % 100L
+    documents(s, d).select(
+      col("doc_id"), pct.as("pct"),
+      when(pct < SplitTrainPct, "train")
+        .when(pct < SplitValPct, "val")
+        .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ PMI collocations
+
+  /** Minimum bigram count for [[pmiBigrams]] — PMI is notoriously noisy
+    * on rare pairs (a hapax bigram of two hapax words gets the top
+    * score); the standard fix is a count floor. */
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
+  /** PMI collocation extraction — the bigrams most over-represented
+    * relative to their parts' independent rates (multi-word expressions,
+    * named entities, domain terms; the phrase-mining step before vocab/
+    * tokenizer work). Score is the LOG-FREE rational
+    * `c_xy · N / (c_x · c_y)` — with the corpus total N fixed this
+    * orders identically to PMI = log₂(p_xy / p_x p_y) (the log is
+    * monotone and N_bigrams/N² is a constant factor), and exact-integer
+    * products + ONE double division hash-compare across engines where a
+    * transcendental log never would (the BM25/TF-IDF rational-idf
+    * reasoning). Plan: bigram counts are one explode + map-side-
+    * combinable hash agg; the unigram vocabulary obeys Heaps' law so
+    * both count joins BROADCAST; top-k is a bounded TakeOrdered — no
+    * full sort. */
+  def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val total = FrameCache.cachedValue[Long](s, s"token-total:$d") {
+      documents(s, d).select(explode(split(col("text"), " ")).as("token")).count()
+    }
+    pmiBigramsOf(documents(s, d), total)
+  }
+
+  private[graft] def pmiBigramsOf(docs: DataFrame, total: Long,
+                                  minCount: Int = PmiMinCount): DataFrame = {
+    val words = split(col("text"), " ")
+    val uni = docs
+      .select(explode(words).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = docs
+      .filter(size(words) >= 2)
+      .select(explode(graft.functions.TextKernels.wordBigrams(words, distinct = false))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_xy"))
+      .withColumn("a", element_at(split(col("gram"), " "), 1))
+      .withColumn("b", element_at(split(col("gram"), " "), 2))
+      .filter(col("c_xy") >= minCount)
+    bi
+      .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
+      .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .select(col("gram"), col("c_xy"), col("c_a"), col("c_b"),
+        ((col("c_xy") * lit(total)).cast("double") / (col("c_a") * col("c_b")))
+          .as("score"))
+      .orderBy(col("score").desc, col("gram"))
+      .limit(PmiTopK)
+  }
+
+  // ------------------------------------------------------- source mixture
+
+  /** Per-source corpus report — the provenance breakdown a mixture owner
+    * reads before weighting sources (docs, volume, language spread,
+    * length profile per `source`). One tiny hash aggregate on the
+    * source key: counts and sums combine map-side; the exact
+    * `count_distinct(lang)` is bounded by |langs| per source (at an
+    * unbounded label space it flips to approx_count_distinct — the
+    * rel_approx_distinct trade). Mean length is the exact int64 sum over
+    * the exact count — one IEEE division per row, matched order. */
+  def sourceMix(s: SparkSession, d: String): DataFrame =
+    sourceMixOf(documents(s, d))
+
+  private[graft] def sourceMixOf(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("total_chars"), col("n_langs"),
+        (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
+      .orderBy("source")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -916,6 +1018,9 @@ object TextAnalysis {
     "text_strip_markup"  -> stripMarkup _,
     "text_redact_pii"    -> redactPii _,
     "text_freq_items"    -> freqItems _,
+    "text_split_assign"  -> splitAssign _,
+    "text_pmi_bigrams"   -> pmiBigrams _,
+    "text_source_mix"    -> sourceMix _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1305,5 +1410,45 @@ object TextAnalysis {
          |FROM t GROUP BY token
          |HAVING COUNT(*) > $FreqSupport * (SELECT CAST(n_tot AS DOUBLE) FROM tot)
          |ORDER BY token""".stripMargin,
+    // Same Knuth-hash percent arithmetic as the samplers — pure int64.
+    "text_split_assign" ->
+      s"""SELECT doc_id,
+         |  (doc_id % $SampleFold) * $SampleHashA % 4294967296 % 100 AS pct,
+         |  CASE WHEN (doc_id % $SampleFold) * $SampleHashA % 4294967296 % 100 < $SplitTrainPct
+         |         THEN 'train'
+         |       WHEN (doc_id % $SampleFold) * $SampleHashA % 4294967296 % 100 < $SplitValPct
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Exact-integer products, one double division in matched order; the
+    // rational score orders identically to log-PMI under a fixed corpus.
+    "text_pmi_bigrams" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), uni AS (
+         |  SELECT unnest(words) AS t FROM w
+         |), uc AS (
+         |  SELECT t, COUNT(*) AS c FROM uni GROUP BY t
+         |), tot AS (SELECT COUNT(*) AS n FROM uni),
+         |bi AS (
+         |  SELECT unnest([{'a': words[i], 'b': words[i+1],
+         |                  'gram': words[i] || ' ' || words[i+1]}
+         |    for i in range(1, len(words))], recursive := true)
+         |  FROM w WHERE len(words) >= 2
+         |), bc AS (
+         |  SELECT gram, a, b, COUNT(*) AS c_xy FROM bi GROUP BY gram, a, b
+         |  HAVING COUNT(*) >= $PmiMinCount
+         |)
+         |SELECT gram, CAST(c_xy AS BIGINT) AS c_xy,
+         |  CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+         |  CAST(c_xy * (SELECT n FROM tot) AS DOUBLE) / (ua.c * ub.c) AS score
+         |FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+         |ORDER BY score DESC, gram LIMIT $PmiTopK""".stripMargin,
+    "text_source_mix" ->
+      """SELECT source, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(1) AS mean_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

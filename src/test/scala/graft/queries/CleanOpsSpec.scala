@@ -165,6 +165,81 @@ class CleanOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ------------------------------------------------- train/val/test split
+
+  test("splitAssign: label follows the pct cut points, fractions near 80/10/10, rerun is identical") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.splitAssign(spark, d).collect()
+    for (r <- rows) {
+      val want =
+        if (r.getLong(1) < TextAnalysis.SplitTrainPct) "train"
+        else if (r.getLong(1) < TextAnalysis.SplitValPct) "val"
+        else "test"
+      assert(r.getString(2) == want, s"doc ${r.getLong(0)}: pct ${r.getLong(1)} labeled ${r.getString(2)}")
+    }
+    val frac = rows.count(_.getString(2) == "train").toDouble / rows.length
+    assert(frac > 0.65 && frac < 0.95, s"train fraction $frac drifted far from 0.8")
+    // deterministic: a re-run (and any task retry) reproduces every label
+    val again = TextAnalysis.splitAssign(spark, d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq
+      == again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  // ------------------------------------------------------ PMI collocations
+
+  test("pmiBigrams: a planted collocation outranks frequent-but-independent pairs") {
+    // "aa bb" always adjacent (a true collocation); "cc" is 5x more
+    // frequent but self-adjacent only by volume — raw counts would rank
+    // "cc cc" first, PMI must not.
+    val docs = (0 until 50).map(i => (i.toLong, "aa bb cc cc cc cc cc dd"))
+      .toDF("doc_id", "text")
+    val total = 50L * 8L
+    val top = TextAnalysis.pmiBigramsOf(docs, total).collect()
+    assert(top.head.getString(0) == "aa bb", s"top gram was ${top.head.getString(0)}")
+    val byGram = top.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byGram("aa bb") > byGram("cc cc"),
+      "collocation did not outscore the frequent pair")
+    // spot-check the rational score: c_xy·N / (c_a·c_b) = 50·400/(50·50)
+    assert(byGram("aa bb") == 8.0)
+  }
+
+  // ------------------------------------------------------- source mixture
+
+  test("sourceMix aggregates per-source volume, language spread and mean length") {
+    val docs = Seq(
+      ("s1", "en", 10L), ("s1", "de", 30L), ("s2", "en", 5L))
+      .toDF("source", "lang", "n_chars")
+    val out = TextAnalysis.sourceMixOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(("s1", 2L, 40L, 2L, 20.0), ("s2", 1L, 5L, 1L, 5.0)))
+  }
+
+  // --------------------------------------------------- semi join / buckets
+
+  test("joinSemi emits each matching row once, regardless of match multiplicity") {
+    val cust = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+    val ord = Seq((1L), (1L), (1L), (3L)).toDF("o_custkey")
+    val out = Relational.joinSemiOf(cust, ord).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (3L, "c"))) // 1 matched thrice, emitted once
+  }
+
+  test("timeBucket: hour boundary is exact (59:59.999999 stays, 00:00.000000 rolls over)") {
+    import java.sql.Timestamp
+    val t0 = 1700000000000000L // epoch micros, not hour-aligned
+    val hour = t0 / Relational.HourUs
+    val lastUs = (hour + 1) * Relational.HourUs - 1 // last micro of `hour`
+    val firstUs = (hour + 1) * Relational.HourUs    // first micro of hour+1
+    val ev = Seq(
+      (1L, lastUs, "click", 1.0),
+      (2L, firstUs, "click", 2.0))
+      .toDF("event_id", "us", "event_type", "value")
+      .withColumn("ts", expr("timestamp_micros(us)").cast("timestamp_ntz"))
+    val out = Relational.timeBucketOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((hour, 1L, 100L), (hour + 1, 1L, 200L)))
+  }
+
   // --------------------------------------- persisted incremental index
 
   test("cold session answers incremental dedup from the on-disk corpus index, no corpus text rescan") {
