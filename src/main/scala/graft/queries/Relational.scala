@@ -575,6 +575,34 @@ object Relational {
       .orderBy("user_id", "rn")
   }
 
+  /** NTILE bucket count for [[windowNtile]]. */
+  val NtileBuckets = 4
+
+  /** Per-user NTILE quartiles — rank each user's events into 4
+    * equal-depth buckets of their OWN value distribution ("is this
+    * purchase big *for this user*?" — per-entity normalization, the
+    * window cousin of [[graft.queries.TextAnalysis.cdfRank]]'s global
+    * CDF). Partitioned by user_id — a high-cardinality key, so the sort
+    * is per-user-local like [[windowRunning]]'s, never a handful of
+    * giant per-type partitions (an NTILE over a low-cardinality key at
+    * 100 TB is the banned corpus-sort shape; its scale-correct
+    * replacement is quantile thresholds broadcast back, the
+    * quality-gate pattern). Deterministic: the order key (cents,
+    * event_id) is a total order, and NTILE's SQL-standard fill rule
+    * (first n mod b buckets take the extra row) is the same in both
+    * engines. */
+  def windowNtile(s: SparkSession, d: String): DataFrame =
+    windowNtileOf(events(s, d))
+
+  private[graft] def windowNtileOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("cents"), col("event_id"))
+    ev
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("quartile", ntile(NtileBuckets).over(w).cast("long"))
+      .orderBy("event_id")
+  }
+
   /** Session gap for [[sessionize]] — a new session starts after this
     * many microseconds of per-user inactivity (6 h; the testdata's
     * median inter-event gap is ~7.4 h, so roughly a third of events
@@ -884,6 +912,7 @@ object Relational {
     "rel_rollup"         -> rollupAgg _,
     "rel_cube"           -> cubeAgg _,
     "rel_window_running" -> windowRunning _,
+    "rel_window_ntile"   -> windowNtile _,
     "rel_sessionize"     -> sessionize _,
     "rel_pivot"          -> pivotActivity _,
     "rel_unpivot"        -> unpivotActivity _,
@@ -980,6 +1009,13 @@ object Relational {
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents_3,
         |  ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM e ORDER BY user_id, rn""".stripMargin,
+    "rel_window_ntile" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, cents,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY cents, event_id) AS BIGINT) AS quartile
+        |FROM e ORDER BY event_id""".stripMargin,
     "rel_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

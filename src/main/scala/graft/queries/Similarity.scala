@@ -83,6 +83,55 @@ object Similarity {
   /** Exact cosine top-K for the fixed query set. */
   def bruteTopK(s: SparkSession, d: String): DataFrame = topK(scored(s, d), K)
 
+  /** Query-set size and neighbor count for [[knnLabel]]. */
+  val KnnQueries = 50
+  val KnnK = 10
+
+  /** kNN majority-vote label assignment — the auto-labeling / label-QA
+    * op an embedding pipeline runs (label new items from their nearest
+    * labeled neighbors; audit existing labels by checking each item
+    * against its neighborhood). Queries = `vec_id < KnnQueries` voted by
+    * the REST of the corpus (the query set is excluded so an item never
+    * votes for itself). Ranking reuses the bounded
+    * [[graft.functions.TopKAggregate]] path (O(k) state per query,
+    * map-side combine — never a per-query corpus sort); the vote is two
+    * tiny aggregates on the k·|queries| shortlist. Ties break to the
+    * SMALLEST label via one exact int64 argmax key
+    * (`votes·1024 − label` — the keepBest no-float-ordering discipline).
+    * The k-neighbor shortlist re-joins labels on a skinny int key; at
+    * 100 TB that join broadcasts the shortlist (k·|queries| rows), not
+    * the corpus. */
+  def knnLabel(s: SparkSession, d: String): DataFrame =
+    knnLabelOf(embeddings(s, d), KnnQueries, KnnK)
+
+  private[graft] def knnLabelOf(e: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val corpus = e.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+    val scoredDf = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val labels = e.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("n_label"))
+    val votes = topKAgg(scoredDf, k)
+      .join(labels, "neighbor_id")
+      .groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("votes"))
+    val voteKey = col("votes") * 1024L - col("n_label")
+    val best = votes.groupBy("query_id").agg(
+      max_by(col("n_label"), voteKey).as("predicted_label"),
+      max_by(col("votes"), voteKey).as("votes"))
+    e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("true_label"))
+      .join(best, "query_id")
+      .select(col("query_id"), col("true_label"), col("predicted_label"),
+        col("votes"), (col("true_label") === col("predicted_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
   /** Same contract as [[topK]] through the custom bounded
     * [[graft.functions.TopKAggregate]]: ONE hash aggregation (O(k) state
     * per group, map-side combine) instead of two collect_list rounds.
@@ -458,6 +507,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_label_centroids" -> labelCentroids _,
     "sim_cosine_topk"   -> bruteTopK _,
+    "sim_knn_label"     -> knnLabel _,
     "sim_ann_lsh"       -> lshBucketTopK _,
     "sim_ann_lsh_q"     -> lshBucketTopKQuantized _,
     "sim_embed_neardup" -> embeddingNearDup _,
@@ -500,6 +550,43 @@ object Similarity {
         |  CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * scale + 0.5) AS BIGINT) AS q
         |FROM s, range(64) r(i)
         |ORDER BY vec_id, idx""".stripMargin,
+    // Brute-force kNN + the identical integer vote key. cos enters only
+    // the rank ORDER BY (matched-order IEEE ops ⇒ identical ordering);
+    // every surfaced column is integer/boolean, so full strictness.
+    "sim_knn_label" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label AS true_label, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $KnnQueries
+         |), c AS (
+         |  SELECT vec_id AS neighbor_id, label AS n_label, embedding AS cv
+         |  FROM embeddings WHERE vec_id >= $KnnQueries
+         |), s AS (
+         |  SELECT q.query_id, c.neighbor_id, c.n_label,
+         |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+         |              for i in range(1, len(qv) + 1)]) /
+         |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+         |                    for i in range(1, len(qv) + 1)])) *
+         |     sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+         |                    for i in range(1, len(cv) + 1)]))) AS cos
+         |  FROM q JOIN c ON q.query_id <> c.neighbor_id
+         |), r AS (
+         |  SELECT query_id, n_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s
+         |), v AS (
+         |  SELECT query_id, CAST(n_label AS BIGINT) AS n_label, COUNT(*) AS votes
+         |  FROM r WHERE rank <= $KnnK GROUP BY 1, 2
+         |), b AS (
+         |  SELECT query_id,
+         |    arg_max(n_label, votes * 1024 - n_label) AS predicted_label,
+         |    CAST(arg_max(votes, votes * 1024 - n_label) AS BIGINT) AS votes
+         |  FROM v GROUP BY query_id
+         |)
+         |SELECT q.query_id, CAST(q.true_label AS BIGINT) AS true_label,
+         |  b.predicted_label, b.votes,
+         |  CAST(q.true_label AS BIGINT) = b.predicted_label AS correct
+         |FROM q JOIN b ON q.query_id = b.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

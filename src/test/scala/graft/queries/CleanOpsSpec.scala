@@ -240,6 +240,49 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((hour, 1L, 100L), (hour + 1, 1L, 200L)))
   }
 
+  // --------------------------------------------------- kNN label voting
+
+  test("knnLabel: majority wins, ties break to the smallest label, query never votes for itself") {
+    // 2 queries (ids 0, 1) + 4 corpus vectors. Axis-aligned embeddings
+    // make cosine ranks unambiguous: query 0 = x-axis, neighbors on/near
+    // the x-axis carry label 7 twice and label 3 once → 7 wins 2:1.
+    // Query 1 = y-axis with a 1:1 vote between labels 9 and 2 → tie
+    // breaks to 2.
+    val e = Seq(
+      (0L, Seq(1f, 0f), 3),   // query 0 (its own label never votes)
+      (1L, Seq(0f, 1f), 9),   // query 1
+      (2L, Seq(1f, 0.1f), 7), // x-ish, label 7
+      (3L, Seq(1f, -0.1f), 7),
+      (4L, Seq(1f, 0.2f), 3),
+      (5L, Seq(0.1f, 1f), 9), // y-ish, label 9
+      (6L, Seq(-0.1f, 1f), 2) // y-ish, label 2
+    ).toDF("vec_id", "embedding", "label")
+    // query 0, k=3: neighbors 2,3,4 → labels 7,7,3 → predicted 7 (2 votes)
+    // query 1, k=2: neighbors 5,6 → labels 9,2 tie → predicted 2 (smaller)
+    val out = Similarity.knnLabelOf(e, nQueries = 2, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(out(0) == (0L, 3L, 7L, 2L, false))
+    val q1 = Similarity.knnLabelOf(e, nQueries = 2, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(q1(1) == (1L, 2L, 1L), s"tie did not break to the smaller label: ${q1.toSeq}")
+  }
+
+  // ------------------------------------------------------- NTILE buckets
+
+  test("windowNtile: SQL-standard fill (first n mod b buckets take the extra row), per-user isolation") {
+    val ev = Seq(
+      // user 1: five events, cents 100..500 → bucket depths 2,1,1,1
+      (1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0), (4L, 1L, 4.0), (5L, 1L, 5.0),
+      // user 2: two events → buckets 1 and 2 only
+      (6L, 2L, 9.0), (7L, 2L, 1.0))
+      .toDF("event_id", "user_id", "value")
+    val out = Relational.windowNtileOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), // 5 rows into 4 buckets
+      (6L, 2L), (7L, 1L))) // user 2 independent; higher cents → later bucket
+  }
+
   // --------------------------------------- persisted incremental index
 
   test("cold session answers incremental dedup from the on-disk corpus index, no corpus text rescan") {

@@ -51,8 +51,8 @@ class PlanSpec extends SparkSpec {
     * pre-scored vocab — TextAnalysis.surprisalOf). Everything else must
     * stay hash/merge-joined — a BNLJ appearing anywhere else is a
     * join-key regression that would never survive 100 TB. */
-  private val bnljAllowed = Set("sim_cosine_topk", "sim_ann_ivf", "sim_ann_ivf_q",
-    "text_surprisal")
+  private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
+    "sim_ann_ivf_q", "text_surprisal")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -177,7 +177,7 @@ class PlanSpec extends SparkSpec {
   test("running-window and sessionization windows are all partitioned") {
     // same discipline as pack spans: an unpartitioned `sum() over (order
     // by ...)` is one reducer sorting the whole corpus at 100 TB.
-    for (q <- Seq("rel_window_running", "rel_sessionize")) {
+    for (q <- Seq("rel_window_running", "rel_sessionize", "rel_window_ntile")) {
       val wins = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
