@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+import graft.tables.FrameCache
+
+/** Byte-pair-encoding tokenizer training and encoding — the vocabulary
+  * construction stage a training pipeline runs between text cleaning and
+  * tokenization (Sennrich et al., "Neural Machine Translation of Rare
+  * Words with Subword Units", ACL 2016; the algorithm behind GPT/Llama
+  * vocab files).
+  *
+  * THE SCALE SHAPE IS THE POINT: classic BPE training never iterates
+  * over the corpus — it iterates over the WORD-FREQUENCY TABLE. The
+  * corpus is scanned ONCE into (word, count); by Heaps' law that table
+  * is tiny relative to the corpus at any scale (the same observation
+  * that lets surprisal/TF-IDF broadcast their vocab), so the per-round
+  * work — count weighted symbol pairs, take the argmax, apply one merge
+  * — touches thousands of rows while the corpus holds petabytes.
+  * Encoding is then ONE broadcast join of the corpus against the trained
+  * word→segmentation table: the corpus is touched exactly twice end to
+  * end, once to count words and once to encode.
+  *
+  * ROWS-ONLY at the driver gate BY DESIGN: the merge list is learned
+  * iteratively at runtime (each round's argmax feeds the next round's
+  * regex), which no single static SQL statement can express — the same
+  * no-SQL-twin category as the ANN sketches. The spec pins hand-derived
+  * merges on the textbook corpus and the encode identity instead. */
+object Bpe {
+
+  /** Number of merge rounds learned by [[bpeMerges]]. */
+  val MergeRounds = 10
+
+  /** End-of-word marker appended as a symbol before training — the
+    * standard trick that lets a merge distinguish "low-at-word-end" from
+    * "low-inside-lower" (and makes encoded tokens reversible). */
+  val EndMark = "</w>"
+
+  /** The (word, count, sym) training table: distinct corpus words with
+    * frequencies, each segmented into space-joined single-character
+    * symbols plus [[EndMark]]. Memoized per (session, dir) — the word
+    * scan is the ONE corpus pass training pays. */
+  private[graft] def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat(concat_ws(" ", filter(split(col("w"), ""), c => length(c) > 0)),
+          lit(" " + EndMark)))
+
+  /** One boundary-safe merge application: `left right` (as adjacent
+    * space-separated symbols) fuses into `leftright`, leftmost
+    * non-overlapping first — exactly the greedy scan reference BPE
+    * implementations apply. Lookaround (bounded-width) keeps a symbol
+    * from matching inside a longer neighbor; symbols are regex-quoted
+    * because merged symbols may contain any corpus character. */
+  private def mergeExpr(sym: org.apache.spark.sql.Column,
+                        left: String, right: String): org.apache.spark.sql.Column = {
+    val l = java.util.regex.Pattern.quote(left)
+    val r = java.util.regex.Pattern.quote(right)
+    val replacement = java.util.regex.Matcher.quoteReplacement(left + right)
+    regexp_replace(sym, s"(?<=^|\\s)$l $r(?=$$|\\s)", replacement)
+  }
+
+  /** Learned merge list (rank, left, right, merged, pair_count). Each
+    * round: weighted pair counts over the CURRENT segmentation (one
+    * hash aggregate on the word table — `wordBigrams` over symbols,
+    * counts weighted by word frequency so "the"×10⁶ costs one row),
+    * argmax to the driver (ties → lexicographically smallest pair, so
+    * training is deterministic under any partitioning), apply the merge
+    * as one narrow regex projection, `localCheckpoint` to keep the
+    * iterative plan flat (the CC-loop hygiene — without it round N
+    * nests N regex projections and re-runs them per argmax job). */
+  private[graft] def learnMerges(words: DataFrame, rounds: Int): Seq[(Int, String, String, Long)] = {
+    val interop = org.apache.spark.sql.graft.ColumnInterop
+    var syms = words.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      val best = syms
+        .select(col("cnt"), explode(
+          graft.functions.TextKernels.wordBigrams(split(col("sym"), " "), distinct = false))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .head(1)
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((round + 1, l, r, n))
+        val prev = syms
+        syms = syms.withColumn("sym", mergeExpr(col("sym"), l, r)).localCheckpoint()
+        interop.unpersistCheckpoint(prev)
+        round += 1
+      }
+    }
+    interop.unpersistCheckpoint(syms)
+    merges.result()
+  }
+
+  /** The trained merge list + final word segmentation, memoized per
+    * (session, dir) — train once, every consumer (the merges report,
+    * the encoder) reads the same artifact, the 100 TB analogue of a
+    * vocab file. */
+  private[graft] def trained(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    FrameCache.cachedValue(s, s"bpe-merges:$d") {
+      learnMerges(wordTable(documents(s, d)), MergeRounds)
+    }
+
+  /** The learned merge table — rank, the two fused symbols, the merged
+    * symbol, and the weighted pair count that won the round. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    val rows = trained(s, d)
+    import s.implicits._
+    rows.map { case (rank, l, r, n) => (rank.toLong, l, r, l + r, n) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** Encode the corpus with the learned merges: the word→segmentation
+    * table (all merges applied in rank order) BROADCASTS against one
+    * corpus scan; per-doc token counts fall out of a narrow projection.
+    * `chars_per_token` > 1 is the compression the vocab bought. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOf(documents(s, d), trained(s, d))
+
+  private[graft] def bpeEncodeOf(docs: DataFrame,
+                                 merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    // token count excludes a STANDALONE EndMark symbol; once a merge has
+    // fused the marker into the final subword it counts as that token
+    val segmented = merges.foldLeft(wordTable(docs)) {
+      case (df, (_, l, r, _)) => df.withColumn("sym", mergeExpr(col("sym"), l, r))
+    }.select(col("w"),
+      size(filter(split(col("sym"), " "), x => x =!= lit(EndMark))).cast("long")
+        .as("word_tokens"))
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), "w")
+      .groupBy("doc_id", "n_chars")
+      .agg(sum(col("word_tokens")).cast("long").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_chars"), col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merges" -> bpeMerges _,
+    "text_bpe_encode" -> bpeEncode _,
+  )
+
+  /** No SQL twins: the merge list is an iterative runtime artifact (see
+    * the object scaladoc) — driver records rows-only, the spec carries
+    * the correctness burden. */
+  val oracleSql: Map[String, String] = Map.empty
+}
