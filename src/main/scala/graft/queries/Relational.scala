@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Testdata._
+import graft.tables.FrameCache
 
 /** The reference's delegated relational query surface
   * (`/root/reference/querying.md`, SURVEY.md §2 rows P12–P16, J11, A1–A5,
@@ -769,6 +770,36 @@ object Relational {
         col("n"), col("total_cents"))
       .orderBy("bucket")
 
+  /** Quantile cut points for [[equidepthHist]] (quartiles). */
+  val EquidepthPs = Seq(0.25, 0.5, 0.75)
+
+  /** Equal-frequency (equi-depth) histogram — the fixed-width
+    * [[histogram]]'s data-adaptive sibling, and the SCALE-CORRECT form
+    * of global NTILE over a low-cardinality partition (the replacement
+    * [[windowNtile]]'s scaladoc promises): exact quantile thresholds
+    * come back as a 3-value scalar (memoized like the corpus counts —
+    * at 100 TB, `approx_percentile` over a sample, same plan), and
+    * bucket assignment is the pure projection
+    * `Σ (x > tᵢ)` — no corpus window, no sort, one tiny final
+    * aggregate. Strict `>` at the boundaries on both sides; quantile
+    * parity with DuckDB is the rel_percentiles-pinned definition. */
+  def equidepthHist(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val ts = FrameCache.cachedValue[Seq[Double]](s, s"equidepth-ts:$d") {
+      orders(s, d).select(cents.as("cents"))
+        .agg(percentile(col("cents"), typedLit(EquidepthPs)).as("q"))
+        .head().getSeq[Double](0).toList
+    }
+    val bucket = ts.map(t => when(col("cents") > t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    orders(s, d).select(cents.as("cents"))
+      .select(col("cents"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
   /** Ordered funnel stages for [[funnel]]. */
   val FunnelStages = Seq("signup", "click", "purchase")
 
@@ -919,6 +950,7 @@ object Relational {
     "rel_topk_per_group" -> topkPerGroup _,
     "rel_debounce"       -> debounce _,
     "rel_histogram"      -> histogram _,
+    "rel_equidepth_hist" -> equidepthHist _,
     "rel_funnel"         -> funnel _,
     "rel_retention"      -> retention _,
     "rel_outliers"       -> outliers _,
@@ -1152,6 +1184,24 @@ object Relational {
         |  SELECT cents, GREATEST(LEAST(cents // 5000000, 19), 0) AS bucket FROM c)
         |SELECT bucket, bucket * 5000000 AS bucket_lo_cents,
         |  COUNT(1) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // quantile_cont == Spark's exact percentile (rel_percentiles parity);
+    // strict > at every threshold on both sides.
+    "rel_equidepth_hist" ->
+      """WITH c AS (
+        |  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), t AS (
+        |  SELECT quantile_cont(cents, 0.25) AS q1, quantile_cont(cents, 0.5) AS q2,
+        |    quantile_cont(cents, 0.75) AS q3
+        |  FROM c
+        |), b AS (
+        |  SELECT cents,
+        |    CAST(cents > (SELECT q1 FROM t) AS BIGINT) +
+        |    CAST(cents > (SELECT q2 FROM t) AS BIGINT) +
+        |    CAST(cents > (SELECT q3 FROM t) AS BIGINT) AS bucket
+        |  FROM c)
+        |SELECT bucket, COUNT(1) AS n,
+        |  CAST(MIN(cents) AS BIGINT) AS lo_cents, CAST(MAX(cents) AS BIGINT) AS hi_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // DuckDB's native range join (IEJoin) — the bucketed equi-join
     // composition must reproduce it exactly. Integer microsecond

@@ -90,6 +90,23 @@ object StreamingIngest {
       .filter(col("n") >= minCount)
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Stream-static enrichment join — the dimension lookup every event
+    * stream runs before sinking (user → segment, doc → source, part →
+    * catalog row). The STATIC side is a plain batch frame: Spark
+    * re-plans it per micro-batch (so a refreshed dim table is picked up
+    * without restarting the query) and broadcasts it under the usual
+    * threshold — per batch the stream side never shuffles. Stateless by
+    * construction: no watermark, no store — the scalable default for
+    * enrichment; only slowly-changing-dimension HISTORY (as-of
+    * semantics) needs the interval-join machinery
+    * ([[clickAttribution]]). Inner by default; left preserves unmatched
+    * events with null dims (the caller coalesces — the rel_join_left
+    * sentinel rule). */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+                   joinType: String = "inner"): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(key), joinType)
+
   /** Gap-based conversation sessionization — the NATIVE path: Spark's
     * `session_window` merges events per correspondent into sessions closed
     * by `gap` of silence, with watermark-bounded state. Preferred over

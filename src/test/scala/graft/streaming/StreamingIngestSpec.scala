@@ -247,6 +247,29 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim table") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingIngest.enrichStream(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(
+        (new Timestamp(t0), 1L, "click"),
+        (new Timestamp(t0 + 1000), 2L, "view"),
+        (new Timestamp(t0 + 2000), 9L, "click")) // no dim row: dropped (inner)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, event_type, segment FROM enrich_out ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq((1L, "click", "gold"), (2L, "view", "basic")))
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters surface only over-threshold keys, per window") {
     val sql = spark.sqlContext
     import sql.implicits._
