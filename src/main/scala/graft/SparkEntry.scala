@@ -20,10 +20,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ StoreQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ IvfAnn.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries ++ PqAnn.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ IvfAnn.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql ++ PqAnn.oracleSql
 }

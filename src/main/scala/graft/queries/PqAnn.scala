@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorKernels
+import graft.tables.FrameCache
+import graft.tables.Testdata._
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the third scale path next to
+  * SRP-LSH ([[Similarity.lshBucketTopK]]) and IVF ([[IvfAnn]]), and the
+  * compression story the others lack: each D-dim float vector is stored
+  * as M sub-space codeword ids (here 8 bytes for a 64-float vector — a
+  * 32× shrink vs float32, vs int8's 4×), and queries scan CODES, not
+  * vectors.
+  *
+  *  - **train**: per sub-space, k-means over that slice of an
+  *    L2-NORMALIZED bounded sample (normalization first makes squared-L2
+  *    monotone with cosine: ‖a−b‖² = 2 − 2·cos on the unit sphere, so PQ
+  *    ranks agree with the cosine contract of the other ANN paths). M
+  *    small fits on a capped sample — the [[IvfAnn.FitSampleCap]]
+  *    discipline.
+  *  - **encode**: per-row, per-sub-space argmin over the K codewords as a
+  *    pure expression (codebooks are plan-time literals, a few KB) — the
+  *    [[IvfAnn.assignClusters]] no-Exchange shape; the index frame is
+  *    (vec_id, codes: array<int>) — vectors themselves never enter it.
+  *  - **search (ADC)**: each bounded query builds its distance LOOKUP
+  *    TABLE (M × K doubles) against the codebooks; approximate distance
+  *    to any corpus vector is Σ_m LUT[m][code_m] — M array lookups per
+  *    row, no dot product, over the 32×-smaller code frame. The
+  *    [[Similarity.topKAgg]] bounded heap keeps a K·[[ShortlistFactor]]
+  *    shortlist per query, and ONLY the shortlist re-ranks with exact
+  *    float cosine (skinny-id join back to the vectors).
+  *
+  * Approximate ⇒ rows-only at the driver gate like the other ANN rows;
+  * recall vs [[Similarity.bruteTopK]] is spec-gated at both SFs. */
+object PqAnn {
+
+  /** Sub-space count (codes per vector); dim must divide evenly. 16
+    * four-dim sub-spaces (16 bytes per 64-float vector — 16× smaller
+    * than float32): this corpus's neighbor structure is diffuse
+    * (cos ≈ 0.3–0.48, barely above random), so quantization error must
+    * stay small relative to a weak signal — the same high-dial setting
+    * as IvfAnn's nprobe note; an easy corpus runs M=8 at 32×. */
+  val SubSpaces = 16
+  /** Codewords per sub-space (one byte of code space each). */
+  val CodebookSize = 16
+  /** ADC shortlist = K · this, exact-re-ranked. The PQ recall dial
+    * (IVF's nprobe analogue): the shortlist is still a vanishing
+    * fraction of any real corpus. */
+  val ShortlistFactor = 10
+  /** Max vectors the per-sub-space k-means fits see. */
+  val FitSampleCap: Long = 256L * CodebookSize
+
+  private def nrm(c: Column) =
+    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, v) => a + v))
+
+  /** Per-sub-space codebooks (M × K × D/M floats), trained once per
+    * (session, dir) on the normalized sample. Seeds are fixed and offset
+    * per sub-space so training is deterministic. */
+  private[graft] def train(s: SparkSession, d: String): Array[Array[Array[Float]]] =
+    FrameCache.cachedValue(s, s"pq-codebooks:$d:$SubSpaces:$CodebookSize") {
+      val e = embeddings(s, d).select(col("embedding"), nrm(col("embedding")).as("nrm"))
+      val n = e.count()
+      val sampled =
+        if (n <= FitSampleCap) e
+        else e.sample(withReplacement = false, FitSampleCap.toDouble / n, seed = 13L)
+      val unit = sampled.select(
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("u"))
+      val dim = unit.select(size(col("u"))).head().getInt(0)
+      require(dim % SubSpaces == 0, s"dim $dim not divisible by $SubSpaces sub-spaces")
+      val w = dim / SubSpaces
+      val cached = unit.cache()
+      try {
+        Array.tabulate(SubSpaces) { m =>
+          val feat = cached.select(
+            array_to_vector(slice(col("u"), m * w + 1, w)).as("features"))
+          new KMeans().setK(CodebookSize).setSeed(13L + m).setMaxIter(10)
+            .fit(feat).clusterCenters.map(_.toArray.map(_.toFloat))
+        }
+      } finally { cached.unpersist(); () }
+    }
+
+  /** (vec_id, codes) — the PQ code frame: per-row per-sub-space argmin
+    * over codeword literals, no Exchange anywhere (PlanSpec-gated like
+    * the IVF build). The normalization divides into the distance algebra
+    * instead of the array (‖sub/n − c‖² = sub·sub/n² + c·c − 2·(sub·c)/n)
+    * so the [[VectorKernels.dotDouble]] kernel keeps its float-array
+    * inputs and the sub-vector is never rebuilt per codeword — one raw
+    * dot against each literal, two shared scalars per sub-space. */
+  private[graft] def encode(e: DataFrame, books: Array[Array[Array[Float]]]): DataFrame = {
+    val w = books(0)(0).length
+    val codes = array(books.zipWithIndex.map { case (book, m) =>
+      val sub = slice(col("embedding"), m * w + 1, w)
+      val subSq = VectorKernels.dotDouble(sub, sub)
+      val scored = array(book.zipWithIndex.map { case (cw, k) =>
+        val bb = cw.map(x => x.toDouble * x.toDouble).sum
+        val dist = subSq / (col("nrm") * col("nrm")) + lit(bb) -
+          lit(2.0) * VectorKernels.dotDouble(sub, typedLit(cw.toSeq)) / col("nrm")
+        struct(dist.as("dist"), lit(k).as("code"))
+      }: _*)
+      element_at(array_sort(scored), 1).getField("code")
+    }: _*)
+    e.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** The memoized code index. */
+  private[graft] def pqIndex(s: SparkSession, d: String): DataFrame =
+    FrameCache.cached(s, s"pq-index:$d:$SubSpaces:$CodebookSize") {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        nrm(col("embedding")).as("nrm"))
+      encode(e, train(s, d))
+    }
+
+  /** ANN top-K via asymmetric distance computation over the code frame;
+    * output contract matches [[Similarity.bruteTopK]]
+    * (query_id, rank, neighbor_id). */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val books = train(s, d)
+    val w = books(0)(0).length
+    // bounded query set to the driver (the centroid-literal discipline):
+    // LUTs are Q × M × K doubles — a few KB of plan literals
+    val queryRows = embeddings(s, d)
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("nrm"))
+      .collect()
+    val luts: Seq[(Long, Array[Array[Double]])] = queryRows.toIndexedSeq.map { r =>
+      val qid = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      val qn = r.getDouble(2)
+      val u = emb.map(_.toDouble / qn)
+      val lut = Array.tabulate(SubSpaces, CodebookSize) { (m, k) =>
+        val sub = u.slice(m * w, (m + 1) * w)
+        books(m)(k).zip(sub).map { case (c, x) => (c - x) * (c - x) }.sum
+      }
+      (qid, lut)
+    }
+    // one pass over the code frame: every query's ADC distance per row
+    val adcRows = explode(array(luts.map { case (qid, lut) =>
+      val adc = (0 until SubSpaces).map { m =>
+        element_at(typedLit(lut(m).toSeq), col("codes")(m) + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc"))
+    }: _*))
+    val shortlist = pqIndex(s, d)
+      .select(col("vec_id").as("neighbor_id"), adcRows.as("q"))
+      .select(col("q.query_id").as("query_id"), col("neighbor_id"),
+        negate(col("q.adc")).as("cos")) // topKAgg keeps max "cos" = min adc
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val cands = Similarity.topKAgg(shortlist, Similarity.K * ShortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only — skinny-id joins to the vectors
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      nrm(col("embedding")).as("nrm"))
+    val qs = e.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      col("nrm").as("qn"))
+    val cs = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"))
+    val rescored = cands
+      .join(broadcast(qs), "query_id")
+      .join(cs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorKernels.dotDouble(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    Similarity.topKAgg(rescored, Similarity.K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_pq" -> pqTopK _,
+  )
+
+  /** Approximate by design — recall is spec-gated, rows-only at the
+    * driver like the LSH/IVF rows. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -14,7 +14,9 @@ object ExplainCheck {
       val df = graft.SparkEntry.queries(name)(spark, d)
       df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     }
-    for (q <- Seq("rel_filter_eq", "rel_filter_conj", "rel_join_inner", "rel_join_multi_agg", "rel_pricing_summary", "rel_dedup_exact")) {
+    val audit = if (args.nonEmpty) args.toSeq
+      else Seq("rel_filter_eq", "rel_filter_conj", "rel_join_inner", "rel_join_multi_agg", "rel_pricing_summary", "rel_dedup_exact")
+    for (q <- audit) {
       val p = plan(q)
       val pushed = p.linesIterator.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).take(4).mkString("\n")
       val joins = p.linesIterator.filter(l => l.contains("Join") && l.contains("(")).map(_.trim.takeWhile(_ != '[')).take(3).mkString("; ")

@@ -198,6 +198,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("PQ ANN recall >= 0.8 vs brute force at both SFs, exactly K ranks per query") {
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")) {
+      val brute = Similarity.bruteTopK(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val rows = PqAnn.pqTopK(spark, dir).collect()
+      val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(pq.nonEmpty && pq.forall { case (q, n) => q != n })
+      rows.groupBy(_.getLong(0)).values.foreach(rs =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to Similarity.K)))
+      val recall = (pq & brute).size.toDouble / brute.size
+      assert(recall >= 0.8, s"PQ recall $recall at $dir")
+    }
+  }
+
   /** Stronger than the verdict's asked-for recall-vs-label-blocked check:
     * ground truth here is the exact ALL-pairs cosine (label-blind), so
     * cross-label near-dups count against recall too. Precision is exactly
