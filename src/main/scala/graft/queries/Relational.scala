@@ -576,6 +576,31 @@ object Relational {
       .orderBy("user_id", "rn")
   }
 
+  /** Upsert/CDC compaction — latest state per key from a change log
+    * ([[firstPerGroup]]'s complement, and what a CDC consumer or
+    * streaming-sink compactor runs to materialize current state): the
+    * newest event per user by (ts, event_id), as ONE `max_by` hash
+    * aggregate whose partials combine map-side — never the
+    * `row_number()=1` window form, which shuffles every log row to its
+    * key's reducer before discarding all but one (max_by moves one
+    * candidate row per (key, mapper)). The ordering key packs
+    * (ts_us, event_id) into comparisons via a struct — both int64, no
+    * float ordering. */
+  def upsertLatest(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_id"), col("event_type"), col("ts_us"), col("cents")),
+          struct(col("ts_us"), col("event_id"))).as("w"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("w.event_id").as("event_id"),
+        col("w.event_type").as("event_type"), col("w.ts_us").as("ts_us"),
+        col("w.cents").as("cents"), col("n_versions"))
+      .orderBy("user_id")
+
   /** NTILE bucket count for [[windowNtile]]. */
   val NtileBuckets = 4
 
@@ -963,6 +988,7 @@ object Relational {
     "rel_dedup_exact"    -> dedupExact _,
     "rel_order_by_time"  -> orderByTime _,
     "rel_first_per_group" -> firstPerGroup _,
+    "rel_upsert_latest"  -> upsertLatest _,
     "rel_union_dedup"    -> unionDedup _,
   )
 
@@ -1332,6 +1358,21 @@ object Relational {
     "rel_order_by_time" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'signup' ORDER BY event_id""".stripMargin,
+    // The window spelling picks the identical (ts_us, event_id)-max row —
+    // exact int64 ordering; Spark's max_by(struct) compares the same key
+    // lexicographically.
+    "rel_upsert_latest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, ts_us, cents, n_versions FROM (
+        |  SELECT user_id, event_id, event_type, ts_us, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn,
+        |    COUNT(1) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM e)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "rel_first_per_group" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -96,13 +96,16 @@ class BenchSpec extends AnyFunSuite {
     for ((k, v) <- realistic if v >= 0.5)
       assert(line.contains("\"" + k + "\":"), s"slow query $k missing from the line")
     val shown = """"([a-z0-9_]+)":""".r.findAllMatchIn(line).map(_.group(1)).toSet
-    val hidden = realistic.collect { case (k, _) if !shown(k) => k }
+    val hidden = realistic.collect { case (k, v) if !shown(k) => k -> v }
     // the 2000-char driver window is FIXED, so the folded tail necessarily
-    // grows with the registry — the bound is a fraction, not a constant,
-    // and every folded entry must be from the cheap tail (the slow-query
-    // assertion above already guarantees nothing costly hides)
-    assert(hidden.size <= realistic.size / 4,
-      s"folded tail outgrew a quarter of the registry: $hidden")
+    // grows with the registry. The real contract is structural, not a
+    // count: (a) the line spends its whole budget before folding — the
+    // fold is as small as the window permits; (b) only the cheap tail
+    // ever folds (the slow-query assertion above covers the named side).
+    assert(line.length > Bench.LineBudget - 100,
+      s"line folded early at ${line.length} chars (budget ${Bench.LineBudget})")
+    assert(hidden.forall(_._2 < 0.5),
+      s"non-cheap queries folded into _other: ${hidden.filter(_._2 >= 0.5)}")
   }
 
   test("full vs_prev report lands in the file, not on stdout") {
