@@ -746,19 +746,40 @@ object Dedup {
     * bars, license blurbs) that doc-level dedup cannot touch — the first
     * cleaning stage C4/RefinedWeb run before any doc-level scoring.
     *
-    * Plan shape: explode to (doc_id, line_no, line) once; the banned-line
-    * frame is a hash aggregate on `md5(line)` keyed map-side-combinable
-    * and df-filtered — by construction it holds only boilerplate (a line
-    * in > maxDf docs), a sliver of the corpus, so it returns as a
-    * BROADCAST anti-join against the posting list, never a shuffle of
-    * the corpus text. The rebuild aggregates kept lines per doc_id with
-    * an index-ordered sort_array — the rel_group_concat_ordered
-    * discipline, deterministic under any partitioning. Text crosses the
-    * rebuild exchange once, keyed on doc_id; at 100 TB you would carry
-    * only (doc_id, line_no) through the filter and re-slice at the
-    * consumer — same plan, skinnier exchange. */
-  def dedupLines(s: SparkSession, d: String): DataFrame =
-    dedupLinesOf(documents(s, d), wordWindowLines, LineMaxDf)
+    * The oracled entry materializes a REAL multiline text column
+    * (word windows joined with '\n') and splits it with the real
+    * newline splitter, so the production `\n` path — not only the
+    * engineered-fixture spec — is what the driver's hash gate checks.
+    *
+    * The banned-line set rides to the corpus as a BLOOM FILTER literal
+    * (built once per (session, dir) like [[incrementalNew]]'s corpus
+    * filter — the banned set IS a pipeline store artifact), NOT as an
+    * unconditional `broadcast(banned)`: boilerplate is a sliver of THIS
+    * corpus, but at 100 TB with maxDf ≈ 2 the distinct-boilerplate
+    * frame can outgrow broadcast limits and a mandatory broadcast
+    * becomes a driver OOM. The filter is fixed-size regardless; lines it
+    * disclaims are DEFINITELY clean (no false negatives) and never enter
+    * an exchange, and only the might-banned sliver pays an exact
+    * anti-join — carrying (doc_id, line_no, line_h), never line text —
+    * to strip false positives, so the result stays exact. */
+  def dedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = multilineDocs(s, d)
+    val bloom = FrameCache.cachedValue(s, s"bloom-banned-lines:$d:$LineMaxDf") {
+      bannedBloom(bannedOf(hashedLines(docs, newlineLines), LineMaxDf))
+    }
+    dedupLinesOf(docs, newlineLines, LineMaxDf, Some(bloom))
+  }
+
+  /** The `documents` table with `text` re-materialized as a genuine
+    * multiline column: fixed word windows joined with '\n' (separators
+    * never occur inside a window, so the window content is unchanged —
+    * only the delimiter becomes real). */
+  private[graft] def multilineDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"),
+      concat_ws("\n", wordWindowLines(col("text"))).as("text"))
+
+  /** The production line splitter. */
+  private[graft] val newlineLines: Column => Column = t => split(t, "\n")
 
   /** Fixed-window pseudo-line splitter (see [[LineWords]]). */
   private[graft] def wordWindowLines(text: Column): Column = {
@@ -768,30 +789,76 @@ object Dedup {
       i => array_join(slice(words, i * lit(LineWords) + lit(1), lit(LineWords)), " "))
   }
 
-  private[graft] def dedupLinesOf(docs: DataFrame, splitLines: Column => Column,
-                                  maxDf: Int): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(splitLines(col("text"))).as(Seq("line_no", "line")))
-    val banned = lines
-      .groupBy(md5(col("line")).as("line_h"))
+  /** (doc_id, line_no, line_h) — the SKINNY per-line frame every exchange
+    * in [[dedupLinesOf]] carries; line TEXT never leaves the scan-side
+    * projection. md5 is the line identity (128-bit — corpus-scale
+    * collision-free); the Bloom probes `xxhash64(line_h)`. */
+  private[graft] def hashedLines(docs: DataFrame, splitLines: Column => Column): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(splitLines(col("text"))).as(Seq("line_no", "line")))
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("line_h"))
+
+  /** Hashes of lines present in more than `maxDf` distinct docs —
+    * map-side-combinable hash aggregate on the skinny frame. */
+  private[graft] def bannedOf(skinny: DataFrame, maxDf: Int): DataFrame =
+    skinny.groupBy("line_h")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf)
       .select("line_h")
-    val kept = lines.withColumn("line_h", md5(col("line")))
-      .join(broadcast(banned), Seq("line_h"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("line_no"), col("line")))),
-        _.getField("line")), " ").as("text_kept"))
-    // left join back so a fully-boilerplate document survives as an empty
-    // residue row (the pipeline decision "drop or keep the husk" stays
-    // downstream) — and the line count rides along for the report.
-    docs.select(col("doc_id"), size(splitLines(col("text"))).cast("long").as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
+
+  /** Serialized Bloom filter over the banned-line hashes — fixed-size
+    * whatever the banned cardinality (~1.2 MB/1M keys at 1% fpp), the
+    * broadcast-safe carrier for the banned set. */
+  private[graft] def bannedBloom(banned: DataFrame): Array[Byte] = {
+    val keyed = banned.select(xxhash64(col("line_h")).as("hl"))
+    val n = keyed.count()
+    // stat.bloomFilter NPEs on an empty frame (null agg buffer) — an
+    // all-clean corpus gets an explicit empty filter that disclaims
+    // every probe, which short-circuits the whole anti-join leg.
+    val bf =
+      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+      else keyed.stat.bloomFilter("hl", n, BloomFpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  private[graft] def dedupLinesOf(docs: DataFrame, splitLines: Column => Column,
+                                  maxDf: Int,
+                                  prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
+    val skinny = hashedLines(docs, splitLines)
+    val banned = bannedOf(skinny, maxDf)
+    val bloomBytes = prebuiltBloom.getOrElse(bannedBloom(banned))
+    val mightContain = ColumnInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnInterop.expression(xxhash64(col("line_h")))))
+    // Filter-disclaimed lines are DEFINITELY clean — zero exchange; the
+    // might-banned sliver (true boilerplate + fpp·|lines|) pays the exact
+    // anti-join that strips Bloom false positives. Both legs carry only
+    // (doc_id, line_no).
+    val definite = skinny.filter(!mightContain).select("doc_id", "line_no")
+    val survivors = skinny.filter(mightContain)
+      .join(banned, Seq("line_h"), "left_anti")
+      .select("doc_id", "line_no")
+    val keptAgg = definite.unionByName(survivors)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("line_no"))).as("keep_nos"))
+    // Re-slice at the consumer: the kept line-NUMBER sets join back to the
+    // docs scan on doc_id and the text is rebuilt from the scan-side split
+    // — corpus text crosses exactly ONE exchange (this join, keyed on
+    // doc_id; bucketing docs by doc_id removes even that at 100 TB). Left
+    // join so a fully-boilerplate document survives as an empty residue
+    // row (the "drop or keep the husk" decision stays downstream).
+    docs.select(col("doc_id"), splitLines(col("text")).as("larr"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("larr")).cast("long").as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_kept"), lit("")).as("text_kept"))
+        array_join(filter(col("larr"), (_, i) =>
+          array_contains(coalesce(col("keep_nos"),
+            array().cast("array<int>")), i)), " ").as("text_kept"))
       .withColumn("kept_md5", md5(col("text_kept")))
       .orderBy("doc_id")
   }
@@ -843,14 +910,25 @@ object Dedup {
     // slice(words, start, len)), same md5 line identity, same >maxDf
     // distinct-doc ban rule, same index-ordered rebuild. Exact ⇒ full
     // strictness: one differently-banned line is a hash mismatch.
+    // The oracle round-trips the SAME multiline synthesis as the Spark
+    // entry (windows joined with chr(10), then re-split on chr(10)), so
+    // the driver's hash gate exercises the real newline splitter on both
+    // engines — not the windowing shortcut.
     "dedup_lines" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), src AS (
+         |  SELECT doc_id, array_to_string(
+         |    [array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')
+         |     for i in range(0, ((len(words)-1)//$LineWords)+1)], chr(10)) AS text
+         |  FROM w
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM src
          |), l AS (
          |  SELECT doc_id, unnest(
-         |    [{'line_no': i, 'line': array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')}
-         |     for i in range(0, ((len(words)-1)//$LineWords)+1)], recursive := true)
-         |  FROM w
+         |    [{'line_no': i - 1, 'line': lines[i]} for i in range(1, len(lines) + 1)],
+         |    recursive := true)
+         |  FROM ls
          |), banned AS (
          |  SELECT md5(line) AS line_h FROM l GROUP BY md5(line)
          |  HAVING COUNT(DISTINCT doc_id) > $LineMaxDf
@@ -862,13 +940,12 @@ object Dedup {
          |    string_agg(line, ' ' ORDER BY line_no) AS text_kept
          |  FROM kept GROUP BY doc_id
          |)
-         |SELECT w.doc_id,
-         |  CAST(((len(words)-1)//$LineWords)+1 AS BIGINT) AS n_lines,
+         |SELECT ls.doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
          |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
          |  COALESCE(text_kept, '') AS text_kept,
          |  md5(COALESCE(text_kept, '')) AS kept_md5
-         |FROM w LEFT JOIN rebuilt ON w.doc_id = rebuilt.doc_id
-         |ORDER BY w.doc_id""".stripMargin,
+         |FROM ls LEFT JOIN rebuilt ON ls.doc_id = rebuilt.doc_id
+         |ORDER BY ls.doc_id""".stripMargin,
     // Built on the SAME winnow-posting CTE text as the text_winnow oracle
     // (TextAnalysis.winnowPostingsSql — the fingerprint definition cannot
     // drift between the two rows); cap + threshold replicated exactly, so

@@ -54,9 +54,18 @@ object PqAnn {
   /** Max vectors the per-sub-space k-means fits see. */
   val FitSampleCap: Long = 256L * CodebookSize
 
-  private def nrm(c: Column) =
-    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+  /** L2 norm, guarded: an all-zero embedding has no direction — dividing
+    * by its norm would silently poison everything downstream (NaN unit
+    * components → NaN ADC distances → undefined codes/ranks), so a zero
+    * norm raises instead, at train, encode AND query-LUT sites (all norm
+    * use flows through here). */
+  private def nrm(c: Column) = {
+    val n = sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
       lit(0.0), (a, v) => a + v))
+    when(n > lit(0.0), n)
+      .otherwise(raise_error(lit("PqAnn: zero-norm embedding cannot be normalized"))
+        .cast("double"))
+  }
 
   /** Per-sub-space codebooks (M × K × D/M floats), trained once per
     * (session, dir) on the normalized sample. Seeds are fixed and offset

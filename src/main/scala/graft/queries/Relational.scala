@@ -135,9 +135,16 @@ object Relational {
   /** Time-bucketed event rollup — the time-series downsample every
     * monitoring/trend query starts from: per (hour, type) counts and
     * integer-cents totals. The batch twin of the streaming
-    * `windowedCounts`: hour = integer `div` on epoch-micros (no
+    * `windowedCounts`: hour = integer FLOOR-div on epoch-micros (no
     * calendar/timezone logic to disagree over, same discipline as
-    * retention's weeks), so the whole query is one narrow projection +
+    * retention's weeks). Floor, not truncate: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so a pre-1970 timestamp
+    * (negative micros) would land in different buckets across engines
+    * under plain `div`; subtracting `pmod` first makes the dividend an
+    * exact non-negative-remainder multiple, giving floor semantics in
+    * pure int64 arithmetic on both engines (no double rounding at
+    * bucket boundaries the way `floor(a/b)` risks). The query stays
+    * one narrow projection +
     * one hash aggregate whose partials absorb everything map-side — the
     * exchange carries ≤ (hours × types) rows per upstream partition at
     * any corpus size. */
@@ -147,7 +154,7 @@ object Relational {
   private[graft] def timeBucketOf(ev: DataFrame): DataFrame =
     ev
       .select(
-        expr(s"unix_micros(cast(ts as timestamp)) div $HourUs").as("hour"),
+        expr(s"(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), $HourUs)) div $HourUs").as("hour"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
       .groupBy("hour", "event_type")

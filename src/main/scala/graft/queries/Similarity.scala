@@ -86,6 +86,10 @@ object Similarity {
   /** Query-set size and neighbor count for [[knnLabel]]. */
   val KnnQueries = 50
   val KnnK = 10
+  /** Vote tie-break key stride (2^32): `votes·stride − label` is
+    * collision-free for labels in [0, stride); out-of-domain labels
+    * raise rather than corrupt the argmax. */
+  val VoteKeyScale = 4294967296L
 
   /** kNN majority-vote label assignment — the auto-labeling / label-QA
     * op an embedding pipeline runs (label new items from their nearest
@@ -97,7 +101,8 @@ object Similarity {
     * map-side combine — never a per-query corpus sort); the vote is two
     * tiny aggregates on the k·|queries| shortlist. Ties break to the
     * SMALLEST label via one exact int64 argmax key
-    * (`votes·1024 − label` — the keepBest no-float-ordering discipline).
+    * (`votes·2^32 − label` — the keepBest no-float-ordering discipline;
+    * labels outside [0, 2^32) would alias the key, so they raise).
     * The k-neighbor shortlist re-joins labels on a skinny int key; at
     * 100 TB that join broadcasts the shortlist (k·|queries| rows), not
     * the corpus. */
@@ -120,7 +125,16 @@ object Similarity {
       .join(labels, "neighbor_id")
       .groupBy("query_id", "n_label")
       .agg(count(lit(1)).as("votes"))
-    val voteKey = col("votes") * 1024L - col("n_label")
+    // Tie-break key domain guard: `votes*2^32 - label` collides when a
+    // label reaches 2^32 (key(v+1, 2^32) == key(v, 0)), which would make
+    // max_by nondeterministic — so labels outside [0, 2^32) fail LOUDLY
+    // instead of silently flipping the argmax. votes ≤ k keeps the key
+    // far from int64 overflow.
+    val safeLabel = when(col("n_label").between(0L, VoteKeyScale - 1L), col("n_label"))
+      .otherwise(raise_error(concat(
+        lit("knnLabel: label outside [0, 2^32) breaks the vote tie-break key: "),
+        col("n_label"))).cast("long"))
+    val voteKey = col("votes") * VoteKeyScale - safeLabel
     val best = votes.groupBy("query_id").agg(
       max_by(col("n_label"), voteKey).as("predicted_label"),
       max_by(col("votes"), voteKey).as("votes"))
@@ -578,8 +592,8 @@ object Similarity {
          |  FROM r WHERE rank <= $KnnK GROUP BY 1, 2
          |), b AS (
          |  SELECT query_id,
-         |    arg_max(n_label, votes * 1024 - n_label) AS predicted_label,
-         |    CAST(arg_max(votes, votes * 1024 - n_label) AS BIGINT) AS votes
+         |    arg_max(n_label, votes * 4294967296 - n_label) AS predicted_label,
+         |    CAST(arg_max(votes, votes * 4294967296 - n_label) AS BIGINT) AS votes
          |  FROM v GROUP BY query_id
          |)
          |SELECT q.query_id, CAST(q.true_label AS BIGINT) AS true_label,

@@ -23,7 +23,14 @@ object Bucketed {
     * sides must agree on it for the exchange-free read. */
   val NumBuckets = 8
 
-  private[graft] def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]+", "_")
+  /** Identifier-safe tag for a data-dir string. The lossy character
+    * replacement alone would map distinct dirs (`sf-1` vs `sf_1`) to the
+    * SAME table name, and [[ensure]]'s catalog-reuse path would then
+    * silently serve the first dir's index to the second within a
+    * JVM/SharedState lifetime — so a short hex digest of the RAW string
+    * rides along to keep the mapping collision-free. */
+  private[graft] def sanitize(s: String): String =
+    s.replaceAll("[^A-Za-z0-9]+", "_") + f"_${s.hashCode}%08x"
 
   /** Ensure `name` exists as a bucketed+sorted external table holding
     * `df`; returns the table name. The build runs once per (session,

@@ -161,10 +161,35 @@ class PlanSpec extends SparkSpec {
     assert(!full.contains("BroadcastNestedLoopJoin"), s"rel_join_full BNLJ:\n$full")
   }
 
-  test("line dedup: the banned-line frame returns as a broadcast anti-join, cleaning ops stay joinless") {
+  test("line dedup: Bloom prefilter + skinny exchanges; corpus line text never enters the anti-join exchange") {
     val plan = formatted("dedup_lines")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-      s"dedup_lines: banned-line filter not a broadcast anti-join:\n$plan")
+    // the banned set rides as a Bloom literal (size-independent), with an
+    // exact anti-join behind it for false positives — NOT a mandatory
+    // broadcast of the banned frame (driver OOM at 100 TB / maxDf≈2)
+    assert(plan.contains("might_contain"),
+      s"dedup_lines: Bloom prefilter missing from plan:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"dedup_lines: exact FP-strip anti-join missing:\n$plan")
+    // every exchange is SKINNY: per-line text ("line") crosses NO
+    // exchange, and the only frame carrying document text ("larr", the
+    // scan-side split) is the single doc_id-keyed rebuild join.
+    // Exchanges are inserted by EnsureRequirements, so inspect the
+    // executedPlan — with AQE off, since the adaptive wrapper hides the
+    // inner tree from collect (exchange placement is a static property).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.SparkEntry.queries("dedup_lines")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty, "dedup_lines: no exchanges found — plan probe broken")
+    val lineCarrying = exchanges.filter(ns => ns.contains("line") || ns.contains("text"))
+    assert(lineCarrying.isEmpty,
+      s"dedup_lines: line text entered an exchange: $lineCarrying")
+    assert(exchanges.count(_.contains("larr")) <= 1,
+      s"dedup_lines: document text crossed more than the one rebuild exchange: $exchanges")
     // the structural cleaners are pure narrow projections — any join or
     // aggregate appearing is a regression
     for (q <- Seq("text_strip_markup", "text_redact_pii")) {
