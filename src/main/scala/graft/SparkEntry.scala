@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ StoreQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ IvfAnn.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries ++ PqAnn.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries ++ PqAnn.queries ++
+      Provenance.queries ++ SemDedup.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ IvfAnn.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql ++ PqAnn.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql ++ PqAnn.oracleSql ++
+      Provenance.oracleSql ++ SemDedup.oracleSql
 }

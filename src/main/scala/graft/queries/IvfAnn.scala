@@ -55,7 +55,7 @@ object IvfAnn {
     * the trained matrix (NumLists × dim floats, a few KB) lives in
     * [[FrameCache.cachedValue]] so it shares the index frames' session
     * lifecycle and teardown. */
-  private def train(s: SparkSession, d: String): Array[Array[Float]] =
+  private[graft] def train(s: SparkSession, d: String): Array[Array[Float]] =
     FrameCache.cachedValue(s, s"ivf-centroids:$d:$NumLists") {
       val e = embeddings(s, d).select(col("embedding"), nrm(col("embedding")).as("nrm"))
       val n = e.count()
@@ -100,7 +100,11 @@ object IvfAnn {
     e.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(slice(array_sort(scoredCents), 1, replication)).as("c"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("c.cluster").as("cluster"))
+        col("c.cluster").as("cluster"),
+        // assignment-quality score rides along (SemDedup's survivor
+        // policy reads it); consumers that don't need it just project
+        // it away — no extra work in the row
+        negate(col("c.negccos")).as("ccos"))
   }
 
   /** (vec_id, embedding, nrm, cluster) — the IVF index frame with top-R

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** URL/domain provenance operators — the RefinedWeb/C4 stage UPSTREAM of
+  * every cleaner already implemented: a web corpus arrives as (url, text)
+  * and the first questions a pipeline asks are "which domains feed this
+  * corpus, in what proportion?" ([[domainMix]]) and "no single domain may
+  * dominate the training set" ([[domainCap]] — per-domain document caps,
+  * the crawl-side counterpart of the per-source stratified sampler).
+  *
+  * The testdata carries no URL column, so the oracled entries SYNTHESIZE
+  * one deterministically from (doc_id, source, lang) — scheme, optional
+  * `www.` label, optional port and query string all vary by doc_id, so the
+  * host/domain extraction is exercised against real structural variety,
+  * not a single happy-path shape. Both engines build the identical string
+  * and both run the identical RE2-safe extraction regexes, so the driver
+  * hash checks the extraction itself at full strictness.
+  *
+  * Scale shape: extraction is a narrow codegen projection (two
+  * regexp_extract calls per row); the mix is one map-side-combinable hash
+  * aggregate keyed on domain; the cap is the `row_number() <= k` form
+  * that InferWindowGroupLimit bounds to k rows per (domain, mapper) — so
+  * capping 100 TB to ≤k docs/domain moves k rows per domain per mapper
+  * through the exchange, never the corpus ([[Relational.samplePerGroup]]
+  * discipline; plan-gated with the other WindowGroupLimit queries).
+  */
+object Provenance {
+
+  /** Docs kept per domain by [[domainCap]]. */
+  val DomainCap = 5L
+
+  /** Deterministic synthetic URL (see object doc). Variety dials:
+    * scheme by %2, `www.` by %7<2 (coprime to the source/tld dials, so
+    * every domain genuinely mixes bare and `www.` hosts), `:8443` port by
+    * %5, query string by %6 —
+    * every branch is an exact integer test both engines agree on. */
+  private[graft] def urlOf(docId: Column, source: Column, lang: Column): Column = {
+    val scheme = when(pmod(docId, lit(2)) === 0, lit("https")).otherwise(lit("http"))
+    val sub = when(pmod(docId, lit(7)) < 2, lit("www.")).otherwise(lit(""))
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (pmod(docId, lit(3)) + 1).cast("int"))
+    val port = when(pmod(docId, lit(5)) === 0, lit(":8443")).otherwise(lit(""))
+    val qs = when(pmod(docId, lit(6)) === 0, lit("?ref=feed")).otherwise(lit(""))
+    concat(scheme, lit("://"), sub, source, lit("."), tld, port,
+      lit("/"), lang, lit("/doc-"), docId, lit(".html"), qs)
+  }
+
+  /** RE2-safe host extraction: everything between `://` and the first
+    * `/ : ? #` — ports, paths and query strings all terminate the match.
+    * (`parse_url` exists in Spark but has no DuckDB twin; the regex IS
+    * the cross-engine contract, and stays in the shared RE2 subset.) */
+  val HostRegex = "^[a-z]+://([^/:?#]+)"
+
+  /** Registered-domain approximation: the last two dot-labels of the
+    * host (`www.src0.com` → `src0.com`). A production deployment swaps
+    * in a public-suffix-list lookup (broadcast dimension join) — the
+    * plan shape is identical; the two-label rule is the deterministic
+    * stand-in both engines can compute from the same regex. */
+  val DomainRegex = "([^.]+\\.[^.]+)$"
+
+  /** (doc_id, lang, n_chars, url, host, domain) — the provenance frame
+    * both operators read; one narrow projection, no shuffle. */
+  private[graft] def withDomain(docs: DataFrame): DataFrame = {
+    val url = urlOf(col("doc_id"), col("source"), col("lang"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), HostRegex, 1))
+      .withColumn("domain", regexp_extract(col("host"), DomainRegex, 1))
+  }
+
+  /** Per-domain corpus mix: document volume, host/language spread, total
+    * text mass. The provenance dashboard row a crawl audit starts from. */
+  def domainMix(s: SparkSession, d: String): DataFrame =
+    domainMixOf(documents(s, d))
+
+  private[graft] def domainMixOf(docs: DataFrame): DataFrame =
+    withDomain(docs)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("host")).as("n_hosts"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("domain")
+
+  /** Deterministic per-domain document cap: rank docs inside each domain
+    * by the Knuth-multiplicative hash of doc_id (reproducible outside
+    * Spark, survives task retries — `rand()` does neither) and keep the
+    * first [[DomainCap]]. */
+  def domainCap(s: SparkSession, d: String): DataFrame =
+    domainCapOf(documents(s, d), DomainCap)
+
+  private[graft] def domainCapOf(docs: DataFrame, cap: Long): DataFrame = {
+    import graft.queries.TextAnalysis.{SampleFold, SampleHashA}
+    val key = (pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L
+    val w = Window.partitionBy("domain").orderBy(col("sort_key"), col("doc_id"))
+    withDomain(docs)
+      .select(col("doc_id"), col("domain"), col("host"), key.as("sort_key"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .orderBy("domain", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_mix" -> domainMix _,
+    "text_domain_cap" -> domainCap _,
+  )
+
+  /** Shared oracle CTE — the identical URL synthesis + extraction in
+    * DuckDB. `concat` (not `||`) so integer operands stringify the same
+    * way as Spark's concat. */
+  private val UrlCte: String =
+    """u AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    concat(
+      |      CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',
+      |      CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END,
+      |      source, '.', ['com','org','net'][CAST(doc_id % 3 AS INT) + 1],
+      |      CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END,
+      |      '/', lang, '/doc-', doc_id, '.html',
+      |      CASE WHEN doc_id % 6 = 0 THEN '?ref=feed' ELSE '' END) AS url
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    regexp_extract(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+      |                   '([^.]+\.[^.]+)$', 1) AS domain,
+      |    regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+      |  FROM u
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_domain_mix" ->
+      s"""WITH $UrlCte
+         |SELECT domain, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
+    "text_domain_cap" ->
+      s"""WITH $UrlCte
+         |SELECT doc_id, domain, host, sort_key, rn FROM (
+         |  SELECT doc_id, domain, host,
+         |    (doc_id % 2147483648) * 2654435761 % 4294967296 AS sort_key,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296, doc_id) AS BIGINT) AS rn
+         |  FROM h)
+         |WHERE rn <= $DomainCap ORDER BY domain, rn""".stripMargin,
+  )
+}

@@ -594,10 +594,17 @@ object Relational {
     * (ts_us, event_id) into comparisons via a struct — both int64, no
     * float ordering. */
   def upsertLatest(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+    upsertLatestOf(events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        round(col("value") * 100).cast("long").as("cents"))
+        round(col("value") * 100).cast("long").as("cents")))
+
+  /** The compaction aggregate alone, over a pre-projected change log —
+    * shared contract with the streaming twin
+    * ([[graft.streaming.StreamingIngest.upsertStream]]), whose spec
+    * asserts batch-identical results on one fixture. */
+  private[graft] def upsertLatestOf(ev: DataFrame): DataFrame =
+    ev
       .groupBy("user_id")
       .agg(
         max_by(struct(col("event_id"), col("event_type"), col("ts_us"), col("cents")),

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.FrameCache
+import graft.tables.Testdata._
+
+/** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, "SemDeDup:
+  * Data-efficient learning at web-scale through semantic deduplication"):
+  * cluster the embedding space with a trained coarse quantizer, find
+  * high-cosine pairs WITHIN each cluster only, connect them into dup
+  * groups, and keep one survivor per group — the embedding-space
+  * complement of the lexical dedup family (MinHash finds shared words;
+  * this finds shared MEANING with zero lexical overlap).
+  *
+  * Deliberate composition of three already-proven parts, not new
+  * machinery:
+  *  - clustering = [[IvfAnn.train]]'s spherical k-means + the
+  *    no-Exchange literal-centroid [[IvfAnn.assignClusters]] (top-R
+  *    multi-assignment: a dup pair straddling a cluster boundary is
+  *    caught when ANY assigned cluster is shared — the same replication
+  *    dial that buys IVF recall buys dedup recall);
+  *  - within-cluster pairs = [[Similarity.labelBlockPairs]] with the
+  *    cluster id as the block label, inheriting the MaxLabelBlock
+  *    sub-split guard (per-cluster work stays bounded — never
+  *    corpus-quadratic, the SemDeDup paper's own k≈0.1·n/cluster trick);
+  *  - grouping + survivor = [[Dedup.connectedComponents]] + the keepBest
+  *    argmin discipline. Survivor policy is the paper's: within a dup
+  *    group KEEP the example FARTHEST from its cluster centroid (lowest
+  *    primary-assignment cosine — prefer the hard example, drop the
+  *    prototypical redundancy), ties to the smallest vec_id.
+  *
+  * K-means state is engine-internal (like IVF/PQ), so the driver records
+  * a rows-only check; the real gate is the spec: pair recall vs the
+  * exact all-pairs ground truth at BOTH SFs, survivor uniqueness and
+  * rerun determinism.
+  *
+  * Scale: the only corpus-size-bound shuffles are the per-cluster
+  * self-join (block-bounded) and the CC rounds over found PAIRS (a
+  * sliver); assignment is exchange-free, survivors are one skinny
+  * aggregate. At 100 TB the clustered frame is written bucketed by
+  * cluster and each cluster's pair scan reads co-located buckets. */
+object SemDedup {
+
+  /** Cosine threshold for "semantic duplicate". Corpus-calibrated like
+    * the IVF dials: THIS corpus is diffuse (max pair cos ≈ 0.51 — the
+    * synthetic embeddings carry no planted near-dups), so the dial sits
+    * at the top of the observed similarity mass to keep the operator
+    * non-vacuous (27/34 true pairs at sf0.001/sf0.01); a real embedding
+    * corpus runs 0.9+. */
+  val Tau = 0.42
+  /** Top-R cluster multi-assignment (recall dial, see object doc). */
+  val Replication = 3
+
+  private def nrm(c: Column) =
+    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (a, v) => a + v))
+
+  /** (vec_id, embedding, nrm, cluster, ccos) ×R — memoized like the IVF
+    * index (built once per session/dir; the bucketed-table story at
+    * scale). */
+  private[graft] def clustered(s: SparkSession, d: String): DataFrame =
+    FrameCache.cached(s, s"semdedup-idx:$d:$Replication") {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        nrm(col("embedding")).as("nrm"))
+      IvfAnn.assignClusters(e, IvfAnn.train(s, d), Replication)
+    }
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupOf(clustered(s, d), Tau)
+
+  /** Within-cluster exact-cosine pairs at or above `tau` — cluster id as
+    * the block label; multi-assignment means a pair can surface in two
+    * clusters, so pairs dedup on the id pair (canonical a < b from
+    * labelBlockPairs). */
+  private[graft] def clusterPairs(clusteredEmb: DataFrame, tau: Double): DataFrame =
+    Similarity.labelBlockPairs(
+      clusteredEmb.select(col("cluster").as("label"), col("vec_id"), col("embedding")),
+      Similarity.MaxLabelBlock)
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+
+  private[graft] def semanticDedupOf(clusteredEmb: DataFrame, tau: Double): DataFrame = {
+    val pairs = clusterPairs(clusteredEmb, tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = Dedup.connectedComponents(pairs) // (node, rep)
+    // primary-assignment cosine per vector (max over its R assignments =
+    // distance to the NEAREST centroid) — the survivor-policy score
+    val primary = clusteredEmb.groupBy("vec_id").agg(max(col("ccos")).as("pcos"))
+    val members = primary.join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep"), col("pcos"))
+    val survivors = members.groupBy("rep").agg(
+      count(lit(1)).as("n_group"),
+      // keep the member FARTHEST from its centroid: min primary cosine,
+      // ties to the smallest vec_id (struct ordering — exact, no
+      // float-key arithmetic)
+      min_by(col("vec_id"), struct(col("pcos"), col("vec_id"))).as("keep_id"))
+    members.join(survivors, "rep")
+      .select(col("vec_id"), col("rep"), col("n_group"),
+        (col("vec_id") === col("keep_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_dedup" -> semanticDedup _,
+  )
+
+  /** No DuckDB twin: the k-means state is engine-internal (the same
+    * rows-only contract as sim_ann_ivf/sim_ann_pq); recall vs exact
+    * all-pairs is spec-asserted at both SFs instead. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -352,6 +352,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Span-LEVEL decontamination (the Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" removal variant): instead of
+    * flagging whole documents ([[decontaminate]]), REMOVE every word
+    * position covered by an eval-overlapping n-gram and emit each
+    * corpus doc's cleaned residue — the form a pipeline actually ships
+    * when dropping whole docs wastes too much clean text. Lee et al. cut
+    * 50-token spans seeded at matching 13-grams; the gram width here is
+    * the corpus-calibrated [[ContamN]] (same dial as the flagging scan —
+    * 13 on real web text), and the removed span is exactly the matched
+    * gram's footprint, the union of [p, p+n-1] over matched starts p.
+    *
+    * Scale shape: eval grams broadcast (benchmarks are KBs); matched
+    * start positions come out of the broadcast join as (doc_id, pos)
+    * ints; the footprint expansion and per-doc mark aggregation move
+    * ONLY ints; the rebuild is the dedupLines re-slice-at-consumer
+    * discipline — corpus text crosses exactly one doc_id-keyed exchange,
+    * and uncontaminated docs ride through as left-join pass-throughs. */
+  def decontaminateSpans(s: SparkSession, d: String): DataFrame =
+    decontaminateSpansOf(documents(s, d), ContamN, ContamEvalDocs)
+
+  private[graft] def decontaminateSpansOf(docs: DataFrame, n: Int,
+                                          evalDocs: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    val eval = docs.filter(col("doc_id") < evalDocs && size(words) >= n)
+      .select(explode(graft.functions.TextKernels.wordShingles(words, n, distinct = true))
+        .as("gram"))
+      .distinct()
+    // distinct=false keeps one gram per start position, in order — the
+    // posexplode index IS the gram's start word index
+    val hits = docs.filter(col("doc_id") >= evalDocs && size(words) >= n)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextKernels.wordShingles(words, n, distinct = false))
+          .as(Seq("pos", "gram")))
+      .join(broadcast(eval), "gram")
+      .select(col("doc_id"), col("pos"))
+    val marks = hits
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("idx"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"), sort_array(collect_list(col("idx"))).as("marks"))
+    docs.filter(col("doc_id") >= evalDocs)
+      .select(col("doc_id"), words.as("warr"))
+      .join(marks, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("warr")).cast("long").as("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        array_join(filter(col("warr"), (_, i) =>
+          !array_contains(coalesce(col("marks"), array().cast("array<int>")), i)),
+          " ").as("text_clean"))
+      .withColumn("clean_md5", md5(col("text_clean")))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- n-gram stats
 
   val NgramTopK = 50
@@ -1005,6 +1057,7 @@ object TextAnalysis {
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
     "text_decontaminate" -> decontaminate _,
+    "text_decontaminate_spans" -> decontaminateSpans _,
     "text_mix_resample"  -> mixResample _,
     "text_surprisal"     -> surprisal _,
     "text_chunk_overlap" -> chunkOverlap _,
@@ -1120,6 +1173,37 @@ object TextAnalysis {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM c JOIN e USING (gram)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // Span removal: positions are 0-based on both sides; DuckDB slices
+    // are 1-based inclusive, so gram at start i = words[(i+1):(i+4)].
+    "text_decontaminate_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'gram': array_to_string(words[(i+1):(i+4)], ' ')}
+        |     for i in range(0, len(words) - 3)], recursive := true)
+        |  FROM w WHERE len(words) >= 4
+        |), e AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id < 3
+        |), hits AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE doc_id >= 3 AND gram IN (SELECT gram FROM e)
+        |), mk AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest([pos + j for j in range(0, 4)]) AS idx FROM hits)
+        |), m AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed,
+        |    list(idx ORDER BY idx) AS marks
+        |  FROM mk GROUP BY doc_id
+        |), clean AS (
+        |  SELECT w.doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(n_removed, 0) AS BIGINT) AS n_removed,
+        |    array_to_string([words[i+1] for i in range(0, len(words))
+        |                     if NOT COALESCE(list_contains(marks, i), false)], ' ') AS text_clean
+        |  FROM w LEFT JOIN m USING (doc_id) WHERE w.doc_id >= 3
+        |)
+        |SELECT doc_id, n_words, n_removed, text_clean, md5(text_clean) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin,
     "text_ngram_topk" ->
       """WITH w AS (
         |  SELECT string_split(text, ' ') AS words FROM documents

@@ -183,6 +183,65 @@ object StreamingIngest {
       }
   }
 
+  case class UpsertEvent(user_id: Long, event_id: Long, event_type: String,
+                         event_time: java.sql.Timestamp, cents: Long)
+  case class UpsertState(event_id: Long, event_type: String, ts_us: Long,
+                         cents: Long, n_versions: Long)
+  case class UpsertOut(user_id: Long, event_id: Long, event_type: String,
+                       ts_us: Long, cents: Long, n_versions: Long)
+
+  /** Streaming upsert/CDC compaction — the continuous twin of
+    * [[graft.queries.Relational.upsertLatest]]: per key, carry the
+    * newest-(ts, event_id) version as cross-batch state and emit the
+    * current materialized row for every key a micro-batch touches
+    * (OutputMode.Update — exactly what a CDC sink compactor pushes
+    * downstream). The ordering key is the same lexicographic
+    * (ts_us, event_id) int64 pair as the batch max_by, so replays and
+    * out-of-order arrivals within the horizon converge on the identical
+    * winner; `n_versions` counts every change-log row the key absorbed —
+    * batch-identical on a shared fixture (spec-pinned).
+    *
+    * State is ONE compacted row per key — bounded by the live-key space,
+    * not the stream length — and the watermark EVICTS keys idle past
+    * `evictAfterMs` (event-time timeout): a key that stopped changing
+    * costs nothing forever after, the "latest state" for cold keys being
+    * the compacted table the last emit already wrote. A late event for an
+    * evicted key restarts its version count — the cross-horizon exact
+    * fix-up belongs to the batch compactor, the same lambda split as
+    * [[dedupStream]]. */
+  def upsertStream(events: Dataset[UpsertEvent],
+                   delayThreshold: String = "10 seconds",
+                   evictAfterMs: Long = 60000L): Dataset[UpsertOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("event_time", delayThreshold)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UpsertState, UpsertOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[UpsertState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.orNull
+            for (r <- rows) {
+              val tsUs = r.event_time.getTime * 1000L
+              val newer = st == null || tsUs > st.ts_us ||
+                (tsUs == st.ts_us && r.event_id > st.event_id)
+              val n = (if (st == null) 0L else st.n_versions) + 1L
+              st =
+                if (newer) UpsertState(r.event_id, r.event_type, tsUs, r.cents, n)
+                else st.copy(n_versions = n)
+            }
+            state.update(st)
+            // evict once the watermark passes last-change + horizon; the
+            // engine requires the timeout to sit beyond the current
+            // watermark, so clamp for keys already idle longer than that
+            state.setTimeoutTimestamp(math.max(
+              st.ts_us / 1000L + evictAfterMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(UpsertOut(user, st.event_id, st.event_type,
+              st.ts_us, st.cents, st.n_versions))
+          }
+      }
+  }
+
   case class DebounceKey(user_id: Long, event_type: String, event_id: Long, ts_us: Long)
   case class DebounceState(lastUs: Long)
   case class DebounceOut(user_id: Long, event_type: String, event_id: Long, ts_us: Long)

@@ -109,6 +109,51 @@ class CleanOpsSpec extends SparkSpec {
       (2L, "solo")))
   }
 
+  // ------------------------------------------- span-level decontamination
+
+  test("decontaminateSpans: matched spans cut at doc start, middle and end; clean docs pass through") {
+    // eval doc 0 carries the 2-gram-seeds; n=2, evalDocs=1
+    val docs = Seq(
+      (0L, "bad pair"),                       // eval doc: gram "bad pair"
+      (1L, "bad pair at the start"),          // span at START → words 0-1 cut
+      (2L, "middle has bad pair inside it"),  // span MID → words 2-3 cut
+      (3L, "ends with a bad pair"),           // span at END → last 2 cut
+      (4L, "perfectly clean text")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpansOf(docs, n = 2, evalDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 5L, 2L, "at the start"),
+      (2L, 6L, 2L, "middle has inside it"),
+      (3L, 5L, 2L, "ends with a"),
+      (4L, 3L, 0L, "perfectly clean text")))
+  }
+
+  test("decontaminateSpans: multiple and OVERLAPPING matches union their footprints (no double count)") {
+    // eval grams: "a b" and "b c" — corpus doc "x a b c y" matches at
+    // pos 1 and 2; footprints {1,2} ∪ {2,3} = {1,2,3} → 3 removed, not 4
+    val docs = Seq(
+      (0L, "a b c"),             // eval: grams "a b", "b c"
+      (1L, "x a b c y"),         // overlapping spans
+      (2L, "a b mid b c end"))   // two disjoint spans
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpansOf(docs, n = 2, evalDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, "x y"),
+      (2L, 4L, "mid end")))
+  }
+
+  test("decontaminateSpans: fully-contaminated doc leaves an empty residue; short docs never match") {
+    val docs = Seq(
+      (0L, "gone entirely"),
+      (1L, "gone entirely"),     // every word covered → empty residue
+      (2L, "gone"))              // 1 word < n=2: no gram, passes through
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminateSpansOf(docs, n = 2, evalDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq((1L, 2L, 2L, ""), (2L, 1L, 0L, "gone")))
+  }
+
   test("wordWindowLines: fixed windows tile the text, tail window is the remainder") {
     val df = Seq(Tuple1((1 to 19).map(i => s"w$i").mkString(" "))).toDF("t")
     val lines = df.select(Dedup.wordWindowLines(col("t")).as("l"))

@@ -68,7 +68,8 @@ class PlanSpec extends SparkSpec {
     // row_number() <= k must trigger InferWindowGroupLimit: the limit
     // node bounds the exchange to k rows per (group, mapper). Losing it
     // means the shuffle carries every row a group ever had.
-    for (q <- Seq("rel_topk_per_group", "text_tfidf_topk", "rel_sample_per_group")) {
+    for (q <- Seq("rel_topk_per_group", "text_tfidf_topk", "rel_sample_per_group",
+                  "text_domain_cap")) {
       val plan = formatted(q)
       assert(plan.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit:\n$plan")
     }

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL/domain provenance: extraction structural variety + cap determinism
+  * on engineered fixtures (the sf oracles check the corpus-scale path). */
+class ProvenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String, Long)*) =
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit("x"))
+
+  test("host extraction survives ports, query strings and fragments; domain strips subdomains") {
+    val urls = Seq(
+      "https://www.example.com/a/b.html"        -> ("www.example.com", "example.com"),
+      "http://example.org:8443/x?q=1"           -> ("example.org", "example.org"),
+      "https://cdn.static.example.net/i.png#f"  -> ("cdn.static.example.net", "example.net"),
+      "http://one-label/path"                   -> ("one-label", ""),
+    ).toDF("url", "expected")
+    val got = urls
+      .withColumn("host", regexp_extract(col("url"), Provenance.HostRegex, 1))
+      .withColumn("domain", regexp_extract(col("host"), Provenance.DomainRegex, 1))
+      .select("host", "domain", "expected").collect()
+    for (r <- got) {
+      val (eh, ed) = (r.getStruct(2).getString(0), r.getStruct(2).getString(1))
+      assert(r.getString(0) == eh, s"host: got ${r.getString(0)}, want $eh")
+      assert(r.getString(1) == ed, s"domain: got ${r.getString(1)}, want $ed")
+    }
+  }
+
+  test("synthesized URLs hit every structural dial (www / port / query present AND absent)") {
+    val docs = docsOf((0 until 20).map(i => (i.toLong, "en", "s", 10L)): _*)
+    val urls = docs.select(
+      Provenance.urlOf(col("doc_id"), col("source"), col("lang")).as("u"))
+      .as[String].collect()
+    assert(urls.exists(_.contains("://www.")) && urls.exists(!_.contains("://www.")))
+    assert(urls.exists(_.contains(":8443")) && urls.exists(!_.contains(":8443")))
+    assert(urls.exists(_.contains("?ref=")) && urls.exists(!_.contains("?ref=")))
+    assert(urls.exists(_.startsWith("https://")) && urls.exists(_.startsWith("http://")))
+  }
+
+  test("domainMix groups by registered domain: www and bare hosts of one domain share a row") {
+    // doc_ids 0 and 7: %7<2 gives www for 0,7... (0%7=0 www, 7%7=0 www,
+    // 2..6 bare) — same source+tld pair only when doc_id%3 matches, so
+    // pick ids 0 (www) and 3 (bare): both tld 'com', same source.
+    val docs = docsOf((0L, "en", "s", 10L), (3L, "de", "s", 20L))
+    val mix = Provenance.domainMixOf(docs).collect()
+    assert(mix.length == 1, s"expected one domain row, got ${mix.toSeq}")
+    assert(mix.head.getAs[Long]("n_docs") == 2)
+    assert(mix.head.getAs[Long]("n_hosts") == 2) // www.s.com + s.com
+    assert(mix.head.getAs[Long]("n_langs") == 2)
+    assert(mix.head.getAs[Long]("total_chars") == 30)
+  }
+
+  test("domainCap keeps exactly cap docs per domain, deterministically across reruns") {
+    // 30 docs, all same source, tld cycles %3 → 3 domains × 10 docs
+    val docs = docsOf((0 until 30).map(i => (i.toLong, "en", "s", 1L)): _*)
+    val a = Provenance.domainCapOf(docs, cap = 4).collect()
+    val b = Provenance.domainCapOf(docs, cap = 4).collect()
+    assert(a.toSeq == b.toSeq, "cap not deterministic across reruns")
+    val perDomain = a.groupBy(_.getAs[String]("domain")).view.mapValues(_.length).toMap
+    assert(perDomain.values.forall(_ == 4), s"per-domain counts: $perDomain")
+    assert(perDomain.size == 3)
+    // ranks are 1..cap within each domain
+    assert(a.groupBy(_.getAs[String]("domain")).values.forall(
+      g => g.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup composition: pair recall vs exact all-pairs ground truth at
+  * both SFs (the rows-only driver check's real gate), survivor policy
+  * invariants, and rerun determinism. */
+class SemDedupSpec extends SparkSpec {
+
+  private val dk = graft.functions.VectorKernels.dotDouble _
+
+  private def truePairs(dir: String): Set[(Long, Long)] = {
+    val e = graft.tables.Testdata.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        (dk(col("ea"), col("eb")) /
+          (sqrt(dk(col("ea"), col("ea"))) * sqrt(dk(col("eb"), col("eb"))))).as("cos"))
+      .filter(col("cos") >= SemDedup.Tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def foundPairs(dir: String): Set[(Long, Long)] =
+    SemDedup.clusterPairs(SemDedup.clustered(spark, dir), SemDedup.Tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"semantic-dedup pairs: precision 1.0, recall >= 0.8 vs exact all-pairs ($dir)") {
+      val brute = truePairs(dir)
+      val found = foundPairs(dir)
+      assert(brute.nonEmpty, "tau should catch pairs in the testdata (non-vacuous)")
+      assert(found.subsetOf(brute),
+        s"within-cluster cosine is exact — false positives impossible: ${found -- brute}")
+      val recall = (found & brute).size.toDouble / brute.size
+      assert(recall >= 0.8, s"recall $recall over ${brute.size} true pairs at $dir")
+    }
+  }
+
+  test("survivor policy: one keeper per group, singletons all keep, rerun is identical") {
+    val dir = "/root/testdata/sf0.01"
+    val a = SemDedup.semanticDedup(spark, dir).collect()
+    val b = SemDedup.semanticDedup(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "not deterministic across reruns")
+    // every vector appears exactly once
+    val n = graft.tables.Testdata.embeddings(spark, dir).count()
+    assert(a.length == n, s"expected $n rows, got ${a.length}")
+    val byGroup = a.groupBy(_.getAs[Long]("rep"))
+    for ((rep, members) <- byGroup) {
+      assert(members.count(_.getAs[Boolean]("keep")) == 1,
+        s"group $rep: not exactly one survivor")
+      assert(members.forall(_.getAs[Long]("n_group") == members.length),
+        s"group $rep: n_group inconsistent")
+    }
+    // groups above size 1 exist (non-vacuous) and drop the rest
+    assert(byGroup.exists(_._2.length > 1), "no dup groups formed — vacuous run")
+  }
+
+  test("survivor is the member farthest from its centroid (min primary cosine, ties to min id)") {
+    val dir = "/root/testdata/sf0.01"
+    val clusteredEmb = SemDedup.clustered(spark, dir)
+    val primary = clusteredEmb.groupBy("vec_id").agg(max(col("ccos")).as("pcos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val out = SemDedup.semanticDedup(spark, dir).collect()
+    for ((_, members) <- out.groupBy(_.getAs[Long]("rep")) if members.length > 1) {
+      val ids = members.map(_.getAs[Long]("vec_id"))
+      val expected = ids.minBy(id => (primary(id), id))
+      val kept = members.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vec_id"))
+      assert(kept.toSeq == Seq(expected),
+        s"survivor ${kept.toSeq} != farthest-from-centroid $expected")
+    }
+  }
+}

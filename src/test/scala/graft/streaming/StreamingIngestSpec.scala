@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming ingest: hash dedup across micro-batches within the watermark,
@@ -158,6 +159,86 @@ class StreamingIngestSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       // identical to Relational.debounceOf on the same events (ShapeOpsSpec)
       assert(kept == Set(1L, 4L, 5L, 6L))
+    } finally q.stop()
+  }
+
+  test("streaming upsert compaction is batch-identical to upsertLatest on one fixture") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    import StreamingIngest.UpsertEvent
+    val input = MemoryStream[UpsertEvent]
+    // generous horizon: every out-of-order arrival in the fixture stays
+    // inside the watermark (batch-identity holds only within the horizon
+    // — beyond it the lambda split hands exactness to the batch compactor)
+    val q = StreamingIngest.upsertStream(input.toDS(),
+        delayThreshold = "1 hour", evictAfterMs = Long.MaxValue / 2)
+      .writeStream.format("memory").queryName("ups_out")
+      .outputMode(OutputMode.Update).start()
+    // three batches, out-of-order arrivals, ts tie broken by event_id
+    val fixture = Seq(
+      // batch :: (user, event_id, type, t_ms, cents)
+      Seq((1L, 10L, "a", 1000L, 5L), (1L, 11L, "b", 3000L, 7L), (2L, 20L, "a", 2000L, 9L)),
+      Seq((1L, 12L, "c", 2000L, 8L),                      // older than 11 — version++, no winner change
+          (2L, 21L, "b", 2000L, 4L)),                     // ts tie with 20, higher id wins
+      Seq((3L, 30L, "a", 500L, 1L), (2L, 22L, "c", 1500L, 2L)))
+    try {
+      for (b <- fixture) {
+        input.addData(b.map { case (u, e, t, ms, c) =>
+          UpsertEvent(u, e, t, new Timestamp(ms), c) }: _*)
+        q.processAllAvailable()
+      }
+      // the LAST emit per key (max n_versions — it strictly increases)
+      // is the compacted state the CDC sink holds
+      val streamed = spark.sql("SELECT * FROM ups_out")
+        .collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (_, rows) => rows.maxBy(_.getAs[Long]("n_versions")) }
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[String]("event_type"), r.getAs[Long]("ts_us"),
+          r.getAs[Long]("cents"), r.getAs[Long]("n_versions"))).toSet
+      val batchEv = fixture.flatten
+        .toDF("user_id", "event_id", "event_type", "ms", "cents")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          (col("ms") * 1000L).as("ts_us"), col("cents"))
+      val batch = graft.queries.Relational.upsertLatestOf(batchEv)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(streamed == batch,
+        s"stream/batch divergence:\n  stream=$streamed\n  batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming upsert evicts idle keys at the watermark; a late event restarts the version count") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    import StreamingIngest.UpsertEvent
+    val input = MemoryStream[UpsertEvent]
+    val q = StreamingIngest.upsertStream(input.toDS(),
+        delayThreshold = "0 seconds", evictAfterMs = 1000L)
+      .writeStream.format("memory").queryName("ups_evict")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(UpsertEvent(1L, 10L, "a", new Timestamp(1000L), 5L))
+      q.processAllAvailable() // wm -> 1000; key 1 timeout at 2000
+      input.addData(UpsertEvent(2L, 20L, "a", new Timestamp(10000L), 1L))
+      q.processAllAvailable() // wm -> 10000 after this batch
+      input.addData(UpsertEvent(2L, 21L, "a", new Timestamp(11000L), 1L))
+      q.processAllAvailable() // wm 10000 > 2000 — key 1's state evicts here
+      // fresh in-horizon event for the evicted key: its state is gone,
+      // so the version count restarts instead of reaching 2
+      input.addData(UpsertEvent(1L, 11L, "a", new Timestamp(11500L), 6L))
+      q.processAllAvailable()
+      val v = spark.sql(
+        "SELECT n_versions FROM ups_evict WHERE user_id = 1 AND event_id = 11")
+        .collect().map(_.getLong(0)).toSeq
+      assert(v == Seq(1L), s"evicted key should restart at n_versions=1, got $v")
+      // the live key kept accumulating normally
+      val v2 = spark.sql(
+        "SELECT max(n_versions) FROM ups_evict WHERE user_id = 2")
+        .collect().head.getLong(0)
+      assert(v2 == 2L)
     } finally q.stop()
   }
 
