@@ -97,6 +97,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // VERDICT r9: a >100-query single-JVM run drifted ~1.3× UNIFORMLY
+      // (zero code changes on the slowed queries) — accumulated
+      // broadcast/shuffle/RDD state. The ContextCleaner only reclaims
+      // those when driver GC collects their references, and the default
+      // periodicGC.interval (30min) never fires inside a bench run; 1min
+      // keeps the reclaim continuous.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -117,6 +124,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             -1.0
         }
+      // drain the previous query's garbage OUTSIDE any timed region (the
+      // other half of the r9 drift fix): a full GC here both reclaims the
+      // heap the next measurement would otherwise inherit and gives the
+      // ContextCleaner the reference-death signal it cleans by.
+      System.gc()
       name -> timing
     }
     writeReport(ReportPath, results, baseline, sfNum)

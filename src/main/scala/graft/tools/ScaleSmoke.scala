@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke harness (VERDICT r9 item 8): the 100×-scale arguments in
+  * the scaladocs are PLAN-shape arguments measured only up to sf0.1 — this
+  * tool turns them into at least one measured data point by tiling the
+  * sf0.1 tables ~10× (re-keyed ids, deterministically perturbed payloads)
+  * and timing the most expensive queries at both sizes.
+  *
+  * Tiling is NOT naive duplication — near-identical copies would make the
+  * dedup family's TRUE OUTPUT grow quadratically (every doc gains ~N×
+  * cross-tile containment partners) and the measurement would time an
+  * output explosion, not the plan (the first cut of this tool prepended
+  * one tile token per doc: sliding shingles stayed ~all shared across
+  * tiles and dedup_containment measured 20× — real pairs, wrong
+  * workload):
+  *  - documents: tile i>0 rewrites every 7th word with a tile-unique
+  *    token — each changed word breaks every shingle covering it, so
+  *    cross-tile gram overlap falls below any containment/Jaccard bar
+  *    while WITHIN-tile structure stays byte-for-byte the original's
+  *    (how a real 10× crawl scales: 10× the docs, same internal
+  *    dup density, not 10 copies of each doc);
+  *  - embeddings: tile i circularly shifts the vector by i components
+  *    (near-orthogonal to the original — the diffuse cosine structure
+  *    survives) and offsets labels so BLOCK COUNT grows with the corpus
+  *    while block size stays fixed (how a real corpus scales: more
+  *    clusters, not fatter ones).
+  *
+  * Output: `SCALE_SMOKE.json` at the repo root — per-query median seconds
+  * at 1× and N×, and the ratio. The pass criterion is sub-linear-with-
+  *-log headroom: ratio ≤ tiles × 2 (an O(n log n) operator at 10× data on
+  * fixed cores may cost up to ~13×; a quadratic one costs 100× and fails
+  * loudly). Run AFTER any bench (one Spark JVM at a time on this box):
+  * `sbt "runMain graft.tools.ScaleSmoke [tiles]"`. */
+object ScaleSmoke {
+
+  /** The 5 most expensive queries of the r9 bench — the ones whose scale
+    * claims are worth a measurement. */
+  val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
+    "dedup_containment", "sim_embed_neardup")
+
+  private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  private def timeQuery(df: => DataFrame): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once // warmup
+    median3(Seq.fill(3)(once))
+  }
+
+  private def tileTables(s: SparkSession, base: String, out: String, tiles: Int): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "documents.parquet").exists()) return
+    fs.mkdirs()
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.count()
+    val tiledDocs = (0 until tiles).map { i =>
+      val words = split(col("text"), " ")
+      val perturbed =
+        if (i == 0) col("text")
+        else array_join(transform(words, (w, j) =>
+          when(pmod(j, lit(7)) === lit(i % 7), concat(lit(s"t$i"), w)).otherwise(w)), " ")
+      docs.select(
+        (col("doc_id") + lit(i * nDocs)).as("doc_id"),
+        perturbed.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    tiledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val tiledEmb = (0 until tiles).map { i =>
+      val shifted =
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, dim - i), slice(col("embedding"), 1, i))
+      emb.select(
+        (col("vec_id") + lit(i * nVec)).as("vec_id"),
+        shifted.as("embedding"),
+        (col("label") + lit(i * 10)).as("label"))
+    }.reduce(_ unionByName _)
+    tiledEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tiles = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft-scale/${new java.io.File(base).getName}x$tiles"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    System.err.println(s"[scale-smoke] tiling $base x$tiles -> $out")
+    tileTables(spark, base, out, tiles)
+
+    def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Queries.map { q =>
+      val fn = graft.SparkEntry.queries(q)
+      val tBase = timeQuery(fn(spark, base))
+      System.gc()
+      val tTiled = timeQuery(fn(spark, out))
+      System.gc()
+      val ratio = if (tBase > 0) tTiled / tBase else -1.0
+      System.err.println(f"[scale-smoke] $q%-20s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f")
+      (q, tBase, tTiled, ratio)
+    }
+    val json = rows.map { case (q, b, t, r) =>
+      s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)}}"""
+    }.mkString(
+      s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"queries":{""",
+      ",",
+      s"""},"pass":${rows.forall(_._4 <= tiles * 2)}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
