@@ -103,9 +103,43 @@ object Provenance {
       .orderBy("domain", "rn")
   }
 
+  /** Corpus snapshot diff — the incremental-pipeline audit between two
+    * corpus versions ("what did the last crawl/clean pass change?"):
+    * added / removed / changed / unchanged per doc_id, by content hash.
+    * The two snapshots are synthesized deterministically from the one
+    * documents table (A drops ids ≡0 mod 5, B drops ≡0 mod 3 and
+    * rewrites ≡0 mod 7 — every status class is populated). Only
+    * (doc_id, sha) enters the FULL OUTER join — document text never
+    * moves, so at 100 TB this is one hash-frame exchange per side, and
+    * zero with both snapshots bucketed by doc_id ([[graft.tables.Bucketed]]).
+    * Null-extension discipline: absent-side hashes surface as '' and the
+    * status string is the hash of the join, never engine NULLs
+    * (rel_join_left rule). */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame =
+    snapshotDiffOf(documents(s, d))
+
+  private[graft] def snapshotDiffOf(docs: DataFrame): DataFrame = {
+    val a = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha_a"))
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"),
+        sha2(when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")), 256).as("sha_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("sha_a").isNull, lit("added"))
+          .when(col("sha_b").isNull, lit("removed"))
+          .when(col("sha_a") === col("sha_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("sha_a"), lit("")).as("sha_a"),
+        coalesce(col("sha_b"), lit("")).as("sha_b"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
     "text_domain_cap" -> domainCap _,
+    "text_snapshot_diff" -> snapshotDiff _,
   )
 
   /** Shared oracle CTE — the identical URL synthesis + extraction in
@@ -147,5 +181,22 @@ object Provenance {
          |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296, doc_id) AS BIGINT) AS rn
          |  FROM h)
          |WHERE rn <= $DomainCap ORDER BY domain, rn""".stripMargin,
+    "text_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, sha256(text) AS sha_a FROM documents WHERE doc_id % 5 <> 0
+        |), b AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' v2') ELSE text END) AS sha_b
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.sha_a IS NULL THEN 'added'
+        |       WHEN b.sha_b IS NULL THEN 'removed'
+        |       WHEN a.sha_a = b.sha_b THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  COALESCE(a.sha_a, '') AS sha_a,
+        |  COALESCE(b.sha_b, '') AS sha_b
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -615,6 +615,36 @@ object Relational {
         col("w.cents").as("cents"), col("n_versions"))
       .orderBy("user_id")
 
+  /** Sentinel for an open (current) SCD-2 interval — an explicit value,
+    * not NULL, so the driver hash never sees engine NULL ordering (the
+    * rel_join_left discipline). */
+  val Scd2OpenUs = -1L
+
+  /** SCD-2 interval build — [[upsertLatest]]'s HISTORY-keeping sibling
+    * (the warehouse "slowly changing dimension type 2" load): every
+    * version of a key becomes a row with its validity interval
+    * [valid_from, valid_to), the newest left open. One `lead` +
+    * `row_number` over the same (ts_us, event_id) total order as the
+    * upsert winner rule, partitioned by user_id — a high-cardinality
+    * key, so the sort is per-user-local ([[windowRunning]]'s bound:
+    * each partition sorts its users' events, never the corpus). The
+    * change log is consumed in place: no join, no second scan — at
+    * 100 TB this is one exchange keyed on user_id and nothing else. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(w), lit(Scd2OpenUs)))
+      .withColumn("is_current", col("valid_to_us") === Scd2OpenUs)
+      .select(col("user_id"), col("version"), col("event_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"), col("cents"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** NTILE bucket count for [[windowNtile]]. */
   val NtileBuckets = 4
 
@@ -1003,6 +1033,7 @@ object Relational {
     "rel_order_by_time"  -> orderByTime _,
     "rel_first_per_group" -> firstPerGroup _,
     "rel_upsert_latest"  -> upsertLatest _,
+    "rel_scd2_intervals" -> scd2Intervals _,
     "rel_union_dedup"    -> unionDedup _,
   )
 
@@ -1387,6 +1418,21 @@ object Relational {
         |    COUNT(1) OVER (PARTITION BY user_id) AS n_versions
         |  FROM e)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "rel_scd2_intervals" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT user_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version,
+         |  event_id, event_type, ts_us AS valid_from_us,
+         |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |           $Scd2OpenUs) AS valid_to_us,
+         |  cents,
+         |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+         |           $Scd2OpenUs) = $Scd2OpenUs AS is_current
+         |FROM e ORDER BY user_id, version""".stripMargin,
     "rel_first_per_group" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

@@ -798,6 +798,59 @@ object TextAnalysis {
     * change is `percentile` → `approx_percentile` over a sample (the
     * threshold is a scalar; sketch rank error moves the cut a hair, not
     * the plan). */
+  /** Gopher rule dials (Rae et al. 2021, "Scaling Language Models",
+    * Appendix A — the fixed-rule filter most web pipelines run verbatim).
+    * Dials are the paper's; the corpus's word-count distribution
+    * (~25-75 words/doc) straddles MinWords, so the rule set is
+    * non-vacuous on the testdata. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopHits = 2L
+
+  /** Gopher FIXED-RULE quality filter — the complement of the
+    * corpus-adaptive [[qualityGate]] (which thresholds on per-language
+    * medians): absolute dials every doc is judged against in isolation,
+    * so the filter is a pure narrow projection that needs NO corpus pass
+    * at all — the cheapest first gate in the pipeline and trivially
+    * streamable. Word-level signals (vs [[qualityScore]]'s char-level
+    * sweep): word-count bounds, mean word length band, symbol-word
+    * ratio, alphabetic-word fraction, minimum stopword hits. Every rule
+    * flag + the conjunction surface per doc (audit view), each ratio ONE
+    * division of exact ints — cross-engine IEEE-identical. */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    gopherRulesOf(documents(s, d))
+
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val charTotal = aggregate(transform(words, w => length(w)), lit(0), (a, v) => a + v)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val symbolWords = size(filter(words, w => w.contains("#") || w.contains("...")))
+    val stopHits = element_at(graft.functions.TextKernels.stopwordHits(words,
+      Seq(Seq("the", "a", "of", "and", "to", "in", "is", "it"))), 1)
+    docs.select(col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      (charTotal.cast("double") / nWords).as("mean_word_len"),
+      (alphaWords.cast("double") / nWords).as("alpha_word_frac"),
+      (symbolWords.cast("double") / nWords).as("symbol_word_ratio"),
+      stopHits.cast("long").as("stop_hits"))
+      .withColumn("r_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("r_word_len",
+        col("mean_word_len") >= GopherMinMeanWordLen &&
+          col("mean_word_len") <= GopherMaxMeanWordLen)
+      .withColumn("r_symbol", col("symbol_word_ratio") <= GopherMaxSymbolRatio)
+      .withColumn("r_alpha", col("alpha_word_frac") >= GopherMinAlphaFrac)
+      .withColumn("r_stop", col("stop_hits") >= GopherMinStopHits)
+      .withColumn("pass", col("r_words") && col("r_word_len") && col("r_symbol") &&
+        col("r_alpha") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
   def qualityGate(s: SparkSession, d: String): DataFrame =
     qualityGateOf(documents(s, d))
 
@@ -1058,6 +1111,7 @@ object TextAnalysis {
     "text_ngram_topk"  -> ngramTopK _,
     "text_decontaminate" -> decontaminate _,
     "text_decontaminate_spans" -> decontaminateSpans _,
+    "text_gopher_rules" -> gopherRules _,
     "text_mix_resample"  -> mixResample _,
     "text_surprisal"     -> surprisal _,
     "text_chunk_overlap" -> chunkOverlap _,
@@ -1173,6 +1227,37 @@ object TextAnalysis {
         |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
         |FROM c JOIN e USING (gram)
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // Each ratio is ONE division of exact integers — bit-identical
+    // doubles on both engines; rule flags compare those doubles to the
+    // same literals.
+    "text_gopher_rules" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(words) AS BIGINT) AS n_words,
+         |    CAST(list_sum([len(x) for x in words]) AS DOUBLE) / len(words) AS mean_word_len,
+         |    CAST(len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE)
+         |      / len(words) AS alpha_word_frac,
+         |    CAST(len([x for x in words if contains(x, '#') OR contains(x, '...')]) AS DOUBLE)
+         |      / len(words) AS symbol_word_ratio,
+         |    CAST(len([x for x in words
+         |              if x IN ('the','a','of','and','to','in','is','it')]) AS BIGINT) AS stop_hits
+         |  FROM w
+         |)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+         |  stop_hits,
+         |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords) AS r_words,
+         |  (mean_word_len >= $GopherMinMeanWordLen AND mean_word_len <= $GopherMaxMeanWordLen) AS r_word_len,
+         |  (symbol_word_ratio <= $GopherMaxSymbolRatio) AS r_symbol,
+         |  (alpha_word_frac >= $GopherMinAlphaFrac) AS r_alpha,
+         |  (stop_hits >= $GopherMinStopHits) AS r_stop,
+         |  (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |   AND mean_word_len >= $GopherMinMeanWordLen AND mean_word_len <= $GopherMaxMeanWordLen
+         |   AND symbol_word_ratio <= $GopherMaxSymbolRatio
+         |   AND alpha_word_frac >= $GopherMinAlphaFrac
+         |   AND stop_hits >= $GopherMinStopHits) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
     // Span removal: positions are 0-based on both sides; DuckDB slices
     // are 1-based inclusive, so gram at start i = words[(i+1):(i+4)].
     "text_decontaminate_spans" ->

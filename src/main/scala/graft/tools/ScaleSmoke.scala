@@ -111,12 +111,16 @@ object ScaleSmoke {
       System.gc()
       val tTiled = timeQuery(fn(spark, out))
       System.gc()
+      // output-volume sanity ride-along: a time ratio can hide an output
+      // explosion behind idle cores — record both
+      val rBase = fn(spark, base).count()
+      val rTiled = fn(spark, out).count()
       val ratio = if (tBase > 0) tTiled / tBase else -1.0
-      System.err.println(f"[scale-smoke] $q%-20s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f")
-      (q, tBase, tTiled, ratio)
+      System.err.println(f"[scale-smoke] $q%-20s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f rows ${rBase}->${rTiled}")
+      (q, tBase, tTiled, ratio, rBase, rTiled)
     }
-    val json = rows.map { case (q, b, t, r) =>
-      s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)}}"""
+    val json = rows.map { case (q, b, t, r, rb, rt) =>
+      s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt}"""
     }.mkString(
       s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"queries":{""",
       ",",

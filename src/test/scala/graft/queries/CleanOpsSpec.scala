@@ -109,6 +109,34 @@ class CleanOpsSpec extends SparkSpec {
       (2L, "solo")))
   }
 
+  // ---------------------------------------------------- gopher rule gate
+
+  test("gopherRules: each rule fails on exactly the doc engineered to break it") {
+    val fifty = (1 to 50).map(i => s"the word$i").mkString(" ") // 100 words, stopwords aplenty
+    val docs = Seq(
+      (0L, fifty),                                          // passes everything
+      (1L, "the short doc of and to"),                      // r_words: 6 < 50
+      (2L, (1 to 60).map(_ => "extraordinarily incomprehensibilities") // r_word_len: mean 18 > 10
+        .mkString(" ")),
+      (3L, (1 to 30).map(_ => "the ok ### ...broken").mkString(" ")), // r_symbol: 2/4 > 0.1
+      (4L, (1 to 60).map(i => s"the 123 456").mkString(" ")),         // r_alpha: 1/3 < 0.8
+      (5L, (1 to 60).map(i => s"word$i only").mkString(" ")))         // r_stop: 0 hits
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRulesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_words"), r.getAs[Boolean]("r_word_len"),
+          r.getAs[Boolean]("r_symbol"), r.getAs[Boolean]("r_alpha"),
+          r.getAs[Boolean]("r_stop"), r.getAs[Boolean]("pass"))).toMap
+    assert(out(0L) == ((true, true, true, true, true, true)))
+    assert(!out(1L)._1 && !out(1L)._6, "short doc must fail r_words")
+    assert(!out(2L)._2, "long-word doc must fail r_word_len")
+    assert(!out(3L)._3, "symbol-heavy doc must fail r_symbol")
+    assert(!out(4L)._4, "digit-word doc must fail r_alpha")
+    assert(!out(5L)._5, "stopword-free doc must fail r_stop")
+    // every failing doc fails ONLY its engineered rule (plus pass)
+    assert(out(5L)._1 && out(5L)._2 && out(5L)._3 && out(5L)._4 && !out(5L)._6)
+  }
+
   // ------------------------------------------- span-level decontamination
 
   test("decontaminateSpans: matched spans cut at doc start, middle and end; clean docs pass through") {

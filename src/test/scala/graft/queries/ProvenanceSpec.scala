@@ -54,6 +54,28 @@ class ProvenanceSpec extends SparkSpec {
     assert(mix.head.getAs[Long]("total_chars") == 30)
   }
 
+  test("snapshotDiff: every status lands exactly per the modulus classes; hashes never null") {
+    val docs = docsOf((0 until 105).map(i => (i.toLong, "en", "s", 1L)): _*)
+    val out = Provenance.snapshotDiffOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    for (id <- 0 until 105; if out.contains(id.toLong)) {
+      val inA = id % 5 != 0
+      val inB = id % 3 != 0
+      val (status, shaA, shaB) = out(id.toLong)
+      val expected =
+        if (inA && !inB) "removed"
+        else if (!inA && inB) "added"
+        else if (id % 7 == 0) "changed"
+        else "unchanged"
+      assert(status == expected, s"doc $id: $status != $expected")
+      assert((shaA.nonEmpty) == inA && (shaB.nonEmpty) == inB, s"doc $id hash presence")
+    }
+    // ids in neither snapshot (≡0 mod 15) must not appear at all
+    assert(!out.contains(0L) && !out.contains(15L) && !out.contains(30L))
+    assert(Set("added", "removed", "changed", "unchanged")
+      .subsetOf(out.values.map(_._1).toSet), "all four statuses populated")
+  }
+
   test("domainCap keeps exactly cap docs per domain, deterministically across reruns") {
     // 30 docs, all same source, tld cycles %3 → 3 domains × 10 docs
     val docs = docsOf((0 until 30).map(i => (i.toLong, "en", "s", 1L)): _*)

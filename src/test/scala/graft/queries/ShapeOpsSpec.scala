@@ -14,6 +14,27 @@ class ShapeOpsSpec extends SparkSpec {
 
   import spark.implicits._
 
+  // ------------------------------------------------------------- scd2
+
+  test("scd2Intervals: versions chain gaplessly per user, exactly one open current row") {
+    val out = Relational.scd2Intervals(spark, "/root/testdata/sf0.001").collect()
+    val byUser = out.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.nonEmpty)
+    for ((u, rows) <- byUser) {
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to rows.length).toSeq,
+        s"user $u: versions not 1..n")
+      // each interval closes exactly where the next opens
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+        assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+          s"user $u: interval gap at version ${a.getAs[Long]("version")}")
+      val currents = sorted.filter(_.getAs[Boolean]("is_current"))
+      assert(currents.length == 1 && currents.head == sorted.last,
+        s"user $u: open interval must be exactly the last version")
+      assert(currents.head.getAs[Long]("valid_to_us") == Relational.Scd2OpenUs)
+    }
+  }
+
   // --------------------------------------------------------- chunking
 
   private def docsOf(ns: Seq[Int]) =
