@@ -40,6 +40,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // and GC pressure drifted every measurement ~1.3x (VERDICT r9). The box
   // has 128 GiB — undersizing the one JVM is false economy.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The >100-query bench drifted ~1.3x UNIFORMLY with zero code changes
+  // on the slowed queries (VERDICT r9) and neither heap size nor cleaner
+  // cadence moved it: the remaining single-JVM pressure is the JIT code
+  // cache. Every query contributes whole-stage-codegen classes; at the
+  // JDK 17 default (240 MB) a 113-query run approaches the cap, where
+  // HotSpot starts flushing warm nmethods and late queries re-enter
+  // interpreted/C1 execution — a uniform tax on exactly the cheap
+  // queries the drift showed. 512 MB keeps every compiled method hot
+  // for the whole run.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 
 // JDBC integration tests: sqlite-jdbc does NOT resolve offline (attempted

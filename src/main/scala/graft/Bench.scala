@@ -107,7 +107,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev affordance (unset in driver runs): measure only a comma-listed
+    // subset — lets a fresh JVM time one query the way the full run times
+    // it, separating per-plan cost from whole-run JVM accumulation.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timing =
         try {
           runOnce(fn(spark, sfDir)) // warmup (also surfaces failures early)
@@ -131,7 +140,9 @@ object Bench {
       System.gc()
       name -> timing
     }
-    writeReport(ReportPath, results, baseline, sfNum)
+    // filtered dev runs must not clobber the full-run report artifact
+    writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
+      results, baseline, sfNum)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
