@@ -863,8 +863,108 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Within-doc duplicate-line fractions — the line-granularity half of
+    * the Gopher repetition rule family ([[TextAnalysis.repetition]] covers
+    * the word/bigram half): per document, the fraction of LINES that are
+    * repeats of another line in the SAME document, and the fraction of
+    * CHARACTERS those repeated lines carry (the paper thresholds both).
+    * Corpus-level [[dedupLines]] bans lines shared ACROSS documents; this
+    * scores repetition INSIDE one — the "page is mostly its own nav bar
+    * repeated" signal that cross-doc df cannot see.
+    *
+    * The synthetic corpus has no repeated windows, so docs ≡0 mod 4 get
+    * their first line re-appended (same deterministic-synthesis pattern
+    * as [[Provenance.snapshotDiff]]'s modulus classes) — every output
+    * class is populated and the driver's hash gate checks real dup
+    * arithmetic, not a column of zeros.
+    *
+    * Scale shape: two map-side-combinable hash aggregates keyed
+    * (doc_id, line-hash) then doc_id — line identity travels as md5,
+    * line TEXT never leaves the scan projection ([[hashedLines]]
+    * discipline), and per-doc state is four longs. */
+  def dupLineFrac(s: SparkSession, d: String): DataFrame =
+    dupLineFracOf(withRepeatedFirstLine(multilineDocs(s, d)), newlineLines)
+
+  /** Docs ≡0 mod 4 with their first line appended again (see
+    * [[dupLineFrac]]). */
+  private[graft] def withRepeatedFirstLine(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"), lit("\n"), element_at(split(col("text"), "\n"), 1)))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] def dupLineFracOf(docs: DataFrame,
+                                   splitLines: Column => Column): DataFrame =
+    docs.select(col("doc_id"), explode(splitLines(col("text"))).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("h"),
+        length(col("line")).cast("long").as("chars"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("cnt"), min(col("chars")).as("chars"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_lines"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_lines"),
+        sum(col("chars") * col("cnt")).as("total_chars"),
+        sum(when(col("cnt") > 1, col("chars") * col("cnt")).otherwise(0L)).as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+        (col("dup_chars").cast("double") / col("total_chars")).as("dup_char_frac"))
+      .orderBy("doc_id")
+
+  /** Shingle width for [[sourceOverlap]] — 4-gram, the same unit as
+    * [[TextAnalysis.decontaminate]]'s contamination shingles. */
+  val OverlapGramN = 4
+
+  /** Pairwise source contamination matrix — for every pair of `source`
+    * subcorpora, how many distinct [[OverlapGramN]]-gram shingles they
+    * share and the Jaccard similarity of their shingle sets. The
+    * corpus-composition audit run BEFORE mixing sources into a training
+    * set: two "independent" crawls sharing half their shingles are one
+    * crawl counted twice, and every downstream dedup/mix ratio is wrong
+    * until that's known. Doc-level near-dup ([[minhashLshPairs]]) finds
+    * individual duplicate pairs; this measures WHOLESALE overlap between
+    * corpus slices.
+    *
+    * Scale shape: the unit is the distinct (source, shingle) frame —
+    * map-side-combinable distinct keyed on the shingle hash, orders of
+    * magnitude smaller than the corpus. The pair counts come from a
+    * self-join CO-PARTITIONED on `gram` (both sides are the same frame:
+    * one exchange, reused), whose per-gram fan-out is bounded by
+    * C(n_sources, 2) — sources are a catalog-sized dimension (dozens),
+    * never corpus-sized, so the join output is |shared grams| ×
+    * O(sources²) worst case and in practice the shared sliver. The
+    * per-source totals frame is n_sources rows — broadcast both ways. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    sourceOverlapOf(documents(s, d))
+
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = graft.functions.TextKernels.wordShingles(words, OverlapGramN, distinct = true)
+    val sg = docs.filter(size(words) >= OverlapGramN)
+      .select(col("source"), explode(grams).as("gram"))
+      .distinct()
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = sg.as("a")
+      .join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "n_a")), Seq("source_a"))
+      .join(broadcast(totals.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lines"          -> dedupLines _,
+    "text_dup_line_frac"   -> dupLineFrac _,
+    "text_source_overlap"  -> sourceOverlap _,
     "dedup_minhash_lsh"    -> minhashLshPairs _,
     "dedup_winnow"         -> winnowPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
@@ -914,6 +1014,62 @@ object Dedup {
     // entry (windows joined with chr(10), then re-split on chr(10)), so
     // the driver's hash gate exercises the real newline splitter on both
     // engines — not the windowing shortcut.
+    // Same 4-gram shingle definition as the text_decontaminate oracle
+    // (words[i:i+3] is 1-based inclusive = 4 words), same distinct
+    // (source, gram) unit, same a<b pair orientation; exact counts ⇒
+    // full strictness.
+    "text_source_overlap" ->
+      s"""WITH w AS (
+         |  SELECT source, string_split(text, ' ') AS words FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $OverlapGramN
+         |), g0 AS (
+         |  SELECT source, unnest(list_distinct(
+         |    [array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)])) AS gram
+         |  FROM w
+         |), g AS (
+         |  SELECT DISTINCT source, gram FROM g0
+         |), t AS (
+         |  SELECT source, COUNT(*) AS n FROM g GROUP BY source
+         |), p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY a.source, b.source
+         |)
+         |SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared,
+         |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+         |  CAST(shared AS DOUBLE) / (ta.n + tb.n - shared) AS jaccard
+         |FROM p JOIN t ta ON source_a = ta.source JOIN t tb ON source_b = tb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+    // Same multiline synthesis + %4 first-line repeat as the Spark entry,
+    // same md5 line identity, same two-level aggregate; each fraction is
+    // ONE double division of exact integer sums — bit-identical across
+    // engines.
+    "text_dup_line_frac" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), src AS (
+         |  SELECT doc_id, array_to_string(
+         |    [array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')
+         |     for i in range(0, ((len(words)-1)//$LineWords)+1)], chr(10)) AS text
+         |  FROM w
+         |), rep AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+         |    THEN concat(text, chr(10), string_split(text, chr(10))[1])
+         |    ELSE text END AS text
+         |  FROM src
+         |), l AS (
+         |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM rep
+         |), g AS (
+         |  SELECT doc_id, md5(line) AS h, COUNT(*) AS cnt, MIN(len(line)) AS chars
+         |  FROM l GROUP BY doc_id, md5(line)
+         |)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt)
+         |    AS dup_line_frac,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN chars * cnt ELSE 0 END) AS DOUBLE)
+         |    / SUM(chars * cnt) AS dup_char_frac
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_lines" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents

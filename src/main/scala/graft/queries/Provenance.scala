@@ -136,10 +136,80 @@ object Provenance {
       .orderBy("doc_id")
   }
 
+  /** Messier synthetic URL for [[urlCanon]] — every canon rule gets rows
+    * that exercise it: scheme/host case noise (%2 / %5), default ports
+    * `:443`/`:80` sometimes MISmatched with the scheme (%4 — only the
+    * scheme's own default may be stripped), tracking params mixed into
+    * unsorted query strings (%3), fragments (%6). All dials exact
+    * integer tests both engines agree on. */
+  private[graft] def messyUrlOf(docId: Column, source: Column, lang: Column): Column = {
+    val scheme = when(pmod(docId, lit(2)) === 0, lit("HTTPS")).otherwise(lit("http"))
+    val sub = when(pmod(docId, lit(7)) < 2, lit("WWW.")).otherwise(lit(""))
+    val hostCore = when(pmod(docId, lit(5)) === 0, upper(source)).otherwise(source)
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (pmod(docId, lit(3)) + 1).cast("int"))
+    val port = when(pmod(docId, lit(4)) === 0, lit(":443"))
+      .when(pmod(docId, lit(4)) === 1, lit(":80"))
+      .when(pmod(docId, lit(4)) === 2, lit(":8443"))
+      .otherwise(lit(""))
+    val qs = when(pmod(docId, lit(3)) === 0, lit("?utm_source=feed&b=2&a=1"))
+      .when(pmod(docId, lit(3)) === 1, concat(lit("?id="), docId, lit("&utm_campaign=x")))
+      .otherwise(lit(""))
+    val frag = when(pmod(docId, lit(6)) === 0, lit("#sec-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), sub, hostCore, lit("."), tld, port,
+      lit("/"), lang, lit("/doc-"), docId, lit(".html"), qs, frag)
+  }
+
+  /** URL canonicalization — the dedup key every web pipeline derives
+    * before URL-level dedup (the same page arrives as `HTTPS://Host:443/
+    * p?utm_source=x&b=2&a=1#frag` and `https://host/p?a=1&b=2`): drop the
+    * fragment, lowercase scheme+authority (path case is preserved —
+    * paths are case-significant), strip only the scheme's OWN default
+    * port (`:443` for https, `:80` for http — an http URL on :443 keeps
+    * it), drop `utm_*` tracking params, and sort the surviving params
+    * byte-lexicographically. A pure narrow projection — regex extracts
+    * and array ops per row, no shuffle, prunes at the scan; the
+    * canonical string is then the input to [[domainMix]]-style rollups
+    * or exact URL dedup (hash-groupBy on `canon`). `n_dropped` audits
+    * how many params the cleaner removed per row. */
+  def urlCanon(s: SparkSession, d: String): DataFrame =
+    urlCanonOf(documents(s, d))
+
+  private[graft] def urlCanonOf(docs: DataFrame): DataFrame =
+    canonicalized(docs.select(col("doc_id"),
+      messyUrlOf(col("doc_id"), col("source"), col("lang")).as("url")))
+
+  /** The canon rules over an existing (doc_id, url) frame — split out so
+    * specs can feed adversarial URLs directly. */
+  private[graft] def canonicalized(withUrl: DataFrame): DataFrame = {
+    val nofrag = regexp_replace(col("url"), "#.*$", "")
+    withUrl
+      .withColumn("base", regexp_extract(nofrag, "^([^?]*)", 1))
+      .withColumn("qs", regexp_extract(nofrag, "\\?(.*)$", 1))
+      .withColumn("scheme", lower(regexp_extract(col("base"), "^([a-zA-Z]+)://", 1)))
+      .withColumn("auth", lower(regexp_extract(col("base"), "^[a-zA-Z]+://([^/]*)", 1)))
+      .withColumn("path", regexp_replace(col("base"), "^[a-zA-Z]+://[^/]*", ""))
+      .withColumn("auth_c",
+        when(col("scheme") === "https", regexp_replace(col("auth"), ":443$", ""))
+          .when(col("scheme") === "http", regexp_replace(col("auth"), ":80$", ""))
+          .otherwise(col("auth")))
+      .withColumn("params_all", filter(split(col("qs"), "&"), p => p =!= ""))
+      .withColumn("params",
+        array_sort(filter(col("params_all"), p => !p.rlike("^utm_"))))
+      .select(col("doc_id"), col("url"),
+        concat(col("scheme"), lit("://"), col("auth_c"), col("path"),
+          when(size(col("params")) > 0,
+            concat(lit("?"), array_join(col("params"), "&"))).otherwise(lit("")))
+          .as("canon"),
+        (size(col("params_all")) - size(col("params"))).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
     "text_domain_cap" -> domainCap _,
     "text_snapshot_diff" -> snapshotDiff _,
+    "text_url_canon" -> urlCanon _,
   )
 
   /** Shared oracle CTE — the identical URL synthesis + extraction in
@@ -181,6 +251,51 @@ object Provenance {
          |      ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296, doc_id) AS BIGINT) AS rn
          |  FROM h)
          |WHERE rn <= $DomainCap ORDER BY domain, rn""".stripMargin,
+    // Same messy-URL synthesis, same regex extracts, same param
+    // filter/sort — the canonical string is compared byte-for-byte, so
+    // one differently-normalized URL is a hash mismatch.
+    "text_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END, '://',
+        |    CASE WHEN doc_id % 7 < 2 THEN 'WWW.' ELSE '' END,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END,
+        |    '.', ['com','org','net'][CAST(doc_id % 3 AS INT) + 1],
+        |    CASE WHEN doc_id % 4 = 0 THEN ':443'
+        |         WHEN doc_id % 4 = 1 THEN ':80'
+        |         WHEN doc_id % 4 = 2 THEN ':8443' ELSE '' END,
+        |    '/', lang, '/doc-', doc_id, '.html',
+        |    CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |         WHEN doc_id % 3 = 1 THEN concat('?id=', doc_id, '&utm_campaign=x')
+        |         ELSE '' END,
+        |    CASE WHEN doc_id % 6 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS base,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS qs
+        |  FROM u
+        |), p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(base, '^([a-zA-Z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(base, '^[a-zA-Z]+://([^/]*)', 1)) AS auth,
+        |    regexp_replace(base, '^[a-zA-Z]+://[^/]*', '') AS path,
+        |    [x for x in string_split(qs, '&') if x <> ''] AS params_all
+        |  FROM s
+        |), c AS (
+        |  SELECT doc_id, url, scheme, path, params_all,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         ELSE auth END AS auth_c,
+        |    list_sort([x for x in params_all if NOT regexp_matches(x, '^utm_')]) AS params
+        |  FROM p
+        |)
+        |SELECT doc_id, url,
+        |  concat(scheme, '://', auth_c, path,
+        |    CASE WHEN len(params) > 0 THEN concat('?', array_to_string(params, '&'))
+        |         ELSE '' END) AS canon,
+        |  CAST(len(params_all) - len(params) AS BIGINT) AS n_dropped
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_snapshot_diff" ->
       """WITH a AS (
         |  SELECT doc_id, sha256(text) AS sha_a FROM documents WHERE doc_id % 5 <> 0

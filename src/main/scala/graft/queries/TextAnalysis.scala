@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Testdata._
 import graft.tables.FrameCache
@@ -1020,6 +1021,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- global shuffle
+
+  /** Shard count for [[shuffleOrder]]. */
+  val ShuffleShards = 8L
+
+  /** Deterministic global training-order shuffle — the last step before
+    * sequence packing: assign every document a shard and a position
+    * inside it from the Knuth multiplicative hash of `doc_id` (the
+    * [[SampleHashA]] discipline — reproducible outside Spark, stable
+    * under task retry, auditable after the fact; `rand()` is none of
+    * those, and data ORDER is a training hyperparameter worth pinning).
+    * Shard = hash mod [[ShuffleShards]], position = rank of (hash,
+    * doc_id) within the shard — ties broken by doc_id so the order is
+    * total.
+    *
+    * Scale shape: one exchange keyed on shard, then a PER-SHARD local
+    * sort — no global orderBy anywhere near the corpus (the harness
+    * `orderBy` below sorts the (shard, pos) OUTPUT for the driver hash,
+    * not the data path). Writers consume it as
+    * `repartition($"shard").sortWithinPartitions($"pos")`. */
+  def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    val key = (pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L
+    val w = Window.partitionBy("shard").orderBy(col("sort_key"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), key.as("sort_key"),
+        pmod(key, lit(ShuffleShards)).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy("shard", "pos")
+  }
+
   // ------------------------------------------------------ PMI collocations
 
   /** Minimum bigram count for [[pmiBigrams]] — PMI is notoriously noisy
@@ -1126,6 +1157,7 @@ object TextAnalysis {
     "text_redact_pii"    -> redactPii _,
     "text_freq_items"    -> freqItems _,
     "text_split_assign"  -> splitAssign _,
+    "text_shuffle_order" -> shuffleOrder _,
     "text_pmi_bigrams"   -> pmiBigrams _,
     "text_source_mix"    -> sourceMix _,
   )
@@ -1589,6 +1621,17 @@ object TextAnalysis {
          |         THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same Knuth-hash key (exact int64 arithmetic in any engine), same
+    // shard modulus, same (key, doc_id) total order inside each shard.
+    "text_shuffle_order" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    (doc_id % $SampleFold) * $SampleHashA % 4294967296 AS sort_key
+         |  FROM documents)
+         |SELECT doc_id, sort_key, sort_key % $ShuffleShards AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY sort_key % $ShuffleShards
+         |    ORDER BY sort_key, doc_id) AS BIGINT) AS pos
+         |FROM k ORDER BY shard, pos""".stripMargin,
     // Exact-integer products, one double division in matched order; the
     // rational score orders identically to log-PMI under a fixed corpus.
     "text_pmi_bigrams" ->

@@ -137,6 +137,53 @@ class CleanOpsSpec extends SparkSpec {
     assert(out(5L)._1 && out(5L)._2 && out(5L)._3 && out(5L)._4 && !out(5L)._6)
   }
 
+  // --------------------------------------- within-doc dup line fractions
+
+  test("dupLineFrac: multiplicities, char weighting and the all-unique doc all score exactly") {
+    val docs = Seq(
+      (0L, "aa\nbb\ncc"),           // all unique → 0 / 0
+      (1L, "aa\naa\nbb"),           // one pair: 2/3 lines, 4/6 chars
+      (2L, "xxxx\nxxxx\nxxxx\ny"),  // triple: 3/4 lines, 12/13 chars
+      (3L, "ab\ncd\nab\ncd"))       // two pairs: 4/4 lines, all chars
+      .toDF("doc_id", "text")
+    val out = Dedup.dupLineFracOf(docs, Dedup.newlineLines).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+        r.getAs[Double]("dup_line_frac"), r.getAs[Double]("dup_char_frac"))).toMap
+    assert(out(0L) == ((3L, 0L, 0.0, 0.0)))
+    assert(out(1L) == ((3L, 2L, 2.0 / 3, 4.0 / 6)))
+    assert(out(2L) == ((4L, 3L, 3.0 / 4, 12.0 / 13)))
+    assert(out(3L) == ((4L, 4L, 1.0, 1.0)))
+  }
+
+  test("withRepeatedFirstLine repeats exactly the first line of exactly the %4==0 docs") {
+    val docs = Seq((0L, "l0\nl1"), (1L, "l0\nl1"), (4L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.withRepeatedFirstLine(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "l0\nl1\nl0" && out(4L) == "solo\nsolo" && out(1L) == "l0\nl1")
+  }
+
+  // ------------------------------------------ cross-source shingle overlap
+
+  test("sourceOverlap: shared distinct shingles and Jaccard count exactly; disjoint pairs absent") {
+    val docs = Seq(
+      // srcA and srcB share exactly the shingle "w1 w2 w3 w4" (srcA has it
+      // twice — distinct collapses); srcC shares nothing.
+      (0L, "srcA", "w1 w2 w3 w4"),
+      (1L, "srcA", "w1 w2 w3 w4 extra"),   // adds "w2 w3 w4 extra" to srcA
+      (2L, "srcB", "w1 w2 w3 w4"),
+      (3L, "srcB", "q1 q2 q3 q4"),
+      (4L, "srcC", "z1 z2 z3 z4"),
+      (5L, "srcC", "too short"))            // < 4 words: contributes nothing
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("jaccard"))).toMap
+    // srcA grams: {w1..w4, w2..extra} = 2; srcB: {w1..w4, q1..q4} = 2
+    assert(out(("srcA", "srcB")) == ((1L, 2L, 2L, 1.0 / 3)))
+    assert(out.size == 1, s"disjoint pairs must not appear: ${out.keys}")
+  }
+
   // ------------------------------------------- span-level decontamination
 
   test("decontaminateSpans: matched spans cut at doc start, middle and end; clean docs pass through") {

@@ -76,6 +76,26 @@ class ProvenanceSpec extends SparkSpec {
       .subsetOf(out.values.map(_._1).toSet), "all four statuses populated")
   }
 
+  test("urlCanon: each rule fires exactly where it should, on adversarial URLs") {
+    import spark.implicits._
+    val urls = Seq(
+      (0L, "HTTPS://WWW.Ex.COM:443/Path/UP.html?utm_source=a&z=9&a=1#frag"),
+      (1L, "http://ex.com:443/p"),       // :443 is NOT http's default — kept
+      (2L, "https://ex.com:80/p"),       // :80 is NOT https's default — kept
+      (3L, "http://ex.com:80/p?utm_a=1&utm_b=2"), // all params tracking → no '?'
+      (4L, "https://ex.com/CaseKept/MiXeD?b=2&a=1"),
+      (5L, "https://ex.com:8443/p"))     // non-default port survives
+      .toDF("doc_id", "url")
+    val out = Provenance.canonicalized(urls).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getAs[Long]("n_dropped"))).toMap
+    assert(out(0L) == (("https://www.ex.com/Path/UP.html?a=1&z=9", 1L)))
+    assert(out(1L)._1 == "http://ex.com:443/p")
+    assert(out(2L)._1 == "https://ex.com:80/p")
+    assert(out(3L) == (("http://ex.com/p", 2L)))
+    assert(out(4L)._1 == "https://ex.com/CaseKept/MiXeD?a=1&b=2")
+    assert(out(5L)._1 == "https://ex.com:8443/p")
+  }
+
   test("domainCap keeps exactly cap docs per domain, deterministically across reruns") {
     // 30 docs, all same source, tld cycles %3 → 3 domains × 10 docs
     val docs = docsOf((0 until 30).map(i => (i.toLong, "en", "s", 1L)): _*)

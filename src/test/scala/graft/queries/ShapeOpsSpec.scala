@@ -35,6 +35,26 @@ class ShapeOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ global shuffle
+
+  test("shuffleOrder: total deterministic order — every doc exactly once, positions gapless per shard") {
+    val out = TextAnalysis.shuffleOrder(spark, "/root/testdata/sf0.001").collect()
+    val nDocs = out.length
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == nDocs, "every doc exactly once")
+    for ((shard, rows) <- out.groupBy(_.getAs[Long]("shard"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq == (1L to rows.length).toSeq,
+        s"shard $shard: positions not gapless 1..n")
+      // order inside the shard follows (sort_key, doc_id) totally
+      val keys = sorted.map(r => (r.getAs[Long]("sort_key"), r.getAs[Long]("doc_id"))).toSeq
+      assert(keys == keys.sorted, s"shard $shard: not (key, doc_id)-ordered")
+      assert(rows.forall(r => r.getAs[Long]("sort_key") % TextAnalysis.ShuffleShards
+        == r.getAs[Long]("shard")), s"shard $shard: shard != key mod n")
+    }
+    val again = TextAnalysis.shuffleOrder(spark, "/root/testdata/sf0.001").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "rerun-deterministic")
+  }
+
   // --------------------------------------------------------- chunking
 
   private def docsOf(ns: Seq[Int]) =
