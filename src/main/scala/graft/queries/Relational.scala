@@ -645,6 +645,51 @@ object Relational {
       .orderBy("user_id", "version")
   }
 
+  /** Interval length unit for [[mergeIntervals]] — 15 min in epoch-µs;
+    * each event's interval spans 1-4 units by `event_id % 4`, so lengths
+    * VARY and the running-max-end merge is genuinely exercised (with a
+    * fixed length the rule degenerates to [[sessionize]]'s lag-gap test:
+    * sorted ascending starts make the previous end always the max). */
+  val MergeIntervalUnitUs = 900000000L
+
+  /** Overlapping-interval coalescing — the interval-algebra staple
+    * ([[sessionize]] merges POINTS by gap; this merges INTERVALS by
+    * overlap: availability windows, lease/hold ranges, on-call spans):
+    * per user, intervals [ts, ts + len) that overlap or touch fuse into
+    * one merged row. The classic two-window form: a running MAX of all
+    * PREVIOUS interval ends (ROWS frame — ties must not see each other),
+    * a new-group flag where the current start clears it, a running sum
+    * of flags as the merge id, then one hash aggregate per merged group.
+    *
+    * Scale shape: both windows share ONE (user_id)-partitioned sort —
+    * high-cardinality key, so sorts are per-user-local and the whole op
+    * is one exchange keyed on user_id ([[scd2Intervals]]'s bound); the
+    * final aggregate combines map-side on (user_id, merge_id). */
+  def mergeIntervals(s: SparkSession, d: String): DataFrame =
+    mergeIntervalsOf(events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .withColumn("end_us",
+        col("ts_us") + (pmod(col("event_id"), lit(4)) + 1) * MergeIntervalUnitUs))
+
+  /** The merge over explicit (user_id, event_id, ts_us, end_us) intervals
+    * — split out so specs can feed engineered overlap shapes. */
+  private[graft] def mergeIntervalsOf(ivals: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ivals
+      .withColumn("prev_max_end", max(col("end_us")).over(wPrev))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("ts_us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("merge_id", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "merge_id")
+      .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "merge_id")
+  }
+
   /** NTILE bucket count for [[windowNtile]]. */
   val NtileBuckets = 4
 
@@ -1034,6 +1079,7 @@ object Relational {
     "rel_first_per_group" -> firstPerGroup _,
     "rel_upsert_latest"  -> upsertLatest _,
     "rel_scd2_intervals" -> scd2Intervals _,
+    "rel_merge_intervals" -> mergeIntervals _,
     "rel_union_dedup"    -> unionDedup _,
   )
 
@@ -1433,6 +1479,34 @@ object Relational {
          |  COALESCE(LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
          |           $Scd2OpenUs) = $Scd2OpenUs AS is_current
          |FROM e ORDER BY user_id, version""".stripMargin,
+    // ROWS frames on BOTH windows (ties must not see each other's ends),
+    // same (ts_us, event_id) total order; exact-integer arithmetic only.
+    "rel_merge_intervals" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    epoch_us(CAST(ts AS TIMESTAMP))
+         |      + (event_id % 4 + 1) * $MergeIntervalUnitUs AS end_us
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, event_id, ts_us, end_us,
+         |    MAX(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+         |  FROM e
+         |), g AS (
+         |  SELECT user_id, event_id, ts_us, end_us,
+         |    CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+         |         THEN 1 ELSE 0 END AS is_new
+         |  FROM f
+         |), h AS (
+         |  SELECT user_id, ts_us, end_us,
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS merge_id
+         |  FROM g
+         |)
+         |SELECT user_id, CAST(merge_id AS BIGINT) AS merge_id,
+         |  MIN(ts_us) AS start_us, MAX(end_us) AS end_us,
+         |  COUNT(*) AS n_events
+         |FROM h GROUP BY user_id, merge_id ORDER BY user_id, merge_id""".stripMargin,
     "rel_first_per_group" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate,

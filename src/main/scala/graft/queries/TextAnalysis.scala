@@ -36,6 +36,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language tokenizer fertility — the vocab-fit audit run after
+    * (or before re-)training a tokenizer: BPE-ish tokens per whitespace
+    * word (fertility — high values mean the vocab fragments that
+    * language's words) and characters per BPE token (compression), by
+    * `lang`. A tokenizer trained on English routinely shows 2-3× the
+    * fertility on underrepresented languages — exactly the imbalance
+    * this rollup surfaces before [[mixResample]] decides shares.
+    *
+    * Scale shape: the per-doc counts are [[tokenCounts]]'s narrow
+    * codegen projections; the rollup is ONE map-side-combinable hash
+    * aggregate keyed on `lang` (a dozen keys — the exchange moves one
+    * 4-long row per language per mapper). Ratios divide exact int64
+    * SUMS once at the end — never averaged per-doc doubles, which would
+    * weight short docs equally with long ones AND accumulate float
+    * association error. */
+  def tokenFertility(s: SparkSession, d: String): DataFrame =
+    tokenFertilityOf(documents(s, d))
+
+  private[graft] def tokenFertilityOf(docs: DataFrame): DataFrame = {
+    val bpe = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    docs
+      .select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws"),
+        bpe.cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"),
+        sum(col("chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_ws_tokens")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------- quality
 
   /** Heuristic quality signals: length, alpha/space/punct ratios, mean
@@ -1131,6 +1167,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens"      -> tokenCounts _,
+    "text_token_fertility" -> tokenFertility _,
     "text_quality"     -> qualityScore _,
     "text_langid"      -> langId _,
     "text_fingerprint" -> fingerprint _,
@@ -1170,6 +1207,21 @@ object TextAnalysis {
         |  CAST(len(text) AS DOUBLE) /
         |    greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same per-doc token definitions as text_tokens, aggregated to lang;
+    // each ratio divides exact integer SUMS once — bit-identical doubles.
+    "text_token_fertility" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+        |    CAST(len(text) AS BIGINT) AS chars
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(bpe) AS DOUBLE) / SUM(ws) AS fertility,
+        |  CAST(SUM(chars) AS DOUBLE) / SUM(bpe) AS chars_per_token
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) AS alpha_ratio,

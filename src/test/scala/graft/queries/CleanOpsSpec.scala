@@ -162,6 +162,22 @@ class CleanOpsSpec extends SparkSpec {
     assert(out(0L) == "l0\nl1\nl0" && out(4L) == "solo\nsolo" && out(1L) == "l0\nl1")
   }
 
+  // ------------------------------------------------------ token fertility
+
+  test("tokenFertility: sums divide once at the end — exact per-lang ratios from mixed docs") {
+    val docs = Seq(
+      ("aa", "ab cd"),        // ws 2, bpe 2 (ab, cd), chars 5
+      ("aa", "x, y"),         // ws 2, bpe 3 (x , y), chars 4
+      ("bb", "hello world"))  // ws 2, bpe 2, chars 11
+      .toDF("lang", "text")
+    val out = TextAnalysis.tokenFertilityOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ws_tokens"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Double]("fertility"),
+        r.getAs[Double]("chars_per_token"))).toMap
+    assert(out("aa") == ((2L, 4L, 5L, 5.0 / 4, 9.0 / 5)))
+    assert(out("bb") == ((1L, 2L, 2L, 1.0, 11.0 / 2)))
+  }
+
   // ------------------------------------------ cross-source shingle overlap
 
   test("sourceOverlap: shared distinct shingles and Jaccard count exactly; disjoint pairs absent") {

@@ -273,4 +273,53 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  /** (shuffle partitioning, output column names) per exchange, AQE off —
+    * the [[dedup_lines]] probe generalized for the round-10 gates. */
+  private def shuffles(name: String): Seq[(String, Seq[String])] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          (e.outputPartitioning.toString, e.output.map(_.name).toSeq)
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("narrow pipeline gates shuffle nothing but the harness result sort") {
+    // gopherRules and urlCanon judge each row in isolation — the ONLY
+    // exchange either may plan is the driver-hash orderBy. A second
+    // exchange means the op grew a corpus pass it must not need.
+    for (q <- Seq("text_gopher_rules", "text_url_canon")) {
+      val xs = shuffles(q)
+      assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
+        s"$q: expected exactly the result-sort exchange, got $xs")
+    }
+  }
+
+  test("keyed round-10 ops move exactly one hash exchange, on their key") {
+    // (query, key the single hash exchange must carry). Each plans that
+    // one keyed exchange plus the harness result sort and nothing else —
+    // a third exchange is a lost partitioning-reuse regression.
+    for ((q, key) <- Seq(
+        ("text_shuffle_order", "shard"),
+        ("text_token_fertility", "lang"),
+        ("rel_scd2_intervals", "user_id"),
+        ("rel_merge_intervals", "user_id"))) {
+      val xs = shuffles(q)
+      val hash = xs.filter(_._1.contains("hashpartitioning"))
+      assert(hash.size == 1 && hash.head._1.contains(key),
+        s"$q: expected one hashpartitioning($key) exchange, got $xs")
+      assert(xs.size == 2, s"$q: expected keyed exchange + result sort only, got $xs")
+    }
+  }
+
+  test("snapshot diff and dup-line fractions keep text out of every exchange") {
+    // both ops derive hashes scan-side; document/line text crossing any
+    // exchange would ship the corpus to compute per-key scalars.
+    for (q <- Seq("text_snapshot_diff", "text_dup_line_frac")) {
+      val carrying = shuffles(q).filter(_._2.exists(n => n == "text" || n == "line"))
+      assert(carrying.isEmpty, s"$q: text entered an exchange: $carrying")
+    }
+  }
 }

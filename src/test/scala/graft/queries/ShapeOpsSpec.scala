@@ -35,6 +35,41 @@ class ShapeOpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- interval coalescing
+
+  test("mergeIntervals: overlap, touch, nesting and late-long-interval bridging all fuse; gaps split") {
+    // user 1: [0,10) [5,20) overlap; [20,25) touches (start==prev end → merge);
+    //         [30,40) gapped → new group; [32,35) nested inside it.
+    // user 2: one interval [0,100) then [50,60) nested, then [200,210) gapped.
+    val ivals = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 25L),
+      (1L, 4L, 30L, 40L), (1L, 5L, 32L, 35L),
+      (2L, 6L, 0L, 100L), (2L, 7L, 50L, 60L), (2L, 8L, 200L, 210L))
+      .toDF("user_id", "event_id", "ts_us", "end_us")
+    val out = Relational.mergeIntervalsOf(ivals).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("merge_id")) ->
+        (r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .toMap
+    assert(out == Map(
+      (1L, 1L) -> ((0L, 25L, 3L)),
+      (1L, 2L) -> ((30L, 40L, 2L)),
+      (2L, 1L) -> ((0L, 100L, 2L)),
+      (2L, 2L) -> ((200L, 210L, 1L))), s"got $out")
+  }
+
+  test("mergeIntervals on testdata: merged spans are disjoint and strictly ordered per user") {
+    val out = Relational.mergeIntervals(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for ((u, rows) <- out.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getAs[Long]("merge_id"))
+      assert(sorted.map(_.getAs[Long]("merge_id")).toSeq == (1L to rows.length).toSeq)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+        assert(a.getAs[Long]("end_us") < b.getAs[Long]("start_us"),
+          s"user $u: merged intervals not disjoint")
+      sorted.foreach(r => assert(r.getAs[Long]("start_us") < r.getAs[Long]("end_us")))
+    }
+  }
+
   // ------------------------------------------------------ global shuffle
 
   test("shuffleOrder: total deterministic order — every doc exactly once, positions gapless per shard") {
