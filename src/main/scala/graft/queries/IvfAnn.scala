@@ -116,10 +116,36 @@ object IvfAnn {
       assignClusters(e, train(s, d), Replication)
     }
 
+  /** The IVF index as a PERSISTED bucketed table — the deployment shape
+    * the [[ivfIndex]] scaladoc promises at 100 TB: the corpus-wide
+    * assignment pass runs ONCE and lands `bucketBy(cluster)` on disk
+    * ([[graft.tables.Bucketed]]), so every later search session reads
+    * pre-partitioned lists instead of re-running the assignment over the
+    * corpus (the [[Dedup.incrementalNew]] corpus-index discipline applied
+    * to ANN; a cold sibling session answers straight from the layout —
+    * spec-pinned). The quantizer itself is NOT persisted: [[train]] is
+    * seed-fixed on a bounded sample, so a genuinely cold JVM retrains to
+    * the IDENTICAL centroid matrix in seconds — what's worth storing is
+    * the corpus-sized assignment, not the KB-sized model. */
+  private[graft] def ivfIndexPersisted(s: SparkSession, d: String): DataFrame = {
+    val name = "ivf_index_" +
+      graft.tables.Bucketed.sanitize(s"$d:$NumLists:$Replication")
+    graft.tables.Bucketed.ensure(s, name, "cluster")(ivfIndex(s, d))
+    s.table(name)
+  }
+
   /** ANN top-K via IVF probing; same output contract as
     * [[Similarity.bruteTopK]] (query_id, rank, neighbor_id). */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val indexed = ivfIndex(s, d)
+  def ivfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKFrom(s, d, ivfIndex(s, d))
+
+  /** [[ivfTopK]] answered from the persisted bucketed index — results are
+    * IDENTICAL (same deterministic quantizer, same assignment; spec-pinned
+    * equality), only the index's provenance differs. */
+  def ivfTopKPersisted(s: SparkSession, d: String): DataFrame =
+    ivfTopKFrom(s, d, ivfIndexPersisted(s, d))
+
+  private def ivfTopKFrom(s: SparkSession, d: String, indexed: DataFrame): DataFrame = {
     // queries from the base table (the index holds R rows per vector)
     val queries = embeddings(s, d).filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -220,6 +246,7 @@ object IvfAnn {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_ivf" -> ivfTopK _,
     "sim_ann_ivf_q" -> ivfTopKQuantized _,
+    "sim_ann_ivf_p" -> ivfTopKPersisted _,
   )
 
   /** Approximate — no SQL oracle (rows-only driver check + recall spec). */

@@ -193,6 +193,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: identical results, cold session reads lists from disk not the corpus") {
+    val r1 = IvfAnn.ivfTopK(spark, sf).collect().map(_.toSeq).toSet
+    val rp = IvfAnn.ivfTopKPersisted(spark, sf).collect().map(_.toSeq).toSet
+    assert(rp == r1, "persisted-index search drifted from the in-memory index")
+    // sibling session: shared catalog, cold FrameCache — the new-driver shape
+    val s2 = spark.newSession()
+    val df2 = IvfAnn.ivfTopKPersisted(s2, sf)
+    assert(df2.collect().map(_.toSeq).toSet == r1, "cold session result drifted")
+    // the index side must come from the bucketed table; embeddings.parquet
+    // stays only on the query side (one scan), not re-assigned corpus-wide
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.exists(_.contains("graft-bucketed/ivf_index_")),
+      s"persisted IVF lists not read:\n${scans.mkString("\n")}")
+    assert(scans.count(_.contains("embeddings.parquet")) == 1,
+      s"corpus re-scanned for assignment in a cold session:\n${scans.mkString("\n")}")
+  }
+
   test("multi-probe LSH ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
     val recall = annRecall("/root/testdata/sf0.1")
     assert(recall >= 0.8, s"recall $recall")

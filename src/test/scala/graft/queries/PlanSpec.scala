@@ -52,7 +52,7 @@ class PlanSpec extends SparkSpec {
     * stay hash/merge-joined — a BNLJ appearing anywhere else is a
     * join-key regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
-    "sim_ann_ivf_q", "text_surprisal")
+    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
