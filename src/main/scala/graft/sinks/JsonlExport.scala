@@ -1,0 +1,31 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines export/import — the interchange format every LLM training
+  * pipeline speaks (one JSON object per line; parquet is the engine's
+  * native store, jsonl is what leaves it for tokenizers/trainers and what
+  * arrives from upstream scrapers). Spark's native `json` source IS
+  * line-delimited JSON, so both directions are ordinary distributed
+  * scans/writes: each task reads/writes its own shard — no single-process
+  * funnel at any corpus size ([[CsvExport]]'s story, same `singleFile`
+  * escape hatch for small results).
+  *
+  * Two contracts worth pinning (spec-covered):
+  *  - null fields are OMITTED from written lines (Spark's writer default;
+  *    readers must treat absent keys as null — the jsonl convention), and
+  *    a schema-pinned read restores them as proper nulls;
+  *  - [[readBack]] REQUIRES an explicit schema: schema inference is a
+  *    full extra pass over the data before the real scan even starts —
+  *    at 100 TB that's reading the corpus twice to learn what a config
+  *    literal could have said. */
+object JsonlExport {
+
+  def export(df: DataFrame, outDir: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").json(outDir)
+
+  def readBack(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(dir)
+}

@@ -36,10 +36,12 @@ import org.apache.spark.sql.functions._
   * `sbt "runMain graft.tools.ScaleSmoke [tiles]"`. */
 object ScaleSmoke {
 
-  /** The 5 most expensive queries of the r9 bench — the ones whose scale
-    * claims are worth a measurement. */
+  /** The most expensive bench queries — the ones whose scale claims are
+    * worth a measurement (r10 adds the source-overlap self-join, the
+    * priciest of the round's additions: its per-gram fan-out bound is
+    * exactly the kind of claim tiling can falsify). */
   val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
-    "dedup_containment", "sim_embed_neardup")
+    "dedup_containment", "sim_embed_neardup", "text_source_overlap")
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 

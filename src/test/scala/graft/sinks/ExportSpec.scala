@@ -88,4 +88,37 @@ class ExportSpec extends SparkSpec {
     assert(back.columns.contains("body"))
     assert(back.filter(col("body") === "hello from Alice").count() == 1)
   }
+
+  test("JSONL export round-trips under a pinned schema; nulls are omitted on disk, restored on read") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "alpha text"),
+      (1L, null.asInstanceOf[String], "beta")).toDF("doc_id", "lang", "text")
+    val outDir = Files.createTempDirectory("graft-jsonl").resolve("jsonl").toString
+    JsonlExport.export(docs, outDir, singleFile = true)
+    // the written lines are one JSON object each, null fields absent
+    val lines = Files.list(java.nio.file.Paths.get(outDir)).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .flatMap(f => scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(java.nio.file.Paths.get(f))).asScala)
+    assert(lines.length == 2 && lines.forall(_.startsWith("{")))
+    assert(lines.exists(l => l.contains("\"doc_id\":1") && !l.contains("lang")),
+      s"null field must be omitted from the line: ${lines.mkString(" | ")}")
+    // schema-pinned read (no inference pass) restores the null
+    val back = JsonlExport.readBack(spark, outDir, docs.schema)
+    assert(back.collect().map(_.toSeq).toSet == docs.collect().map(_.toSeq).toSet)
+    assert(back.filter(col("lang").isNull).count() == 1)
+  }
+
+  test("JSONL export parallelizes: multi-partition frame lands as multiple shard files") {
+    import spark.implicits._
+    val docs = (0 until 64).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text").repartition(4)
+    val outDir = Files.createTempDirectory("graft-jsonl-p").resolve("jsonl").toString
+    JsonlExport.export(docs, outDir)
+    val shards = Files.list(java.nio.file.Paths.get(outDir)).toArray.map(_.toString)
+      .count(_.endsWith(".json"))
+    assert(shards == 4, s"expected 4 shard files, got $shards")
+    val back = JsonlExport.readBack(spark, outDir, docs.schema)
+    assert(back.count() == 64)
+  }
 }
