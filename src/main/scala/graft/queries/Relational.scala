@@ -1034,6 +1034,103 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Trailing one-hour time-RANGE window — per event, how many events and
+    * how much spend the same user generated in the preceding hour
+    * (inclusive). The VALUE-based frame is the piece [[windowRunning]]'s
+    * ROWS frames cannot express: "last 3 events" is a row count, "last
+    * hour" is a time interval, and rate-limiting / velocity features
+    * (fraud scoring, burst detection) need the latter. RANGE frames are
+    * also tie-safe by construction — peers at the same ts_us share one
+    * frame regardless of their sort order, so the output is deterministic
+    * with no secondary sort key. Same scale shape as every window here:
+    * one exchange on user_id, per-user-local sort, frame bounds evaluated
+    * by a sliding cursor (never a per-row rescan). */
+  def windowTimeRange(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us")).rangeBetween(-hourUs, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Per-group simple linear regression (spend-cents vs hour-of-day) —
+    * slope, intercept, R² per event type, the "is spend time-of-day
+    * dependent" screen a feature-engineering pass runs per segment.
+    *
+    * NOT `regr_slope`/`regr_r2` over doubles: those accumulate FP sums in
+    * partition order, so Spark and DuckDB would disagree in the last bits
+    * (and two Spark runs could disagree with each other at scale). Both
+    * regressors here live in small integer domains (hour 0–23, cents),
+    * so every moment Σx, Σy, Σxy, Σx², Σy² is an exact BIGINT sum —
+    * associative, order-free, map-side combinable — and the slope /
+    * intercept / R² are ONE deterministic double expression over those
+    * exact integers, written with identical operation order in both
+    * engines (IEEE ops on equal inputs give equal bits). Same discipline
+    * as the integer-cents windowed sums, extended to second moments. */
+  def regression(s: SparkSession, d: String): DataFrame =
+    regressionOf(events(s, d))
+
+  private[graft] def regressionOf(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_type"),
+      hour(col("ts")).cast("long").as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    val sums = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num  = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denx
+    sums.select(col("event_type"), col("n"),
+        slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"),
+        ((num * num) / (denx * deny)).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise feature-correlation matrix per event type — Pearson r for
+    * (hour, cents), (day-of-week, cents), (hour, day-of-week), the
+    * redundant-feature screen run before training on tabular features.
+    * One hash aggregate computes all nine exact-integer moments in a
+    * single pass over the scan (no per-pair re-scan, no `corr()` double
+    * accumulation — [[regression]]'s determinism argument, three columns
+    * at once). Day-of-week is aligned to DuckDB's Sunday=0 convention. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("event_type"),
+      hour(col("ts")).cast("long").as("h"),
+      (dayofweek(col("ts")) - lit(1)).cast("long").as("dw"),
+      round(col("value") * 100).cast("long").as("c"))
+    val sums = base.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum("h").as("sh"), sum("dw").as("sd"), sum("c").as("sc"),
+      sum(col("h") * col("h")).as("shh"),
+      sum(col("dw") * col("dw")).as("sdd"),
+      sum(col("c") * col("c")).as("scc"),
+      sum(col("h") * col("dw")).as("shd"),
+      sum(col("h") * col("c")).as("shc"),
+      sum(col("dw") * col("c")).as("sdc"))
+    def r(sxy: Column, sx: Column, sy: Column, sxx: Column, syy: Column): Column = {
+      val num = (col("n") * sxy - sx * sy).cast("double")
+      val dx  = (col("n") * sxx - sx * sx).cast("double")
+      val dy  = (col("n") * syy - sy * sy).cast("double")
+      num / sqrt(dx * dy)
+    }
+    sums.select(col("event_type"), col("n"),
+        r(col("shc"), col("sh"), col("sc"), col("shh"), col("scc")).as("corr_hour_cents"),
+        r(col("sdc"), col("sd"), col("sc"), col("sdd"), col("scc")).as("corr_dow_cents"),
+        r(col("shd"), col("sh"), col("sd"), col("shh"), col("sdd")).as("corr_hour_dow"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1081,6 +1178,9 @@ object Relational {
     "rel_scd2_intervals" -> scd2Intervals _,
     "rel_merge_intervals" -> mergeIntervals _,
     "rel_union_dedup"    -> unionDedup _,
+    "rel_window_timerange" -> windowTimeRange _,
+    "rel_regression"     -> regression _,
+    "rel_corr_matrix"    -> corrMatrix _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1519,5 +1619,65 @@ object Relational {
         |    UNION ALL
         |    SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0))
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // Value-based frame: peers at one ts_us share a frame, so no
+    // secondary tie-break key is needed for determinism.
+    "rel_window_timerange" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(COUNT(1) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_1h
+        |FROM e ORDER BY event_id""".stripMargin,
+    // Exact-integer moments; the final slope/intercept/r2 doubles are one
+    // deterministic expression with Spark-identical operation order.
+    "rel_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS y
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, COUNT(1) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+        |  FROM e GROUP BY event_type
+        |), k AS (
+        |  SELECT event_type, n, sx, sy,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS denx,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS deny
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  num / denx AS slope,
+        |  (CAST(sy AS DOUBLE) - (num / denx) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+        |  (num * num) / (denx * deny) AS r2
+        |FROM k ORDER BY event_type""".stripMargin,
+    // Sunday=0 on both sides (Spark dayofweek is 1-based).
+    "rel_corr_matrix" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dw,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, COUNT(1) AS n,
+        |    SUM(h) AS sh, SUM(dw) AS sd, SUM(c) AS sc,
+        |    SUM(h*h) AS shh, SUM(dw*dw) AS sdd, SUM(c*c) AS scc,
+        |    SUM(h*dw) AS shd, SUM(h*c) AS shc, SUM(dw*c) AS sdc
+        |  FROM e GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n*shc - sh*sc AS DOUBLE)
+        |    / sqrt(CAST(n*shh - sh*sh AS DOUBLE) * CAST(n*scc - sc*sc AS DOUBLE)) AS corr_hour_cents,
+        |  CAST(n*sdc - sd*sc AS DOUBLE)
+        |    / sqrt(CAST(n*sdd - sd*sd AS DOUBLE) * CAST(n*scc - sc*sc AS DOUBLE)) AS corr_dow_cents,
+        |  CAST(n*shd - sh*sd AS DOUBLE)
+        |    / sqrt(CAST(n*shh - sh*sh AS DOUBLE) * CAST(n*sdd - sd*sd AS DOUBLE)) AS corr_hour_dow
+        |FROM s ORDER BY event_type""".stripMargin,
   )
 }
