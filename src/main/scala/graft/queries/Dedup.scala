@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graft.ColumnInterop
 import graft.tables.Testdata._
 import graft.tables.FrameCache
@@ -910,6 +911,102 @@ object Dedup {
         (col("dup_chars").cast("double") / col("total_chars")).as("dup_char_frac"))
       .orderBy("doc_id")
 
+  /** [[fuzzyEditPairs]] tuning: title prefix length, blocking-prefix
+    * length, max edit distance, and per-block candidate cap. The cap is
+    * replicated in the oracle (rank-by-doc_id, the hot-bucket-cap
+    * discipline) so the entry stays full-strict at any SF. */
+  val FuzzyTitleLen = 32
+  val FuzzyPrefixLen = 4
+  val FuzzyMaxEdit = 6
+  val FuzzyBlockCap = 64
+
+  /** Edit-distance near-dup pairs — CHARACTER-level similarity, the
+    * family member the token-based detectors miss: one-character typos
+    * and OCR noise shift entire words, which shreds shingle sets
+    * ([[minhashLshPairs]], [[jaccardPrefixPairs]]) but moves Levenshtein
+    * distance by 1. Classic record-linkage blocking: compare only within
+    * (title-prefix) blocks, rank-capped at [[FuzzyBlockCap]] so one
+    * degenerate prefix ("the ...") can never go quadratic — the
+    * hot-bucket cap every pair-generator here carries.
+    *
+    * The distance itself is Spark's THRESHOLDED `levenshtein(l, r, k)`:
+    * a banded DP that only fills the |i−j| ≤ k diagonal strip — O(k·n)
+    * per pair instead of O(n²) — and returns −1 past the threshold.
+    * Within the band it is exact, so the kept distances equal the
+    * oracle's full-DP values. No length prefilter: titles are fixed
+    * [[FuzzyTitleLen]]-char slices, so the |len_a − len_b| ≤ k test the
+    * length-aware variants would add is vacuously true here. */
+  def fuzzyEditPairs(s: SparkSession, d: String): DataFrame =
+    fuzzyEditPairsOf(documents(s, d))
+
+  private[graft] def fuzzyEditPairsOf(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+        substring(col("text"), 1, FuzzyTitleLen).as("title"))
+      .withColumn("blk", substring(col("title"), 1, FuzzyPrefixLen))
+    val w = Window.partitionBy("blk").orderBy("doc_id")
+    val capped = t.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= FuzzyBlockCap)
+    val a = capped.select(col("blk"), col("doc_id").as("doc_a"),
+      col("title").as("title_a"))
+    val b = capped.select(col("blk"), col("doc_id").as("doc_b"),
+      col("title").as("title_b"))
+    a.join(b, Seq("blk")).filter(col("doc_a") < col("doc_b"))
+      .withColumn("edit_d",
+        levenshtein(col("title_a"), col("title_b"), FuzzyMaxEdit).cast("long"))
+      .filter(col("edit_d") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_d"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Within-doc ADJACENT duplicate-line collapse — squash each run of
+    * consecutive identical lines to one occurrence and rebuild the
+    * document. [[dupLineFrac]] SCORES within-doc repetition and
+    * [[dedupLines]] REMOVES corpus-wide boilerplate; this one CLEANS the
+    * stutter pattern both leave behind (double-pasted paragraphs,
+    * scraper-duplicated nav rows) while deliberately keeping legitimate
+    * far-apart repeats — a chorus is content, `line\nline` is noise.
+    *
+    * Docs ≡0 mod 3 get their first line PREPENDED (adjacent dup at doc
+    * start — the lag-is-null edge) and docs ≡1 mod 3 their last line
+    * APPENDED (dup at doc end), so both boundary spans and the untouched
+    * class are populated ([[dupLineFrac]]'s synthesis discipline).
+    *
+    * Scale shape: one exchange on doc_id drives BOTH the lag comparison
+    * and the rebuild (the window and the aggregate share the partition
+    * key, so Catalyst plans a single shuffle); per-line state is the one
+    * previous line, per-doc state the kept-line list being rebuilt —
+    * never a corpus-wide structure. */
+  def collapseLines(s: SparkSession, d: String): DataFrame =
+    collapseLinesOf(withAdjacentDupLines(multilineDocs(s, d)), newlineLines)
+
+  /** See [[collapseLines]] — boundary-dup synthesis, mod-3 classes. */
+  private[graft] def withAdjacentDupLines(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(element_at(split(col("text"), "\n"), 1), lit("\n"), col("text")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("text"), lit("\n"), element_at(split(col("text"), "\n"), -1)))
+        .otherwise(col("text")).as("text"))
+
+  private[graft] def collapseLinesOf(docs: DataFrame,
+                                     splitLines: Column => Column): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("line_no")
+    docs.select(col("doc_id"),
+        posexplode(splitLines(col("text"))).as(Seq("line_no", "line")))
+      .withColumn("keep",
+        coalesce(col("line") =!= lag(col("line"), 1).over(w), lit(true)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            expr("filter(array_sort(collect_list(struct(line_no, line, keep)))," +
+              " x -> x.keep)"),
+            x => x.getField("line")), "\n").as("text_kept"))
+      .withColumn("kept_md5", md5(col("text_kept")))
+      .orderBy("doc_id")
+  }
+
   /** Shingle width for [[sourceOverlap]] — 4-gram, the same unit as
     * [[TextAnalysis.decontaminate]]'s contamination shingles. */
   val OverlapGramN = 4
@@ -964,6 +1061,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_lines"          -> dedupLines _,
     "text_dup_line_frac"   -> dupLineFrac _,
+    "text_collapse_lines"  -> collapseLines _,
+    "dedup_fuzzy_edit"     -> fuzzyEditPairs _,
     "text_source_overlap"  -> sourceOverlap _,
     "dedup_minhash_lsh"    -> minhashLshPairs _,
     "dedup_winnow"         -> winnowPairs _,
@@ -1102,6 +1201,60 @@ object Dedup {
          |  md5(COALESCE(text_kept, '')) AS kept_md5
          |FROM ls LEFT JOIN rebuilt ON ls.doc_id = rebuilt.doc_id
          |ORDER BY ls.doc_id""".stripMargin,
+    // Same blocking prefix, cap rank and threshold as the Spark entry;
+    // DuckDB's full-DP levenshtein equals Spark's banded DP within the
+    // kept band (the band is exact up to the threshold).
+    "dedup_fuzzy_edit" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, substr(text, 1, $FuzzyTitleLen) AS title FROM documents
+         |), c AS (
+         |  SELECT doc_id, title, substr(title, 1, $FuzzyPrefixLen) AS blk,
+         |    ROW_NUMBER() OVER (PARTITION BY substr(title, 1, $FuzzyPrefixLen)
+         |      ORDER BY doc_id) AS rk
+         |  FROM t QUALIFY rk <= $FuzzyBlockCap
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS edit_d
+         |FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxEdit
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same multiline synthesis as text_dup_line_frac with mod-3 boundary
+    // dups; the lag-null doc-start edge keeps via COALESCE(..., TRUE) on
+    // both sides.
+    "text_collapse_lines" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+         |), src AS (
+         |  SELECT doc_id, array_to_string(
+         |    [array_to_string(words[(i*$LineWords+1):(i*$LineWords+$LineWords)], ' ')
+         |     for i in range(0, ((len(words)-1)//$LineWords)+1)], chr(10)) AS text
+         |  FROM w
+         |), adj AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 3 = 0
+         |      THEN concat(string_split(text, chr(10))[1], chr(10), text)
+         |    WHEN doc_id % 3 = 1
+         |      THEN concat(text, chr(10), string_split(text, chr(10))[-1])
+         |    ELSE text END AS text
+         |  FROM src
+         |), ls AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM adj
+         |), l AS (
+         |  SELECT doc_id, unnest(
+         |    [{'line_no': i - 1, 'line': lines[i]} for i in range(1, len(lines) + 1)],
+         |    recursive := true)
+         |  FROM ls
+         |), f AS (
+         |  SELECT doc_id, line_no, line,
+         |    COALESCE(line <> LAG(line) OVER (PARTITION BY doc_id ORDER BY line_no),
+         |             TRUE) AS keep
+         |  FROM l
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE keep) AS text_kept,
+         |  md5(string_agg(line, chr(10) ORDER BY line_no) FILTER (WHERE keep)) AS kept_md5
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Built on the SAME winnow-posting CTE text as the text_winnow oracle
     // (TextAnalysis.winnowPostingsSql — the fingerprint definition cannot
     // drift between the two rows); cap + threshold replicated exactly, so

@@ -155,6 +155,68 @@ class CleanOpsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 4L, 1.0, 1.0)))
   }
 
+  // ------------------------------------- adjacent duplicate-line collapse
+
+  test("collapseLines: runs collapse to one wherever they sit; far-apart repeats survive") {
+    val docs = Seq(
+      (0L, "a\na\nb"),          // run at doc start (the lag-null edge)
+      (1L, "a\nb\nb"),          // run at doc end
+      (2L, "a\nb\nb\nb\nc"),    // triple run → one survivor
+      (3L, "a\nb\na"),          // far-apart repeat is CONTENT — kept
+      (4L, "solo"))             // single line untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.collapseLinesOf(docs, Dedup.newlineLines).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("text_kept"))).toMap
+    assert(out(0L) == ((3L, 2L, "a\nb")))
+    assert(out(1L) == ((3L, 2L, "a\nb")))
+    assert(out(2L) == ((5L, 3L, "a\nb\nc")))
+    assert(out(3L) == ((3L, 3L, "a\nb\na")))
+    assert(out(4L) == ((1L, 1L, "solo")))
+  }
+
+  test("withAdjacentDupLines synthesizes a boundary dup in exactly the %3∈{0,1} docs") {
+    val docs = Seq((0L, "l0\nl1"), (1L, "l0\nl1"), (2L, "l0\nl1")).toDF("doc_id", "text")
+    val out = Dedup.withAdjacentDupLines(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "l0\nl0\nl1")  // first line prepended
+    assert(out(1L) == "l0\nl1\nl1")  // last line appended
+    assert(out(2L) == "l0\nl1")      // untouched class
+  }
+
+  // --------------------------------------------- edit-distance near-dups
+
+  test("fuzzyEdit: threshold boundary is exact and cross-block pairs are never compared") {
+    val pad = "zw " * 9 // fixed 27-char tail so titles stay inside FuzzyTitleLen
+    val docs = Seq(
+      (0L, s"abcd $pad"),     // block "abcd"
+      (1L, s"abcd $pad"),     // identical twin → d = 0
+      (2L, s"abcdXXXXXX $pad".take(32)), // same block, d = 6 (inserts) — AT threshold
+      (3L, s"abcdXXXXXXX $pad".take(32)), // d = 7 vs doc 0 — past threshold, dropped
+      (4L, s"efgh $pad"))     // different block: never compared to abcd docs
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyEditPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("edit_d")).toMap
+    assert(out((0L, 1L)) == 0L)
+    assert(out.contains((0L, 2L)) && out((0L, 2L)) == 6L, "distance-6 pair sits AT the threshold")
+    assert(!out.contains((0L, 3L)), "distance-7 pair must be dropped by the banded DP")
+    assert(!out.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "blocking must prevent any cross-block comparison")
+  }
+
+  test("fuzzyEdit block cap: only the first FuzzyBlockCap docs of a hot block pair up") {
+    // one block of cap+2 identical titles: capped candidate set of size cap
+    // → exactly cap*(cap-1)/2 pairs, none involving the two overflow docs
+    val n = Dedup.FuzzyBlockCap + 2
+    val docs = (0 until n).map(i => (i.toLong, "same title words here repeated"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyEditPairsOf(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cap = Dedup.FuzzyBlockCap
+    assert(out.length == cap * (cap - 1) / 2)
+    assert(!out.exists { case (a, b) => a >= cap || b >= cap },
+      "rank-by-doc_id cap must drop exactly the overflow docs")
+  }
+
   test("withRepeatedFirstLine repeats exactly the first line of exactly the %4==0 docs") {
     val docs = Seq((0L, "l0\nl1"), (1L, "l0\nl1"), (4L, "solo")).toDF("doc_id", "text")
     val out = Dedup.withRepeatedFirstLine(docs).collect()
