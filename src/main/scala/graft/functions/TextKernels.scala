@@ -82,6 +82,10 @@ object TextKernels {
     * quality signal's numerator. */
   def deflateLength(text: Column): Column =
     ColumnInterop.column(DeflateLength(ColumnInterop.expression(text)))
+
+  /** Unicode-normalized text (form ∈ NFC | NFD | NFKC | NFKD). */
+  def unicodeNormalize(text: Column, form: String): Column =
+    ColumnInterop.column(UnicodeNormalize(ColumnInterop.expression(text), form))
 }
 
 /** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
@@ -545,6 +549,50 @@ case class DeflateLength(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("deflateExpr", this, classOf[DeflateLength].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unicode normalization (java.text.Normalizer) as a codegen scalar —
+  * the canonicalization step that must run BEFORE any hash-identity op
+  * (exact dedup, line dedup, shingling): composed `é` (U+00E9) and
+  * decomposed `e`+U+0301 are byte-different strings that md5/xxhash treat
+  * as distinct documents, and real web corpora mix both encodings freely
+  * (NFC is the W3C web canonical form). Cross-engine contract: NFC here
+  * is bit-identical to DuckDB's `nfc_normalize` — both implement Unicode
+  * UAX #15 canonical composition (oracle-pinned on synthesized decomposed
+  * input). Fast path inside the JDK: `Normalizer.isNormalized` is O(n)
+  * with no allocation, so already-NFC text (the overwhelming majority at
+  * corpus scale) pays one scan and zero copies. */
+case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpression {
+  import java.text.Normalizer
+
+  @transient private lazy val nf: Normalizer.Form = Normalizer.Form.valueOf(form)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if Set("NFC", "NFD", "NFKC", "NFKD")(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(s"unicode_normalize: unknown form $form")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"unicode_normalize expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, nf)) s
+    else UTF8String.fromString(Normalizer.normalize(str, nf))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unicodeNormExpr", this, classOf[UnicodeNormalize].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

@@ -1163,9 +1163,41 @@ object TextAnalysis {
         (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
       .orderBy("source")
 
+  // ------------------------------------------------ unicode normalization
+
+  /** Unicode NFC canonicalization + Unicode lowercase — the identity
+    * normalizer that must run before any hash-keyed dedup: composed `é`
+    * and decomposed `e`+U+0301 are byte-different (so md5/xxhash/shingle
+    * identity splits) yet render identically, and web corpora mix both.
+    * The normalizer is [[graft.functions.TextKernels.unicodeNormalize]] —
+    * a codegen kernel with the JDK's O(n)-no-alloc `isNormalized` fast
+    * path, so already-NFC text (the overwhelming majority) pays one scan
+    * and zero copies; a narrow projection, no exchange.
+    *
+    * The synthetic corpus is pure ASCII (already NFC), so each doc's
+    * probe input is its text prefix with a DECOMPOSED suffix appended
+    * (e+U+0301, O+U+0308) plus an uppercase run — synthesized identically
+    * in the oracle via chr(); the composed/decomposed length drop and the
+    * casefold are what the hash gate checks. Oracle contract: NFC here ==
+    * DuckDB `nfc_normalize` (both UAX #15), Spark `lower` == DuckDB
+    * `lower` (both full Unicode). */
+  def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextKernels
+    documents(s, d)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 24),
+          lit(" CAFE\u0301 O\u0308RE"), lit(" MiXeD")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        lower(TextKernels.unicodeNormalize(col("raw"), "NFC")).as("norm"))
+      .withColumn("len_norm", length(col("norm")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unicode_norm" -> unicodeNorm _,
     "text_tokens"      -> tokenCounts _,
     "text_token_fertility" -> tokenFertility _,
     "text_quality"     -> qualityScore _,
@@ -1200,6 +1232,18 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same decomposed synthesis via chr(): 769 = U+0301 combining acute,
+    // 776 = U+0308 combining diaeresis; nfc_normalize == NFC (UAX #15).
+    "text_unicode_norm" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    concat(substr(text, 1, 24),
+        |           ' CAFE', chr(769), ' O', chr(776), 'RE', ' MiXeD') AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+        |  lower(nfc_normalize(raw)) AS norm,
+        |  CAST(length(lower(nfc_normalize(raw))) AS BIGINT) AS len_norm
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_ws_tokens,
