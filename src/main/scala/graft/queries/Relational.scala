@@ -1131,6 +1131,24 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Z-order clustering key over (user_id, hour-of-ts) — the layout key
+    * for the multi-dimensional pruning story: range-partition + sort the
+    * events table by this key and parquet footer min/max prunes files for
+    * BOTH `user_id = ?` and time-range predicates (a plain time sort
+    * prunes only time). Key computation is the
+    * [[graft.functions.ZOrderKernel]] codegen kernel — one narrow
+    * projection, no exchange; the write-path shape and the bounding-box
+    * locality guarantee are spec-pinned (ShapeOpsSpec). Bucket index uses
+    * the same pmod-subtraction floor division as [[timeBucket]]. */
+  def zorderKey(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ZOrderKernel
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr(s"(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), $HourUs)) div $HourUs").as("hour_idx"))
+      .withColumn("zkey", ZOrderKernel.mortonKey(col("user_id"), col("hour_idx")))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1181,6 +1199,7 @@ object Relational {
     "rel_window_timerange" -> windowTimeRange _,
     "rel_regression"     -> regression _,
     "rel_corr_matrix"    -> corrMatrix _,
+    "rel_zorder_key"     -> zorderKey _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1679,5 +1698,40 @@ object Relational {
         |  CAST(n*shd - sh*sd AS DOUBLE)
         |    / sqrt(CAST(n*shh - sh*sh AS DOUBLE) * CAST(n*sdd - sd*sd AS DOUBLE)) AS corr_hour_dow
         |FROM s ORDER BY event_type""".stripMargin,
+    // The kernel's five (shift, mask) spread steps written out as CTE
+    // stages (masks in decimal) — keys are bit-identical cross-engine.
+    "rel_zorder_key" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    (epoch_us(CAST(ts AS TIMESTAMP))
+         |      - (epoch_us(CAST(ts AS TIMESTAMP)) % $HourUs)) // $HourUs AS hour_idx
+         |  FROM events
+         |), z0 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    user_id AS sx, hour_idx AS sy FROM e
+         |), z1 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    ((sx | (sx << 16)) & 281470681808895) AS sx,
+         |    ((sy | (sy << 16)) & 281470681808895) AS sy FROM z0
+         |), z2 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    ((sx | (sx << 8)) & 71777214294589695) AS sx,
+         |    ((sy | (sy << 8)) & 71777214294589695) AS sy FROM z1
+         |), z3 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    ((sx | (sx << 4)) & 1085102592571150095) AS sx,
+         |    ((sy | (sy << 4)) & 1085102592571150095) AS sy FROM z2
+         |), z4 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    ((sx | (sx << 2)) & 3689348814741910323) AS sx,
+         |    ((sy | (sy << 2)) & 3689348814741910323) AS sy FROM z3
+         |), z5 AS (
+         |  SELECT event_id, user_id, hour_idx,
+         |    ((sx | (sx << 1)) & 6148914691236517205) AS sx,
+         |    ((sy | (sy << 1)) & 6148914691236517205) AS sy FROM z4
+         |)
+         |SELECT event_id, user_id, hour_idx,
+         |  (sx | (sy << 1)) AS zkey
+         |FROM z5 ORDER BY event_id""".stripMargin,
   )
 }

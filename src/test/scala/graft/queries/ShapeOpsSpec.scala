@@ -357,4 +357,78 @@ class ShapeOpsSpec extends SparkSpec {
       .as[Double].collect()
     assert(med.forall(_ == 2.5))
   }
+
+  // --------------------------------------------------- z-order kernel
+
+  test("mortonKey: round-trips, boundary-safe at 2^31-1, and quadrant-monotone") {
+    import graft.functions.MortonInterleave.{spread, unspread, MaxCoord}
+    // spread/unspread round-trip across the domain incl. boundaries
+    val probes = Seq(0L, 1L, 2L, 3L, 0x55555555L, 0xAAAAAAAAL & MaxCoord,
+      12345678L, MaxCoord - 1, MaxCoord)
+    probes.foreach { v => assert(unspread(spread(v)) == v, s"round-trip $v") }
+    // bit-exact reference on a small exhaustive grid
+    def mortonRef(x: Long, y: Long): Long = {
+      var k = 0L
+      var b = 0
+      while (b < 31) {
+        k |= ((x >> b) & 1L) << (2 * b)
+        k |= ((y >> b) & 1L) << (2 * b + 1)
+        b += 1
+      }
+      k
+    }
+    for (x <- 0L until 16L; y <- 0L until 16L)
+      assert((spread(x) | (spread(y) << 1)) == mortonRef(x, y))
+    assert((spread(MaxCoord) | (spread(MaxCoord) << 1)) == mortonRef(MaxCoord, MaxCoord))
+    assert((spread(MaxCoord) | (spread(MaxCoord) << 1)) > 0, "key must stay non-negative")
+    // quadrant order: any point with both coords < 2^15 sorts before any
+    // with both >= 2^15 (the curve recurses quadrant-by-quadrant)
+    val lowMax = (1L << 15) - 1
+    assert(mortonRef(lowMax, lowMax) < mortonRef(1L << 15, 1L << 15))
+  }
+
+  test("mortonKey kernel == reference through SQL, and out-of-domain input fails loudly") {
+    import graft.functions.ZOrderKernel.mortonKey
+    import graft.functions.MortonInterleave.spread
+    val df = Seq((0L, 0L), (3L, 5L), (12345L, 67890L)).toDF("x", "y")
+      .select(col("x"), col("y"), mortonKey(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == (spread(r.getLong(0)) | (spread(r.getLong(1)) << 1)))
+    }
+    val err = intercept[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y").select(mortonKey(col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("z-order layout: equal z-ranges cover bounded rectangles; a 1-D sort leaves full-extent slabs") {
+    import graft.functions.ZOrderKernel.mortonKey
+    // 64x64 uniform grid split into 4 EQUAL z-ranges (the boundaries a
+    // z-ordered writer's files fall on). Each z-quarter is exactly one
+    // quadrant: BOTH coordinate extents are n/2, so parquet footer
+    // min/max prunes files for predicates on EITHER column. The
+    // counterfactual in the same assertion: an x-sorted quarter is a
+    // 16x64 slab — full y extent, zero y pruning. (A sampled
+    // repartitionByRange boundary can straddle a quadrant edge and
+    // briefly widen one box; the per-dimension bound here is the curve's
+    // property at the boundaries the writer actually uses.)
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .withColumn("zkey", mortonKey(col("x"), col("y")))
+    val boxes = grid
+      .groupBy((col("zkey") / lit(n * n / 4)).cast("int").as("zq"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"), count(lit(1)).as("cnt"))
+      .collect()
+    assert(boxes.length == 4 && boxes.map(_.getAs[Long]("cnt")).sum == n.toLong * n)
+    boxes.foreach { r =>
+      assert(r.getAs[Long]("x1") - r.getAs[Long]("x0") + 1 == n / 2, "x extent bounded")
+      assert(r.getAs[Long]("y1") - r.getAs[Long]("y0") + 1 == n / 2, "y extent bounded")
+    }
+    // the 1-D counterfactual: x-sorted quarters have FULL y extent
+    val slab = grid.filter(col("x") < n / 4)
+      .agg(max("y") - min("y") + 1).head().getLong(0)
+    assert(slab == n, "x-sort slab spans the whole y domain — nothing to prune")
+  }
 }
