@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorKernels
+import graft.tables.Testdata._
+import graft.tables.FrameCache
+
+/** Distributed PCA over the embedding corpus — the dimensionality lens a
+  * pipeline owner runs before ANN tuning (how many dimensions carry the
+  * variance? is the space effectively low-rank?) and the projection that
+  * feeds 2-D/4-D visualizations and cheap prefilters.
+  *
+  * Scale shape (the classic tall-skinny decomposition):
+  *  1. ONE distributed pass computes the d-vector of sums and the d×d
+  *     Gram matrix by `mapPartitions` + `treeReduce` — each partition
+  *     emits a single (count, Σx, Σxxᵀ) triple of ~d² doubles (33 KB at
+  *     d = 64), so the reduce moves kilobytes regardless of corpus size.
+  *     This is the per-slice-totals discipline (packSpans): the driver
+  *     holds O(d²), never O(n).
+  *  2. The d×d covariance eigensolve runs ON THE DRIVER (cyclic Jacobi,
+  *     deterministic sweep order) — at d = 64 it is microseconds; the
+  *     cluster is the wrong tool for a 64×64 problem.
+  *  3. Projection is a narrow codegen map: z_k = x·v_k − μ·v_k, with the
+  *     components as plan-time literals and μ·v_k pre-folded to a scalar
+  *     ([[PqAnn]]'s LUT-literal discipline) — no join, no exchange.
+  *
+  * Rows-only driver check (like the ANN family: k-means/eigensolves are
+  * engine-internal); PcaSpec pins the math — orthonormality, the
+  * eigen-residual ‖Cv − λv‖, descending spectrum, projection variance ==
+  * eigenvalue, and a planted-direction fixture that pc1 must recover. */
+object Pca {
+
+  val Dim = 64
+  val NumComponents = 4
+
+  /** Jacobi sweep cap — cyclic Jacobi on a symmetric 64×64 converges
+    * quadratically; 30 sweeps is far past machine precision. */
+  val MaxSweeps = 30
+
+  // ------------------------------------------------------------- fitting
+
+  /** (n, mean, top-k eigenpairs) fitted once per (session, dir). */
+  private[graft] def fit(s: SparkSession, d: String): PcaModel =
+    FrameCache.cachedValue(s, s"pca-model:$d") {
+      fitOf(embeddings(s, d).select(col("embedding")))
+    }
+
+  private[graft] def fitOf(emb: DataFrame): PcaModel = {
+    val dim = Dim
+    // one pass: partition-local (count, Σx, upper-triangular Σxxᵀ)
+    val zero = new Array[Double](1 + dim + dim * (dim + 1) / 2)
+    val acc = emb.rdd.mapPartitions { it =>
+      val a = new Array[Double](zero.length)
+      it.foreach { r =>
+        val v = r.getSeq[Float](0)
+        a(0) += 1.0
+        var i = 0
+        var t = 1 + dim
+        while (i < dim) {
+          val vi = v(i).toDouble
+          a(1 + i) += vi
+          var j = i
+          while (j < dim) {
+            a(t) += vi * v(j).toDouble
+            j += 1; t += 1
+          }
+          i += 1
+        }
+      }
+      Iterator(a)
+    }.treeReduce { (x, y) =>
+      val out = new Array[Double](x.length)
+      var i = 0
+      while (i < x.length) { out(i) = x(i) + y(i); i += 1 }
+      out
+    }
+    val n = acc(0)
+    require(n > 1, "PCA needs at least 2 vectors")
+    val mean = Array.tabulate(dim)(i => acc(1 + i) / n)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = acc(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    // top-k by eigenvalue, sign-canonicalized (largest-|entry| positive)
+    val order = values.zipWithIndex.sortBy(-_._1).take(NumComponents).map(_._2)
+    val comps = order.map { k =>
+      val v = Array.tabulate(dim)(r => vectors(r)(k))
+      val pivot = v.indices.maxBy(r => math.abs(v(r)))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }
+    val totalVar = (0 until dim).map(cov(_)).zipWithIndex.map { case (row, r) => row(r) }.sum
+    PcaModel(n.toLong, mean, order.map(values(_)), comps, totalVar)
+  }
+
+  /** Cyclic Jacobi eigensolve of a symmetric matrix — returns
+    * (eigenvalues, eigenvector COLUMNS). Deterministic: fixed (p, q)
+    * sweep order, rotation only when the off-diagonal entry is
+    * numerically nonzero. */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offNorm(a)
+    while (sweep < MaxSweeps && off > 1e-14) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            // symmetric Schur 2x2: tan via the stable quadratic root
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val tt = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(tt * tt + 1.0)
+            val sn = tt * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - sn * vkq
+              v(k)(q) = sn * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  case class PcaModel(n: Long, mean: Array[Double], eigenvalues: Array[Double],
+                      components: Array[Array[Double]], totalVariance: Double)
+
+  // ------------------------------------------------------------- queries
+
+  /** Per-vector projection onto the top [[NumComponents]] principal
+    * axes — z_k = x·v_k − μ·v_k as one narrow codegen projection
+    * (component literal per axis, μ·v_k pre-folded). */
+  def pcaProject(s: SparkSession, d: String): DataFrame = {
+    val m = fit(s, d)
+    val cols: Seq[Column] = m.components.zipWithIndex.map { case (comp, k) =>
+      val meanDot = comp.zip(m.mean).map { case (c, mu) => c * mu }.sum
+      (VectorKernels.dotDouble(col("embedding"), typedLit(comp.map(_.toFloat).toSeq))
+        - lit(meanDot)).as(s"pc${k + 1}")
+    }
+    embeddings(s, d)
+      .select(col("vec_id") +: col("label") +: cols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** Spectrum report — per component: eigenvalue (= projection variance)
+    * and cumulative explained-variance fraction. [[NumComponents]] rows
+    * from the cached model; the corpus is not re-read. */
+  def pcaVariance(s: SparkSession, d: String): DataFrame = {
+    val m = fit(s, d)
+    val rows = m.eigenvalues.zipWithIndex.map { case (ev, k) =>
+      (k + 1L, ev, m.eigenvalues.take(k + 1).sum / m.totalVariance)
+    }
+    s.createDataFrame(rows.toSeq).toDF("component", "eigenvalue", "cum_var_explained")
+      .orderBy("component")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_project"  -> pcaProject _,
+    "sim_pca_variance" -> pcaVariance _,
+  )
+
+  /** Engine-internal eigensolve — no SQL twin (rows-only driver check +
+    * PcaSpec math gates), the ANN-family discipline. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Math gates for the engine-internal eigensolve behind the rows-only
+  * sim_pca_* entries: orthonormal components, eigen-residual, descending
+  * spectrum, projection-variance == eigenvalue, and a planted-direction
+  * fixture pc1 must recover. */
+class PcaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val model = Pca.fit(spark, dir)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("components are orthonormal and the spectrum is descending and non-negative") {
+    val c = model.components
+    for (i <- c.indices; j <- c.indices) {
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(c(i), c(j)) - expect) < 1e-9, s"<v$i, v$j>")
+    }
+    val ev = model.eigenvalues
+    assert(ev.forall(_ >= -1e-12))
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 }, "descending")
+    assert(ev.sum <= model.totalVariance + 1e-9, "top-k variance bounded by total")
+  }
+
+  test("eigenpairs satisfy Cv = λv to machine precision on the real covariance") {
+    // rebuild the covariance exactly as fit does, from the same corpus
+    val emb = graft.tables.Testdata.embeddings(spark, dir)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = emb.length.toDouble
+    val d = Pca.Dim
+    val mean = Array.tabulate(d)(i => emb.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      emb.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    }
+    model.components.zip(model.eigenvalues).foreach { case (v, ev) =>
+      val cv = Array.tabulate(d)(i => dot(cov(i), v))
+      val resid = math.sqrt(cv.zip(v).map { case (a, b) => (a - ev * b) * (a - ev * b) }.sum)
+      assert(resid < 1e-8, s"residual $resid for eigenvalue $ev")
+    }
+  }
+
+  test("projection variance per axis equals the eigenvalue; axes are uncorrelated") {
+    val proj = Pca.pcaProject(spark, dir).collect()
+    val n = proj.length.toDouble
+    val cols = (1 to Pca.NumComponents).map(k => proj.map(_.getAs[Double](s"pc$k")))
+    cols.zip(model.eigenvalues).foreach { case (z, ev) =>
+      val mu = z.sum / n
+      val varz = z.map(x => (x - mu) * (x - mu)).sum / n
+      assert(math.abs(varz - ev) <= 1e-6 * math.max(ev, 1e-12),
+        s"projection variance $varz vs eigenvalue $ev")
+    }
+    for (i <- cols.indices; j <- cols.indices if i < j) {
+      val (a, b) = (cols(i), cols(j))
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cab = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      assert(math.abs(cab) < 1e-6, s"pc${i + 1} and pc${j + 1} correlate: $cab")
+    }
+  }
+
+  test("variance report: eigenvalues match, cumulative fraction is monotone in (0, 1]") {
+    val rows = Pca.pcaVariance(spark, dir).collect()
+    assert(rows.length == Pca.NumComponents)
+    rows.zip(model.eigenvalues).foreach { case (r, ev) =>
+      assert(r.getAs[Double]("eigenvalue") == ev)
+    }
+    val cum = rows.map(_.getAs[Double]("cum_var_explained"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => b >= a })
+    assert(cum.forall(f => f > 0 && f <= 1 + 1e-12))
+  }
+
+  test("planted dominant direction: pc1 recovers it and carries the planted variance") {
+    // x = s * u + eps with s ~ +-3, eps tiny: pc1 must align with u
+    val d = Pca.Dim
+    val u = Array.tabulate(d)(i => if (i % 2 == 0) 1.0 else -1.0).map(_ / math.sqrt(d))
+    val vecs = (0 until 200).map { r =>
+      val s = if (r % 2 == 0) 3.0 else -3.0
+      Array.tabulate(d)(i => (s * u(i) + 0.001 * ((r * 31 + i * 7) % 11 - 5)).toFloat)
+    }
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val m = Pca.fitOf(df)
+    val cos = math.abs(dot(m.components(0), u))
+    assert(cos > 0.999, s"pc1 misaligned with planted direction: |cos| = $cos")
+    assert(m.eigenvalues(0) > 8.5 && m.eigenvalues(0) < 9.5,
+      s"planted variance ~9 (s = ±3), got ${m.eigenvalues(0)}")
+    assert(m.eigenvalues(1) < 0.01, "remaining axes carry only the noise floor")
+  }
+}
