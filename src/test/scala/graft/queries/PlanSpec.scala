@@ -314,6 +314,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-10 additions: narrow ops shuffle only the result sort; keyed ops one hash exchange") {
+    // zorder key and unicode normalization are pure projections — the
+    // only exchange either may plan is the driver-hash orderBy.
+    for (q <- Seq("rel_zorder_key", "text_unicode_norm")) {
+      val xs = shuffles(q)
+      assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
+        s"$q: expected exactly the result-sort exchange, got $xs")
+    }
+    // exact-integer-moment aggregates: ONE hash exchange on the group key
+    // (map-side partials), plus the result sort.
+    for ((q, key) <- Seq(
+        ("rel_regression", "event_type"),
+        ("rel_corr_matrix", "event_type"),
+        ("rel_window_timerange", "user_id"),
+        ("text_collapse_lines", "doc_id"))) {
+      val xs = shuffles(q)
+      val hash = xs.filter(_._1.contains("hashpartitioning"))
+      assert(hash.size == 1 && hash.head._1.contains(key),
+        s"$q: expected one hashpartitioning($key) exchange, got $xs")
+      assert(xs.size == 2, s"$q: expected keyed exchange + result sort only, got $xs")
+    }
+  }
+
+  test("fuzzy-edit pairs: the block key drives every hash exchange; titles only, never text") {
+    val xs = shuffles("dedup_fuzzy_edit")
+    val hash = xs.filter(_._1.contains("hashpartitioning"))
+    assert(hash.nonEmpty && hash.forall(_._1.contains("blk")),
+      s"dedup_fuzzy_edit: every hash exchange must key on blk, got $xs")
+    assert(!xs.exists(_._2.contains("text")),
+      s"dedup_fuzzy_edit: raw document text entered an exchange: $xs")
+  }
+
   test("snapshot diff and dup-line fractions keep text out of every exchange") {
     // both ops derive hashes scan-side; document/line text crossing any
     // exchange would ship the corpus to compute per-key scalars.
