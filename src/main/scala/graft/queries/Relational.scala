@@ -1149,6 +1149,43 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Shuffle-key skew diagnostics — per event type, the distribution of
+    * rows-per-user for the user_id key: key count, max and median
+    * per-key load, the heaviest key's share, and the Gini coefficient of
+    * the load distribution. This is the report an operator reads BEFORE
+    * a slow join/agg gets "fixed" blindly — it distinguishes "one hot
+    * key" (salt it / AQE skew-join) from "uniformly heavy" (repartition)
+    * from "fine, look elsewhere".
+    *
+    * Numerics: per-key counts are exact ints; the Gini numerator
+    * Σ (2·rank − n − 1)·c is an exact int64 over the (count, user_id)
+    * total order, so gini / top_share / median are each ONE final double
+    * division ([[regression]]'s discipline). Two keyed exchanges — the
+    * count agg and the per-type rank window — both on keys that dwarf
+    * the executor count at scale; the report itself is |types| rows. */
+  def skewReport(s: SparkSession, d: String): DataFrame =
+    skewReportOf(events(s, d))
+
+  private[graft] def skewReportOf(ev: DataFrame): DataFrame = {
+    val counts = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    counts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("c").as("total_rows"),
+        max("c").as("max_per_key"),
+        percentile(col("c"), lit(0.5)).as("p50_per_key"),
+        sum((lit(2) * col("rn") - lit(1)) * col("c")).as("gini_raw"))
+      .select(col("event_type"), col("n_keys"), col("total_rows"),
+        col("max_per_key"), col("p50_per_key"),
+        (col("max_per_key").cast("double") / col("total_rows")).as("top_share"),
+        ((col("gini_raw") - col("n_keys") * col("total_rows")).cast("double")
+          / (col("n_keys") * col("total_rows")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1200,6 +1237,7 @@ object Relational {
     "rel_regression"     -> regression _,
     "rel_corr_matrix"    -> corrMatrix _,
     "rel_zorder_key"     -> zorderKey _,
+    "rel_skew_report"    -> skewReport _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1733,5 +1771,27 @@ object Relational {
          |SELECT event_id, user_id, hour_idx,
          |  (sx | (sy << 1)) AS zkey
          |FROM z5 ORDER BY event_id""".stripMargin,
+    "rel_skew_report" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS rn
+        |  FROM counts
+        |), agg AS (
+        |  SELECT event_type,
+        |    count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS total_rows,
+        |    max(c) AS max_per_key,
+        |    median(c) AS p50_per_key,
+        |    CAST(sum((2*rn - 1)*c) AS BIGINT) AS gini_raw
+        |  FROM ranked GROUP BY 1
+        |)
+        |SELECT event_type, n_keys, total_rows, max_per_key, p50_per_key,
+        |  CAST(max_per_key AS DOUBLE) / CAST(total_rows AS DOUBLE) AS top_share,
+        |  CAST(gini_raw - n_keys*total_rows AS DOUBLE)
+        |    / CAST(n_keys*total_rows AS DOUBLE) AS gini
+        |FROM agg ORDER BY event_type""".stripMargin,
   )
 }

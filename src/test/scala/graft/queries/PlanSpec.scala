@@ -337,6 +337,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("skew report: per-key count exchange narrows to the type-keyed window, nothing more") {
+    // counts agg shuffles on (event_type, user_id); the rank window
+    // re-keys to event_type and the final per-type agg REUSES that
+    // partitioning (no third hash exchange); plus the result sort.
+    val xs = shuffles("rel_skew_report")
+    val hash = xs.filter(_._1.contains("hashpartitioning"))
+    assert(hash.size == 2, s"rel_skew_report: expected 2 hash exchanges, got $xs")
+    assert(hash.exists(h => h._1.contains("event_type") && h._1.contains("user_id")),
+      s"missing the (event_type, user_id) count exchange: $xs")
+    assert(hash.exists(h => h._1.contains("event_type") && !h._1.contains("user_id")),
+      s"missing the event_type window exchange: $xs")
+    assert(xs.size == 3, s"rel_skew_report: expected 2 hash + result sort, got $xs")
+  }
+
   test("fuzzy-edit pairs: the block key drives every hash exchange; titles only, never text") {
     val xs = shuffles("dedup_fuzzy_edit")
     val hash = xs.filter(_._1.contains("hashpartitioning"))

@@ -431,4 +431,30 @@ class ShapeOpsSpec extends SparkSpec {
       .agg(max("y") - min("y") + 1).head().getLong(0)
     assert(slab == n, "x-sort slab spans the whole y domain — nothing to prune")
   }
+
+  // ------------------------------------------------------- skew report
+
+  test("skewReport: uniform keys gini 0, one hot key matches hand-computed gini/top_share") {
+    // uniform: 4 keys x 3 rows each — perfectly equal load.
+    val uniform = (for (u <- 1L to 4L; _ <- 1 to 3) yield ("click", u, 1.0))
+      .toDF("event_type", "user_id", "value")
+    val u = Relational.skewReportOf(uniform).collect()
+    assert(u.length == 1)
+    assert(u.head.getAs[Long]("n_keys") == 4L)
+    assert(u.head.getAs[Long]("total_rows") == 12L)
+    assert(u.head.getAs[Long]("max_per_key") == 3L)
+    assert(u.head.getAs[Double]("p50_per_key") == 3.0)
+    assert(u.head.getAs[Double]("gini") == 0.0, "equal per-key load must score gini 0")
+
+    // hot key: counts (1, 1, 8) sorted — n=3, total=10,
+    // gini_raw = 1*1 + 3*1 + 5*8 = 44, gini = (44 - 30) / 30.
+    val hot = ((1 to 8).map(_ => ("buy", 30L, 1.0)) ++
+      Seq(("buy", 10L, 1.0), ("buy", 20L, 1.0))).toDF("event_type", "user_id", "value")
+    val h = Relational.skewReportOf(hot).collect()
+    assert(h.length == 1)
+    assert(h.head.getAs[Long]("max_per_key") == 8L)
+    assert(h.head.getAs[Double]("p50_per_key") == 1.0)
+    assert(h.head.getAs[Double]("top_share") == 0.8)
+    assert(h.head.getAs[Double]("gini") == 14.0 / 30.0)
+  }
 }
