@@ -86,6 +86,11 @@ object TextKernels {
   /** Unicode-normalized text (form ∈ NFC | NFD | NFKC | NFKD). */
   def unicodeNormalize(text: Column, form: String): Column =
     ColumnInterop.column(UnicodeNormalize(ColumnInterop.expression(text), form))
+
+  /** Code-point frequency moments — array<long> of
+    * (n_cps, n_distinct, Σ count², max count, argmax code point). */
+  def codepointStats(text: Column): Column =
+    ColumnInterop.column(CodepointStats(ColumnInterop.expression(text)))
 }
 
 /** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
@@ -593,6 +598,65 @@ case class UnicodeNormalize(child: Expression, form: String) extends UnaryExpres
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("unicodeNormExpr", this, classOf[UnicodeNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Code-point frequency moments in one narrow pass — the inputs of the
+  * Simpson-diversity junk screen ([[graft.queries.TextAnalysis]]): a
+  * low-diversity doc is keyboard-mash / padding spam ("aaaa…"), the
+  * complement of what the repetition and char-class gates catch. Emits
+  * array<long> of (n code points, distinct code points, Σ count²,
+  * max count, argmax code point — smallest cp on count ties, so the
+  * result is independent of hash-map iteration order).
+  *
+  * The composed-builtins formulation is explode(chars) + a corpus-sized
+  * (doc_id, cp) exchange; this keeps the whole computation inside the
+  * scan projection. Counts are per-doc exact ints: every downstream
+  * ratio (diversity, top-char share) divides two exact int64s ONCE, so
+  * the doubles hash-compare bit-equal across engines. Iteration is by
+  * Unicode code point (not UTF-16 unit), matching DuckDB's per-character
+  * semantics for supplementary-plane text. */
+case class CodepointStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"codepoint_stats expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "codepoint_stats"
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Int, Long]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sumC2 = 0L
+    var maxC = 0L
+    var topCp = -1L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      sumC2 += c * c
+      if (c > maxC || (c == maxC && e.getKey < topCp)) { maxC = c; topCp = e.getKey.toLong }
+    }
+    new GenericArrayData(Array(n, counts.size.toLong, sumC2, maxC, topCp))
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("codepointStatsExpr", this, classOf[CodepointStats].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

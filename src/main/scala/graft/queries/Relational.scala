@@ -724,6 +724,40 @@ object Relational {
     * chain into multi-event sessions). */
   val SessionGapUs = 21600000000L
 
+  /** Per-user inter-event gap distribution — the diagnostic that PICKS
+    * [[SessionGapUs]] before [[sessionize]]/[[debounce]] bake it in: a
+    * gap threshold is a quantile decision, and this emits the per-user
+    * quantile evidence (n, min/p50/max, mean) instead of a guessed
+    * constant. Gap multiset per user is order-stable under timestamp
+    * ties: gaps are differences of CONSECUTIVE SORTED ts values, so the
+    * tie-break column only fixes the window order, never the result.
+    *
+    * Numerics: gaps are exact int64 micros; `sum_gap_us` stays exact and
+    * `avg_gap_us` is ONE final double division ([[regression]]'s
+    * discipline); p50 interpolates two int-valued doubles at 0.5 — IEEE
+    * identical across engines. Single-event users keep NULL gap stats
+    * (count 0) rather than fabricated zeros. One user_id exchange shared
+    * by the lag window and the per-user agg; the report is |users| rows. */
+  def eventGaps(s: SparkSession, d: String): DataFrame =
+    eventGapsOf(events(s, d))
+
+  private[graft] def eventGapsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        min("gap_us").as("min_gap_us"),
+        max("gap_us").as("max_gap_us"),
+        sum("gap_us").as("sum_gap_us"),
+        percentile(col("gap_us"), lit(0.5)).as("p50_gap_us"))
+      .withColumn("avg_gap_us",
+        col("sum_gap_us").cast("double") / col("n_gaps").cast("double"))
+      .orderBy("user_id")
+  }
+
   /** Batch gap-based sessionization — the classic lag+cumsum
     * composition: flag rows whose gap from the previous same-user event
     * exceeds the threshold, running-sum the flags into a session
@@ -1238,6 +1272,7 @@ object Relational {
     "rel_corr_matrix"    -> corrMatrix _,
     "rel_zorder_key"     -> zorderKey _,
     "rel_skew_report"    -> skewReport _,
+    "rel_event_gaps"     -> eventGaps _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1793,5 +1828,23 @@ object Relational {
         |  CAST(gini_raw - n_keys*total_rows AS DOUBLE)
         |    / CAST(n_keys*total_rows AS DOUBLE) AS gini
         |FROM agg ORDER BY event_type""".stripMargin,
+    "rel_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  count(*) AS n_events,
+        |  count(gap_us) AS n_gaps,
+        |  min(gap_us) AS min_gap_us,
+        |  max(gap_us) AS max_gap_us,
+        |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |  median(gap_us) AS p50_gap_us,
+        |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) AS avg_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

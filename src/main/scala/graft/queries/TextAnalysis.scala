@@ -1163,6 +1163,44 @@ object TextAnalysis {
         (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
       .orderBy("source")
 
+  // ------------------------------------------------- character diversity
+
+  /** Simpson character diversity — the junk screen for keyboard-mash /
+    * padding spam ("aaaa…", "ababab…") that slips past the repetition
+    * gate (word-level) and the char-class ratios (a single repeated
+    * letter is 100% alpha). Simpson's index 1 − Σ(cᵢ/n)² is chosen over
+    * Shannon entropy DELIBERATELY: it rewrites to (n² − Σcᵢ²)/n², two
+    * exact int64 moments and ONE final double division that
+    * hash-compares bit-equal across engines — entropy's Σ p·ln p has no
+    * cross-engine IEEE-stable evaluation order and ln itself is not
+    * correctly-rounded in either engine. Same screening power at the
+    * gate: both order docs by concentration of the char histogram.
+    *
+    * All five moments come from [[graft.functions.TextKernels.codepointStats]]
+    * in one narrow scan-side pass — the explode(chars) formulation this
+    * replaces shuffles a CORPUS-OF-CHARACTERS (doc_id, cp) frame, ~1
+    * exchange row per input character at 100 TB. `top_cp`/`top_share`
+    * name the dominating character (argmax count, smallest code point on
+    * ties — deterministic in any hash-map order). Empty docs are
+    * excluded on both sides rather than emitting 0/0 = NaN. */
+  def charDiversity(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextKernels
+    val n = col("st").getItem(0)
+    documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), TextKernels.codepointStats(col("text")).as("st"))
+      .select(
+        col("doc_id"),
+        n.as("n_chars"),
+        col("st").getItem(1).as("n_distinct"),
+        col("st").getItem(3).as("max_count"),
+        col("st").getItem(4).as("top_cp"),
+        ((n * n - col("st").getItem(2)).cast("double") /
+          (n * n).cast("double")).as("diversity"),
+        (col("st").getItem(3).cast("double") / n.cast("double")).as("top_share"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ unicode normalization
 
   /** Unicode NFC canonicalization + Unicode lowercase — the identity
@@ -1198,6 +1236,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unicode_norm" -> unicodeNorm _,
+    "text_char_diversity" -> charDiversity _,
     "text_tokens"      -> tokenCounts _,
     "text_token_fertility" -> tokenFertility _,
     "text_quality"     -> qualityScore _,
@@ -1232,6 +1271,32 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle pays the explode the Spark kernel avoids (fine at oracle
+    // SF): per-char unnest → (doc, cp) counts → the same two int64
+    // moments. arg_max key c·2²² − cp is collision-free (cp < 2²¹ <
+    // 4194304) and encodes (max count, then min cp) — the kernel's
+    // tie-break — as ONE integer ordering.
+    "text_char_diversity" ->
+      """WITH cs AS (
+        |  SELECT doc_id,
+        |    unnest([unicode(text[i]) for i in range(1, len(text)+1)]) AS cp
+        |  FROM documents WHERE len(text) > 0
+        |), c AS (
+        |  SELECT doc_id, cp, count(*) AS c FROM cs GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_chars,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(c*c) AS BIGINT) AS sum_c2,
+        |    max(c) AS max_count,
+        |    CAST(arg_max(cp, c * 4194304 - cp) AS BIGINT) AS top_cp
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_chars, n_distinct, max_count, top_cp,
+        |  CAST(n_chars*n_chars - sum_c2 AS DOUBLE)
+        |    / CAST(n_chars*n_chars AS DOUBLE) AS diversity,
+        |  CAST(max_count AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top_share
+        |FROM a ORDER BY doc_id""".stripMargin,
     // Same decomposed synthesis via chr(): 769 = U+0301 combining acute,
     // 776 = U+0308 combining diaeresis; nfc_normalize == NFC (UAX #15).
     "text_unicode_norm" ->

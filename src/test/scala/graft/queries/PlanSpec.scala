@@ -317,7 +317,7 @@ class PlanSpec extends SparkSpec {
   test("round-10 additions: narrow ops shuffle only the result sort; keyed ops one hash exchange") {
     // zorder key and unicode normalization are pure projections — the
     // only exchange either may plan is the driver-hash orderBy.
-    for (q <- Seq("rel_zorder_key", "text_unicode_norm")) {
+    for (q <- Seq("rel_zorder_key", "text_unicode_norm", "text_char_diversity")) {
       val xs = shuffles(q)
       assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
         s"$q: expected exactly the result-sort exchange, got $xs")
@@ -328,6 +328,7 @@ class PlanSpec extends SparkSpec {
         ("rel_regression", "event_type"),
         ("rel_corr_matrix", "event_type"),
         ("rel_window_timerange", "user_id"),
+        ("rel_event_gaps", "user_id"),
         ("text_collapse_lines", "doc_id"))) {
       val xs = shuffles(q)
       val hash = xs.filter(_._1.contains("hashpartitioning"))
