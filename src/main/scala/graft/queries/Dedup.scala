@@ -480,6 +480,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dup — the continuous-crawl twin of
+    * [[incrementalNew]]: that gate catches byte-identical recrawls, this
+    * one catches the boilerplate-shifted/re-templated copies (Jaccard ≥
+    * [[Threshold]]) of documents ALREADY in the store, without ever
+    * re-scanning the store. Same corpus/batch split convention (even =
+    * store, odd = today's batch).
+    *
+    * Two index artifacts, built ONCE from the corpus text and persisted
+    * bucketed+sorted ([[graft.tables.Bucketed]]) — the durable store-side
+    * state an ongoing ingest maintains:
+    *  - the banded MinHash POSTING LIST (band, bh → doc_id), bucketed on
+    *    `bh` (the probe's join key). Degenerate buckets (>
+    *    [[MaxBucketSize]] members) are dropped AT INDEX TIME — the cap is
+    *    a property of the store, decided once, not re-derived per batch;
+    *  - the corpus GRAM-ID sets (doc_id → sorted int64 ids), bucketed on
+    *    `doc_id` (the verify join's key) — kilobytes per doc vs re-tokenizing
+    *    corpus text per batch.
+    *
+    * The probe reads ONLY: batch text (narrow band/gram computation — a
+    * sliver), the posting list (bucketed scan, batch side shuffles to its
+    * layout), and the gram table for candidate corpus docs. Corpus TEXT
+    * is touched zero times per batch; at 100 TB the per-batch cost is
+    * proportional to the batch + candidate set, not the store. Candidate
+    * pairs → the same codegen sorted-merge exact-Jaccard verify as
+    * [[minhashLshPairsOf]], so the result is exact and the DuckDB
+    * all-cross-pairs oracle compares at FULL strictness (banding is
+    * recall-complete at J ≥ 0.8 on this corpus, same contract the
+    * `dedup_minhash_lsh` gate already pins). */
+  def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val tag = graft.tables.Bucketed.sanitize(s"$d:$NumHashes:$Bands:$MaxBucketSize")
+    val corpusGrams = gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val idxTbl = graft.tables.Bucketed.ensure(s, s"lsh_idx_$tag", "bh") {
+      val bands = bandKeys(corpusGrams)
+      val small = bands.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= MaxBucketSize)
+      bands.join(small.select("band", "bh"), Seq("band", "bh"))
+        .select("bh", "band", "doc_id")
+    }
+    val gramTbl = graft.tables.Bucketed.ensure(s, s"lsh_grams_$tag", "doc_id")(
+      corpusGrams.select(col("doc_id"), col("gram_ids")))
+
+    val batchGrams = FrameCache.cached(s, s"lsh-batch-grams:$d")(
+      gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    val probe = bandKeys(batchGrams).as("p")
+    val candidates = probe.join(s.table(idxTbl).as("i"),
+        col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
+      .select(col("p.doc_id").as("new_doc"), col("i.doc_id").as("corpus_doc"))
+      .distinct()
+
+    val ga = batchGrams.select(col("doc_id").as("new_doc"), col("gram_ids").as("ids_a"))
+    val gb = s.table(gramTbl)
+      .select(col("doc_id").as("corpus_doc"), col("gram_ids").as("ids_b"))
+    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
+    candidates.join(ga, "new_doc").join(gb, "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"),
+        (inter.cast("double") /
+          (size(col("ids_a")) + size(col("ids_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= Threshold)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
   // --- dedup clusters: connected components over near-dup pairs ---------
 
   /** Round cap for [[connectedComponents]] — alternating star rounds halve
@@ -1073,6 +1135,7 @@ object Dedup {
     "dedup_simhash"        -> simhashNearDup _,
     "dedup_containment"    -> containmentPairs _,
     "dedup_incremental"    -> incrementalNew _,
+    "dedup_incremental_near" -> incrementalNearDup _,
   )
 
   /** The brute-force transitive-closure ground truth (gram sets → exact
@@ -1365,6 +1428,24 @@ object Dedup {
         |SELECT doc_id, h FROM batch
         |WHERE h NOT IN (SELECT h FROM corpus)
         |ORDER BY doc_id""".stripMargin,
+    // Exact cross-pairs ground truth (corpus × batch) — the LSH probe
+    // must find every J >= 0.8 pair, same recall contract as the
+    // dedup_minhash_lsh gate; the index/probe split is engine-internal.
+    "dedup_incremental_near" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT b.doc_id AS new_doc, a.doc_id AS corpus_doc,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |)
+        |SELECT new_doc, corpus_doc, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY new_doc, corpus_doc""".stripMargin,
     // Ground truth for the component labels: brute-force pairs (as above),
     // then transitive closure by recursive CTE — `rep` = min node reachable
     // from each node. Exact, so the driver compares at full strictness:

@@ -213,6 +213,36 @@ class PipelineSpec extends SparkSpec {
       s"corpus re-scanned for assignment in a cold session:\n${scans.mkString("\n")}")
   }
 
+  test("incremental near-dup: equals full-LSH cross pairs, cold session never re-reads corpus text") {
+    val r1 = Dedup.incrementalNearDup(spark, sf).collect().map(_.toSeq).toSet
+    // ground truth: the full-corpus LSH pairs restricted to (corpus, batch)
+    // pairs and re-oriented — index/probe must lose nothing vs one-shot
+    val cross = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect { case (a, b, j) if a % 2 != b % 2 =>
+        Seq(if (a % 2 == 1) a else b, if (a % 2 == 1) b else a, j) }
+      .toSet
+    assert(r1 == cross, "index/probe pairs drifted from one-shot LSH")
+    assert(r1.nonEmpty, "fixture produced no cross near-dup pairs")
+    // sibling session: shared catalog, cold FrameCache — the next-day shape
+    val s2 = spark.newSession()
+    val df2 = Dedup.incrementalNearDup(s2, sf)
+    assert(df2.collect().map(_.toSeq).toSet == r1, "cold session drifted")
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.exists(_.contains("graft-bucketed/lsh_idx_")),
+      s"posting list not read from the persisted index:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft-bucketed/lsh_grams_")),
+      s"corpus gram sets not read from the persisted index:\n${scans.mkString("\n")}")
+    // documents.parquet may appear ONCE: the batch-sliver gram pass
+    // (FrameCache-shared between probe and verify). The corpus side must
+    // come entirely from the two bucketed tables.
+    assert(scans.count(_.contains("documents.parquet")) <= 1,
+      s"corpus text re-scanned by the probe:\n${scans.mkString("\n")}")
+  }
+
   test("multi-probe LSH ANN recall >= 0.8 holds at a 4x corpus (sf0.1)") {
     val recall = annRecall("/root/testdata/sf0.1")
     assert(recall >= 0.8, s"recall $recall")
