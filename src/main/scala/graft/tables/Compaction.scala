@@ -1,0 +1,41 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the write-path governance that keeps a 100 TB
+  * store scannable. Long-running ingest (streaming micro-batches, per-day
+  * imports, upsert compactors) accretes thousands of KB-sized files per
+  * partition; every later scan then pays one task + one footer read per
+  * file, and the driver pays the listing. Periodic compaction rewrites a
+  * table into ~uniform, RANGE-SORTED files:
+  *
+  *  - `repartitionByRange(sortCol)` makes file key-ranges DISJOINT, so
+  *    parquet footer min/max prunes whole files for any `sortCol` range
+  *    predicate (the precondition z-order extends to two dimensions);
+  *  - `sortWithinPartitions` sorts inside each file — row-group stats
+  *    stay tight and range scans read sequentially;
+  *  - `maxRecordsPerFile` bounds the big end (a skewed range can't
+  *    produce a monster file), the file count bounds the small end.
+  *
+  * The row count that sizes the job comes from `df.count()` — one extra
+  * scan, the honest price of exact sizing (a production compactor reads
+  * it from table stats instead). This is maintenance machinery, not a
+  * query: no oracle twin (nothing row-wise to compare — the CONTENT is
+  * asserted unchanged by the round-trip spec; the LAYOUT is the output). */
+object Compaction {
+
+  /** Rewrite `df` under `outDir` as ceil(n / targetPerFile) range-sorted
+    * parquet files; returns the file count it sized for. */
+  def compact(df: DataFrame, sortCol: String, targetPerFile: Long, outDir: String): Int = {
+    require(targetPerFile > 0, "targetPerFile must be positive")
+    val n = df.count()
+    val files = math.max(1L, (n + targetPerFile - 1) / targetPerFile).toInt
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetPerFile)
+      .parquet(outDir)
+    files
+  }
+}

@@ -79,4 +79,33 @@ class ScaleOpsSpec extends SparkSpec {
     // a non-matching partition filter scans zero files
     assert(Store.messages(spark, dir).filter(col("source_format") === 2).count() == 0)
   }
+
+  test("compaction: sized file count, disjoint sorted key ranges per file, content unchanged") {
+    import graft.tables.Compaction
+    val src = graft.tables.Testdata.orders(spark, "/root/testdata/sf0.001")
+    val out = Files.createTempDirectory("graft-compact").toString
+    val files = Compaction.compact(src, "o_orderkey", 400L, out)
+    val n = src.count()
+    assert(files == ((n + 399) / 400).toInt, "file count not sized from the row count")
+    val written = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(written.length == files, s"expected $files parquet files, got ${written.length}")
+    // per-file key ranges must be pairwise disjoint — the file-pruning
+    // precondition: a footer min/max check can then skip whole files for
+    // any o_orderkey range predicate.
+    val ranges = written.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("o_orderkey"), max("o_orderkey"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(ranges.forall { case (_, _, c) => c <= 400L }, "maxRecordsPerFile violated")
+    val sorted = ranges.sortBy(_._1)
+    for (Array(a, b) <- sorted.sliding(2).map(_.toArray) if sorted.length > 1)
+      assert(a._2 < b._1, s"overlapping file ranges $a / $b — footer pruning defeated")
+    // content round-trips exactly
+    val back = spark.read.parquet(out)
+    assert(back.count() == n)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "compaction changed table content")
+  }
 }

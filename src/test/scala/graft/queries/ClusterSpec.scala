@@ -417,6 +417,42 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  test("cms frequency: over-estimates only, within eps*N, and sketches merge exactly") {
+    val ev = graft.tables.Testdata.events(spark, sf)
+    val est = Relational.cmsFreq(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.nonEmpty, "probe set empty")
+    val exact = ev.filter(pmod(col("user_id"), lit(20)) === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    val n = ev.count()
+    // hard guarantee: CMS never under-counts
+    exact.foreach { case (u, c) =>
+      assert(est(u) >= c, s"user $u: CMS $c under-counted to ${est(u)}") }
+    // probabilistic bound at 99% confidence — allow zero failures at this
+    // probe-set size (a single epsilon breach would be a red flag anyway)
+    val eps = Relational.CmsEps
+    exact.foreach { case (u, c) =>
+      assert(est(u) <= c + (eps * n).ceil.toLong,
+        s"user $u: est ${est(u)} exceeds exact $c + eps*N") }
+    // mergeability — the 100 TB contract: per-shard sketches combined
+    // driver-side answer identically to the one-pass corpus sketch
+    def sketchOf(df: org.apache.spark.sql.DataFrame) = {
+      val b = df.agg(count_min_sketch(col("user_id"),
+        lit(Relational.CmsEps), lit(Relational.CmsConf), lit(Relational.CmsSeed)).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b))
+    }
+    val whole = sketchOf(ev)
+    val merged = sketchOf(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      .mergeInPlace(sketchOf(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+    exact.keys.foreach { u =>
+      assert(merged.estimateCount(u) == whole.estimateCount(u),
+        s"user $u: merged sketch diverged from one-pass sketch") }
+  }
+
   test("approx percentiles: every value is an order statistic within the rank budget") {
     val approx = Relational.percentilesApprox(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
