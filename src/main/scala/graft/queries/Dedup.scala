@@ -542,6 +542,71 @@ object Dedup {
       .orderBy("new_doc", "corpus_doc")
   }
 
+  /** Gram width for [[substringSpans]] — 8 words ≈ the smallest span
+    * that is plausibly copied text rather than chance phrase reuse on
+    * this corpus (docs run 10-99 words; Lee et al.'s 50-token threshold
+    * assumes web-page-length docs). */
+  val SpanGramWords = 8
+  /** Posting-list cap per gram hash — boilerplate grams (every page's
+    * footer) would otherwise drive the candidate self-join quadratic;
+    * at df>50 a gram is boilerplate, not copied content (observed max
+    * df on the testdata: 3, so the cap is invisible to the oracle). */
+  val SpanMaxDf = 50
+
+  /** Cross-doc EXACT-substring span mining (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * variant): for every doc pair, every MAXIMAL shared word span of ≥
+    * [[SpanGramWords]] words. [[minhashLshPairsOf]] asks "are these docs
+    * near-identical?"; this asks "WHICH text is shared?" — the op that
+    * catches quotation-level duplication inside otherwise-different docs
+    * (and, run corpus-vs-eval, is [[graft.queries.TextAnalysis]]'s span
+    * decontamination; here both sides are the corpus).
+    *
+    * Suffix arrays don't distribute; the Spark-shaped equivalent:
+    * positioned k-gram postings (one narrow kernel pass per doc) →
+    * df-capped posting-list self-join (never all-pairs — candidates
+    * exist only where grams ALREADY collide; md5 keys, cross-engine) →
+    * anti-diagonal run merge: matches at (pa, pb) and (pa+1, pb+1) lie
+    * on one diagonal pa−pb, so `pa − row_number()` per (pair, diagonal)
+    * is constant exactly along a maximal run ([[scd2Intervals]]'s
+    * gaps-and-islands trick, applied to 2-D alignment). Every consecutive
+    * k-gram match fuses into ONE span row of length n_grams + k − 1 —
+    * the output is |shared spans|, not |shared grams|. */
+  def substringSpans(s: SparkSession, d: String): DataFrame =
+    substringSpansOf(documents(s, d))
+
+  private[graft] def substringSpansOf(docs: DataFrame): DataFrame = {
+    val k = SpanGramWords
+    val words = split(col("text"), " ")
+    val grams = docs.filter(size(words) >= k)
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextKernels.wordShingles(words, k, distinct = false))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        md5(col("gram")).as("h"))
+    // df cap as a WINDOW count over h: one h-keyed exchange that the
+    // posting self-join below then REUSES on both sides (same key, same
+    // partitioning — no second scan of the corpus, no extra exchange),
+    // vs the agg+semijoin form's two gram-frame computations.
+    val kept = grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= SpanMaxDf)
+      .drop("df")
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val run = col("pa") - row_number().over(
+      Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa"))
+    m.withColumn("run", run)
+      .groupBy("doc_a", "doc_b", "diag", "run")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + lit(k - 1)).as("len_words"))
+      .select("doc_a", "doc_b", "start_a", "start_b", "len_words")
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   // --- dedup clusters: connected components over near-dup pairs ---------
 
   /** Round cap for [[connectedComponents]] — alternating star rounds halve
@@ -1136,6 +1201,7 @@ object Dedup {
     "dedup_containment"    -> containmentPairs _,
     "dedup_incremental"    -> incrementalNew _,
     "dedup_incremental_near" -> incrementalNearDup _,
+    "dedup_substring_spans" -> substringSpans _,
   )
 
   /** The brute-force transitive-closure ground truth (gram sets → exact
@@ -1446,6 +1512,35 @@ object Dedup {
         |)
         |SELECT new_doc, corpus_doc, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY new_doc, corpus_doc""".stripMargin,
+    // Same positioned-gram postings (1-based), df cap, and
+    // diagonal-run-merge — slice i:i+7 is 1-based INCLUSIVE (8 words),
+    // matching Spark slice semantics; md5 over the identical ' '-joined
+    // gram string keys both engines.
+    "dedup_substring_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'h': md5(array_to_string(words[i:i+7], ' '))}
+        |     for i in range(1, len(words)-6)], recursive := true)
+        |  FROM w WHERE len(words) >= 8
+        |), kept AS (
+        |  SELECT doc_id, pos, h FROM g0
+        |  WHERE h IN (SELECT h FROM g0 GROUP BY h HAVING count(*) <= 50)
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), r AS (
+        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run
+        |  FROM m
+        |)
+        |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |  CAST(min(pb) AS BIGINT) AS start_b,
+        |  CAST(count(*) + 7 AS BIGINT) AS len_words
+        |FROM r GROUP BY doc_a, doc_b, diag, run
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     // Ground truth for the component labels: brute-force pairs (as above),
     // then transitive closure by recursive CTE — `rep` = min node reachable
     // from each node. Exact, so the driver compares at full strictness:

@@ -552,4 +552,32 @@ class CleanOpsSpec extends SparkSpec {
     assert(scans.exists(_.contains("graft-bucketed/graft_corpus_sha_")),
       s"persisted corpus index not read:\n${scans.mkString("\n")}")
   }
+
+  test("substringSpans: maximal run merge, start/end spans, within-doc repeats on two diagonals") {
+    def doc(id: Long, ws: Seq[String]) = (id, ws.mkString(" "))
+    val common10 = (1 to 10).map(i => s"c$i") // 3 consecutive 8-grams -> ONE 10-word span
+    val end8 = (1 to 8).map(i => s"e$i")
+    val docs = Seq(
+      doc(1, (1 to 5).map(i => s"a$i") ++ common10 ++ (1 to 5).map(i => s"z$i")),
+      doc(2, common10 ++ (1 to 12).map(i => s"y$i")),            // span at doc-2 START
+      doc(3, (1 to 10).map(i => s"q$i") ++ end8),                 // span at doc-3 END
+      doc(4, end8 ++ (1 to 10).map(i => s"r$i")),                 // span at doc-4 START
+      doc(5, end8 ++ Seq("f1", "f2", "f3", "f4") ++ end8)         // e-gram TWICE in one doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // (1,2): the three shared grams fuse into ONE maximal 10-word span
+    assert(out.count(t => t._1 == 1 && t._2 == 2) == 1, s"run not merged: ${out.toSeq}")
+    assert(out.contains((1L, 2L, 6L, 1L, 10L)))
+    // (3,4): exact-k span at one doc's end and the other's start
+    assert(out.contains((3L, 4L, 11L, 1L, 8L)))
+    // within-doc repeat: doc 5 matches on TWO diagonals against each of 3, 4
+    assert(out.filter(t => t._1 == 3 && t._2 == 5).toSet ==
+      Set((3L, 5L, 11L, 1L, 8L), (3L, 5L, 11L, 13L, 8L)))
+    assert(out.filter(t => t._1 == 4 && t._2 == 5).toSet ==
+      Set((4L, 5L, 1L, 1L, 8L), (4L, 5L, 1L, 13L, 8L)))
+    // and nothing else pairs
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
 }
