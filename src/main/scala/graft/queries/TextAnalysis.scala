@@ -1163,6 +1163,41 @@ object TextAnalysis {
         (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
       .orderBy("source")
 
+  // ----------------------------------------------------- n-gram novelty
+
+  /** Arrival-order n-gram novelty — per doc, the fraction of its
+    * distinct word trigrams whose FIRST corpus occurrence (by doc_id
+    * order, the deterministic stand-in for ingest order) is this doc.
+    * The corpus-CUMULATIVE dedup signal the pairwise family can't see: a
+    * doc assembled from many already-seen fragments scores near 0
+    * without any single pair crossing the MinHash threshold — the
+    * "mostly boilerplate / recombined content" tier data-curation
+    * pipelines down-weight before training.
+    *
+    * Shape: distinct trigrams per doc (one kernel pass) → explode → the
+    * first-occurrence mark as a WINDOW min over the gram key → per-doc
+    * re-aggregate. Two keyed exchanges (gram, then doc_id) over skinny
+    * (doc_id, gram-hash-sized) rows; novelty divides two exact int64
+    * counts ONCE. At 100 TB the gram frame is the same posting list the
+    * MinHash index already materializes — a store would share it. */
+  def gramNovelty(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = documents(s, d)
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), explode(
+        graft.functions.TextKernels.wordShingles(words, 3, distinct = true))
+        .as("gram"))
+    grams
+      .withColumn("first_doc", min("doc_id").over(Window.partitionBy("gram")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------- character diversity
 
   /** Simpson character diversity — the junk screen for keyboard-mash /
@@ -1237,6 +1272,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unicode_norm" -> unicodeNorm _,
     "text_char_diversity" -> charDiversity _,
+    "text_gram_novelty" -> gramNovelty _,
     "text_tokens"      -> tokenCounts _,
     "text_token_fertility" -> tokenFertility _,
     "text_quality"     -> qualityScore _,
@@ -1271,6 +1307,24 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // list_distinct preserves the same distinct-gram SET Spark's
+    // wordShingles(distinct) builds; the first-occurrence mark is the
+    // identical window-min.
+    "text_gram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])) AS gram
+        |  FROM w WHERE len(words) >= 3
+        |), f AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM g
+        |)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT) AS n_novel,
+        |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The oracle pays the explode the Spark kernel avoids (fine at oracle
     // SF): per-char unnest → (doc, cp) counts → the same two int64
     // moments. arg_max key c·2²² − cp is collision-free (cp < 2²¹ <

@@ -350,6 +350,14 @@ class PlanSpec extends SparkSpec {
     assert(hash.exists(h => h._1.contains("event_type") && !h._1.contains("user_id")),
       s"missing the event_type window exchange: $xs")
     assert(xs.size == 3, s"rel_skew_report: expected 2 hash + result sort, got $xs")
+    // same two-exchange discipline for gram novelty: the gram-keyed
+    // first-occurrence window, the doc_id re-aggregate, the result sort.
+    val gn = shuffles("text_gram_novelty")
+    val gnHash = gn.filter(_._1.contains("hashpartitioning"))
+    assert(gnHash.size == 2 && gnHash.exists(_._1.contains("gram")) &&
+      gnHash.exists(_._1.contains("doc_id")),
+      s"text_gram_novelty: expected gram + doc_id exchanges, got $gn")
+    assert(gn.size == 3, s"text_gram_novelty: expected 2 hash + result sort, got $gn")
   }
 
   test("fuzzy-edit pairs: the block key drives every hash exchange; titles only, never text") {
