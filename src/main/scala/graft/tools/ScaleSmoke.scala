@@ -39,9 +39,17 @@ object ScaleSmoke {
   /** The most expensive bench queries — the ones whose scale claims are
     * worth a measurement (r10 adds the source-overlap self-join, the
     * priciest of the round's additions: its per-gram fan-out bound is
-    * exactly the kind of claim tiling can falsify). */
+    * exactly the kind of claim tiling can falsify; the late-r10 batch
+    * adds the substring-span miner and gram-novelty window — both gram-
+    * posting fan-outs — and the incremental near-dup probe, whose claim
+    * is specifically that per-batch cost tracks the BATCH, with the
+    * index build amortized out in the warmup exactly as a store would).
+    * Every-7th-word tile perturbation breaks all 8-gram spans across
+    * tiles (8 > 7), so substring-span output scales linearly, not
+    * quadratically — the same guard the containment tiling relies on. */
   val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
-    "dedup_containment", "sim_embed_neardup", "text_source_overlap")
+    "dedup_containment", "sim_embed_neardup", "text_source_overlap",
+    "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near")
 
   private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
