@@ -83,7 +83,7 @@ object Dedup {
     * the slot seeds fold through Spark's own XxHash64Function). Band key
     * = xxhash64 of each R-slot signature slice — byte-identical to the
     * previous column form. */
-  private def bandKeys(grams: DataFrame): DataFrame = {
+  private[graft] def bandKeys(grams: DataFrame): DataFrame = {
     val sig = grams.select(col("doc_id"),
       graft.functions.TextKernels.minhashSignature(col("grams"), NumHashes).as("sig"))
     val bandStructs = (0 until Bands).map { b =>

@@ -276,4 +276,59 @@ object StreamingIngest {
           out.result().iterator
       }
   }
+
+  /** Streaming near-dup probe — the continuous twin of
+    * [[graft.queries.Dedup.incrementalNearDup]]: documents arrive as a
+    * stream and are probed against the SAME persisted corpus artifacts
+    * (the banded MinHash posting list and the gram-id table — static
+    * frames here, bucketed tables in the store). Everything upstream of
+    * the last step is STATELESS: per-doc signatures/band keys/gram ids
+    * are narrow kernel projections (hash-identical to the batch op by
+    * kernel sharing), and both joins are stream-STATIC — no watermark
+    * bookkeeping, no join buffer; per-micro-batch cost ∝ batch size ×
+    * candidate fan-out, exactly the batch op's probe bound. The ONLY
+    * state is the final pair-dedup (a doc sharing several buckets with
+    * the same corpus doc emits one row), bounded by the watermark
+    * horizon via `dropDuplicatesWithinWatermark`.
+    *
+    * `docs` needs (doc_id, text, `eventTimeCol`); `postings` (band, bh,
+    * doc_id) and `corpusGrams` (doc_id, gram_ids) are the batch op's
+    * index frames. */
+  def nearDupProbeStream(docs: DataFrame, postings: DataFrame, corpusGrams: DataFrame,
+                         eventTimeCol: String = "event_time",
+                         watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextKernels
+    import graft.queries.Dedup
+    val words = split(col("text"), " ")
+    val grams = TextKernels.wordBigrams(words, distinct = true)
+    val g = docs.filter(size(words) >= 2)
+      .select(col("doc_id").as("new_doc"), col(eventTimeCol),
+        TextKernels.minhashSignature(grams, Dedup.NumHashes).as("sig"),
+        TextKernels.hashedSortedIds(grams).as("ids_a"))
+    val bandStructs = (0 until Dedup.Bands).map { b =>
+      val slice = (0 until Dedup.RowsPerBand)
+        .map(r => element_at(col("sig"), b * Dedup.RowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val probe = g
+      .select(col("new_doc"), col(eventTimeCol), col("ids_a"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("new_doc"), col(eventTimeCol), col("ids_a"),
+        col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = probe.join(
+      postings.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
+      Seq("band", "bh"))
+    val verified = cand.join(
+      corpusGrams.select(col("doc_id").as("corpus_doc"), col("gram_ids").as("ids_b")),
+      Seq("corpus_doc"))
+    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
+    verified
+      .select(col("new_doc"), col("corpus_doc"), col(eventTimeCol),
+        (inter.cast("double") /
+          (size(col("ids_a")) + size(col("ids_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= Dedup.Threshold)
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("new_doc", "corpus_doc")
+      .select("new_doc", "corpus_doc", "jaccard")
+  }
 }

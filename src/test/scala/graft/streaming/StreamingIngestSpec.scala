@@ -378,4 +378,43 @@ class StreamingIngestSpec extends SparkSpec {
         "tail keys leaked through or a hitter was suppressed")
     } finally q.stop()
   }
+
+  test("streaming near-dup probe equals the batch incremental op across micro-batches") {
+    import graft.queries.Dedup
+    import org.apache.spark.sql.functions.{count, lit, pmod}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.tables.Testdata.documents(spark, d)
+    // the batch op's index frames, built the same way (cap included)
+    val corpus = Dedup.gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val bands = Dedup.bandKeys(corpus)
+    val small = bands.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Dedup.MaxBucketSize).select("band", "bh")
+    val postings = bands.join(small, Seq("band", "bh"))
+    val expected = Dedup.incrementalNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture has no cross near-dup pairs")
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val stream = StreamingIngest.nearDupProbeStream(
+      input.toDF().toDF("doc_id", "text", "event_time"),
+      postings, corpus.select("doc_id", "gram_ids"))
+    val q = stream.writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text").collect()
+      val (h1, h2) = batch.splitAt(batch.length / 2)
+      val t0 = 1700000000000L
+      input.addData(h1.map(r => (r.getLong(0), r.getString(1), new Timestamp(t0))).toSeq)
+      q.processAllAvailable()
+      input.addData(h2.map(r => (r.getLong(0), r.getString(1), new Timestamp(t0 + 1000))).toSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT new_doc, corpus_doc, jaccard FROM neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, "stream drifted from the batch probe")
+    } finally q.stop()
+  }
 }
