@@ -1129,6 +1129,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Trailing-window anomaly z-score — per event, how far this spend
+    * sits from the SAME USER's last-20-events distribution: the
+    * monitoring primitive behind "alert when a key's behavior jumps",
+    * computed portably. The window moments n, Σx, Σx² are EXACT int64
+    * over cents ([[regression]]'s discipline extended to per-row
+    * windows); the z expression then evaluates a FIXED chain of
+    * correctly-rounded IEEE ops — divisions, subtraction, sqrt (exactly
+    * rounded per IEEE 754, unlike ln/exp) — in source order on both
+    * engines, so even the doubles hash-compare bit-equal. Constant
+    * windows (n·Σx² = (Σx)², an EXACT integer test, not an epsilon) emit
+    * NULL rather than a 0/0 NaN. One user_id exchange; the frame is 20
+    * rows however big the corpus. */
+  def rollingZscore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-19, 0)
+    val x = col("cents"); val n = col("n_win"); val sm = col("s_win"); val q = col("q_win")
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("cents"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("cents")).over(w).as("s_win"),
+        sum(col("cents") * col("cents")).over(w).as("q_win"))
+      .withColumn("z",
+        when(n * q - sm * sm > 0L,
+          (x.cast("double") - sm.cast("double") / n.cast("double")) /
+            sqrt((n * q - sm * sm).cast("double") / (n * n).cast("double")))
+          .otherwise(lit(null).cast("double")))
+      .select("event_id", "user_id", "cents", "n_win", "z")
+      .orderBy("event_id")
+  }
+
   /** Per-group simple linear regression (spend-cents vs hour-of-day) —
     * slope, intercept, R² per event type, the "is spend time-of-day
     * dependent" screen a feature-engineering pass runs per segment.
@@ -1370,6 +1403,7 @@ object Relational {
     "rel_event_gaps"     -> eventGaps _,
     "rel_profile"        -> profile _,
     "rel_cms_freq"       -> cmsFreq _,
+    "rel_rolling_zscore" -> rollingZscore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1969,5 +2003,26 @@ object Relational {
         |SELECT 'o_total_cents', count(*), count(o_total_cents), count(DISTINCT o_total_cents),
         |  CAST(min(o_total_cents) AS VARCHAR), CAST(max(o_total_cents) AS VARCHAR) FROM t
         |ORDER BY col_name""".stripMargin,
+    "rel_rolling_zscore" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id, user_id, cents,
+        |    count(*) OVER w AS n_win,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s_win,
+        |    CAST(sum(cents*cents) OVER w AS BIGINT) AS q_win
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, cents, n_win,
+        |  CASE WHEN n_win*q_win - s_win*s_win > 0 THEN
+        |    (CAST(cents AS DOUBLE) - CAST(s_win AS DOUBLE) / CAST(n_win AS DOUBLE))
+        |      / sqrt(CAST(n_win*q_win - s_win*s_win AS DOUBLE)
+        |             / CAST(n_win*n_win AS DOUBLE))
+        |  ELSE NULL END AS z
+        |FROM m ORDER BY event_id""".stripMargin,
   )
 }

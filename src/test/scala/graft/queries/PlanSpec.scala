@@ -329,6 +329,7 @@ class PlanSpec extends SparkSpec {
         ("rel_corr_matrix", "event_type"),
         ("rel_window_timerange", "user_id"),
         ("rel_event_gaps", "user_id"),
+        ("rel_rolling_zscore", "user_id"),
         ("text_collapse_lines", "doc_id"))) {
       val xs = shuffles(q)
       val hash = xs.filter(_._1.contains("hashpartitioning"))
