@@ -607,6 +607,46 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 
+  /** Exact-substring REMOVAL (the second half of Lee et al.'s
+    * ExactSubstr: [[substringSpans]] finds the shared spans, this
+    * dedupes them) — keep-first policy: the span copy in the LOWER
+    * doc_id ("first crawled") survives; every later doc loses exactly
+    * the covered words and keeps its residue. A doc hit by several
+    * spans loses their UNION of word positions; untouched docs pass
+    * through with n_removed = 0.
+    *
+    * Scale shape: the span frame is |shared spans| (tiny next to the
+    * corpus), so covered ranges aggregate to ONE array per affected doc
+    * and join back doc_id-keyed; the removal itself is a NARROW
+    * higher-order `filter(words, (w, i) ⇒ ¬∃ range covering i)`
+    * projection — no corpus-of-words explode, no rebuild exchange (the
+    * formulation [[dedupLines]] must pay because its unit, the line,
+    * needs a per-line corpus frequency; a span's identity is already
+    * pairwise). collect_list's nondeterministic range ORDER is
+    * harmless: ranges act as a set under the existence test. */
+  def substringResidue(s: SparkSession, d: String): DataFrame =
+    substringResidueOf(documents(s, d))
+
+  private[graft] def substringResidueOf(docs: DataFrame): DataFrame = {
+    val covered = substringSpansOf(docs)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("start_b").as("s"),
+        (col("start_b") + col("len_words") - 1).as("e"))).as("ranges"))
+    val words = split(col("text"), " ")
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), words.as("ws"),
+        coalesce(col("ranges"), array()).as("rs"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        filter(col("ws"), (_, i) =>
+          !exists(col("rs"), r => i + 1 >= r.getField("s") && i + 1 <= r.getField("e")))
+          .as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_residue"))
+      .orderBy("doc_id")
+  }
+
   // --- dedup clusters: connected components over near-dup pairs ---------
 
   /** Round cap for [[connectedComponents]] — alternating star rounds halve
@@ -1202,6 +1242,7 @@ object Dedup {
     "dedup_incremental"    -> incrementalNew _,
     "dedup_incremental_near" -> incrementalNearDup _,
     "dedup_substring_spans" -> substringSpans _,
+    "dedup_substring_residue" -> substringResidue _,
   )
 
   /** The brute-force transitive-closure ground truth (gram sets → exact
@@ -1541,6 +1582,48 @@ object Dedup {
         |  CAST(count(*) + 7 AS BIGINT) AS len_words
         |FROM r GROUP BY doc_a, doc_b, diag, run
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    // Spans CTE identical to dedup_substring_spans; removal = the same
+    // keep-first union-of-ranges filter, as a per-doc list comprehension.
+    "dedup_substring_residue" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, unnest(
+        |    [{'pos': i, 'h': md5(array_to_string(words[i:i+7], ' '))}
+        |     for i in range(1, len(words)-6)], recursive := true)
+        |  FROM w WHERE len(words) >= 8
+        |), kept AS (
+        |  SELECT doc_id, pos, h FROM g0
+        |  WHERE h IN (SELECT h FROM g0 GROUP BY h HAVING count(*) <= 50)
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), r AS (
+        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |    pa - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS run
+        |  FROM m
+        |), spans AS (
+        |  SELECT doc_b, min(pb) AS start_b, count(*) + 7 AS len_words
+        |  FROM r GROUP BY doc_a, doc_b, diag, run
+        |), cov AS (
+        |  SELECT doc_b AS doc_id,
+        |    list({'s': start_b, 'e': start_b + len_words - 1}) AS ranges
+        |  FROM spans GROUP BY doc_b
+        |), d AS (
+        |  SELECT w.doc_id, w.words,
+        |    coalesce(cov.ranges, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS rs
+        |  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+        |), f AS (
+        |  SELECT doc_id, words,
+        |    [words[i] for i in range(1, len(words)+1)
+        |     if len(list_filter(rs, r -> i >= r.s AND i <= r.e)) = 0] AS keptw
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(words) - len(keptw) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(keptw, ' '), '') AS text_residue
+        |FROM f ORDER BY doc_id""".stripMargin,
     // Ground truth for the component labels: brute-force pairs (as above),
     // then transitive closure by recursive CTE — `rep` = min node reachable
     // from each node. Exact, so the driver compares at full strictness:

@@ -580,4 +580,27 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet ==
       Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
   }
+
+  test("substringResidue: keep-first policy, union of ranges, untouched docs pass through") {
+    def doc(id: Long, ws: Seq[String]) = (id, ws.mkString(" "))
+    val common10 = (1 to 10).map(i => s"c$i")
+    val end8 = (1 to 8).map(i => s"e$i")
+    val docs = Seq(
+      doc(1, (1 to 5).map(i => s"a$i") ++ common10 ++ (1 to 5).map(i => s"z$i")),
+      doc(2, common10 ++ (1 to 12).map(i => s"y$i")),
+      doc(3, (1 to 10).map(i => s"q$i") ++ end8),
+      doc(4, end8 ++ (1 to 10).map(i => s"r$i")),
+      doc(5, end8 ++ Seq("f1", "f2", "f3", "f4") ++ end8)
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringResidueOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 and 3 are always the lower id of their pairs — untouched
+    assert(out(1L)._2 == 0L && out(3L)._2 == 0L)
+    // doc 2 loses the 10-word shared prefix, keeps its y-tail
+    assert(out(2L) == ((22L, 10L, (1 to 12).map(i => s"y$i").mkString(" "))))
+    // doc 4 loses the e-span at its start
+    assert(out(4L) == ((18L, 8L, (1 to 10).map(i => s"r$i").mkString(" "))))
+    // doc 5 loses BOTH e-copies (union of two ranges), keeps the filler
+    assert(out(5L) == ((20L, 16L, "f1 f2 f3 f4")))
+  }
 }
