@@ -1162,6 +1162,57 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Median absolute deviation per group — the robust spread the IQR
+    * outlier gate ([[outliers]]) and the z-score ([[rollingZscore]])
+    * both lean on when distributions are heavy-tailed: MAD ignores 50%
+    * contamination where stddev breaks at one wild point. Cross-engine
+    * safety: medians only INTERPOLATE two order statistics (no
+    * accumulation order to diverge, unlike FP sums) — cents are exact
+    * ints, med is lo+(hi−lo)·0.5 over int-valued doubles, each |x−med|
+    * is one IEEE subtraction of identical inputs, and the second median
+    * re-sorts that identical multiset: every double matches bit-for-bit.
+    * Shape: two aggregates over ONE event_type partitioning (the med
+    * join-back is a broadcast of |types| rows). */
+  def madSpread(s: SparkSession, d: String): DataFrame = {
+    val cents = events(s, d).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = cents.groupBy("event_type")
+      .agg(percentile(col("cents"), lit(0.5)).as("med_cents"),
+        count(lit(1)).as("n"))
+    cents.join(broadcast(med), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first(col("med_cents")).as("med_cents"), first(col("n")).as("n"),
+        percentile(abs(col("cents").cast("double") - col("med_cents")), lit(0.5))
+          .as("mad_cents"))
+      .select("event_type", "n", "med_cents", "mad_cents")
+      .orderBy("event_type")
+  }
+
+  /** Event-type co-occurrence (audience overlap) matrix — for every
+    * type pair, how many users did BOTH: the cross-sell / funnel-design
+    * screen. Distinct (type, user) pairs first (map-side combinable, the
+    * frame drops to |types|·|users| at most), then a self-join keyed on
+    * user — the pair fan-out per user is |types-per-user|² ≤ |types|²,
+    * a constant, so the join never goes quadratic in the corpus. Also
+    * emits each side's audience size and the Jaccard overlap (two exact
+    * int64 counts, ONE division). */
+  def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val tu = events(s, d).select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val pairs = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Per-group simple linear regression (spend-cents vs hour-of-day) —
     * slope, intercept, R² per event type, the "is spend time-of-day
     * dependent" screen a feature-engineering pass runs per segment.
@@ -1404,6 +1455,8 @@ object Relational {
     "rel_profile"        -> profile _,
     "rel_cms_freq"       -> cmsFreq _,
     "rel_rolling_zscore" -> rollingZscore _,
+    "rel_mad"            -> madSpread _,
+    "rel_cooccurrence"   -> cooccurrence _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2024,5 +2077,33 @@ object Relational {
         |             / CAST(n_win*n_win AS DOUBLE))
         |  ELSE NULL END AS z
         |FROM m ORDER BY event_id""".stripMargin,
+    "rel_mad" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+        |), med AS (
+        |  SELECT event_type, median(cents) AS med_cents, count(*) AS n
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT c.event_type, any_value(med.n) AS n,
+        |  any_value(med.med_cents) AS med_cents,
+        |  median(abs(CAST(c.cents AS DOUBLE) - med.med_cents)) AS mad_cents
+        |FROM c JOIN med ON c.event_type = med.event_type
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    "rel_cooccurrence" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), sz AS (
+        |  SELECT event_type, count(*) AS n_users FROM tu GROUP BY event_type
+        |), p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE) AS jaccard
+        |FROM p JOIN sz sa ON p.type_a = sa.event_type
+        |       JOIN sz sb ON p.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

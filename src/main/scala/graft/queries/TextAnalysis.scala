@@ -1163,6 +1163,37 @@ object TextAnalysis {
         (col("total_chars").cast("double") / col("n_docs")).as("mean_chars"))
       .orderBy("source")
 
+  // ---------------------------------------------------- feature hashing
+
+  /** Hashing-trick modulus/width — the Karp-Rabin discipline of
+    * [[graft.functions.TextKernels.WinnowMod]]: every intermediate
+    * `acc·256 + c` stays < 2.6e11, exact int64 in any engine. */
+  val HashFeatDim = 1024
+
+  /** Feature-hashing (hashing-trick) bag-of-words — the fixed-width
+    * vectorizer for linear probes/classifiers over text: no vocabulary
+    * to build, ship, or grow stale; `idx = polyhash(word) mod
+    * [[HashFeatDim]]`. The hash is a Karp-Rabin polynomial over code
+    * points — NOT xxhash/md5-to-int — because it is the one hash BOTH
+    * engines express in plain exact-int SQL arithmetic, so the oracle
+    * pins every bucket id bit-for-bit. Long-format output (doc, idx,
+    * count): flat rows sidestep engine-specific array hashing and feed
+    * the downstream join/agg ops directly. One (doc, idx) exchange;
+    * hashing itself is a narrow higher-order projection (transform +
+    * aggregate lambdas — codegen'd builtins, no UDF). */
+  def hashFeatures(s: SparkSession, d: String): DataFrame = {
+    val M = graft.functions.TextKernels.WinnowMod
+    def polyHash(word: Column): Column =
+      aggregate(filter(split(word, ""), c => length(c) === 1),
+        lit(0L), (acc, ch) => pmod(acc * 256L + ascii(ch), lit(M)))
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), pmod(polyHash(col("word")), lit(HashFeatDim.toLong)).as("feat_idx"))
+      .groupBy("doc_id", "feat_idx")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "feat_idx")
+  }
+
   // ----------------------------------------------------- n-gram novelty
 
   /** Arrival-order n-gram novelty — per doc, the fraction of its
@@ -1273,6 +1304,7 @@ object TextAnalysis {
     "text_unicode_norm" -> unicodeNorm _,
     "text_char_diversity" -> charDiversity _,
     "text_gram_novelty" -> gramNovelty _,
+    "text_hash_features" -> hashFeatures _,
     "text_tokens"      -> tokenCounts _,
     "text_token_fertility" -> tokenFertility _,
     "text_quality"     -> qualityScore _,
@@ -1307,6 +1339,24 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Identical Karp-Rabin fold: acc·256 + codepoint mod 1e9+7, seeded 0
+    // via list_prepend (DuckDB's list_reduce has no init parameter).
+    "text_hash_features" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(words) AS word FROM w
+        |), h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(word[i]) AS BIGINT) for i in range(1, len(word)+1)]),
+        |      (acc, c) -> (acc * 256 + c) % 1000000007) % 1024 AS feat_idx
+        |  FROM x
+        |)
+        |SELECT doc_id, feat_idx, count(*) AS cnt
+        |FROM h GROUP BY doc_id, feat_idx
+        |ORDER BY doc_id, feat_idx""".stripMargin,
     // list_distinct preserves the same distinct-gram SET Spark's
     // wordShingles(distinct) builds; the first-occurrence mark is the
     // identical window-min.
