@@ -1162,6 +1162,32 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Day-over-day spend delta per user — the period-over-period growth
+    * report: per (user, day) exact-cents rollup, then each day compared
+    * to the SAME user's previous ACTIVE day (lag, not calendar join —
+    * gaps compare to the last observed period, the convention growth
+    * dashboards use). pct_change divides two exact int64s ONCE and only
+    * where the base is non-zero; first periods emit NULL delta rather
+    * than fabricated zeros. Day bucketing uses [[timeBucket]]'s
+    * pmod-adjusted floor div (exact for any epoch sign).
+    * One user_id exchange shared by the rollup and the lag window. */
+  def periodDelta(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("day")
+    events(s, d)
+      .select(col("user_id"),
+        expr(s"(unix_micros(cast(ts as timestamp)) - pmod(unix_micros(cast(ts as timestamp)), $dayUs)) div $dayUs").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "day")
+      .agg(sum("cents").as("day_cents"), count(lit(1)).as("n_events"))
+      .withColumn("prev_cents", lag(col("day_cents"), 1).over(w))
+      .withColumn("delta_cents", col("day_cents") - col("prev_cents"))
+      .withColumn("pct_change",
+        when(col("prev_cents") =!= 0L,
+          col("delta_cents").cast("double") / col("prev_cents").cast("double")))
+      .orderBy("user_id", "day")
+  }
+
   /** Median absolute deviation per group — the robust spread the IQR
     * outlier gate ([[outliers]]) and the z-score ([[rollingZscore]])
     * both lean on when distributions are heavy-tailed: MAD ignores 50%
@@ -1457,6 +1483,7 @@ object Relational {
     "rel_rolling_zscore" -> rollingZscore _,
     "rel_mad"            -> madSpread _,
     "rel_cooccurrence"   -> cooccurrence _,
+    "rel_period_delta"   -> periodDelta _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2105,5 +2132,27 @@ object Relational {
         |FROM p JOIN sz sa ON p.type_a = sa.event_type
         |       JOIN sz sb ON p.type_b = sb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    "rel_period_delta" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP))
+        |      - (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)) // 86400000000 AS day,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS day_cents,
+        |    count(*) AS n_events
+        |  FROM e GROUP BY user_id, day
+        |), l AS (
+        |  SELECT user_id, day, day_cents, n_events,
+        |    lag(day_cents) OVER (PARTITION BY user_id ORDER BY day) AS prev_cents
+        |  FROM r
+        |)
+        |SELECT user_id, day, day_cents, n_events, prev_cents,
+        |  day_cents - prev_cents AS delta_cents,
+        |  CASE WHEN prev_cents <> 0 THEN
+        |    CAST(day_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+        |  END AS pct_change
+        |FROM l ORDER BY user_id, day""".stripMargin,
   )
 }
