@@ -1162,6 +1162,39 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Declarative data-quality expectations (the Deequ-style contract
+    * gate run before a table enters the pipeline; [[profile]] DESCRIBES
+    * a table, this one JUDGES it): five checks over orders — not-null
+    * key, positive amount, status domain, key uniqueness, and the
+    * customer FK — evaluated as ONE aggregation pass of conditional
+    * sums (uniqueness = rows − distinct, same pass) plus ONE anti-join
+    * for the referential check (the only expectation that inherently
+    * needs a second relation). Long-format (check, n_violations,
+    * n_checked) report: constant schema however many checks, zero rows
+    * scanned twice, and the report is |checks| rows — the shape a
+    * scheduler gates on ("fail the batch when any n_violations > 0"). */
+  def expectations(s: SparkSession, d: String): DataFrame =
+    expectationsOf(orders(s, d), customer(s, d))
+
+  private[graft] def expectationsOf(o: DataFrame, c: DataFrame): DataFrame = {
+    val base = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_total"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"))
+    val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_custkey"))
+    base.crossJoin(fk)
+      .select(explode(array(
+        Seq("bad_status", "dup_orderkey", "nonpositive_total",
+          "null_custkey", "orphan_custkey").map(k =>
+          struct(lit(k).as("check"), col(k).as("n_violations"),
+            col("n_rows").as("n_checked"))): _*)).as("r"))
+      .select("r.*")
+      .orderBy("check")
+  }
+
   /** Day-over-day spend delta per user — the period-over-period growth
     * report: per (user, day) exact-cents rollup, then each day compared
     * to the SAME user's previous ACTIVE day (lag, not calendar join —
@@ -1484,6 +1517,7 @@ object Relational {
     "rel_mad"            -> madSpread _,
     "rel_cooccurrence"   -> cooccurrence _,
     "rel_period_delta"   -> periodDelta _,
+    "rel_expectations"   -> expectations _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2154,5 +2188,27 @@ object Relational {
         |    CAST(day_cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
         |  END AS pct_change
         |FROM l ORDER BY user_id, day""".stripMargin,
+    "rel_expectations" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_total,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+        |  FROM orders
+        |), f AS (
+        |  -- IS NULL arm matches Spark left_anti semantics (a null key
+        |  -- never joins, so the anti side KEEPS it); NOT IN alone would
+        |  -- drop it through three-valued logic
+        |  SELECT count(*) AS orphan_custkey FROM orders
+        |  WHERE o_custkey IS NULL
+        |     OR o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        |)
+        |SELECT 'bad_status' AS "check", bad_status AS n_violations, n_rows AS n_checked FROM b
+        |UNION ALL SELECT 'dup_orderkey', dup_orderkey, n_rows FROM b
+        |UNION ALL SELECT 'nonpositive_total', nonpositive_total, n_rows FROM b
+        |UNION ALL SELECT 'null_custkey', null_custkey, n_rows FROM b
+        |UNION ALL SELECT 'orphan_custkey', orphan_custkey, n_rows FROM b, f
+        |ORDER BY "check"""".stripMargin,
   )
 }

@@ -432,6 +432,27 @@ class ShapeOpsSpec extends SparkSpec {
     assert(slab == n, "x-sort slab spans the whole y domain — nothing to prune")
   }
 
+  // ------------------------------------------------------ expectations
+
+  test("expectations: every check counts exactly its engineered violations") {
+    val orders = Seq(
+      (1L, Option(10L), 100.0, "O"),   // clean
+      (2L, Option(10L), -5.0, "F"),    // nonpositive total
+      (2L, Option(20L), 50.0, "P"),    // duplicate orderkey
+      (3L, None: Option[Long], 10.0, "O"), // null custkey -> also orphan (anti-join keeps null keys)
+      (4L, Option(99L), 10.0, "X")     // bad status + orphan custkey (99 not a customer)
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val customer = Seq(10L, 20L).toDF("c_custkey")
+    val got = Relational.expectationsOf(orders, customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "bad_status" -> ((1L, 5L)),
+      "dup_orderkey" -> ((1L, 5L)),
+      "nonpositive_total" -> ((1L, 5L)),
+      "null_custkey" -> ((1L, 5L)),
+      "orphan_custkey" -> ((2L, 5L))))
+  }
+
   // ------------------------------------------------------- skew report
 
   test("skewReport: uniform keys gini 0, one hot key matches hand-computed gini/top_share") {
