@@ -1167,25 +1167,35 @@ object Relational {
     * a table, this one JUDGES it): five checks over orders — not-null
     * key, positive amount, status domain, key uniqueness, and the
     * customer FK — evaluated as ONE aggregation pass of conditional
-    * sums (uniqueness = rows − distinct, same pass) plus ONE anti-join
-    * for the referential check (the only expectation that inherently
-    * needs a second relation). Long-format (check, n_violations,
-    * n_checked) report: constant schema however many checks, zero rows
-    * scanned twice, and the report is |checks| rows — the shape a
-    * scheduler gates on ("fail the batch when any n_violations > 0"). */
+    * sums (uniqueness = rows − distinct, same pass) INCLUDING the
+    * referential check: a broadcast left join against the distinct
+    * customer keys marks each order row matched/orphaned, so the FK
+    * violation count is just one more conditional sum in the same
+    * aggregate — one scan of orders, no second aggregate frame, and no
+    * 1-row×1-row cross join for the summary stitch (which would plan as
+    * the BroadcastNestedLoopJoin the PlanSpec gate forbids). A null
+    * o_custkey never matches, so it lands in the orphan count — the
+    * left_anti/NOT-IN-with-IS-NULL semantics the oracle mirrors. At
+    * 100 TB the distinct-key dim side is the same broadcast an
+    * anti-join formulation would have built. Long-format (check,
+    * n_violations, n_checked) report: constant schema however many
+    * checks, zero rows scanned twice, and the report is |checks| rows —
+    * the shape a scheduler gates on ("fail the batch when any
+    * n_violations > 0"). */
   def expectations(s: SparkSession, d: String): DataFrame =
     expectationsOf(orders(s, d), customer(s, d))
 
   private[graft] def expectationsOf(o: DataFrame, c: DataFrame): DataFrame = {
-    val base = o.agg(
-      count(lit(1)).as("n_rows"),
-      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
-      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_total"),
-      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
-      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"))
-    val fk = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("orphan_custkey"))
-    base.crossJoin(fk)
+    val cKeys = c.select(col("c_custkey").as("fk_key")).distinct()
+    val base = o.join(broadcast(cKeys), col("o_custkey") === col("fk_key"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_total"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"),
+        sum(when(col("fk_key").isNull, 1L).otherwise(0L)).as("orphan_custkey"))
+    base
       .select(explode(array(
         Seq("bad_status", "dup_orderkey", "nonpositive_total",
           "null_custkey", "orphan_custkey").map(k =>
