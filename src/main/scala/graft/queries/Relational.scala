@@ -1166,42 +1166,99 @@ object Relational {
     * gate run before a table enters the pipeline; [[profile]] DESCRIBES
     * a table, this one JUDGES it): five checks over orders — not-null
     * key, positive amount, status domain, key uniqueness, and the
-    * customer FK — evaluated as ONE aggregation pass of conditional
-    * sums (uniqueness = rows − distinct, same pass) INCLUDING the
-    * referential check: a broadcast left join against the distinct
-    * customer keys marks each order row matched/orphaned, so the FK
-    * violation count is just one more conditional sum in the same
-    * aggregate — one scan of orders, no second aggregate frame, and no
-    * 1-row×1-row cross join for the summary stitch (which would plan as
-    * the BroadcastNestedLoopJoin the PlanSpec gate forbids). A null
-    * o_custkey never matches, so it lands in the orphan count — the
-    * left_anti/NOT-IN-with-IS-NULL semantics the oracle mirrors. At
-    * 100 TB the distinct-key dim side is the same broadcast an
-    * anti-join formulation would have built. Long-format (check,
-    * n_violations, n_checked) report: constant schema however many
-    * checks, zero rows scanned twice, and the report is |checks| rows —
-    * the shape a scheduler gates on ("fail the batch when any
-    * n_violations > 0"). */
-  def expectations(s: SparkSession, d: String): DataFrame =
-    expectationsOf(orders(s, d), customer(s, d))
+    * customer FK — as ONE full aggregation pass over orders plus a
+    * key-column-pruned FK-verify sliver.
+    *
+    * The FK check is the scale decision. The r10 form forced
+    * `broadcast(distinct customer keys)` — correct and fast at sf0.1,
+    * but the dim GROWS with the corpus, so at 100× the hint ships tens
+    * of GB to every executor or OOMs the driver (the r9 `dedup_lines`
+    * bug class). Reformulated with the repo's own Bloom-literal +
+    * exact-verify pattern ([[graft.queries.Dedup.incrementalNew]]):
+    *  - the distinct-key dim collapses into a fixed-budget Bloom filter
+    *    literal (~1.2 MB per 1M keys at 1% fpp; shard by key range past
+    *    broadcast size) that rides into the orders scan — built once per
+    *    (session, dir) like a store artifact kept next to the dim;
+    *  - the main pass computes the four key-local checks (uniqueness =
+    *    rows − distinct, same pass) plus the DEFINITE orphans: non-null
+    *    keys the filter disclaims (Bloom has no false negatives), which
+    *    therefore never enter any exchange;
+    *  - only might-contain keys pay exact verification, at KEY
+    *    granularity: a map-side-combinable per-key count (the exchange
+    *    carries |distinct keys| entries, never fact rows) anti-joined
+    *    against the true key set strips the fpp·|keys| false positives.
+    *    No broadcast hint anywhere — AQE picks the strategy, and the
+    *    plan still builds with the broadcast threshold disabled
+    *    (PlanSpec-gated).
+    * A null o_custkey probes nothing and lands straight in the orphan
+    * count — the left_anti/NOT-IN-with-IS-NULL semantics the oracle
+    * mirrors. The two tiny result frames stitch by UNION + a 6-row
+    * re-aggregate, not a 1-row×1-row join: a literal-key equi-join
+    * constant-folds into the BroadcastNestedLoopJoin the PlanSpec gate
+    * forbids. Long-format (check, n_violations, n_checked) report:
+    * constant schema however many checks, |checks| rows out — the shape
+    * a scheduler gates on ("fail the batch when any n_violations > 0"). */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    val bloom = FrameCache.cachedValue(s, s"expectations-fk-bloom:$d") {
+      fkBloom(customer(s, d).select(col("c_custkey").as("fk_key")))
+    }
+    expectationsOf(orders(s, d), customer(s, d), Some(bloom))
+  }
 
-  private[graft] def expectationsOf(o: DataFrame, c: DataFrame): DataFrame = {
+  /** Bloom filter over the distinct FK dim keys (probe key: xxhash64 of
+    * the int64) — [[graft.queries.Dedup.bannedBloom]]'s shape for the
+    * referential-check dim side. */
+  private[graft] def fkBloom(keys: DataFrame): Array[Byte] = {
+    val keyed = keys.filter(col("fk_key").isNotNull).distinct()
+      .select(xxhash64(col("fk_key")).as("hl"))
+    val n = keyed.count()
+    val bf =
+      if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, Dedup.BloomFpp)
+      else keyed.stat.bloomFilter("hl", n, Dedup.BloomFpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  private[graft] def expectationsOf(o: DataFrame, c: DataFrame,
+                                    prebuiltBloom: Option[Array[Byte]] = None): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnInterop
     val cKeys = c.select(col("c_custkey").as("fk_key")).distinct()
-    val base = o.join(broadcast(cKeys), col("o_custkey") === col("fk_key"), "left")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
-        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_total"),
-        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
-        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"),
-        sum(when(col("fk_key").isNull, 1L).otherwise(0L)).as("orphan_custkey"))
-    base
+    val bloomBytes = prebuiltBloom.getOrElse(fkBloom(cKeys))
+    val mightContain = ColumnInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnInterop.expression(xxhash64(col("o_custkey")))))
+    // full pass: key-local checks + definite (Bloom-disclaimed) orphans
+    val base = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("nonpositive_total"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("bad_status"),
+      (count(lit(1)) - count_distinct(col("o_orderkey"))).as("dup_orderkey"),
+      sum(when(col("o_custkey").isNotNull && !mightContain, 1L).otherwise(0L))
+        .as("bloom_miss"))
       .select(explode(array(
-        Seq("bad_status", "dup_orderkey", "nonpositive_total",
-          "null_custkey", "orphan_custkey").map(k =>
-          struct(lit(k).as("check"), col(k).as("n_violations"),
-            col("n_rows").as("n_checked"))): _*)).as("r"))
+        struct(lit("bad_status").as("check"), col("bad_status").as("n_violations"),
+          col("n_rows").as("n_checked")),
+        struct(lit("dup_orderkey"), col("dup_orderkey"), col("n_rows")),
+        struct(lit("nonpositive_total"), col("nonpositive_total"), col("n_rows")),
+        struct(lit("null_custkey"), col("null_custkey"), col("n_rows")),
+        struct(lit("orphan_custkey"),
+          col("null_custkey") + col("bloom_miss"), col("n_rows")))).as("r"))
       .select("r.*")
+    // FK-verify sliver (scan pruned to o_custkey): exact false-positive
+    // strip over the might-contain DISTINCT keys' row counts
+    val fp = o.filter(col("o_custkey").isNotNull && mightContain)
+      .groupBy("o_custkey").agg(count(lit(1)).as("key_rows"))
+      .join(cKeys, col("o_custkey") === col("fk_key"), "left_anti")
+      .agg(coalesce(sum(col("key_rows")), lit(0L)).as("n_violations"))
+      .select(lit("orphan_custkey").as("check"), col("n_violations"),
+        lit(0L).as("n_checked"))
+    base.unionByName(fp)
+      .groupBy("check")
+      .agg(sum("n_violations").as("n_violations"), max("n_checked").as("n_checked"))
       .orderBy("check")
   }
 
