@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +47,21 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Fail LOUDLY on any query error (ADVICE r11): a query that throws at
+    // analysis time writes no parquet and would otherwise just be ABSENT
+    // from the driver's correctness report — absence reads as "not
+    // registered", not "broken". The manifest names every failure so a
+    // regression can never slip through as a missing key, and the summary
+    // line is the last stderr output for the driver's capture tail.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    System.err.println(
+      s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED" +
+        (if (failures.isEmpty) "" else s": ${failures.keys.mkString(",")}"))
+    // Exit 0 even on failures: the driver must still run the DuckDB
+    // compare over the queries that DID dump — the manifest + stderr
+    // line carry the failure signal without zeroing the whole round.
     spark.stop()
   }
 }

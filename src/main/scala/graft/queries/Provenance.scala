@@ -181,7 +181,17 @@ object Provenance {
 
   /** The canon rules over an existing (doc_id, url) frame — split out so
     * specs can feed adversarial URLs directly. */
-  private[graft] def canonicalized(withUrl: DataFrame): DataFrame = {
+  private[graft] def canonicalized(withUrl: DataFrame): DataFrame =
+    canonFrame(withUrl)
+      .select("doc_id", "url", "canon", "n_dropped")
+      .orderBy("doc_id")
+
+  /** Unsorted canon core: appends `canon` + `n_dropped` to whatever
+    * columns ride in (a narrow per-row projection — no exchange), so
+    * composers like [[urlDedup]] can group straight on `canon` without a
+    * join-back for their payload columns or paying [[canonicalized]]'s
+    * harness sort. */
+  private[graft] def canonFrame(withUrl: DataFrame): DataFrame = {
     val nofrag = regexp_replace(col("url"), "#.*$", "")
     withUrl
       .withColumn("base", regexp_extract(nofrag, "^([^?]*)", 1))
@@ -196,20 +206,88 @@ object Provenance {
       .withColumn("params_all", filter(split(col("qs"), "&"), p => p =!= ""))
       .withColumn("params",
         array_sort(filter(col("params_all"), p => !p.rlike("^utm_"))))
-      .select(col("doc_id"), col("url"),
+      .withColumn("canon",
         concat(col("scheme"), lit("://"), col("auth_c"), col("path"),
           when(size(col("params")) > 0,
-            concat(lit("?"), array_join(col("params"), "&"))).otherwise(lit("")))
-          .as("canon"),
-        (size(col("params_all")) - size(col("params"))).cast("long").as("n_dropped"))
-      .orderBy("doc_id")
+            concat(lit("?"), array_join(col("params"), "&"))).otherwise(lit(""))))
+      .withColumn("n_dropped",
+        (size(col("params_all")) - size(col("params"))).cast("long"))
+      .drop("base", "qs", "scheme", "auth", "path", "auth_c", "params_all", "params")
   }
+
+  /** Distinct logical pages for [[urlDedup]]'s synthetic crawl: docs
+    * sharing `doc_id mod UrlPageMod` are the SAME page fetched under
+    * different messy spellings (≈2–3 fetches per page at sf0.01). */
+  private[graft] val UrlPageMod = 200
+
+  /** A messy re-crawl URL whose IDENTITY comes from `page` and whose
+    * NOISE comes from `docId` — every noise dial is one the canon rules
+    * erase (scheme/host case, the scheme's own default port, `utm_*`
+    * params, param order, fragments), so all spellings of a page
+    * canonicalize to the one string
+    * `scheme://site-K.tld/p/doc-N.html?a=N`. Dials that would CHANGE
+    * identity (non-default ports, non-utm params, the path) are functions
+    * of `page` only — [[dupMessyUrlOf]] never fabricates a collision the
+    * canon rules shouldn't collapse. */
+  private[graft] def dupMessyUrlOf(docId: Column, page: Column): Column = {
+    val schemeBase = when(pmod(page, lit(2)) === 0, lit("https")).otherwise(lit("http"))
+    val scheme = when(pmod(docId, lit(5)) === 0, upper(schemeBase)).otherwise(schemeBase)
+    val hostBase = concat(lit("site-"), pmod(page, lit(7)), lit("."),
+      element_at(array(lit("com"), lit("org"), lit("net")),
+        (pmod(page, lit(3)) + 1).cast("int")))
+    val host = when(pmod(docId, lit(7)) < 3, upper(hostBase)).otherwise(hostBase)
+    val port = when(pmod(docId, lit(3)) === 0,
+      when(pmod(page, lit(2)) === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val qs = when(pmod(docId, lit(2)) === 0,
+      concat(lit("?a="), page, lit("&utm_source=feed")))
+      .otherwise(concat(lit("?utm_campaign=x&a="), page))
+    val frag = when(pmod(docId, lit(4)) === 0, lit("#sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, lit("/p/doc-"), page, lit(".html"), qs, frag)
+  }
+
+  /** URL-level dedup — the FIRST dedup stage a crawl pipeline runs,
+    * before any content pass touches text (VERDICT r10 item 3): group by
+    * canonical URL, keep the best fetch per page. Survivor policy is
+    * [[graft.queries.Dedup.keepBest]]'s exact int64 argmax (max
+    * `n_chars`, ties to min `doc_id` via `n_chars·2³² − doc_id` under
+    * `max_by` — no float score, no struct comparator), absorbed mass is
+    * the group count. Output is ONE row per canonical URL — |pages|
+    * rows, not |fetches|.
+    *
+    * Scale shape: the canon derivation is a narrow per-row regex
+    * projection riding the scan ([[canonFrame]] — no join-back for
+    * `n_chars`, it never leaves the row), so the whole operator moves
+    * exactly one hash exchange, on `canon`, whose count/max_by partials
+    * combine map-side. Document text never enters any exchange; at
+    * 100 TB the shuffled bytes are |fetches|·(canon,int64,int64). The
+    * oracle derives the canonical string INDEPENDENTLY (straight from
+    * page arithmetic, no canon chain), so a mis-normalization in any
+    * canon rule surfaces as a survivor/count/canon hash mismatch. */
+  def urlDedup(s: SparkSession, d: String): DataFrame =
+    urlDedupOf(documents(s, d))
+
+  private[graft] def urlDedupOf(docs: DataFrame): DataFrame =
+    urlDedupFrom(docs.select(col("doc_id"), col("n_chars"),
+      dupMessyUrlOf(col("doc_id"), pmod(col("doc_id"), lit(UrlPageMod))).as("url")))
+
+  /** The dedup over an explicit (doc_id, n_chars, url) frame — specs feed
+    * adversarial URL groups directly. */
+  private[graft] def urlDedupFrom(withUrl: DataFrame): DataFrame =
+    canonFrame(withUrl)
+      .groupBy("canon")
+      .agg(
+        max_by(col("doc_id"), col("n_chars") * lit(4294967296L) - col("doc_id"))
+          .as("survivor_id"),
+        count(lit(1)).as("n_dups"))
+      .orderBy("canon")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
     "text_domain_cap" -> domainCap _,
     "text_snapshot_diff" -> snapshotDiff _,
     "text_url_canon" -> urlCanon _,
+    "dedup_url" -> urlDedup _,
   )
 
   /** Shared oracle CTE — the identical URL synthesis + extraction in
@@ -313,5 +391,25 @@ object Provenance {
         |  COALESCE(b.sha_b, '') AS sha_b
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Independent derivation: the oracle computes each page's canonical
+    // string straight from the page arithmetic — it never runs the messy
+    // synthesis or the canon chain — so any canon rule mis-normalizing
+    // (case kept, wrong port stripped, utm survivor, unsorted params)
+    // diverges the canon/survivor/count hash.
+    "dedup_url" ->
+      """WITH pg AS (
+        |  SELECT doc_id, n_chars, doc_id % 200 AS page FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_chars, concat(
+        |    CASE WHEN page % 2 = 0 THEN 'https' ELSE 'http' END,
+        |    '://site-', page % 7, '.',
+        |    ['com','org','net'][CAST(page % 3 AS INT) + 1],
+        |    '/p/doc-', page, '.html?a=', page) AS canon
+        |  FROM pg
+        |)
+        |SELECT canon,
+        |  arg_max(doc_id, n_chars * 4294967296 - doc_id) AS survivor_id,
+        |  COUNT(*) AS n_dups
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
   )
 }

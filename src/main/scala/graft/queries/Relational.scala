@@ -1199,6 +1199,15 @@ object Relational {
     * constant schema however many checks, |checks| rows out — the shape
     * a scheduler gates on ("fail the batch when any n_violations > 0"). */
   def expectations(s: SparkSession, d: String): DataFrame = {
+    // Staleness contract (ADVICE r11): the Bloom is cached per (session,
+    // dir) for the SESSION's lifetime, like the incrementalNew/dedup_lines
+    // store artifacts — rewriting customer.parquet under the same dir
+    // mid-session serves a stale key set until the session is recycled.
+    // Direction of error: dim keys REMOVED after build only cost extra
+    // verify work (the live-dim anti-join still strips them), but keys
+    // ADDED after build are Bloom-disclaimed and counted as orphans
+    // without verification. Dims that churn mid-session should call
+    // expectationsOf directly with prebuiltBloom=None.
     val bloom = FrameCache.cachedValue(s, s"expectations-fk-bloom:$d") {
       fkBloom(customer(s, d).select(col("c_custkey").as("fk_key")))
     }
@@ -1240,13 +1249,21 @@ object Relational {
       sum(when(col("o_custkey").isNotNull && !mightContain, 1L).otherwise(0L))
         .as("bloom_miss"))
       .select(explode(array(
-        struct(lit("bad_status").as("check"), col("bad_status").as("n_violations"),
-          col("n_rows").as("n_checked")),
-        struct(lit("dup_orderkey"), col("dup_orderkey"), col("n_rows")),
-        struct(lit("nonpositive_total"), col("nonpositive_total"), col("n_rows")),
-        struct(lit("null_custkey"), col("null_custkey"), col("n_rows")),
-        struct(lit("orphan_custkey"),
-          col("null_custkey") + col("bloom_miss"), col("n_rows")))).as("r"))
+        // uniform Seq.map so EVERY struct aliases all three fields —
+        // array() requires identical struct types, and an unaliased
+        // struct(lit("x"), col) derives (col1, <colname>) field names
+        // that mismatch the first entry's (check, n_violations,
+        // n_checked) and fail analysis
+        (Seq(
+          "bad_status" -> col("bad_status"),
+          "dup_orderkey" -> col("dup_orderkey"),
+          "nonpositive_total" -> col("nonpositive_total"),
+          "null_custkey" -> col("null_custkey"),
+          "orphan_custkey" -> (col("null_custkey") + col("bloom_miss")))
+          .map { case (k, v) =>
+            struct(lit(k).as("check"), v.cast("long").as("n_violations"),
+              col("n_rows").as("n_checked"))
+          }): _*)).as("r"))
       .select("r.*")
     // FK-verify sliver (scan pruned to o_custkey): exact false-positive
     // strip over the might-contain DISTINCT keys' row counts

@@ -22,18 +22,28 @@ object Testdata {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the
-    * raw INT64 nanos via the legacy conf — set once in the session builders
-    * (Verify/Bench/test harness), NOT here: a table loader must not mutate
-    * session state — and convert to a micro-precision TIMESTAMP_NTZ.
-    * Integer `div` (not double division: epoch-nanos ~1.7e18 exceeds
-    * double's 2^53 exact-integer range), matching DuckDB's own
-    * nanos→micros truncation.
-    */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  /** `events.parquet`'s `ts` column has shipped in two physical forms
+    * across driver testdata generations: parquet TIMESTAMP(NANOS) — which
+    * the vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) unless the
+    * legacy `nanosAsLong` conf (set in the session builders, NOT here: a
+    * table loader must not mutate session state) surfaces it as raw INT64
+    * nanos — and plain TIMESTAMP(MICROS), which reads natively as
+    * TIMESTAMP_NTZ. Dispatch on the RESOLVED type so the same loader works
+    * against either generation: LongType means nanos-as-long and gets the
+    * integer `div 1000` truncation (not double division: epoch-nanos
+    * ~1.7e18 exceeds double's 2^53 exact-integer range, and `div` matches
+    * DuckDB's own nanos→micros truncation); any timestamp type is already
+    * micro-precision and only needs the NTZ normalization (a no-op cast
+    * when the reader already produced TIMESTAMP_NTZ). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+      case _ => org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

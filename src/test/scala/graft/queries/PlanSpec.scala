@@ -259,6 +259,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), "dedup_incremental: exact FP-removal anti-join missing")
   }
 
+  test("expectations: FK dim side never forces a broadcast (plan builds with the threshold disabled)") {
+    // The r10 form hinted `broadcast(distinct customer keys)` — a dim that
+    // GROWS with the corpus, so the hint is a 100 TB scale-killer (VERDICT
+    // r10). The Bloom-literal + exact-verify reformulation must leave the
+    // join strategy to the planner: with autoBroadcastJoinThreshold=-1 the
+    // plan must still build (no unconditional hint) and must contain NO
+    // BroadcastExchange at all — the FK evidence rides the scan as a Bloom
+    // literal (`might_contain`), and the FP-strip anti-join degrades to a
+    // shuffled join like any other right-sized join would.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = formatted("rel_expectations")
+      assert(plan.contains("might_contain"),
+        "rel_expectations: Bloom FK probe missing from the plan")
+      assert(plan.contains("LeftAnti"),
+        "rel_expectations: exact FP-strip anti-join missing")
+      assert(!plan.contains("BroadcastExchange"),
+        s"rel_expectations: a broadcast survives threshold=-1 — a hint forces it:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // the kernel-heavy queries must keep at least one codegen span; zero
     // spans means something non-codegen (UDF/interpreted expr) broke the

@@ -96,6 +96,32 @@ class ProvenanceSpec extends SparkSpec {
     assert(out(5L)._1 == "https://ex.com:8443/p")
   }
 
+  test("urlDedup: canon-invariant variants collapse to one survivor; identity changes don't") {
+    import spark.implicits._
+    val fetches = Seq(
+      // one page, four canon-invariant spellings -> ONE row; survivor is
+      // the longest fetch (doc 12, 900 chars), not the oldest id
+      (10L, 300L, "https://Site.com:443/p.html?a=1&utm_source=feed"),
+      (11L, 300L, "HTTPS://site.com/p.html?utm_campaign=x&a=1"),
+      (12L, 900L, "https://SITE.COM/p.html?a=1#frag"),
+      (13L, 300L, "https://site.com/p.html?a=1"),
+      // same host+path on a NON-default port: a different page
+      (20L, 500L, "https://site.com:8443/p.html?a=1"),
+      // same host+path with a different non-tracking param: different page
+      (21L, 500L, "https://site.com/p.html?a=2"),
+      // survivor tie on n_chars goes to the MIN doc_id
+      (30L, 400L, "http://tie.org/x"),
+      (31L, 400L, "http://tie.org:80/x"))
+      .toDF("doc_id", "n_chars", "url")
+    val out = Provenance.urlDedupFrom(fetches).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "https://site.com/p.html?a=1" -> ((12L, 4L)),
+      "https://site.com:8443/p.html?a=1" -> ((20L, 1L)),
+      "https://site.com/p.html?a=2" -> ((21L, 1L)),
+      "http://tie.org/x" -> ((30L, 2L))))
+  }
+
   test("domainCap keeps exactly cap docs per domain, deterministically across reruns") {
     // 30 docs, all same source, tld cycles %3 → 3 domains × 10 docs
     val docs = docsOf((0 until 30).map(i => (i.toLong, "en", "s", 1L)): _*)
