@@ -83,6 +83,38 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Cross-round drift guard (VERDICT r10 item 5): the checked-in
+    * baseline has now been refreshed two rounds running, so baseline
+    * ratios alone can't show cross-round drift — ALSO diff against the
+    * driver's own previous-round artifact (`BENCH_r{N-1}.json`, whose
+    * `parsed.queries` object [[loadBaseline]]'s scoped regex reads as-is;
+    * failure sentinels start with '-' and never match the number
+    * pattern). Returns (artifact name, per-query seconds); empty when no
+    * artifact exists or the sf differs (local sf0.001 smokes never diff
+    * against the driver's sf0.1 rounds). */
+  private[graft] def loadPrevRound(sfNum: String): (String, Map[String, Double]) = {
+    val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+    if (arts.isEmpty) ("", Map.empty)
+    else {
+      val latest = arts.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+      (latest, loadBaseline(latest, sfNum))
+    }
+  }
+
+  /** The cross-round detector fires on ratio > [[RegressThreshold]] AND
+    * +0.2 s absolute — tighter than the baseline detector's 0.75 s floor
+    * because round artifacts are single full-run medians, the exact
+    * methodology this run repeats. */
+  val PrevRoundMinDeltaSec = 0.2
+
+  private[graft] def prevRegressedOf(results: Seq[(String, Double)],
+                                     prev: Map[String, Double]): Seq[String] =
+    results.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(b =>
+        v / b > RegressThreshold && v - b > PrevRoundMinDeltaSec) => k
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,6 +122,7 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val baseline = loadBaseline(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json"), sfNum)
+    val (prevArtifact, prevRound) = loadPrevRound(sfNum)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -142,11 +175,12 @@ object Bench {
     }
     // filtered dev runs must not clobber the full-run report artifact
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
-      results, baseline, sfNum)
+      results, baseline, sfNum, prevArtifact, prevRound)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
-    println(renderLine(results, baseline, sfNum))
+    println(renderLine(results, baseline, sfNum,
+      prevRegressedOf(results, prevRound)))
     spark.stop()
   }
 
@@ -181,11 +215,15 @@ object Bench {
     * `regressed` is capped at 5 names for the same reason. */
   private[graft] def renderLine(results: Seq[(String, Double)],
                                 baseline: Map[String, Double],
-                                sfNum: String): String = {
+                                sfNum: String,
+                                prevRegressed: Seq[String] = Nil): String = {
     val ok = results.filter(_._2 >= 0)
     val regressed = regressedOf(results, baseline).take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // capped at 3 names: the full vs_prev_round RATIO map stays in the
+    // report file (the line bans bulky per-query maps — r5/r6 truncation)
+    val prevReg = prevRegressed.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":{"""
-    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"failed":${results.size - ok.size}}"""
+    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"prev_regressed":$prevReg,"failed":${results.size - ok.size}}"""
     val (failedQ, succQ) = results.partition(_._2 < 0)
     val ordered = failedQ ++ succQ.sortBy(-_._2) // failures first, then largest
     val entries = ordered.map { case (k, v) => ("\"" + k + "\":" + r2(v), v) }
@@ -216,22 +254,28 @@ object Bench {
     * stdout line's `_other` collapse must, so per-query regression
     * tracking stays complete at any registry size (VERDICT r8 item 8). */
   private[graft] def writeReport(path: String, results: Seq[(String, Double)],
-                                 baseline: Map[String, Double], sfNum: String): Unit =
+                                 baseline: Map[String, Double], sfNum: String,
+                                 prevArtifact: String = "",
+                                 prevRound: Map[String, Double] = Map.empty): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      val vsPrev = results.map { case (k, v) =>
-        val ratio = baseline.get(k) match {
+      def ratios(ref: Map[String, Double]) = results.map { case (k, v) =>
+        val ratio = ref.get(k) match {
           case Some(b) if v >= 0 => r3(v / b).toString
           case _                 => "null"
         }
         "\"" + k + "\":" + ratio
       }.mkString("{", ",", "}")
       val regressed = regressedOf(results, baseline).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val prevRegressed = prevRegressedOf(results, prevRound)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = renderLine(results, baseline, sfNum, prevRegressedOf(results, prevRound))
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
-           |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":$vsPrev,"regressed":$regressed,
-           |"line":${"\"" + renderLine(results, baseline, sfNum).replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
+           |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
+           |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
+           |"line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
            |""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))

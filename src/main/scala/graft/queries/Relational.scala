@@ -1542,6 +1542,41 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** The sketch twin [[profile]]'s scaladoc promises — the SAME 6-row
+    * report with `approx_count_distinct` (HyperLogLog++, rsd 5%) in place
+    * of the exact distinct pass. The swap collapses the operator to ONE
+    * group-less scan: HLL buffers are ordinary agg buffers, so the
+    * cardinality estimate joins count/min/max in the single keyless fold
+    * and the exact pass's (col_name, value) pair explode + two hash
+    * aggregates — the 100 TB budget line, |cols|·|rows| exploded pairs
+    * through an exchange — disappears entirely. No join, no second scan,
+    * nothing exchanged but one 6-struct row. Rows-only entry (an estimate
+    * has no cross-engine twin); the error-bound spec holds it to the
+    * exact [[profileOf]] within 3·rsd and everything non-estimated
+    * bit-identical. */
+  def profileApprox(s: SparkSession, d: String): DataFrame = profileApproxOf(
+    orders(s, d)
+      .withColumn("o_total_cents", round(col("o_totalprice") * 100).cast("long"))
+      .drop("o_totalprice"))
+
+  private[graft] def profileApproxOf(t: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val cols = t.columns.sorted.toSeq
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__mn"),
+      max(col(c)).cast("string").as(s"${c}__mx")) }
+    val melted = cols.map { c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      col(s"${c}__nn").as("n_nonnull"),
+      col(s"${c}__nd").as("n_distinct_approx"),
+      col(s"${c}__mn").as("min_s"), col(s"${c}__mx").as("max_s")) }
+    t.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(melted: _*)).as("r"))
+      .select("r.*")
+      .orderBy("col_name")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1596,6 +1631,7 @@ object Relational {
     "rel_skew_report"    -> skewReport _,
     "rel_event_gaps"     -> eventGaps _,
     "rel_profile"        -> profile _,
+    "rel_profile_approx" -> profileApprox _,
     "rel_cms_freq"       -> cmsFreq _,
     "rel_rolling_zscore" -> rollingZscore _,
     "rel_mad"            -> madSpread _,

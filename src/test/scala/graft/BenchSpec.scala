@@ -44,6 +44,33 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadBaseline("/nonexistent/bench.json", "0.1").isEmpty)
   }
 
+  // --- cross-round drift (VERDICT r10 item 5) ---
+
+  test("a driver BENCH_r{N} artifact parses: parsed.queries only, failure sentinels skipped") {
+    // the driver wraps the stdout line under "parsed"; the raw "tail"
+    // string holds the same text with ESCAPED quotes, which must not match
+    val p = write(
+      """{"n": 11, "rc": 0, "cpus": 32, "sf": 0.1,
+        |"tail": "...{\"metric\":\"total\",\"queries\":{\"ghost\":9.9}}",
+        |"parsed": {"metric":"total","value":63.97,"unit":"sec",
+        |"queries":{"rel_expectations":-1.0,"dedup_lines":1.94,"sim_srp_neardup":2.09},
+        |"sf":0.1,"failed":34}}""".stripMargin)
+    val b = Bench.loadBaseline(p, "0.1")
+    assert(b == Map("dedup_lines" -> 1.94, "sim_srp_neardup" -> 2.09),
+      s"sentinels and tail text must stay out: $b")
+  }
+
+  test("cross-round detector fires on 1.5x AND +0.2s, never on failed or missing rows") {
+    val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "gone" -> 1.0)
+    val results = Seq(
+      "a" -> 1.9,   // 1.9x and +0.9s -> fires
+      "b" -> 0.19,  // 1.9x but +0.09s -> absolute floor holds it back
+      "c" -> 2.15,  // +0.15s and 1.08x -> neither
+      "d" -> 9.0,   // no prev row -> no comparison
+      "a2" -> -1.0) // failed -> never a regression, it's in `failed`
+    assert(Bench.prevRegressedOf(results, prev) == Seq("a"))
+  }
+
   // --- stdout line budget (BENCH_r05/r06 parsed:null root cause) ---
 
   private def fakeResults: Seq[(String, Double)] =

@@ -453,6 +453,34 @@ class ShapeOpsSpec extends SparkSpec {
       "orphan_custkey" -> ((2L, 5L))))
   }
 
+  // -------------------------------------------------- profile (approx twin)
+
+  test("profileApprox: estimates within 3·rsd of the exact profile, everything else bit-identical") {
+    // known cardinalities spanning the estimator's regimes: unique int64
+    // (5000), low-cardinality string (50), and a 20%-null double (4000
+    // non-null, 1000 distinct values)
+    val t = spark.range(5000).toDF("id")
+      .withColumn("bucket", concat(lit("b"), pmod(col("id"), lit(50))))
+      .withColumn("maybe", when(pmod(col("id"), lit(5)) === 0, lit(null).cast("double"))
+        .otherwise(pmod(col("id"), lit(1000)).cast("double")))
+    val exact = Relational.profileOf(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.profileApproxOf(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((c, a) <- approx) {
+      val e = exact(c)
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"), s"$c n_rows")
+      assert(a.getAs[Long]("n_nonnull") == e.getAs[Long]("n_nonnull"), s"$c n_nonnull")
+      assert(a.getAs[String]("min_s") == e.getAs[String]("min_s"), s"$c min_s")
+      assert(a.getAs[String]("max_s") == e.getAs[String]("max_s"), s"$c max_s")
+      val nd = e.getAs[Long]("n_distinct").toDouble
+      val est = a.getAs[Long]("n_distinct_approx").toDouble
+      assert(math.abs(est - nd) <= 3 * 0.05 * nd + 1,
+        s"$c: estimate $est vs exact $nd outside 3·rsd")
+    }
+  }
+
   // ------------------------------------------------------- skew report
 
   test("skewReport: uniform keys gini 0, one hot key matches hand-computed gini/top_share") {
