@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.FrameCache
+import graft.tables.Testdata.documents
+
+/** End-to-end corpus-pipeline composition (VERDICT r10 item 4): every
+  * stage of the training-data pipeline exists and is individually
+  * oracled, but a real user RUNS THEM CHAINED — and inter-stage column
+  * contracts (which stage expects which text column, who carries `lang`
+  * through, what happens to a doc whose text a stage empties) only break
+  * in composition. This entry executes the full chain over `documents`
+  * and emits the per-stage ATTRITION REPORT — the artifact a pipeline
+  * owner actually monitors ("where did my tokens go?"):
+  *
+  *   0 input          → raw corpus
+  *   1 gopher_gate    → drop docs failing the Gopher word-level rules
+  *   2 line_dedup     → ban cross-doc boilerplate lines (df > 1), rebuild
+  *                      residues, drop all-boilerplate husks
+  *   3 near_dedup     → bigram-Jaccard clusters (≥ 0.8), keep the
+  *                      best-in-cluster survivor (longest, ties → min id)
+  *   4 decontaminate  → remove eval-overlapping 4-gram spans (eval = the
+  *                      ORIGINAL first [[TextAnalysis.ContamEvalDocs]]
+  *                      docs, regardless of what earlier stages did to
+  *                      them — the benchmark is external), drop docs
+  *                      whose whole text was contaminated, and drop the
+  *                      eval docs themselves from the corpus
+  *   5 mix_resample   → per-language token-budget epochs; docs with
+  *                      n_repeats = 0 leave the corpus
+  *   6 shuffle_order  → epoch-EXPAND (one physical sequence per repeat)
+  *                      and assign the deterministic Knuth-hash training
+  *                      order; a pure permutation — the report row proves
+  *                      it moves no tokens
+  *   7 pack           → fixed-budget sequence packing over the shuffled
+  *                      order; n_docs becomes the PACK count
+  *
+  * Report schema is constant — (stage_no, stage, n_docs, n_tokens) —
+  * whatever the corpus; "n_docs" is each stage's OUTPUT-unit count
+  * (docs through stage 5, physical sequences at 6, packs at 7).
+  *
+  * Scale shape: each stage output is a memoized cached frame
+  * ([[FrameCache]] — at 100 TB these are the parquet checkpoints a real
+  * pipeline writes between stages), so no stage's lineage re-executes an
+  * upstream stage, and the `documents` scan happens ONCE into the stage-0
+  * cache (PlanSpec-gated). Stage internals keep their individually-proven
+  * plans: the line ban rides a Bloom literal, clustering is prefix-filter
+  * + alternating-star CC, eval grams broadcast, the pack prefix-sum is
+  * the two-level slice-offset shape — nothing here adds an exchange the
+  * stages don't already own. The oracle replays the ENTIRE chain in one
+  * DuckDB CTE cascade, so a drift in any stage's semantics (a husk kept,
+  * a survivor mis-picked, one epoch off) lands as a full-strict hash
+  * mismatch on the report.
+  */
+object Pipeline {
+
+  /** Multiplier folding (doc_id, epoch) into one int64 before the Knuth
+    * hash — epochs are small ints, so ×131 separates pairs without
+    * overflowing the later ×[[TextAnalysis.SampleHashA]] product. */
+  private val EpochFold = 131L
+
+  def pipelineCorpus(s: SparkSession, d: String): DataFrame =
+    pipelineCorpusOf(documents(s, d),
+      (k, df) => FrameCache.cached(s, s"pipeline:$k:$d")(df))
+
+  /** The chain over an explicit corpus frame. `stage` decorates each
+    * stage's output frame (the session entry memoizes+caches per
+    * (session, dir); specs pass identity and inspect eagerly). */
+  private[graft] def pipelineCorpusOf(
+      raw0: DataFrame,
+      stage: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+    val ntok = size(split(col("text"), " ")).cast("long")
+
+    // 0: one narrow projection of the corpus scan — every later stage
+    // reads THIS cache, never the parquet again
+    val raw = stage("raw", raw0.select(col("doc_id"), col("lang"), col("text")))
+
+    // 1: Gopher word-level gate on the raw text
+    val s1 = stage("gopher", raw.join(
+      TextAnalysis.gopherRulesOf(raw).filter(col("pass")).select("doc_id"), "doc_id"))
+
+    // 2: cross-doc boilerplate-line ban over the multiline view (fixed
+    // word windows made real lines), residues rebuilt space-joined;
+    // all-boilerplate husks dropped here — the "drop the husk" decision
+    // the dedup_lines entry leaves downstream
+    val multi = s1.select(col("doc_id"),
+      concat_ws("\n", Dedup.wordWindowLines(col("text"))).as("text"))
+    val s2 = stage("lines",
+      Dedup.dedupLinesOf(multi, Dedup.newlineLines, Dedup.LineMaxDf)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("text_kept").as("text"))
+        .join(s1.select("doc_id", "lang"), "doc_id"))
+
+    // 3: near-dup clustering on the CLEANED text, keep-best survivors
+    // (quality = current text length; docs too short to shingle ride
+    // through as singletons via keepBestOf's left join)
+    val labels = Dedup.connectedComponents(
+      Dedup.jaccardPrefixPairsOf(Dedup.gramSetsOf(s2)))
+    val s3 = stage("neardup",
+      Dedup.keepBestOf(
+        s2.select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), labels)
+        .filter(col("keep")).select("doc_id")
+        .join(s2, "doc_id"))
+
+    // 4: span decontamination — eval side is the ORIGINAL raw eval docs
+    // (external benchmark), corpus side the survivors; fully-contaminated
+    // docs and the eval ids themselves leave the corpus
+    val evalDocs = TextAnalysis.ContamEvalDocs
+    val s4in = raw.filter(col("doc_id") < evalDocs).select("doc_id", "text")
+      .unionByName(s3.filter(col("doc_id") >= evalDocs).select("doc_id", "text"))
+    val s4 = stage("decon",
+      TextAnalysis.decontaminateSpansOf(s4in, TextAnalysis.ContamN, evalDocs)
+        .filter(col("n_removed") < col("n_words"))
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(s3.select("doc_id", "lang"), "doc_id"))
+
+    // 5: token-budget mixture epochs over the cleaned corpus
+    val s5 = stage("mix",
+      TextAnalysis.mixResampleOf(s4).filter(col("n_repeats") > 0))
+
+    // 6: epoch expansion + deterministic training order — shard and
+    // in-shard rank from the Knuth hash of (doc_id, epoch); ties total
+    // via (doc_id, epoch)
+    val skey = (pmod(col("doc_id") * lit(EpochFold) + col("epoch"),
+      lit(TextAnalysis.SampleFold)) * lit(TextAnalysis.SampleHashA)) % lit(4294967296L)
+    val w6 = Window.partitionBy("shard")
+      .orderBy(col("sort_key"), col("doc_id"), col("epoch"))
+    val s6 = stage("shuffle", s5
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_repeats"))).as("epoch"))
+      .withColumn("sort_key", skey)
+      .withColumn("shard", pmod(col("sort_key"), lit(TextAnalysis.ShuffleShards)))
+      .withColumn("pos", row_number().over(w6).cast("long")))
+
+    // 7: fixed-budget packing over the (shard, pos) total order — the
+    // packSpans two-level prefix sum: per-shard totals prefix-summed on
+    // the driver (|shards| rows), per-shard exclusive window in parallel
+    val totals = s6.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val starts = totals.scanLeft(0L -> 0L) {
+      case ((_, acc), (sh, t)) => sh -> (acc + t)
+    }.init.map(_._2)
+    val startByShard = totals.map(_._1).zip(starts).toMap
+    val w7 = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = s6
+      .withColumn("cum_start",
+        coalesce(element_at(typedLit(startByShard), col("shard")), lit(0L)) +
+          coalesce(sum(col("n_tokens")).over(w7), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_start div ${TextAnalysis.PackBudget}"))
+
+    def row(no: Long, name: String, df: DataFrame, units: Column, tokens: Column) =
+      df.agg(coalesce(units, lit(0L)).as("n_docs"),
+          coalesce(tokens, lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+
+    row(0L, "input", raw, count(lit(1)), sum(ntok))
+      .unionByName(row(1L, "gopher_gate", s1, count(lit(1)), sum(ntok)))
+      .unionByName(row(2L, "line_dedup", s2, count(lit(1)), sum(ntok)))
+      .unionByName(row(3L, "near_dedup", s3, count(lit(1)), sum(ntok)))
+      .unionByName(row(4L, "decontaminate", s4, count(lit(1)), sum(ntok)))
+      .unionByName(row(5L, "mix_resample", s5,
+        count(lit(1)), sum(col("n_tokens") * col("n_repeats"))))
+      .unionByName(row(6L, "shuffle_order", s6, count(lit(1)), sum(col("n_tokens"))))
+      .unionByName(row(7L, "pack", packed,
+        count_distinct(col("pack_id")), sum(col("n_tokens"))))
+      .orderBy("stage_no")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_corpus" -> pipelineCorpus _,
+  )
+
+  /** The whole chain replayed as one DuckDB CTE cascade — every stage's
+    * existing oracle fragment rewired to consume the PREVIOUS stage's
+    * CTE instead of `documents`. The pack stage runs the naive global
+    * window (the oracle may; the engine may not). */
+  val oracleSql: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents
+         |), g1 AS (
+         |  SELECT doc_id, lang, words FROM raw
+         |  WHERE len(words) BETWEEN ${TextAnalysis.GopherMinWords} AND ${TextAnalysis.GopherMaxWords}
+         |    AND CAST(list_sum([len(x) for x in words]) AS DOUBLE) / len(words)
+         |        BETWEEN ${TextAnalysis.GopherMinMeanWordLen} AND ${TextAnalysis.GopherMaxMeanWordLen}
+         |    AND CAST(len([x for x in words if contains(x, '#') OR contains(x, '...')]) AS DOUBLE)
+         |        / len(words) <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |    AND CAST(len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE)
+         |        / len(words) >= ${TextAnalysis.GopherMinAlphaFrac}
+         |    AND len([x for x in words
+         |             if x IN ('the','a','of','and','to','in','is','it')]) >= ${TextAnalysis.GopherMinStopHits}
+         |), l AS (
+         |  SELECT doc_id, unnest(
+         |    [{'line_no': i, 'line': array_to_string(words[(i*${Dedup.LineWords}+1):(i*${Dedup.LineWords}+${Dedup.LineWords})], ' ')}
+         |     for i in range(0, ((len(words)-1)//${Dedup.LineWords})+1)], recursive := true)
+         |  FROM g1
+         |), banned AS (
+         |  SELECT md5(line) AS line_h FROM l GROUP BY md5(line)
+         |  HAVING COUNT(DISTINCT doc_id) > ${Dedup.LineMaxDf}
+         |), s2 AS (
+         |  SELECT k.doc_id, g1.lang, k.text, string_split(k.text, ' ') AS words
+         |  FROM (
+         |    SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text
+         |    FROM l WHERE md5(line) NOT IN (SELECT line_h FROM banned)
+         |    GROUP BY doc_id) k
+         |  JOIN g1 USING (doc_id)
+         |), g3 AS (
+         |  SELECT doc_id,
+         |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+         |  FROM s2 WHERE len(words) >= 2
+         |), p3 AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM g3 a JOIN g3 b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= ${Dedup.Threshold}
+         |), e3 AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM p3
+         |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM p3
+         |), reach(node, x) AS (
+         |  SELECT u, u FROM e3
+         |  UNION
+         |  SELECT r.node, e3.v FROM reach r JOIN e3 ON r.x = e3.u
+         |), lab AS (
+         |  SELECT node, MIN(x) AS rep FROM reach GROUP BY node
+         |), lbl AS (
+         |  SELECT s2.doc_id, COALESCE(lab.rep, s2.doc_id) AS rep,
+         |    len(s2.text) AS n_chars
+         |  FROM s2 LEFT JOIN lab ON s2.doc_id = lab.node
+         |), best AS (
+         |  SELECT rep, arg_max(doc_id, n_chars * 4294967296 - doc_id) AS best_id
+         |  FROM lbl GROUP BY rep
+         |), s3 AS (
+         |  SELECT s2.* FROM s2
+         |  JOIN lbl ON s2.doc_id = lbl.doc_id
+         |  JOIN best ON lbl.rep = best.rep
+         |  WHERE s2.doc_id = best.best_id
+         |), s4in AS (
+         |  SELECT doc_id, words FROM raw WHERE doc_id < ${TextAnalysis.ContamEvalDocs}
+         |  UNION ALL
+         |  SELECT doc_id, words FROM s3 WHERE doc_id >= ${TextAnalysis.ContamEvalDocs}
+         |), g4 AS (
+         |  SELECT doc_id, unnest(
+         |    [{'pos': i, 'gram': array_to_string(words[(i+1):(i+${TextAnalysis.ContamN})], ' ')}
+         |     for i in range(0, len(words) - ${TextAnalysis.ContamN - 1})], recursive := true)
+         |  FROM s4in WHERE len(words) >= ${TextAnalysis.ContamN}
+         |), ev AS (
+         |  SELECT DISTINCT gram FROM g4 WHERE doc_id < ${TextAnalysis.ContamEvalDocs}
+         |), mk AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT doc_id, unnest([pos + j for j in range(0, ${TextAnalysis.ContamN})]) AS idx
+         |    FROM g4
+         |    WHERE doc_id >= ${TextAnalysis.ContamEvalDocs} AND gram IN (SELECT gram FROM ev))
+         |), m4 AS (
+         |  SELECT doc_id, COUNT(*) AS n_removed FROM mk GROUP BY doc_id
+         |), s4 AS (
+         |  SELECT i.doc_id, s3.lang,
+         |    [i.words[k+1] for k in range(0, len(i.words))
+         |     if NOT COALESCE(list_contains(marks.marks, k), false)] AS cwords
+         |  FROM (SELECT doc_id, words FROM s4in
+         |        WHERE doc_id >= ${TextAnalysis.ContamEvalDocs}) i
+         |  JOIN s3 ON i.doc_id = s3.doc_id
+         |  LEFT JOIN (SELECT doc_id, list(idx) AS marks FROM mk GROUP BY doc_id) marks
+         |    ON i.doc_id = marks.doc_id
+         |  LEFT JOIN m4 ON i.doc_id = m4.doc_id
+         |  WHERE COALESCE(m4.n_removed, 0) < len(i.words)
+         |), t5 AS (
+         |  SELECT doc_id, lang, CAST(len(cwords) AS BIGINT) AS n_tokens FROM s4
+         |), tot5 AS (
+         |  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM t5 GROUP BY lang
+         |), s5 AS (
+         |  SELECT doc_id, lang, n_tokens, n_repeats FROM (
+         |    SELECT t5.doc_id, t5.lang, t5.n_tokens,
+         |      CAST(num // den +
+         |        CASE WHEN ((((t5.doc_id % ${TextAnalysis.SampleFold}) * ${TextAnalysis.SampleHashA})
+         |               % 4294967296) % ${TextAnalysis.SampleBuckets}) * den < (num % den) * 100
+         |             THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+         |    FROM (
+         |      SELECT t5.doc_id, t5.lang, t5.n_tokens,
+         |        CASE t5.lang WHEN 'en' THEN 40 WHEN 'es' THEN 15 WHEN 'de' THEN 15
+         |                     WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END
+         |          * ${TextAnalysis.MixBudget} AS num,
+         |        tot5.lang_tokens * 100 AS den
+         |      FROM t5 JOIN tot5 ON t5.lang = tot5.lang) t5)
+         |  WHERE n_repeats > 0
+         |), x6 AS (
+         |  SELECT doc_id, n_tokens, unnest(range(1, n_repeats + 1)) AS epoch FROM s5
+         |), s6 AS (
+         |  SELECT doc_id, n_tokens, epoch, sort_key,
+         |    sort_key % ${TextAnalysis.ShuffleShards} AS shard,
+         |    ROW_NUMBER() OVER (PARTITION BY sort_key % ${TextAnalysis.ShuffleShards}
+         |      ORDER BY sort_key, doc_id, epoch) AS pos
+         |  FROM (
+         |    SELECT doc_id, n_tokens, epoch,
+         |      ((doc_id * $EpochFold + epoch) % ${TextAnalysis.SampleFold})
+         |        * ${TextAnalysis.SampleHashA} % 4294967296 AS sort_key
+         |    FROM x6)
+         |), s7 AS (
+         |  SELECT n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (ORDER BY shard, pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // ${TextAnalysis.PackBudget} AS pack_id
+         |  FROM s6
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_no, 'input' AS stage,
+         |    COUNT(*) AS n_docs, CAST(SUM(len(words)) AS BIGINT) AS n_tokens FROM raw
+         |  UNION ALL SELECT 1, 'gopher_gate', COUNT(*),
+         |    CAST(SUM(len(words)) AS BIGINT) FROM g1
+         |  UNION ALL SELECT 2, 'line_dedup', COUNT(*),
+         |    CAST(SUM(len(words)) AS BIGINT) FROM s2
+         |  UNION ALL SELECT 3, 'near_dedup', COUNT(*),
+         |    CAST(SUM(len(words)) AS BIGINT) FROM s3
+         |  UNION ALL SELECT 4, 'decontaminate', COUNT(*),
+         |    CAST(SUM(len(cwords)) AS BIGINT) FROM s4
+         |  UNION ALL SELECT 5, 'mix_resample', COUNT(*),
+         |    CAST(SUM(n_tokens * n_repeats) AS BIGINT) FROM s5
+         |  UNION ALL SELECT 6, 'shuffle_order', COUNT(*),
+         |    CAST(SUM(n_tokens) AS BIGINT) FROM s6
+         |  UNION ALL SELECT 7, 'pack', COUNT(DISTINCT pack_id),
+         |    CAST(SUM(n_tokens) AS BIGINT) FROM s7
+         |) ORDER BY stage_no""".stripMargin,
+  )
+}

@@ -259,6 +259,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), "dedup_incremental: exact FP-removal anti-join missing")
   }
 
+  test("pipeline_corpus: the documents scan feeds ONE cached stage-0 frame; no stage re-scans the parquet") {
+    // Every stage reads the previous stage's memoized cache (the 100 TB
+    // inter-stage checkpoint). If a stage accidentally reaches back to
+    // the parquet (e.g. a helper calling documents(s, d) itself), extra
+    // FileScan nodes appear here and the lineage re-executes upstream
+    // stages once per reference — the exponential-recompute failure mode
+    // this gate exists to catch.
+    val plan = formatted("pipeline_corpus")
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"pipeline_corpus: $scans documents.parquet scans in plan (want <= 1)")
+    assert(plan.contains("InMemory"),
+      "pipeline_corpus: no cached stage frame in plan — stage memoization broke")
+  }
+
   test("expectations: FK dim side never forces a broadcast (plan builds with the threshold disabled)") {
     // The r10 form hinted `broadcast(distinct customer keys)` — a dim that
     // GROWS with the corpus, so the hint is a 100 TB scale-killer (VERDICT
