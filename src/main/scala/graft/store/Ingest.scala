@@ -1,8 +1,7 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** The dedup-store ingest kernel — the reference's one novel semantic
   * (sms-db.pl:318-339): every message is keyed by a byte-exact SHA-256 of
@@ -14,10 +13,10 @@ import org.apache.spark.sql.types._
   *    fixed-width 64-char key — NOT on message bodies);
   *  - inter-batch dedup  = left-anti join against the store's hash column
   *    (broadcastable while the store's key set is small; AQE decides);
-  *  - AUTOINCREMENT ids  = `zipWithIndex` over a hash-range-partitioned
-  *    sort: deterministic, contiguous, and distributed (a per-partition
-  *    count pass + per-partition offsets — no single-partition window
-  *    bottleneck at 100 TB);
+  *  - AUTOINCREMENT ids  = range-partitioned per-partition ranks plus
+  *    driver-free prefix-summed slice offsets in one declarative query
+  *    ([[assignIds]]): deterministic, contiguous, distributed — no
+  *    single-partition window bottleneck at 100 TB, no RDD round-trip;
   *  - parts inherit the parent id by `posexplode` of the nested array
   *    (J10: no join needed — linkage rode along inside the row).
   */
@@ -45,20 +44,51 @@ object Ingest {
   case class Result(messages: DataFrame, parts: DataFrame, stats: Stats,
                     release: () => Unit = () => ())
 
-  /** Deterministic distributed id assignment: global order by `orderCol`,
-    * ids startId, startId+1, … via zipWithIndex (two passes, no global
-    * single-partition shuffle). */
+  /** Deterministic distributed id assignment: global order by `orderCol`
+    * (a unique key — ids are a pure function of the data), ids startId,
+    * startId+1, … contiguous.
+    *
+    * The r10 form dropped to `rdd.zipWithIndex` — correct, but it pays an
+    * extra Spark job for the per-partition counts, exits codegen, and
+    * round-trips every row through GenericRow. This is the
+    * [[graft.queries.TextAnalysis.packSpans]] two-level shape kept INSIDE
+    * one declarative query, with zero second exchange on the data:
+    *  - range-partition on the key (EXPLICIT partition count —
+    *    REPARTITION_BY_NUM is exempt from AQE coalescing, so both legs
+    *    below read the SAME partition assignment), sort within
+    *    partitions;
+    *  - `monotonically_increasing_id` over the sorted layout encodes
+    *    (partition, in-partition rank) as pid·2³³ + rank — an id in key
+    *    order within each slice, computed without any window exchange (a
+    *    `row_number` window keyed on the partition id would plan Exchange
+    *    hashpartitioning over the full data: the shuffle this shape
+    *    exists to avoid — spec-gated);
+    *  - per-slice counts (the ≤|partitions|-row offsets leg, sharing the
+    *    range exchange via stage reuse) prefix-summed and broadcast back;
+    *    final id = startId + slice offset + in-slice rank.
+    * One materialized shuffle, one job, fully codegen, no RDD. */
   private[graft] def assignIds(df: DataFrame, orderCol: String, startId: Long,
                                idName: String = "_id"): DataFrame = {
     val spark = df.sparkSession
     val partitions = math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism,
       spark.conf.get("spark.sql.shuffle.partitions").toInt))
-    val sorted = df.repartitionByRange(partitions, col(orderCol)).sortWithinPartitions(orderCol)
-    val schema = StructType(StructField(idName, LongType, nullable = false) +: sorted.schema.fields)
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((startId + i) +: r.toSeq)
-    }
-    spark.createDataFrame(rows, schema)
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+    val offs = ranged
+      .groupBy(spark_partition_id().cast("long").as("_pid"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("_pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged.sortWithinPartitions(orderCol)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .join(broadcast(offs), "_pid")
+      .withColumn(idName,
+        lit(startId) + col("_off") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("_mid", "_pid", "_off")
+      .select(idName, df.columns: _*)
   }
 
   /** Ingest one connector batch into the store.

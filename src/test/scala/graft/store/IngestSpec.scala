@@ -74,6 +74,27 @@ class IngestSpec extends SparkSpec {
     assert(mmsParts == Seq("text/plain", "image/jpeg"))
   }
 
+  test("assignIds: contiguous ids in key order on a multi-partition frame, one reused exchange, no RDD job") {
+    import spark.implicits._
+    // 10k unique keys arriving in adversarial (reversed, multi-partition)
+    // order — ids must come out startId..startId+n-1 following key order
+    val df = (0 until 10000).reverse.map(i => f"k$i%05d").toDF("k").repartition(7)
+    val out = Ingest.assignIds(df, "k", startId = 100L, idName = "id")
+    val got = out.collect().sortBy(_.getString(1)).map(_.getLong(0)).toSeq
+    assert(got == (100L until 10100L), "ids must be contiguous in key order")
+    // the data must cross exactly the RANGE exchange — a window keyed on
+    // the partition id would add Exchange hashpartitioning(_pid) over
+    // the full frame (the shuffle this shape exists to avoid)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"range exchange missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(_pid"),
+      s"full-data reshuffle on the partition id crept back in:\n$plan")
+    // determinism across a fresh evaluation (fresh sampling of boundaries)
+    val again = Ingest.assignIds(df, "k", startId = 100L, idName = "id")
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(again == got, "ids changed across re-evaluations")
+  }
+
   test("repeated importBatch does not stack persisted batch caches") {
     val dir = Files.createTempDirectory("graft-store-cache").resolve("store").toString
     val before = spark.sparkContext.getPersistentRDDs.size
