@@ -28,4 +28,17 @@ object JsonlExport {
 
   def readBack(s: SparkSession, dir: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(dir)
+
+  /** Structured-Streaming file-arrival twin of [[readBack]] (the
+    * [[graft.sources.SynctechXml.stream]] pattern for the training-stack
+    * interchange): scraper shards land as jsonl files in a watched
+    * directory and each becomes micro-batch rows under the SAME pinned
+    * schema as the batch path — pinned for the same reason readBack pins
+    * it, plus a streaming-specific one: the file source would otherwise
+    * infer from whichever shard arrives first and silently null-out
+    * fields later shards carry. Feeds
+    * [[graft.streaming.StreamingIngest.dedupDocStream]] for continuous
+    * content-deduplicated corpus ingest. */
+  def stream(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.readStream.schema(schema).json(dir)
 }

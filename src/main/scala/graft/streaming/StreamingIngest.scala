@@ -34,6 +34,20 @@ object StreamingIngest {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("hash")
 
+  /** Document-stream twin of [[dedupStream]] for the jsonl interchange
+    * path ([[graft.sinks.JsonlExport.stream]]): scraper shards re-deliver
+    * documents (retries, overlapping crawls), so identity is the CONTENT
+    * hash — md5 of the text, the same 128-bit line/doc identity the batch
+    * dedup family keys on — not the shard-assigned doc_id. Watermarked
+    * `dropDuplicatesWithinWatermark` keeps state bounded by the horizon:
+    * per retained doc one 32-char key, never the text. */
+  def dedupDocStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("hash", org.apache.spark.sql.functions.md5(col("text")))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("hash")
+
   /** Windowed throughput/volume aggregation over an event stream
     * (watermark + tumbling window — the standard late-data-tolerant
     * rollup; analog of the reference's import stats, continuously). */

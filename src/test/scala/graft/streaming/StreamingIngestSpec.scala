@@ -84,6 +84,50 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonl file-arrival e2e: scraper shards land in a dir, content dedup holds across files") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+
+    val dir = Files.createTempDirectory("graft-jsonl-in")
+    val schema = StructType(Seq(
+      StructField("event_time", TimestampType),
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def line(t: String, id: Long, text: String) =
+      s"""{"event_time":"$t","doc_id":$id,"text":"$text"}"""
+    // shard 1: two distinct docs + one intra-file content duplicate under
+    // a DIFFERENT doc_id (the retry case — identity must be the content)
+    Files.write(dir.resolve("shard1.jsonl"), Seq(
+      line("2024-01-01T00:00:00Z", 1L, "alpha text"),
+      line("2024-01-01T00:00:01Z", 2L, "beta text"),
+      line("2024-01-01T00:00:02Z", 99L, "alpha text")
+    ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+    val raw = graft.sinks.JsonlExport.stream(spark, dir.toString, schema)
+    val q = StreamingIngest.dedupDocStream(raw)
+      .writeStream.format("memory").queryName("jsonl_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def texts = spark.sql("SELECT text FROM jsonl_dedup_out").collect().map(_.getString(0))
+      assert(texts.length == 2, "intra-file content duplicate must be dropped")
+      assert(texts.toSet == Set("alpha text", "beta text"))
+
+      // shard 2 arrives later: a cross-file duplicate (within the
+      // watermark) + one genuinely new doc; absent `text` stays a proper
+      // null under the pinned schema and never matches a real hash
+      Files.write(dir.resolve("shard2.jsonl"), Seq(
+        line("2024-01-01T00:10:00Z", 3L, "beta text"),
+        line("2024-01-01T00:10:01Z", 4L, "gamma text"),
+        s"""{"event_time":"2024-01-01T00:10:02Z","doc_id":5}"""
+      ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      assert(texts.count(_ != null) == 3, "cross-file duplicate dropped, new doc kept")
+      assert(texts.filter(_ != null).toSet == Set("alpha text", "beta text", "gamma text"))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap, per correspondent") {
     val sql = spark.sqlContext
     import sql.implicits._
