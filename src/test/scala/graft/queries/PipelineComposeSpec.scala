@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Stage-by-stage attrition reconciliation for the composed pipeline —
+  * an engineered corpus where EVERY stage has exactly one planted reason
+  * to act, so each report row's delta is predictable from construction:
+  * a too-short doc (gopher), one boilerplate window shared by two docs
+  * (line ban), a prepend-shifted near-dup pair (cluster + keep-best
+  * without tripping the line ban — every 8-word window differs, bigram
+  * Jaccard 159/160), and one doc carrying an eval 4-gram (span removal).
+  */
+class PipelineComposeSpec extends SparkSpec {
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => f"$prefix$i%03d")
+
+  // shared first window for docs 10 and 14 -> banned at stage 2 (df = 2);
+  // carries the stopword hits gopher needs
+  private val boiler = Seq("the", "and") ++ words("boil", 6)
+
+  private val evalGram = Seq("alpha", "bravo", "charlie", "delta")
+
+  private def corpus = {
+    import spark.implicits._
+    def mk(id: Long, lang: String, ws: Seq[String]) = (id, lang, ws.mkString(" "))
+    Seq(
+      // evals (doc_id < 3): pass gopher, mutually distinct, doc 0 carries
+      // the planted gram with NON-matching neighbors
+      mk(0L, "en", Seq("e0a", "e0b") ++ evalGram ++ Seq("the", "and") ++ words("e0c", 52)),
+      mk(1L, "en", Seq("the", "and") ++ words("e1w", 58)),
+      mk(2L, "en", Seq("the", "and") ++ words("e2w", 58)),
+      mk(10L, "en", boiler ++ words("d10w", 152)),
+      mk(11L, "en", Seq("the", "and") ++ words("shorty", 8)), // 10 words: gopher-dropped
+      mk(12L, "es", Seq("the", "and") ++ words("d12w", 158)),
+      mk(13L, "es", Seq("extra0", "the", "and") ++ words("d12w", 158)), // prepend-shifted near-dup, LONGER -> survivor
+      mk(14L, "de", boiler ++ words("d14w", 152)),
+      mk(15L, "fr", Seq("the", "and", "p15a") ++ evalGram ++ Seq("p15b") ++ words("d15w", 152))
+    ).toDF("doc_id", "lang", "text")
+  }
+
+  test("every stage's attrition delta matches its planted cause; tokens conserve through shuffle and pack") {
+    val docs = corpus
+    val nTok = docs.select(sum(size(split(col("text"), " "))).cast("long"))
+      .head().getLong(0)
+    val report = Pipeline.pipelineCorpusOf(docs).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    assert(report("input") == ((9L, nTok)))
+    // gopher: exactly doc 11 (10 words) leaves
+    assert(report("gopher_gate") == ((8L, nTok - 10L)))
+    // line ban: the shared 8-word window leaves docs 10 and 14; no husk
+    assert(report("line_dedup") == ((8L, nTok - 10L - 16L)))
+    // near-dup: doc 12 absorbed into the LONGER doc 13 (160 tokens gone)
+    assert(report("near_dedup") == ((7L, nTok - 10L - 16L - 160L)))
+    // decontamination: the 3 eval docs (60 tokens each, untouched by the
+    // ban) leave the corpus; doc 15 loses exactly the 4-token footprint
+    val t4 = nTok - 10L - 16L - 160L - 180L - 4L
+    assert(report("decontaminate") == ((4L, t4)))
+    // mix: all 4 survivors have weighted langs (en/es/de/fr present once
+    // each) -> none drop; per-lang token mass lands within one doc of
+    // w·B/100 (the operator contract), summed: 85% of the 50k budget
+    val (mixDocs, mixTokens) = report("mix_resample")
+    assert(mixDocs == 4L)
+    val target = 42500L // (40+15+15+15)% of MixBudget
+    assert(math.abs(mixTokens - target) <= 4 * 170L,
+      s"mix tokens $mixTokens not within one-doc-per-lang of $target")
+    // shuffle: a pure permutation of the epoch-expanded corpus — token
+    // mass identical, units = physical sequences >= docs
+    val (shufDocs, shufTokens) = report("shuffle_order")
+    assert(shufTokens == mixTokens, "shuffle must move zero tokens")
+    assert(shufDocs >= mixDocs)
+    // pack: same token mass, exactly ceil(total/budget) packs
+    val (packs, packTokens) = report("pack")
+    assert(packTokens == shufTokens, "pack must move zero tokens")
+    val budget = TextAnalysis.PackBudget
+    assert(packs == (packTokens + budget - 1) / budget,
+      s"$packs packs for $packTokens tokens at budget $budget")
+  }
+}
