@@ -107,7 +107,7 @@ object Bpe {
     * the encoder) reads the same artifact, the 100 TB analogue of a
     * vocab file. */
   private[graft] def trained(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
-    FrameCache.cachedValue(s, s"bpe-merges:$d") {
+    FrameCache.cachedValue(s, s"bpe-merges:${graft.tables.FrameCache.dirKey(d)}") {
       learnMerges(wordTable(documents(s, d)), MergeRounds)
     }
 

@@ -137,8 +137,8 @@ object Dedup {
     * the memo moves to the first call — at 100 TB both live as persisted
     * bucketed tables. */
   def minhashLshPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
-    val bands = FrameCache.cached(s, s"minhash-bands:$d")(bandKeys(grams))
+    val grams = FrameCache.cached(s, s"minhash-grams:${graft.tables.FrameCache.dirKey(d)}")(gramSetsOf(documents(s, d)))
+    val bands = FrameCache.cached(s, s"minhash-bands:${graft.tables.FrameCache.dirKey(d)}")(bandKeys(grams))
     minhashLshPairsOf(documents(s, d), MaxBucketSize, grams, bands)
   }
 
@@ -171,7 +171,7 @@ object Dedup {
     * Unlike the LSH path this misses NOTHING, so the driver hash-compares
     * it against the brute-force DuckDB oracle at full strictness. */
   def jaccardPrefixPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
+    val grams = FrameCache.cached(s, s"minhash-grams:${graft.tables.FrameCache.dirKey(d)}")(gramSetsOf(documents(s, d)))
     jaccardPrefixPairsOf(grams)
   }
 
@@ -283,7 +283,7 @@ object Dedup {
     * PREDICATE is unchanged — C over w-shingle sets is the standard
     * parameterized form (same reason decontamination scans width-4). */
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
-    val grams = FrameCache.cached(s, s"containment-grams:$d")(
+    val grams = FrameCache.cached(s, s"containment-grams:${graft.tables.FrameCache.dirKey(d)}")(
       containGramSetsOf(documents(s, d)))
     containmentPairsOf(grams)
   }
@@ -369,7 +369,7 @@ object Dedup {
   def simhashNearDup(s: SparkSession, d: String): DataFrame = {
     // the 8-byte-per-doc sketch frame IS the index — memoized like the
     // MinHash bands / ANN signatures (one-time build, persisted at scale)
-    val sketch = FrameCache.cached(s, s"simhash-sketch:$d")(simhashSketchOf(documents(s, d)))
+    val sketch = FrameCache.cached(s, s"simhash-sketch:${graft.tables.FrameCache.dirKey(d)}")(simhashSketchOf(documents(s, d)))
     simhashPairsOf(sketch, MaxBucketSize)
   }
 
@@ -459,7 +459,7 @@ object Dedup {
     val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"))
 
-    val bloomBytes = FrameCache.cachedValue(s, s"bloom-corpus:$d") {
+    val bloomBytes = FrameCache.cachedValue(s, s"bloom-corpus:${graft.tables.FrameCache.dirKey(d)}") {
       val keyed = corpus.select(xxhash64(col("h")).as("hl"))
       val bf = keyed.stat.bloomFilter("hl", math.max(keyed.count(), 1L), BloomFpp)
       val out = new java.io.ByteArrayOutputStream()
@@ -522,7 +522,7 @@ object Dedup {
     val gramTbl = graft.tables.Bucketed.ensure(s, s"lsh_grams_$tag", "doc_id")(
       corpusGrams.select(col("doc_id"), col("gram_ids")))
 
-    val batchGrams = FrameCache.cached(s, s"lsh-batch-grams:$d")(
+    val batchGrams = FrameCache.cached(s, s"lsh-batch-grams:${graft.tables.FrameCache.dirKey(d)}")(
       gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
     val probe = bandKeys(batchGrams).as("p")
     val candidates = probe.join(s.table(idxTbl).as("i"),
@@ -799,9 +799,9 @@ object Dedup {
     * [[dedupClusters]] and [[keepBest]] — one CC fixpoint per corpus, no
     * matter how many downstream ops consume the labels. */
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"dedup-labels:$d") {
-      val grams = FrameCache.cached(s, s"minhash-grams:$d")(gramSetsOf(documents(s, d)))
-      val pairs = FrameCache.cached(s, s"jaccard-pairs:$d")(jaccardPrefixPairsOf(grams))
+    FrameCache.cached(s, s"dedup-labels:${graft.tables.FrameCache.dirKey(d)}") {
+      val grams = FrameCache.cached(s, s"minhash-grams:${graft.tables.FrameCache.dirKey(d)}")(gramSetsOf(documents(s, d)))
+      val pairs = FrameCache.cached(s, s"jaccard-pairs:${graft.tables.FrameCache.dirKey(d)}")(jaccardPrefixPairsOf(grams))
       connectedComponents(pairs)
     }
 
@@ -932,7 +932,7 @@ object Dedup {
     * to strip false positives, so the result stays exact. */
   def dedupLines(s: SparkSession, d: String): DataFrame = {
     val docs = multilineDocs(s, d)
-    val bloom = FrameCache.cachedValue(s, s"bloom-banned-lines:$d:$LineMaxDf") {
+    val bloom = FrameCache.cachedValue(s, s"bloom-banned-lines:${graft.tables.FrameCache.dirKey(d)}:$LineMaxDf") {
       bannedBloom(bannedOf(hashedLines(docs, newlineLines), LineMaxDf))
     }
     dedupLinesOf(docs, newlineLines, LineMaxDf, Some(bloom))

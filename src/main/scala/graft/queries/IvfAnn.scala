@@ -56,7 +56,7 @@ object IvfAnn {
     * [[FrameCache.cachedValue]] so it shares the index frames' session
     * lifecycle and teardown. */
   private[graft] def train(s: SparkSession, d: String): Array[Array[Float]] =
-    FrameCache.cachedValue(s, s"ivf-centroids:$d:$NumLists") {
+    FrameCache.cachedValue(s, s"ivf-centroids:${graft.tables.FrameCache.dirKey(d)}:$NumLists") {
       val e = embeddings(s, d).select(col("embedding"), nrm(col("embedding")).as("nrm"))
       val n = e.count()
       val sampled =
@@ -110,7 +110,7 @@ object IvfAnn {
   /** (vec_id, embedding, nrm, cluster) — the IVF index frame with top-R
     * multi-assignment, memoized. One narrow pass over the corpus. */
   private[graft] def ivfIndex(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"ivf-index:$d:$NumLists:$Replication") {
+    FrameCache.cached(s, s"ivf-index:${graft.tables.FrameCache.dirKey(d)}:$NumLists:$Replication") {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         nrm(col("embedding")).as("nrm"))
       assignClusters(e, train(s, d), Replication)
@@ -181,7 +181,7 @@ object IvfAnn {
     * probe, the float vectors live only in the re-rank store). Memoized
     * like the float index. */
   private[graft] def ivfIndexQ(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"ivf-index-q:$d:$NumLists:$Replication") {
+    FrameCache.cached(s, s"ivf-index-q:${graft.tables.FrameCache.dirKey(d)}:$NumLists:$Replication") {
       val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
         lit(0.0), (a, v) => greatest(a, v))
       ivfIndex(s, d)

@@ -42,7 +42,7 @@ object Pca {
 
   /** (n, mean, top-k eigenpairs) fitted once per (session, dir). */
   private[graft] def fit(s: SparkSession, d: String): PcaModel =
-    FrameCache.cachedValue(s, s"pca-model:$d") {
+    FrameCache.cachedValue(s, s"pca-model:${graft.tables.FrameCache.dirKey(d)}") {
       fitOf(embeddings(s, d).select(col("embedding")))
     }
 

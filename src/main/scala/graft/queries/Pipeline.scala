@@ -63,7 +63,7 @@ object Pipeline {
 
   def pipelineCorpus(s: SparkSession, d: String): DataFrame =
     pipelineCorpusOf(documents(s, d),
-      (k, df) => FrameCache.cached(s, s"pipeline:$k:$d")(df))
+      (k, df) => FrameCache.cached(s, s"pipeline:$k:${graft.tables.FrameCache.dirKey(d)}")(df))
 
   /** The chain over an explicit corpus frame. `stage` decorates each
     * stage's output frame (the session entry memoizes+caches per

@@ -71,7 +71,7 @@ object PqAnn {
     * (session, dir) on the normalized sample. Seeds are fixed and offset
     * per sub-space so training is deterministic. */
   private[graft] def train(s: SparkSession, d: String): Array[Array[Array[Float]]] =
-    FrameCache.cachedValue(s, s"pq-codebooks:$d:$SubSpaces:$CodebookSize") {
+    FrameCache.cachedValue(s, s"pq-codebooks:${graft.tables.FrameCache.dirKey(d)}:$SubSpaces:$CodebookSize") {
       val e = embeddings(s, d).select(col("embedding"), nrm(col("embedding")).as("nrm"))
       val n = e.count()
       val sampled =
@@ -118,7 +118,7 @@ object PqAnn {
 
   /** The memoized code index. */
   private[graft] def pqIndex(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"pq-index:$d:$SubSpaces:$CodebookSize") {
+    FrameCache.cached(s, s"pq-index:${graft.tables.FrameCache.dirKey(d)}:$SubSpaces:$CodebookSize") {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         nrm(col("embedding")).as("nrm"))
       encode(e, train(s, d))

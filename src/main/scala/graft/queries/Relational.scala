@@ -538,7 +538,7 @@ object Relational {
     * ([[FrameCache]]); at scale it is a store artifact refreshed per
     * ingest batch, the same lifecycle as the incremental-dedup Bloom. */
   def cmsFreq(s: SparkSession, d: String): DataFrame = {
-    val bytes = FrameCache.cachedValue(s, s"cms-user:$d") {
+    val bytes = FrameCache.cachedValue(s, s"cms-user:${graft.tables.FrameCache.dirKey(d)}") {
       events(s, d).agg(count_min_sketch(col("user_id"),
         lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("sk"))
         .head().getAs[Array[Byte]]("sk")
@@ -970,7 +970,7 @@ object Relational {
     * parity with DuckDB is the rel_percentiles-pinned definition. */
   def equidepthHist(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast("long")
-    val ts = FrameCache.cachedValue[Seq[Double]](s, s"equidepth-ts:$d") {
+    val ts = FrameCache.cachedValue[Seq[Double]](s, s"equidepth-ts:${graft.tables.FrameCache.dirKey(d)}") {
       orders(s, d).select(cents.as("cents"))
         .agg(percentile(col("cents"), typedLit(EquidepthPs)).as("q"))
         .head().getSeq[Double](0).toList
@@ -1208,7 +1208,7 @@ object Relational {
     // ADDED after build are Bloom-disclaimed and counted as orphans
     // without verification. Dims that churn mid-session should call
     // expectationsOf directly with prebuiltBloom=None.
-    val bloom = FrameCache.cachedValue(s, s"expectations-fk-bloom:$d") {
+    val bloom = FrameCache.cachedValue(s, s"expectations-fk-bloom:${graft.tables.FrameCache.dirKey(d)}") {
       fkBloom(customer(s, d).select(col("c_custkey").as("fk_key")))
     }
     expectationsOf(orders(s, d), customer(s, d), Some(bloom))

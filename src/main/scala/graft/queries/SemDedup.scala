@@ -60,7 +60,7 @@ object SemDedup {
     * index (built once per session/dir; the bucketed-table story at
     * scale). */
   private[graft] def clustered(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"semdedup-idx:$d:$Replication") {
+    FrameCache.cached(s, s"semdedup-idx:${graft.tables.FrameCache.dirKey(d)}:$Replication") {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         nrm(col("embedding")).as("nrm"))
       IvfAnn.assignClusters(e, IvfAnn.train(s, d), Replication)

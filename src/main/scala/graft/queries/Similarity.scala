@@ -199,7 +199,7 @@ object Similarity {
     * means repeated queries share ONE cached copy instead of stacking
     * fresh persisted frames per invocation (VERDICT r4 defect #3). */
   private[graft] def annIndex(s: SparkSession, d: String, tables: Int, bits: Int): DataFrame =
-    graft.tables.FrameCache.cached(s, s"ann-index:$d:$tables:$bits") {
+    graft.tables.FrameCache.cached(s, s"ann-index:${graft.tables.FrameCache.dirKey(d)}:$tables:$bits") {
       embeddings(s, d).select(
         col("vec_id") +: col("embedding") +: norm(col("embedding")).as("nrm") +:
           (0 until tables).map(t =>
@@ -216,7 +216,7 @@ object Similarity {
     * (4× less IO than floats); the float `embedding` column stays only
     * for the final re-rank and would live in a separate colocated table. */
   private[graft] def annIndexQ(s: SparkSession, d: String, tables: Int, bits: Int): DataFrame =
-    graft.tables.FrameCache.cached(s, s"ann-index-q:$d:$tables:$bits") {
+    graft.tables.FrameCache.cached(s, s"ann-index-q:${graft.tables.FrameCache.dirKey(d)}:$tables:$bits") {
       val maxAbs = aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
         lit(0.0), (a, v) => greatest(a, v))
       annIndex(s, d, tables, bits)
@@ -349,7 +349,7 @@ object Similarity {
     * buckets/table — past that you shard tables). Count memoized per
     * (session, dir) alongside the index. */
   private[graft] def adaptiveNearDupBits(s: SparkSession, d: String): Int = {
-    val n = graft.tables.FrameCache.cachedValue[Long](s, s"emb-count:$d")(
+    val n = graft.tables.FrameCache.cachedValue[Long](s, s"emb-count:${graft.tables.FrameCache.dirKey(d)}")(
       embeddings(s, d).count())
     val grown = math.ceil(math.log(math.max(n, 1L).toDouble / NearDupTargetBucket) /
       math.log(2.0)).toInt
@@ -506,7 +506,7 @@ object Similarity {
     * of corpus size (the explode never crosses the wire). */
   def labelCentroids(s: SparkSession, d: String): DataFrame = {
     val e = graft.tables.Testdata.embeddings(s, d)
-    val gmax = graft.tables.FrameCache.cachedValue[Double](s, s"emb-gmax:$d") {
+    val gmax = graft.tables.FrameCache.cachedValue[Double](s, s"emb-gmax:${graft.tables.FrameCache.dirKey(d)}") {
       e.select(max(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
         lit(0.0), (a, v) => greatest(a, v))).as("m")).head().getDouble(0)
     }

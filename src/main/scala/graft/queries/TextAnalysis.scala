@@ -128,7 +128,7 @@ object TextAnalysis {
     * the kernel ran ~15× per row inside the expanded argmax CASE tree
     * and the "cheap" audit cost 10× the scoring query itself. */
   private def langScoredCached(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"lang-scored:$d")(langScored(documents(s, d)))
+    FrameCache.cached(s, s"lang-scored:${graft.tables.FrameCache.dirKey(d)}")(langScored(documents(s, d)))
 
   /** The unsorted scoring projection (one [[graft.functions.TextKernels.stopwordHits]]
     * sweep + argmax fold). */
@@ -503,7 +503,7 @@ object TextAnalysis {
     val aggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("totdl")) ++
       Bm25Terms.indices.map(i =>
         sum(when(element_at(col("tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val (n, totdl, dfs) = FrameCache.cachedValue[(Long, Long, Seq[Long])](s, s"bm25-stats:$d") {
+    val (n, totdl, dfs) = FrameCache.cachedValue[(Long, Long, Seq[Long])](s, s"bm25-stats:${graft.tables.FrameCache.dirKey(d)}") {
       val r = base.agg(aggs.head, aggs.tail: _*).head()
       (r.getLong(0), r.getLong(1), Bm25Terms.indices.map(i => r.getLong(2 + i)))
     }
@@ -559,7 +559,7 @@ object TextAnalysis {
     * the materialized `n_tokens` column from `text_tokens` anyway rather
     * than re-tokenizing). */
   def packSpans(s: SparkSession, d: String): DataFrame = {
-    val parts = graft.tables.FrameCache.cached(s, s"pack-parts:$d")(packParts(documents(s, d)))
+    val parts = graft.tables.FrameCache.cached(s, s"pack-parts:${graft.tables.FrameCache.dirKey(d)}")(packParts(documents(s, d)))
     packSpansOf(parts)
   }
 
@@ -660,7 +660,7 @@ object TextAnalysis {
     * [[Dedup.winnowPairs]] both consume it (and a real pipeline probes it
     * repeatedly: every copy-detection question reads the same postings). */
   private[graft] def winnowPostingsCached(s: SparkSession, d: String): DataFrame =
-    FrameCache.cached(s, s"winnow-postings:$d")(winnowPostings(documents(s, d)))
+    FrameCache.cached(s, s"winnow-postings:${graft.tables.FrameCache.dirKey(d)}")(winnowPostings(documents(s, d)))
 
   /** The unsorted (doc_id, fingerprint) posting list [[winnow]] and
     * [[Dedup.winnowPairs]] share. */
@@ -764,7 +764,7 @@ object TextAnalysis {
     * exact integers; the final division by the memoized corpus N is one
     * IEEE op in matched order on both engines. */
   def cdfRank(s: SparkSession, d: String): DataFrame = {
-    val n = FrameCache.cachedValue[Long](s, s"corpus-n:$d")(documents(s, d).count())
+    val n = FrameCache.cachedValue[Long](s, s"corpus-n:${graft.tables.FrameCache.dirKey(d)}")(documents(s, d).count())
     cdfRankOf(documents(s, d), n)
   }
 
@@ -801,7 +801,7 @@ object TextAnalysis {
     * exchange to k rows per (doc, mapper) exactly as rel_topk_per_group
     * pins. N folds in as a literal via the memoized corpus count. */
   def tfidfKeywords(s: SparkSession, d: String): DataFrame = {
-    val n = FrameCache.cachedValue[Long](s, s"corpus-n:$d")(documents(s, d).count())
+    val n = FrameCache.cachedValue[Long](s, s"corpus-n:${graft.tables.FrameCache.dirKey(d)}")(documents(s, d).count())
     tfidfKeywordsOf(documents(s, d), n)
   }
 
@@ -1020,8 +1020,8 @@ object TextAnalysis {
     * sibling; the spec pins this against it.) */
   def freqItems(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d).select(explode(split(col("text"), " ")).as("token"))
-    val total = FrameCache.cachedValue[Long](s, s"token-total:$d")(toks.count())
-    val candidates = FrameCache.cachedValue[Seq[String]](s, s"freq-candidates:$d") {
+    val total = FrameCache.cachedValue[Long](s, s"token-total:${graft.tables.FrameCache.dirKey(d)}")(toks.count())
+    val candidates = FrameCache.cachedValue[Seq[String]](s, s"freq-candidates:${graft.tables.FrameCache.dirKey(d)}") {
       toks.stat.freqItems(Seq("token"), FreqSupport).head().getSeq[String](0).toList
     }
     toks.filter(col("token").isin(candidates: _*))
@@ -1109,7 +1109,7 @@ object TextAnalysis {
     * both count joins BROADCAST; top-k is a bounded TakeOrdered — no
     * full sort. */
   def pmiBigrams(s: SparkSession, d: String): DataFrame = {
-    val total = FrameCache.cachedValue[Long](s, s"token-total:$d") {
+    val total = FrameCache.cachedValue[Long](s, s"token-total:${graft.tables.FrameCache.dirKey(d)}") {
       documents(s, d).select(explode(split(col("text"), " ")).as("token")).count()
     }
     pmiBigramsOf(documents(s, d), total)

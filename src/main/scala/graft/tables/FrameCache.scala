@@ -49,7 +49,7 @@ object FrameCache {
         val fresh = build.cache()
         m.putIfAbsent(key, fresh) match {
           case Some(winner) => fresh.unpersist(); winner
-          case None         => fresh
+          case None         => evictStaleSiblings(m, key)(_.unpersist()); fresh
         }
     }
   }
@@ -66,9 +66,47 @@ object FrameCache {
         val fresh = build
         m.putIfAbsent(key, fresh) match {
           case Some(winner) => winner.asInstanceOf[T]
-          case None         => fresh
+          case None         => evictStaleSiblings(m, key)(_ => ()); fresh
         }
     }
+  }
+
+  /** Staleness-aware token for cache keys derived from a data directory
+    * (ADVICE r11): `"$d@@<fingerprint>"` where the fingerprint digests the
+    * dir's file names, sizes, and mtimes (two levels deep — enough to see
+    * `dir/table.parquet/part-*` rewrites). A rewritten input therefore
+    * builds a FRESH index instead of serving a stale frame, and
+    * [[cached]]/[[cachedValue]] evict the stale sibling (same key with a
+    * different `@@` segment) at insert, so a mid-session rewrite does not
+    * leak the superseded persisted copy. Driver-side listing only — cost
+    * is one directory walk per invocation, irrelevant next to the query;
+    * at 100 TB the store would version artifacts explicitly instead. */
+  def dirKey(d: String): String = {
+    var h = 1125899906842597L // FNV-ish fold over (name, size, mtime)
+    def mix(v: Long): Unit = { h = h * 31 + v }
+    def mixStr(s: String): Unit = s.foreach(c => mix(c.toLong))
+    val root = new java.io.File(d)
+    val top = Option(root.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+    top.foreach { f =>
+      mixStr(f.getName); mix(f.length()); mix(f.lastModified())
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach { g =>
+          mixStr(g.getName); mix(g.length()); mix(g.lastModified())
+        }
+    }
+    s"$d@@${java.lang.Long.toHexString(h)}"
+  }
+
+  /** The key with any `@@<fingerprint>` segments stripped — two keys with
+    * the same stem name the same logical artifact at different input
+    * versions. */
+  private def stem(key: String): String = key.replaceAll("@@[^:]*", "")
+
+  private def evictStaleSiblings[V](m: TrieMap[String, V], key: String)(drop: V => Unit): Unit = {
+    val st = stem(key)
+    if (st != key) // only fingerprinted keys pay the scan
+      m.keysIterator.filter(k => k != key && stem(k) == st).toList
+        .foreach(k => m.remove(k).foreach(drop))
   }
 
   /** Unpersist + forget everything owned by `s` (test/session teardown). */

@@ -3,11 +3,14 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale smoke harness (VERDICT r9 item 8): the 100×-scale arguments in
-  * the scaladocs are PLAN-shape arguments measured only up to sf0.1 — this
-  * tool turns them into at least one measured data point by tiling the
-  * sf0.1 tables ~10× (re-keyed ids, deterministically perturbed payloads)
-  * and timing the most expensive queries at both sizes.
+/** Scale smoke harness (VERDICT r9 item 8, r10 item 2): the 100×-scale
+  * arguments in the scaladocs are PLAN-shape arguments measured only up to
+  * sf0.1 — this tool turns them into measured data points by tiling the
+  * sf0.1 tables (re-keyed ids, deterministically perturbed payloads) and
+  * timing the most expensive queries at 1× and N× for each requested N
+  * (default 10 and 100), plus measuring ANN RECALL at every scale — the
+  * fixed bucket caps / nprobe / code budgets could silently trade recall
+  * for speed as the corpus grows, and no sf0.1 spec can see that.
   *
   * Tiling is NOT naive duplication — near-identical copies would make the
   * dedup family's TRUE OUTPUT grow quadratically (every doc gains ~N×
@@ -22,18 +25,28 @@ import org.apache.spark.sql.functions._
   *    while WITHIN-tile structure stays byte-for-byte the original's
   *    (how a real 10× crawl scales: 10× the docs, same internal
   *    dup density, not 10 copies of each doc);
-  *  - embeddings: tile i circularly shifts the vector by i components
-  *    (near-orthogonal to the original — the diffuse cosine structure
-  *    survives) and offsets labels so BLOCK COUNT grows with the corpus
-  *    while block size stays fixed (how a real corpus scales: more
-  *    clusters, not fatter ones).
+  *  - embeddings: tile i>0 flips the sign of each component j by a
+  *    deterministic xxhash64(tile, j) coin. A shared sign pattern cancels
+  *    inside every within-tile dot product (sᵢⱼ² = 1), so within-tile
+  *    cosines — block structure, near-dup pairs, kNN order — are
+  *    preserved EXACTLY, while cross-tile cosines become diffuse
+  *    ±-random sums (σ ≈ 1/√d). Unlike the earlier circular shift this
+  *    works for ANY tile count (shifts repeat mod dim=64, so ≥64 tiles
+  *    would reintroduce exact cross-tile duplicates). Labels offset by
+  *    tile so BLOCK COUNT grows with the corpus while block size stays
+  *    fixed (how a real corpus scales: more clusters, not fatter ones).
   *
-  * Output: `SCALE_SMOKE.json` at the repo root — per-query median seconds
-  * at 1× and N×, and the ratio. The pass criterion is sub-linear-with-
-  *-log headroom: ratio ≤ tiles × 2 (an O(n log n) operator at 10× data on
-  * fixed cores may cost up to ~13×; a quadratic one costs 100× and fails
-  * loudly). Run AFTER any bench (one Spark JVM at a time on this box):
-  * `sbt "runMain graft.tools.ScaleSmoke [tiles]"`. */
+  * Output: `SCALE_SMOKE.json` at the repo root — a `runs` array with one
+  * entry per tile count: per-query median seconds at 1× and N×, the
+  * ratio, output rows at both scales, and `ann_recall` (one number per
+  * ANN family — SRP-LSH, IVF, PQ — vs exact [[graft.queries.Similarity
+  * .bruteTopK]] ground truth computed on the SAME tiled corpus).
+  * Time pass bar: ratio ≤ tiles × 2 (an O(n log n) operator at N× data on
+  * fixed cores may cost up to ~2N×; a quadratic one costs N²× and fails
+  * loudly). Recall pass bar: ≥ 0.8, the same bar the sf0.01/sf0.1 specs
+  * pin (PipelineSpec) — if caps degrade recall at scale this fails.
+  * Run AFTER any bench (one Spark JVM at a time on this box):
+  * `sbt "runMain graft.tools.ScaleSmoke [tiles...]"`. */
 object ScaleSmoke {
 
   /** The most expensive bench queries — the ones whose scale claims are
@@ -51,16 +64,22 @@ object ScaleSmoke {
     "dedup_containment", "sim_embed_neardup", "text_source_overlap",
     "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near")
 
-  private def median3(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** One query per ANN family (VERDICT r10 item 2): float SRP-LSH, IVF,
+    * PQ/ADC. All emit (query_id, rank, neighbor_id) — the bruteTopK
+    * contract — so recall is one inner join against ground truth. */
+  val AnnQueries = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq")
 
-  private def timeQuery(df: => DataFrame): Double = {
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Warmup + median-of-`reps` wall time of a noop-sink write. */
+  private def timeQuery(df: => DataFrame, reps: Int): Double = {
     def once: Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     once // warmup
-    median3(Seq.fill(3)(once))
+    median(Seq.fill(reps)(once))
   }
 
   private def tileTables(s: SparkSession, base: String, out: String, tiles: Int): Unit = {
@@ -83,23 +102,34 @@ object ScaleSmoke {
     tiledDocs.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = s.read.parquet(s"$base/embeddings.parquet")
     val nVec = emb.count()
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val tiledEmb = (0 until tiles).map { i =>
-      val shifted =
+      // Per-(tile, component) deterministic ±1: sign cancels within the
+      // tile (cosines preserved exactly), decorrelates across tiles.
+      val flipped =
         if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, dim - i), slice(col("embedding"), 1, i))
+        else transform(col("embedding"), (x, j) =>
+          when(pmod(xxhash64(lit(i.toLong * 100003L) + j), lit(2)) === 0, x).otherwise(-x))
       emb.select(
         (col("vec_id") + lit(i * nVec)).as("vec_id"),
-        shifted.as("embedding"),
+        flipped.cast("array<float>").as("embedding"),
         (col("label") + lit(i * 10)).as("label"))
     }.reduce(_ unionByName _)
     tiledEmb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** recall@K of `ann` vs exact ground truth, both (query_id, rank,
+    * neighbor_id) over the same corpus dir. */
+  private def recallVsBrute(s: SparkSession, dir: String, ann: DataFrame): Double = {
+    val gt = graft.queries.Similarity.bruteTopK(s, dir)
+      .select("query_id", "neighbor_id")
+    val hits = ann.select("query_id", "neighbor_id").join(gt, Seq("query_id", "neighbor_id"))
+      .count()
+    hits.toDouble / gt.count().toDouble
+  }
+
   def main(args: Array[String]): Unit = {
-    val tiles = args.headOption.map(_.toInt).getOrElse(10)
+    val tileCounts = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10, 100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = s"/tmp/graft-scale/${new java.io.File(base).getName}x$tiles"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,31 +140,48 @@ object ScaleSmoke {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    System.err.println(s"[scale-smoke] tiling $base x$tiles -> $out")
-    tileTables(spark, base, out, tiles)
-
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = Queries.map { q =>
-      val fn = graft.SparkEntry.queries(q)
-      val tBase = timeQuery(fn(spark, base))
-      System.gc()
-      val tTiled = timeQuery(fn(spark, out))
-      System.gc()
-      // output-volume sanity ride-along: a time ratio can hide an output
-      // explosion behind idle cores — record both
-      val rBase = fn(spark, base).count()
-      val rTiled = fn(spark, out).count()
-      val ratio = if (tBase > 0) tTiled / tBase else -1.0
-      System.err.println(f"[scale-smoke] $q%-20s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f rows ${rBase}->${rTiled}")
-      (q, tBase, tTiled, ratio, rBase, rTiled)
+
+    val runJsons = tileCounts.map { tiles =>
+      val out = s"/tmp/graft-scale/${new java.io.File(base).getName}x$tiles"
+      System.err.println(s"[scale-smoke] tiling $base x$tiles -> $out")
+      tileTables(spark, base, out, tiles)
+      // At 100× a single timed rep per side keeps the whole smoke under
+      // control; the 10× run keeps median-of-3 for noise immunity.
+      val reps = if (tiles >= 50) 1 else 3
+
+      val rows = Queries.map { q =>
+        val fn = graft.SparkEntry.queries(q)
+        val tBase = timeQuery(fn(spark, base), reps)
+        System.gc()
+        val tTiled = timeQuery(fn(spark, out), reps)
+        System.gc()
+        // output-volume sanity ride-along: a time ratio can hide an output
+        // explosion behind idle cores — record both
+        val rBase = fn(spark, base).count()
+        val rTiled = fn(spark, out).count()
+        val ratio = if (tBase > 0) tTiled / tBase else -1.0
+        System.err.println(f"[scale-smoke] x$tiles $q%-22s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f rows ${rBase}->${rTiled}")
+        (q, tBase, tTiled, ratio, rBase, rTiled)
+      }
+      val recalls = AnnQueries.map { q =>
+        val r = recallVsBrute(spark, out, graft.SparkEntry.queries(q)(spark, out))
+        System.err.println(f"[scale-smoke] x$tiles recall $q%-14s = $r%.3f")
+        (q, r)
+      }
+      val timesPass = rows.forall(_._4 <= tiles * 2)
+      val recallPass = recalls.forall(_._2 >= 0.8)
+      val qJson = rows.map { case (q, b, t, r, rb, rt) =>
+        s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt}"""
+      }.mkString(",")
+      val recJson = recalls.map { case (q, r) => s""""$q":${r3(r)}""" }.mkString(",")
+      (s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"reps":$reps,""" +
+        s""""queries":{$qJson},"ann_recall":{$recJson},"recall_bar":0.8,""" +
+        s""""pass":${timesPass && recallPass}}""",
+        timesPass && recallPass)
     }
-    val json = rows.map { case (q, b, t, r, rb, rt) =>
-      s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt}"""
-    }.mkString(
-      s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"queries":{""",
-      ",",
-      s"""},"pass":${rows.forall(_._4 <= tiles * 2)}}""")
+    val json = runJsons.map(_._1).mkString(
+      """{"runs":[""", ",", s"""],"pass":${runJsons.forall(_._2)}}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

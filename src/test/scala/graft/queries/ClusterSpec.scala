@@ -54,7 +54,8 @@ class ClusterSpec extends SparkSpec {
     assert(got.nonEmpty)
     // the serialized filter is memoized per (session, dir)
     Dedup.incrementalNew(spark, sf).count()
-    assert(graft.tables.FrameCache.valueKeys(spark).contains(s"bloom-corpus:$sf"))
+    assert(graft.tables.FrameCache.valueKeys(spark)
+      .exists(_.startsWith(s"bloom-corpus:$sf@@")))
   }
 
   private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {

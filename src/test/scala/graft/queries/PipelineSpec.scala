@@ -113,6 +113,31 @@ class PipelineSpec extends SparkSpec {
     assert(capped == uncapped)
   }
 
+  test("dirKey invalidates on input rewrite and evicts the stale sibling") {
+    import graft.tables.FrameCache
+    val dir = java.nio.file.Files.createTempDirectory("framecache-stale").toFile
+    try {
+      spark.range(3).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/t.parquet")
+      val k1 = FrameCache.dirKey(dir.getPath)
+      val a = FrameCache.cached(spark, s"stale-probe:$k1")(spark.range(3).toDF())
+      // rewrite the input: fingerprint must change (size and/or mtime)
+      Thread.sleep(5)
+      spark.range(2000).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/t.parquet")
+      val k2 = FrameCache.dirKey(dir.getPath)
+      assert(k1 != k2, "rewritten dir must fingerprint differently")
+      val b = FrameCache.cached(spark, s"stale-probe:$k2")(spark.range(5).toDF())
+      assert(!(a eq b), "rewritten input must build a fresh frame")
+      // the superseded entry is evicted, not leaked
+      assert(!FrameCache.keys(spark).contains(s"stale-probe:$k1"))
+      assert(FrameCache.keys(spark).contains(s"stale-probe:$k2"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("LSH index frames are memoized — repeated invocations share one cache") {
     import graft.tables.FrameCache
     // build-once identity semantics (hermetic — unique key)
