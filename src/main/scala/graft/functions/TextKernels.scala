@@ -53,6 +53,11 @@ object TextKernels {
   def repetitionStats(words: Column): Column =
     ColumnInterop.column(RepetitionStats(ColumnInterop.expression(words)))
 
+  /** (max n-gram occurrence count, token positions covered by duplicated
+    * n-grams) — array<long> of 2 over an array<string> word list. */
+  def dupNgramStats(words: Column, n: Int): Column =
+    ColumnInterop.column(DupNgramStats(ColumnInterop.expression(words), n))
+
   /** Adjacent word bigrams ("w1 w2") over an array<string> word list;
     * `distinct = true` keeps first occurrences only (array_distinct
     * order). */
@@ -378,6 +383,79 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("repetitionExpr", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeStats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gopher's duplicate-n-gram repetition signals ([[RepetitionStats]]'s
+  * width-n extension, Rae et al. 2021 §A1.1) in one document-local sweep:
+  * slot 1 = the occurrence count of the MOST frequent n-gram (the "top
+  * n-gram fraction" numerator), slot 2 = the number of token POSITIONS
+  * covered by at least one n-gram occurring ≥ 2 times (the "duplicate
+  * n-gram fraction" numerator, overlap counted once — the paper's "taking
+  * care not to count characters in overlapping n-grams more than once",
+  * at token granularity). Gram strings build via `UTF8String.concatWs`,
+  * so they equal the `w || ' ' || …` strings the DuckDB oracle and the
+  * composed `concat_ws` form produce — bit-identity spec-pinned. Arrays
+  * shorter than n yield [0, 0]. */
+case class DupNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 2, s"dup_ngram_stats needs n >= 2, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"dup_ngram_stats expects array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dup_ngram_stats"
+
+  def computeStats(arr: ArrayData): ArrayData = {
+    val len = arr.numElements()
+    val nGrams = len - n + 1
+    if (nGrams <= 0) return new GenericArrayData(Array(0L, 0L))
+    val space = UTF8String.fromString(" ")
+    val grams = new Array[UTF8String](nGrams)
+    val counts = new java.util.HashMap[UTF8String, Integer](nGrams * 2)
+    var best = 0L
+    var i = 0
+    while (i < nGrams) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        // concatWs skips nulls — the exact strings concat_ws(" ", ...) built
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val g = UTF8String.concatWs(space, parts: _*)
+      grams(i) = g
+      val prev = counts.get(g)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(g, c)
+      if (c > best) best = c
+      i += 1
+    }
+    val covered = new Array[Boolean](len)
+    i = 0
+    while (i < nGrams) {
+      if (counts.get(grams(i)).intValue() >= 2) {
+        var j = i
+        val end = i + n
+        while (j < end) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var cov = 0L
+    i = 0
+    while (i < len) { if (covered(i)) cov += 1; i += 1 }
+    new GenericArrayData(Array(best, cov))
+  }
+
+  override def nullSafeEval(a: Any): Any = computeStats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dupNgramExpr", this, classOf[DupNgramStats].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.computeStats($c);")
   }
 

@@ -594,6 +594,33 @@ object Relational {
         col("gid"), col("n"), col("total_cents"))
       .orderBy("gid", "priority", "status")
 
+  /** GROUPING SETS — [[rollupAgg]]/[[cubeAgg]]'s general form, here the
+    * two single-column MARGINALS ((priority), (status)) with neither the
+    * leaf nor the grand total: the report shape a dashboard's side panels
+    * want, and one that neither ROLLUP (hierarchical prefixes only) nor
+    * CUBE (all 2ⁿ subsets) can express without computing sets the caller
+    * then throws away. Physically identical to its siblings: ONE scan +
+    * one Expand (each row emitted once per requested set — 2 here, vs
+    * cube's 4: the Expand fan-out, i.e. the exchange volume, tracks the
+    * sets actually asked for) + a single hash aggregate whose partials
+    * combine map-side. Same sentinel-coalesce + `grouping_id` discipline
+    * as rollup — the SQL-standard GROUPING bitmask (1 = status-marginal
+    * row, 2 = priority-marginal row) disambiguates "(all)" from data. */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n"), col("total_cents"))
+      .orderBy("gid", "priority", "status")
+
   /** Running/cumulative window aggregates — per-user ordinal, running
     * total, 3-row moving total, and inter-event gap. All three frames
     * share ONE window partitioning (user_id), so the whole query is a
@@ -651,6 +678,65 @@ object Relational {
         col("w.event_type").as("event_type"), col("w.ts_us").as("ts_us"),
         col("w.cents").as("cents"), col("n_versions"))
       .orderBy("user_id")
+
+  /** [[incrementalAgg]]'s base/delta boundary on the fixed test tables —
+    * "the store holds everything before the 24th; today's increment is
+    * the final week". A real deployment derives this from the state
+    * table's high-water mark; a constant keeps the test split
+    * deterministic at every SF (events span 2024-01-01..31). */
+  val IncrementalSplitTs = "2024-01-24 00:00:00"
+
+  /** Incremental aggregate maintenance — the materialized-view refresh a
+    * 100 TB rollup actually runs: per-user (count, cents, latest-ts)
+    * state is PERSISTED once over the base log, and each refresh
+    * aggregates ONLY the delta and merges partial states, never
+    * re-scanning the base. All three aggregates are algebraic — counts
+    * and integer cents add, maxes max — so merged state is bit-equal to
+    * a full recompute, which is exactly what the DuckDB oracle (a full
+    * GROUP BY over the whole log) checks at full strictness.
+    *
+    * Shape: the state table is written bucketed+sorted on user_id
+    * ([[graft.tables.Bucketed]] — built once per (session, dir), the
+    * store artifact of this op), so the merge join reads it
+    * exchange-free and sort-free; the delta side scans events with the
+    * ts >= split predicate PUSHED to parquet (at 100 TB with
+    * time-partitioned logs that's partition pruning: the refresh reads
+    * one day, not the corpus) and moves one (user_id, partial) row per
+    * user through its single exchange. full_outer because both
+    * never-seen-before users (delta-only) and quiet users (state-only)
+    * must survive the merge. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val split = lit(IncrementalSplitTs).cast("timestamp_ntz")
+    val stateTbl = graft.tables.Bucketed.ensure(
+      s, s"graft_agg_state_${graft.tables.Bucketed.sanitize(d)}", "user_id")(
+      aggStateOf(ev.filter(col("ts") < split)))
+    incrementalAggOf(s.table(stateTbl), ev.filter(col("ts") >= split))
+  }
+
+  /** The per-user algebraic aggregate state (count, cents sum, last ts)
+    * — shared by the base materialization and the delta pass so the two
+    * sides can never drift. */
+  private[graft] def aggStateOf(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(round(col("value") * 100).cast("long")).as("cents"),
+      max(unix_micros(col("ts").cast("timestamp"))).as("last_ts_us"))
+
+  /** The merge alone: persisted state ⋈ delta partials, algebraic
+    * combine. Identity element per aggregate (0 for the sums, MinValue
+    * for the max) stands in for the missing side. */
+  private[graft] def incrementalAggOf(state: DataFrame, delta: DataFrame): DataFrame = {
+    val dp = aggStateOf(delta)
+      .withColumnsRenamed(Map("n" -> "d_n", "cents" -> "d_cents", "last_ts_us" -> "d_last"))
+    state.join(dp, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("d_cents"), lit(0L))).as("cents"),
+        greatest(coalesce(col("last_ts_us"), lit(Long.MinValue)),
+          coalesce(col("d_last"), lit(Long.MinValue))).as("last_ts_us"))
+      .orderBy("user_id")
+  }
 
   /** Sentinel for an open (current) SCD-2 interval — an explicit value,
     * not NULL, so the driver hash never sees engine NULL ordering (the
@@ -1599,6 +1685,8 @@ object Relational {
     "rel_approx_distinct" -> approxDistinct _,
     "rel_rollup"         -> rollupAgg _,
     "rel_cube"           -> cubeAgg _,
+    "rel_grouping_sets"  -> groupingSetsAgg _,
+    "rel_incremental_agg" -> incrementalAgg _,
     "rel_window_running" -> windowRunning _,
     "rel_window_ntile"   -> windowNtile _,
     "rel_sessionize"     -> sessionize _,
@@ -1699,6 +1787,23 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority, status""".stripMargin,
+    // The two requested marginals only — same GROUPING bitmask + sentinel
+    // discipline as rel_rollup/rel_cube.
+    "rel_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY gid, priority, status""".stripMargin,
+    // Full recompute over the whole log — the algebraic state merge must
+    // be bit-equal to it (counts/cents add, maxes max; all exact int64).
+    "rel_incremental_agg" ->
+      """SELECT user_id, COUNT(1) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Integer-cents accumulation: windowed SUM over DOUBLE would be
     // association-sensitive (segment tree vs sequential) — BIGINT is not.
     "rel_window_running" ->

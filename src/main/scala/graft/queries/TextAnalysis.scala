@@ -217,6 +217,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Width of the duplicate-n-gram repetition window ([[dupNgramFrac]]). */
+  val DupGramN = 3
+
+  /** Gopher's duplicate-n-gram repetition signals (Rae et al. 2021
+    * §A1.1) at width n=3 — [[repetition]]'s wider-window companion:
+    * `top3_frac` = tokens claimed by occurrences of the single most
+    * frequent trigram (count × 3, overlap NOT collapsed — the cheap
+    * upper-bound form most filter stacks use; > 1.0 possible for a
+    * self-overlapping gram and meaningful as "the doc is basically one
+    * loop"), `dup3_cov_frac` = fraction of token positions covered by
+    * AT LEAST one trigram occurring twice or more (overlap counted
+    * once — the paper's dup-fraction semantics, exact by coverage).
+    * Both numerators come from ONE [[graft.functions.TextKernels
+    * .dupNgramStats]] sweep per document — a narrow codegen projection,
+    * no explode, no shuffle: at 100 TB this is a map-only pass like the
+    * rest of the Gopher gate family, and the fractions are single
+    * divisions of exact int64s (bit-identical across engines). */
+  def dupNgramFrac(s: SparkSession, d: String): DataFrame =
+    dupNgramFracOf(documents(s, d))
+
+  private[graft] def dupNgramFracOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val st = graft.functions.TextKernels.dupNgramStats(words, DupGramN)
+    docs
+      .filter(size(words) >= DupGramN)
+      .select(col("doc_id"), size(words).cast("long").as("n_words"), st.as("st"))
+      .select(col("doc_id"), col("n_words"),
+        ((element_at(col("st"), 1) * DupGramN).cast("double") / col("n_words"))
+          .as("top3_frac"),
+        (element_at(col("st"), 2).cast("double") / col("n_words"))
+          .as("dup3_cov_frac"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ sampling
 
   /** Knuth's multiplicative-hash constant — chosen over `xxhash64`/`hash`
@@ -588,6 +622,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("cum_start"),
         expr(s"cum_start div $PackBudget").as("pack_id"),
         (col("cum_start") % PackBudget).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Output shard count for [[shardPlan]] — sized to the harness; a
+    * cluster export sizes this to (corpus tokens / target shard bytes). */
+  val ShardCount = 8
+
+  /** Balanced training-shard assignment — the export planner that decides
+    * which output file each document lands in so no shard (and thus no
+    * loader worker) drags the epoch: documents are ranked by token count
+    * descending and dealt SERPENTINE over [[ShardCount]] shards (block k
+    * of S ranks deals one doc per shard, direction alternating) — the
+    * classic LPT-style balance heuristic: every block contributes exactly
+    * one doc per shard and the snake ordering pairs each shard's large
+    * pick in one block with a small pick in the next, so shard token
+    * totals differ by at most a couple of document lengths, with zero
+    * pairwise optimization.
+    *
+    * The global size rank is NOT a single-partition window (one reducer
+    * sorting the corpus): [[packSpans]]'s distributed-prefix shape —
+    * range-repartition on (n_tokens DESC, doc_id), per-slice COUNTS to
+    * the driver ([[PackParts]] longs), exclusive offsets back as a
+    * literal map, per-slice `row_number` in parallel (PlanSpec-gated:
+    * every window in the plan is partitioned). The deal itself is pure
+    * per-row integer arithmetic on the rank. */
+  def shardPlan(s: SparkSession, d: String): DataFrame =
+    shardPlanOf(documents(s, d))
+
+  private[graft] def shardPlanOf(docs: DataFrame): DataFrame = {
+    val sized = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(PackParts, col("n_tokens").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-slice row counts → driver-side exclusive prefix (PackParts rows)
+    val counts = sized.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, c)) => pid -> (acc + c) }
+      .init.map { case (_, acc) => acc }
+    val offByPid = counts.map(_._1).zip(offs).toMap
+    val offCol = coalesce(element_at(typedLit(offByPid), col("pid")), lit(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("n_tokens").desc, col("doc_id"))
+    sized
+      .select(col("doc_id"), col("n_tokens"),
+        (offCol + row_number().over(w).cast("long")).as("size_rank"))
+      .withColumn("r0", col("size_rank") - 1)
+      .select(col("doc_id"), col("n_tokens"), col("size_rank"),
+        when(pmod(expr(s"r0 div $ShardCount"), lit(2)) === 0,
+          pmod(col("r0"), lit(ShardCount)))
+          .otherwise(lit(ShardCount - 1) - pmod(col("r0"), lit(ShardCount)))
+          .as("shard"))
       .orderBy("doc_id")
   }
 
@@ -1312,8 +1397,10 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
     "text_simhash"     -> simhash _,
     "text_repetition"  -> repetition _,
+    "text_dup_ngram_frac" -> dupNgramFrac _,
     "text_sample_stratified" -> sampleStratified _,
     "text_pack_spans"  -> packSpans _,
+    "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
     "text_decontaminate" -> decontaminate _,
@@ -1508,6 +1595,54 @@ object TextAnalysis {
         |  1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) AS dup_bigram_frac
         |FROM g JOIN f ON g.doc_id = f.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // Trigram counts via parallel unnest (gram list zipped with its
+    // 1-based position list); coverage = distinct positions under any
+    // duplicated trigram's 3-token footprint. Both fractions are one
+    // exact-int64 division, same as the Spark kernel's outputs.
+    "text_dup_ngram_frac" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]) AS gram,
+        |    unnest(range(1, len(words) - 1)) AS pos
+        |  FROM w
+        |), c AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+        |), top AS (
+        |  SELECT doc_id, MAX(cnt) AS best FROM c GROUP BY doc_id
+        |), cov AS (
+        |  SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
+        |    SELECT g.doc_id, unnest([g.pos, g.pos + 1, g.pos + 2]) AS p
+        |    FROM g JOIN c ON g.doc_id = c.doc_id AND g.gram = c.gram
+        |    WHERE c.cnt >= 2)
+        |  GROUP BY doc_id
+        |), n AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM w
+        |)
+        |SELECT n.doc_id, n.n_words,
+        |  CAST(top.best * 3 AS DOUBLE) / n.n_words AS top3_frac,
+        |  CAST(COALESCE(cov.covered, 0) AS DOUBLE) / n.n_words AS dup3_cov_frac
+        |FROM n JOIN top ON n.doc_id = top.doc_id
+        |LEFT JOIN cov ON n.doc_id = cov.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // Global size rank (the window DuckDB runs on one thread is the
+    // distributed prefix on the Spark side), serpentine deal over 8
+    // shards in pure integer arithmetic.
+    "text_shard_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS size_rank
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, size_rank,
+        |  CASE WHEN ((size_rank - 1) // 8) % 2 = 0 THEN (size_rank - 1) % 8
+        |       ELSE 7 - ((size_rank - 1) % 8) END AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents

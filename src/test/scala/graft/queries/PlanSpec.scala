@@ -138,9 +138,49 @@ class PlanSpec extends SparkSpec {
     assert(wins.forall(_.nonEmpty), "pack spans regressed to an unpartitioned global window")
   }
 
+  test("shard plan never runs a global single-partition window") {
+    // same contract as pack spans: the global size rank is a distributed
+    // prefix (range repartition + driver offsets), so every Window in the
+    // plan must be partitioned — an unpartitioned rank would serialize
+    // the corpus through one reducer.
+    val wins = TextAnalysis.shardPlan(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }
+    assert(wins.nonEmpty, "shard plan lost its window entirely")
+    assert(wins.forall(_.nonEmpty), "shard plan regressed to an unpartitioned global window")
+  }
+
+  test("incremental agg: base log scanned zero times, delta once; state side exchange-free") {
+    val plan = Relational.incrementalAgg(spark, sf).queryExecution.sparkPlan
+    val evScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("events.parquet")) => s
+    }
+    assert(evScans.size == 1,
+      s"refresh must touch the raw log once (the delta), got ${evScans.size} scans")
+    // the merge join reads the persisted state through its bucketed
+    // layout: that side of the join must plan NO shuffle exchange
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j.left, j.right)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => Seq(j.left, j.right)
+    }
+    assert(joins.size == 1, s"expected one merge join, got ${joins.size}")
+    val stateSide = joins.head.find(side => side.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.bucketSpec.isDefined => s
+    }.nonEmpty)
+    assert(stateSide.isDefined, "state table is not read through its bucketed layout")
+    val stateShuffles = stateSide.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(stateShuffles.isEmpty, s"state side re-shuffles its bucketed layout:\n${stateSide.get}")
+  }
+
   test("rollup and cube are one Expand + one aggregation pass, not a rescan per level") {
     for ((name, df) <- Seq("rollup" -> Relational.rollupAgg(spark, sf),
-                           "cube" -> Relational.cubeAgg(spark, sf))) {
+                           "cube" -> Relational.cubeAgg(spark, sf),
+                           "grouping_sets" -> Relational.groupingSetsAgg(spark, sf))) {
       val plan = df.queryExecution.sparkPlan
       val expands = plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }
       assert(expands.size == 1, s"$name expected exactly one Expand, got ${expands.size}")
@@ -352,7 +392,8 @@ class PlanSpec extends SparkSpec {
   test("round-10 additions: narrow ops shuffle only the result sort; keyed ops one hash exchange") {
     // zorder key and unicode normalization are pure projections — the
     // only exchange either may plan is the driver-hash orderBy.
-    for (q <- Seq("rel_zorder_key", "text_unicode_norm", "text_char_diversity")) {
+    for (q <- Seq("rel_zorder_key", "text_unicode_norm", "text_char_diversity",
+                  "text_dup_ngram_frac")) {
       val xs = shuffles(q)
       assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
         s"$q: expected exactly the result-sort exchange, got $xs")

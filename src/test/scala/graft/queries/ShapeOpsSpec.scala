@@ -506,4 +506,107 @@ class ShapeOpsSpec extends SparkSpec {
     assert(h.head.getAs[Double]("top_share") == 0.8)
     assert(h.head.getAs[Double]("gini") == 14.0 / 30.0)
   }
+
+  // --------------------------------------------- duplicate-n-gram fractions
+
+  test("dupNgramFrac: full-loop doc saturates, distinct doc zeroes, self-overlap exceeds 1") {
+    val docs = Seq(
+      (0L, "a b c a b c"), // "a b c" twice: best=2, both occurrences cover all 6 tokens
+      (1L, "x y z w"),     // all trigrams distinct: no dup coverage
+      (2L, "a a a a a"),   // "a a a" x3 self-overlapping: top frac 9/5 > 1 (uncapped bound)
+      (3L, "p q")          // shorter than the window: filtered out
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramFracOf(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 2L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(0L).getAs[Double]("top3_frac") == 1.0)
+    assert(byId(0L).getAs[Double]("dup3_cov_frac") == 1.0)
+    assert(byId(1L).getAs[Double]("top3_frac") == 3.0 / 4.0) // best count 1
+    assert(byId(1L).getAs[Double]("dup3_cov_frac") == 0.0)
+    assert(byId(2L).getAs[Double]("top3_frac") == 9.0 / 5.0)
+    assert(byId(2L).getAs[Double]("dup3_cov_frac") == 1.0)
+  }
+
+  test("dupNgramFrac: partial coverage counts overlapped positions once") {
+    // "u v w u v w" dup-trigram block inside distinct padding:
+    // words: r s u v w u v w t (9 tokens); dup grams "u v w" at pos 3 and 6
+    // cover tokens 3..5 and 6..8 -> 6 of 9 positions.
+    val docs = Seq((7L, "r s u v w u v w t")).toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramFracOf(docs).collect().head
+    assert(r.getAs[Long]("n_words") == 9L)
+    assert(r.getAs[Double]("dup3_cov_frac") == 6.0 / 9.0)
+    assert(r.getAs[Double]("top3_frac") == 2.0 * 3.0 / 9.0)
+  }
+
+  // --------------------------------------------------------- shard planner
+
+  test("shardPlan: serpentine deal by size rank, balance within one document") {
+    // 17 docs, sizes 17..1 — ranks are deterministic, the deal must snake:
+    // block 0 forward (shards 0..7), block 1 reversed (7..0), block 2 forward.
+    val docs = (1L to 17L).map(i => (i, Seq.fill(18 - i.toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.shardPlanOf(docs).collect()
+    val byRank = out.sortBy(_.getAs[Long]("size_rank"))
+    assert(byRank.map(_.getAs[Long]("doc_id")).toSeq == (1L to 17L).toSeq,
+      "rank must follow n_tokens DESC, doc_id ASC")
+    val expected = Seq(0L, 1, 2, 3, 4, 5, 6, 7, 7, 6, 5, 4, 3, 2, 1, 0, 0)
+    assert(byRank.map(_.getAs[Long]("shard")).toSeq == expected)
+
+    // real corpus: shard token totals must stay within one max-doc length
+    val plan = TextAnalysis.shardPlan(spark, "/root/testdata/sf0.001").collect()
+    val totals = plan.groupBy(_.getAs[Long]("shard"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_tokens")).sum }
+    val maxDoc = plan.map(_.getAs[Long]("n_tokens")).max
+    assert(totals.size == TextAnalysis.ShardCount)
+    assert(totals.max - totals.min <= maxDoc,
+      s"shard imbalance ${totals.max - totals.min} exceeds one document ($maxDoc)")
+  }
+
+  // --------------------------------------------- incremental agg maintenance
+
+  test("incrementalAggOf: state-only, delta-only and merged users all combine algebraically") {
+    import org.apache.spark.sql.functions.col
+    val state = Seq(
+      (1L, 2L, 100L, 1000L), // quiet user: state only
+      (2L, 3L, 250L, 2000L)  // active user: state + delta
+    ).toDF("user_id", "n", "cents", "last_ts_us")
+    val delta = Seq(
+      (2L, 1.25, "2024-01-25 00:00:02"), // merges into user 2
+      (3L, 0.10, "2024-01-26 00:00:03")  // never-seen user
+    ).toDF("user_id", "value", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Relational.incrementalAggOf(state, delta).collect()
+    val byId = out.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L))
+    assert(byId(1L).getAs[Long]("n") == 2L && byId(1L).getAs[Long]("cents") == 100L &&
+      byId(1L).getAs[Long]("last_ts_us") == 1000L)
+    assert(byId(2L).getAs[Long]("n") == 4L && byId(2L).getAs[Long]("cents") == 375L)
+    assert(byId(2L).getAs[Long]("last_ts_us") == 1706140802000000L) // delta wins the max
+    assert(byId(3L).getAs[Long]("n") == 1L && byId(3L).getAs[Long]("cents") == 10L)
+  }
+
+  test("incrementalAgg == full recompute over the whole log (merge is lossless)") {
+    val sf = "/root/testdata/sf0.001"
+    val inc = Relational.incrementalAgg(spark, sf).collect()
+    val full = Relational.aggStateOf(graft.tables.Testdata.events(spark, sf))
+      .orderBy("user_id").collect()
+    assert(inc.length == full.length && inc.nonEmpty)
+    assert(inc.zip(full).forall { case (a, b) => a == b },
+      "incremental merge drifted from the full recompute")
+  }
+
+  // ----------------------------------------------------------- grouping sets
+
+  test("groupingSetsAgg == the two marginal group-bys, nothing else") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Relational.groupingSetsAgg(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("gid")).toSet == Set(1L, 2L),
+      "grouping sets must emit ONLY the two requested marginals")
+    val orders = graft.tables.Testdata.orders(spark, sf)
+    val byPriority = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.filter(_.getAs[Long]("gid") == 1L)
+      .map(r => r.getAs[String]("priority") -> r.getAs[Long]("n")).toMap
+    assert(got == byPriority, "priority marginal drifted from a plain groupBy")
+  }
 }
