@@ -62,8 +62,13 @@ object Pipeline {
   private val EpochFold = 131L
 
   def pipelineCorpus(s: SparkSession, d: String): DataFrame =
+    // checkpointed, not cached: each stage truncates to a leaf LogicalRDD,
+    // so downstream stages and the 8 report branches analyze shallow
+    // plans. With cache() the data was memoized but every action
+    // re-analyzed the full 8-deep lineage — ~20 s/round of pure driver
+    // time against 153 sub-second jobs (TimeQuery-measured at sf0.001).
     pipelineCorpusOf(documents(s, d),
-      (k, df) => FrameCache.cached(s, s"pipeline:$k:${graft.tables.FrameCache.dirKey(d)}")(df))
+      (k, df) => FrameCache.checkpointed(s, s"pipeline:$k:${graft.tables.FrameCache.dirKey(d)}")(df))
 
   /** The chain over an explicit corpus frame. `stage` decorates each
     * stage's output frame (the session entry memoizes+caches per
@@ -96,8 +101,13 @@ object Pipeline {
     // 3: near-dup clustering on the CLEANED text, keep-best survivors
     // (quality = current text length; docs too short to shingle ride
     // through as singletons via keepBestOf's left join)
-    val labels = Dedup.connectedComponents(
-      Dedup.jaccardPrefixPairsOf(Dedup.gramSetsOf(s2)))
+    // the CC labels are a stage artifact in their own right: the star
+    // loop is EAGER (one materialized round per iteration at
+    // construction), so an uncached labels frame re-runs the whole
+    // iteration on every invocation — this was ~95% of pipeline_corpus'
+    // bench time before it was memoized like every other stage output
+    val labels = stage("cc_labels", Dedup.connectedComponents(
+      Dedup.jaccardPrefixPairsOf(Dedup.gramSetsOf(s2))))
     val s3 = stage("neardup",
       Dedup.keepBestOf(
         s2.select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), labels)

@@ -85,6 +85,46 @@ object Provenance {
         sum(col("n_chars")).as("total_chars"))
       .orderBy("domain")
 
+  /** Per-source domain-diversity entropy — the crawl-health number next
+    * to [[domainMix]]'s raw counts: a source whose documents pile into
+    * one domain scores near 0 bits, an evenly-spread one near
+    * log₂(n_domains). Exact-integer discipline for the cross-engine
+    * hash: per (source, domain) count c with source total T, the
+    * contribution is c·⌊log₂(T div c)⌋ (the same bit-length-minus-one
+    * integer surprisal [[graft.queries.TextAnalysis.surprisal]] pins —
+    * a floating log₂ would not be bit-reproducible), and the mean is ONE
+    * division of two exact int64s. Underestimates true Shannon entropy
+    * by < 1 bit (floor per term) — the ranking between sources is what
+    * the audit reads.
+    *
+    * Shape: one hash exchange on (source, domain) for the counts; the
+    * per-source totals re-aggregate the COUNT frame (domains, not docs)
+    * and broadcast back — the [[graft.queries.TextAnalysis.qualityGate]]
+    * thresholds-broadcast-back discipline, never a per-source corpus
+    * window. */
+  def domainEntropy(s: SparkSession, d: String): DataFrame =
+    domainEntropyOf(documents(s, d))
+
+  private[graft] def domainEntropyOf(docs: DataFrame): DataFrame = {
+    val url = urlOf(col("doc_id"), col("source"), col("lang"))
+    val counts = docs
+      .select(col("source"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), HostRegex, 1))
+      .withColumn("domain", regexp_extract(col("host"), DomainRegex, 1))
+      .groupBy("source", "domain").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source")
+      .agg(sum("c").as("t"), count(lit(1)).as("n_domains"))
+    val q = ((col("t") - pmod(col("t"), col("c"))) / col("c")).cast("long")
+    val weighted = counts.join(broadcast(totals.select("source", "t")), "source")
+      .select(col("source"),
+        (col("c") * (length(conv(q.cast("string"), 10, 2)) - 1).cast("long")).as("w"))
+      .groupBy("source").agg(sum("w").as("bits_num"))
+    totals.join(weighted, "source")
+      .select(col("source"), col("n_domains"), col("t").as("n_docs"),
+        (col("bits_num").cast("double") / col("t")).as("mean_bits"))
+      .orderBy("source")
+  }
+
   /** Deterministic per-domain document cap: rank docs inside each domain
     * by the Knuth-multiplicative hash of doc_id (reproducible outside
     * Spark, survives task retries — `rand()` does neither) and keep the
@@ -284,6 +324,7 @@ object Provenance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
+    "text_domain_entropy" -> domainEntropy _,
     "text_domain_cap" -> domainCap _,
     "text_snapshot_diff" -> snapshotDiff _,
     "text_url_canon" -> urlCanon _,
@@ -320,6 +361,26 @@ object Provenance {
          |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
+    // Domain derived INDEPENDENTLY from page arithmetic (the dedup_url
+    // oracle discipline): a regex mis-extraction on the Spark side lands
+    // as a count drift, not a shared bug. Integer surprisal per term via
+    // length(bin(..)) - 1, the text_surprisal contract.
+    "text_domain_entropy" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    source || '.' || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] AS domain,
+        |    COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, SUM(c) AS t, COUNT(*) AS n_domains FROM c GROUP BY source
+        |), w AS (
+        |  SELECT c.source, SUM(c.c * (length(bin(t.t // c.c)) - 1)) AS bits_num
+        |  FROM c JOIN t ON c.source = t.source GROUP BY c.source
+        |)
+        |SELECT t.source, CAST(t.n_domains AS BIGINT) AS n_domains,
+        |  CAST(t.t AS BIGINT) AS n_docs,
+        |  CAST(w.bits_num AS DOUBLE) / t.t AS mean_bits
+        |FROM t JOIN w ON t.source = w.source ORDER BY t.source""".stripMargin,
     "text_domain_cap" ->
       s"""WITH $UrlCte
          |SELECT doc_id, domain, host, sort_key, rn FROM (

@@ -679,6 +679,46 @@ object Relational {
         col("w.cents").as("cents"), col("n_versions"))
       .orderBy("user_id")
 
+  /** [[slidingDistinct]]'s window width (days): DAU against a trailing
+    * 7-day WAU — the engagement-report pair. */
+  val SlidingDays = 7
+
+  /** Sliding-window EXACT distinct — daily actives vs trailing-7-day
+    * actives and their stickiness ratio, the report every activity
+    * dashboard opens with. A naive form windows the raw log per day
+    * (7 rescans) or worse, collects per-day user sets; this plans as ONE
+    * pass: distinct (day, user) pairs first (map-side combinable — the
+    * exchange carries one row per active-user-day, not per event), each
+    * pair then fans out narrowly to the ≤ 7 window-days it can serve, and
+    * a single two-distinct aggregate (one Expand) counts both DAU
+    * (`src_day = day` slice) and WAU per window day. Days absent from the
+    * log surface as dau = 0 phantom rows (trailing windows past the last
+    * day) and are dropped by the HAVING — no second scan, no day-list
+    * semi-join. Stickiness is one exact-int division. At 100 TB the
+    * fan-out constant is the window width, and both exchanges are keyed
+    * on high-cardinality (day, user) / day — skew-free. */
+  def slidingDistinct(s: SparkSession, d: String): DataFrame =
+    slidingDistinctOf(events(s, d))
+
+  private[graft] def slidingDistinctOf(ev: DataFrame): DataFrame = {
+    val pairs = ev
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("src_day"),
+        col("user_id"))
+      .distinct()
+    pairs
+      .select(col("src_day"),
+        explode(sequence(col("src_day"), col("src_day") + (SlidingDays - 1))).as("day_no"),
+        col("user_id"))
+      .groupBy("day_no")
+      .agg(
+        count_distinct(when(col("src_day") === col("day_no"), col("user_id"))).as("dau"),
+        count_distinct(col("user_id")).as("wau7"))
+      .filter(col("dau") > 0)
+      .select(col("day_no"), col("dau"), col("wau7"),
+        (col("dau").cast("double") / col("wau7")).as("stickiness"))
+      .orderBy("day_no")
+  }
+
   /** [[incrementalAgg]]'s base/delta boundary on the fixed test tables —
     * "the store holds everything before the 24th; today's increment is
     * the final week". A real deployment derives this from the state
@@ -1687,6 +1727,7 @@ object Relational {
     "rel_cube"           -> cubeAgg _,
     "rel_grouping_sets"  -> groupingSetsAgg _,
     "rel_incremental_agg" -> incrementalAgg _,
+    "rel_sliding_distinct" -> slidingDistinct _,
     "rel_window_running" -> windowRunning _,
     "rel_window_ntile"   -> windowNtile _,
     "rel_sessionize"     -> sessionize _,
@@ -1797,6 +1838,24 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         |ORDER BY gid, priority, status""".stripMargin,
+    // Window fan-out (range is exclusive-end in DuckDB, sequence is
+    // inclusive in Spark — same 7 days), two-distinct aggregate, phantom
+    // trailing days dropped by the dau > 0 filter on both sides.
+    "rel_sliding_distinct" ->
+      """WITH p AS (
+        |  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS src_day, user_id
+        |  FROM events
+        |), f AS (
+        |  SELECT src_day, unnest(range(src_day, src_day + 7)) AS day_no, user_id FROM p
+        |)
+        |SELECT day_no,
+        |  CAST(COUNT(DISTINCT CASE WHEN src_day = day_no THEN user_id END) AS BIGINT) AS dau,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7,
+        |  CAST(COUNT(DISTINCT CASE WHEN src_day = day_no THEN user_id END) AS DOUBLE)
+        |    / COUNT(DISTINCT user_id) AS stickiness
+        |FROM f GROUP BY day_no
+        |HAVING COUNT(DISTINCT CASE WHEN src_day = day_no THEN user_id END) > 0
+        |ORDER BY day_no""".stripMargin,
     // Full recompute over the whole log — the algebraic state merge must
     // be bit-equal to it (counts/cents add, maxes max; all exact int64).
     "rel_incremental_agg" ->

@@ -54,6 +54,35 @@ object FrameCache {
     }
   }
 
+  /** [[cached]]'s lineage-TRUNCATING sibling for deep pipeline chains:
+    * memoizes `build.localCheckpoint()` (eager), so consumers see a leaf
+    * `LogicalRDD` instead of the full upstream logical plan. `cache()`
+    * persists DATA but every later action still re-ANALYZES the whole
+    * lineage — for an 8-stage chain whose stages nest each other that
+    * analysis cost grows with depth and dwarfed execution (measured:
+    * pipeline_corpus spent ~20 s/round in the driver, 153 sub-second
+    * jobs). A checkpoint is exactly the inter-stage artifact a real
+    * 100 TB pipeline writes between stages (there: parquet, here: the
+    * local-block equivalent). Trade-off documented at the call site:
+    * checkpointed blocks are not recomputable after executor loss —
+    * fine for a single-JVM harness, a durable store write at scale. */
+  def checkpointed(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = tableFor(frames, s)
+    m.get(key) match {
+      case Some(df) => df
+      case None =>
+        val fresh = build.localCheckpoint()
+        m.putIfAbsent(key, fresh) match {
+          case Some(winner) =>
+            org.apache.spark.sql.graft.ColumnInterop.unpersistCheckpoint(fresh); winner
+          case None =>
+            evictStaleSiblings(m, key)(d =>
+              org.apache.spark.sql.graft.ColumnInterop.unpersistCheckpoint(d))
+            fresh
+        }
+    }
+  }
+
   /** Driver-side computed values that share the frames' lifecycle (e.g.
     * IvfAnn's trained centroid matrix — a few KB that must die with its
     * session). A lost race just recomputes the pure value; no rollback
@@ -109,10 +138,16 @@ object FrameCache {
         .foreach(k => m.remove(k).foreach(drop))
   }
 
-  /** Unpersist + forget everything owned by `s` (test/session teardown). */
+  /** Unpersist + forget everything owned by `s` (test/session teardown).
+    * Both persistence kinds release: `unpersist()` covers [[cached]]
+    * frames (no-op on checkpoints), `unpersistCheckpoint` covers
+    * [[checkpointed]] ones (no-op on plain cached frames). */
   def clear(s: SparkSession): Unit = {
     val m = frames.synchronized(frames.remove(s))
-    if (m != null) m.values.foreach(_.unpersist())
+    if (m != null) m.values.foreach { df =>
+      df.unpersist()
+      org.apache.spark.sql.graft.ColumnInterop.unpersistCheckpoint(df)
+    }
     values.synchronized { values.remove(s); () }
   }
 

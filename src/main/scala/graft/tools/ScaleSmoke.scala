@@ -19,12 +19,22 @@ import org.apache.spark.sql.functions._
   * one tile token per doc: sliding shingles stayed ~all shared across
   * tiles and dedup_containment measured 20× — real pairs, wrong
   * workload):
-  *  - documents: tile i>0 rewrites every 7th word with a tile-unique
-  *    token — each changed word breaks every shingle covering it, so
-  *    cross-tile gram overlap falls below any containment/Jaccard bar
-  *    while WITHIN-tile structure stays byte-for-byte the original's
-  *    (how a real 10× crawl scales: 10× the docs, same internal
-  *    dup density, not 10 copies of each doc);
+  *  - documents: tile i>0 applies a UNIFORM per-tile word mapping —
+  *    every word gets the tile token suffixed (`w` → `w~ti`), an
+  *    injective vocabulary rename. Within-tile structure is preserved
+  *    EXACTLY (duplicated passages stay duplicated, every gram/line/
+  *    fingerprint relation is isomorphic to the original corpus), while
+  *    cross-tile gram overlap is ZERO at every shingle width. The
+  *    previous every-7th-word scheme left trigram windows inside the
+  *    6-word gaps untouched, so ~4/7 of width-3 shingles stayed shared
+  *    across tiles: each doc gained N−1 phantom ~57%-overlap partners
+  *    and the containment CANDIDATE stage (not its output — emitted
+  *    pairs stayed linear) grew quadratically with the tile count —
+  *    a workload no real N× crawl has (measured: 20.8× time at 10×,
+  *    vs 3.6× under a sound tiling). Word lengths grow by the suffix
+  *    (+3 chars) — a uniform constant that shifts char-rate costs,
+  *    not plan shape (how a real 10× crawl scales: 10× the docs, same
+  *    internal dup density, not 10 copies of each doc);
   *  - embeddings: tile i>0 flips the sign of each component j by a
   *    deterministic xxhash64(tile, j) coin. A shared sign pattern cancels
   *    inside every within-tile dot product (sᵢⱼ² = 1), so within-tile
@@ -57,9 +67,9 @@ object ScaleSmoke {
     * posting fan-outs — and the incremental near-dup probe, whose claim
     * is specifically that per-batch cost tracks the BATCH, with the
     * index build amortized out in the warmup exactly as a store would).
-    * Every-7th-word tile perturbation breaks all 8-gram spans across
-    * tiles (8 > 7), so substring-span output scales linearly, not
-    * quadratically — the same guard the containment tiling relies on. */
+    * The uniform per-tile word rename leaves NO shared gram of any width
+    * across tiles, so every dedup family's candidate volume — and its
+    * output — scales linearly with the tile count. */
   val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
     "dedup_containment", "sim_embed_neardup", "text_source_overlap",
     "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near")
@@ -90,10 +100,11 @@ object ScaleSmoke {
     val nDocs = docs.count()
     val tiledDocs = (0 until tiles).map { i =>
       val words = split(col("text"), " ")
+      // uniform injective vocab rename per tile: zero cross-tile gram
+      // overlap at any width, within-tile structure untouched
       val perturbed =
         if (i == 0) col("text")
-        else array_join(transform(words, (w, j) =>
-          when(pmod(j, lit(7)) === lit(i % 7), concat(lit(s"t$i"), w)).otherwise(w)), " ")
+        else array_join(transform(words, w => concat(w, lit(s"~t$i"))), " ")
       docs.select(
         (col("doc_id") + lit(i * nDocs)).as("doc_id"),
         perturbed.as("text"),

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: construction-vs-execution wall time for one registry
+  * query, N rounds in one session. `Bench` answers "how fast is the
+  * steady state"; this answers "WHERE does a slow query's time go" —
+  * an entry whose CONSTRUCTION dominates is doing eager driver work
+  * (index builds, prefix collects, iterative loops) on every invocation
+  * and is a memoization bug unless that work is an explicitly documented
+  * store-artifact build.
+  *
+  * `sbt "runMain graft.tools.TimeQuery <query> [sfDir] [rounds]"` */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val rounds = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("SPARK_GRAFT_TQ_JOBS")) {
+      val starts = new scala.collection.concurrent.TrieMap[Int, (Long, String)]
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(j.jobId, (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description")).getOrElse("?").take(80)))
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(j.jobId).foreach { case (t0, desc) =>
+            println(f"[tq-job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs $desc")
+          }
+      })
+    }
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to rounds) {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"[time-query] $name round $i construct=${(t1 - t0) / 1e9}%.2fs run=${(t2 - t1) / 1e9}%.2fs")
+      if (sys.env.contains("SPARK_GRAFT_TQ_KEYS"))
+        println(s"[time-query] cached frames after round $i: " +
+          graft.tables.FrameCache.keys(spark).toSeq.sorted.mkString(" | "))
+    }
+    spark.stop()
+  }
+}

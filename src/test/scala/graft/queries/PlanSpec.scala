@@ -309,8 +309,13 @@ class PlanSpec extends SparkSpec {
     val plan = formatted("pipeline_corpus")
     val scans = "documents\\.parquet".r.findAllIn(plan).size
     assert(scans <= 1, s"pipeline_corpus: $scans documents.parquet scans in plan (want <= 1)")
-    assert(plan.contains("InMemory"),
-      "pipeline_corpus: no cached stage frame in plan — stage memoization broke")
+    // stage outputs are checkpointed leaves (LogicalRDD → "Scan
+    // ExistingRDD"): lineage truncation, not just data caching — a plain
+    // cache() left ~20 s/round of driver-side re-analysis of the 8-deep
+    // lineage. InMemory accepted too so the gate doesn't pin the
+    // persistence flavor, only that stages don't re-derive upstream.
+    assert(plan.contains("ExistingRDD") || plan.contains("InMemory"),
+      "pipeline_corpus: no memoized stage frame in plan — stage memoization broke")
   }
 
   test("expectations: FK dim side never forces a broadcast (plan builds with the threshold disabled)") {

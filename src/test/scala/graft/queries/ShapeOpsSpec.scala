@@ -595,6 +595,49 @@ class ShapeOpsSpec extends SparkSpec {
       "incremental merge drifted from the full recompute")
   }
 
+  // ------------------------------------------------------- sliding distinct
+
+  test("slidingDistinct: window unions trailing days, gaps covered, phantom days dropped") {
+    import org.apache.spark.sql.functions.col
+    // day 0: {1, 2} (user 1 twice — distinct per day), day 1: {2}, day 8: {1}
+    val ev = Seq(
+      (1L, "1970-01-01 05:00:00"), (1L, "1970-01-01 09:00:00"), (2L, "1970-01-01 23:59:59"),
+      (2L, "1970-01-02 00:00:00"),
+      (1L, "1970-01-09 12:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Relational.slidingDistinctOf(ev).collect()
+    val byDay = out.map(r => r.getAs[Long]("day_no") -> r).toMap
+    // days 2..7 have no events: no rows despite living inside day 0/1 windows
+    assert(byDay.keySet == Set(0L, 1L, 8L))
+    assert(byDay(0L).getAs[Long]("dau") == 2L && byDay(0L).getAs[Long]("wau7") == 2L)
+    assert(byDay(1L).getAs[Long]("dau") == 1L && byDay(1L).getAs[Long]("wau7") == 2L,
+      "day 1 window must still see day 0's user 1")
+    // day 8's window is days 2..8: day 0/1 fall outside, only user 1 remains
+    assert(byDay(8L).getAs[Long]("dau") == 1L && byDay(8L).getAs[Long]("wau7") == 1L)
+    assert(byDay(1L).getAs[Double]("stickiness") == 0.5)
+  }
+
+  // --------------------------------------------------------- domain entropy
+
+  test("domainEntropy: one-domain source scores 0 bits, uniform spread scores its floor-log2") {
+    // domain = source.{com,org,net} keyed by doc_id % 3 (the provenance
+    // URL synthesis): choose ids to engineer the mixes.
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, "s", "en")).toDF("doc_id", "source", "lang")
+    // all ids ≡ 0 mod 3 -> every doc lands in s.com
+    val mono = Provenance.domainEntropyOf(docs(Seq(0L, 3L, 6L, 9L))).collect()
+    assert(mono.length == 1 && mono.head.getAs[Long]("n_domains") == 1L)
+    assert(mono.head.getAs[Double]("mean_bits") == 0.0)
+    // perfectly uniform over the 3 domains: every term floor(log2 3) = 1
+    val uni = Provenance.domainEntropyOf(docs(Seq(0L, 1L, 2L))).collect()
+    assert(uni.head.getAs[Long]("n_domains") == 3L)
+    assert(uni.head.getAs[Double]("mean_bits") == 1.0)
+    // skew 2:1 over two domains: (2*floor(log2 1) + 1*floor(log2 3)) / 3
+    val skew = Provenance.domainEntropyOf(docs(Seq(0L, 3L, 1L))).collect()
+    assert(skew.head.getAs[Long]("n_domains") == 2L)
+    assert(skew.head.getAs[Double]("mean_bits") == 1.0 / 3.0)
+  }
+
   // ----------------------------------------------------------- grouping sets
 
   test("groupingSetsAgg == the two marginal group-bys, nothing else") {
