@@ -1194,18 +1194,30 @@ object TextAnalysis {
     * both count joins BROADCAST; top-k is a bounded TakeOrdered — no
     * full sort. */
   def pmiBigrams(s: SparkSession, d: String): DataFrame = {
-    val total = FrameCache.cachedValue[Long](s, s"token-total:${graft.tables.FrameCache.dirKey(d)}") {
+    val dk = graft.tables.FrameCache.dirKey(d)
+    val total = FrameCache.cachedValue[Long](s, s"token-total:$dk") {
       documents(s, d).select(explode(split(col("text"), " ")).as("token")).count()
     }
-    pmiBigramsOf(documents(s, d), total)
+    // The unigram vocabulary is a reusable INDEX (Heaps-law small, keyed
+    // by dir like every store artifact): memoized-cached so the two
+    // broadcast sides below read one materialized frame instead of each
+    // re-running the full-corpus explode+agg per invocation — the PMI
+    // query paid three corpus scans per run (bigram counts + 2× unigram)
+    // where the steady state needs one.
+    val uni = FrameCache.cached(s, s"pmi-uni:$dk") {
+      documents(s, d).select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+    }
+    pmiBigramsOf(documents(s, d), total, uniCached = Some(uni))
   }
 
   private[graft] def pmiBigramsOf(docs: DataFrame, total: Long,
-                                  minCount: Int = PmiMinCount): DataFrame = {
+                                  minCount: Int = PmiMinCount,
+                                  uniCached: Option[DataFrame] = None): DataFrame = {
     val words = split(col("text"), " ")
-    val uni = docs
+    val uni = uniCached.getOrElse(docs
       .select(explode(words).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("c"))
+      .groupBy("t").agg(count(lit(1)).as("c")))
     val bi = docs
       .filter(size(words) >= 2)
       .select(explode(graft.functions.TextKernels.wordBigrams(words, distinct = false))
