@@ -47,10 +47,25 @@ object PqAnn {
   val SubSpaces = 16
   /** Codewords per sub-space (one byte of code space each). */
   val CodebookSize = 16
-  /** ADC shortlist = K · this, exact-re-ranked. The PQ recall dial
-    * (IVF's nprobe analogue): the shortlist is still a vanishing
-    * fraction of any real corpus. */
+  /** ADC shortlist = K · this at the reference corpus size,
+    * exact-re-ranked. The PQ recall dial (IVF's nprobe analogue). */
   val ShortlistFactor = 10
+  /** Corpus size at which the base shortlist is calibrated; see
+    * [[shortlistFor]]. */
+  val ShortlistRefCorpus = 4096.0
+
+  /** Corpus-adaptive ADC shortlist size — the scale-smoke lesson: a
+    * FIXED shortlist (K·10 = 100) holds recall 0.8+ at sf0.1 but decays
+    * to 0.6 on the 10×-tiled corpus, because ADC error is constant while
+    * the number of near-competitors grows with n — the true top-K slide
+    * below a fixed cutoff. Growing the shortlist with √n restores the
+    * error budget yet stays a VANISHING fraction of the corpus
+    * (√n/n → 0): ×2 at 5 K vectors, ×4 at 50 K (0.8%), ×12 at 500 K
+    * (0.24%), ×~500 at 10¹² — the same sublinear-dial discipline as
+    * [[Similarity.adaptiveNearDupBits]]. */
+  private[graft] def shortlistFor(n: Long): Int =
+    Similarity.K * ShortlistFactor *
+      math.max(1, math.ceil(math.sqrt(n.toDouble / ShortlistRefCorpus)).toInt)
   /** Max vectors the per-sub-space k-means fits see. */
   val FitSampleCap: Long = 256L * CodebookSize
 
@@ -159,7 +174,11 @@ object PqAnn {
       .select(col("q.query_id").as("query_id"), col("neighbor_id"),
         negate(col("q.adc")).as("cos")) // topKAgg keeps max "cos" = min adc
       .filter(col("query_id") =!= col("neighbor_id"))
-    val cands = Similarity.topKAgg(shortlist, Similarity.K * ShortlistFactor)
+    val corpusN = FrameCache.cachedValue[Long](s,
+      s"pq-corpus-n:${graft.tables.FrameCache.dirKey(d)}") {
+      embeddings(s, d).count()
+    }
+    val cands = Similarity.topKAgg(shortlist, shortlistFor(corpusN))
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the shortlist only — skinny-id joins to the vectors
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),

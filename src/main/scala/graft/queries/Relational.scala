@@ -1405,6 +1405,53 @@ object Relational {
       .orderBy("check")
   }
 
+  /** Bloom-gated big⋈big semi join — [[expectations]]' FK machinery
+    * surfaced as a first-class operator: restrict a fact table to rows
+    * whose key appears in a KEYED SUBSET of another big table (here:
+    * lineitems of 1-URGENT orders), where the dim side GROWS with the
+    * corpus so neither `broadcast(dim)` (driver OOM at 100×, the r9/r10
+    * scale-killer class) nor a plain shuffle semi join (the exchange
+    * carries EVERY fact row) is the shape you want.
+    *
+    * The Bloom literal (~1.2 MB / 1M keys at 1% fpp) rides into the fact
+    * scan as a narrow filter, so the semi-join exchange carries only
+    * `|matches| + fpp·|fact|` rows instead of `|fact|` — at a 5%-selective
+    * dim that is a 20× exchange cut for one scan-side probe per row. The
+    * exact semi join then strips the fpp false positives (Bloom has no
+    * false NEGATIVES, so no match is ever lost) with no strategy hint:
+    * AQE broadcasts the dim while it fits and degrades to shuffle when it
+    * doesn't — correctness never depends on the choice. Output equals the
+    * plain semi join bit-for-bit, which is exactly what the oracle runs.
+    *
+    * The Bloom is session-cached per (session, dir) under the
+    * [[expectations]] staleness contract: keys ADDED to the dim after
+    * build are disclaimed (rows dropped) until the session recycles;
+    * churning dims should call [[joinBloomOf]] with a fresh filter. */
+  def joinBloom(s: SparkSession, d: String): DataFrame = {
+    val dimKeys = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("fk_key"))
+    val bloom = FrameCache.cachedValue(s, s"joinbloom-urgent:${FrameCache.dirKey(d)}") {
+      fkBloom(dimKeys)
+    }
+    joinBloomOf(lineitem(s, d), dimKeys, bloom)
+  }
+
+  private[graft] def joinBloomOf(fact: DataFrame, dimKeys: DataFrame,
+                                 bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnInterop
+    val mightContain = ColumnInterop.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        ColumnInterop.expression(xxhash64(col("l_orderkey")))))
+    fact.filter(col("l_orderkey").isNotNull && mightContain)
+      .join(dimKeys, col("l_orderkey") === col("fk_key"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** Day-over-day spend delta per user — the period-over-period growth
     * report: per (user, day) exact-cents rollup, then each day compared
     * to the SAME user's previous ACTIVE day (lag, not calendar join —
@@ -1714,6 +1761,7 @@ object Relational {
     "rel_join_multi_agg" -> joinMultiAgg _,
     "rel_join_anti"      -> joinAnti _,
     "rel_join_semi"      -> joinSemi _,
+    "rel_join_bloom"     -> joinBloom _,
     "rel_time_bucket"    -> timeBucket _,
     "rel_join_left"      -> joinLeft _,
     "rel_join_full"      -> joinFull _,
@@ -2091,6 +2139,15 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    // The Bloom gate is an engine-side exchange optimization, not a
+    // semantics change: output == the plain semi join the oracle runs.
+    "rel_join_bloom" ->
+      """SELECT l_returnflag, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_time_bucket" ->
       """WITH e AS (
         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour,

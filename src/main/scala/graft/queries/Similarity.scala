@@ -518,7 +518,64 @@ object Similarity {
       .orderBy("label", "idx")
   }
 
+  /** Corpus embedding diversity — mean pairwise cosine per label (and a
+    * label = −1 ALL row) WITHOUT materializing a single pair: for
+    * unit-normalized vectors, Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖², so the
+    * all-pairs mean collapses to two moments — ONE corpus pass where the
+    * naive formulation is an O(n²) self-join that no cluster survives.
+    * High mean cosine = a collapsed/duplicated embedding space (the
+    * SemDeDup precondition); per-label rows measure cluster compactness,
+    * the ALL row corpus-level redundancy.
+    *
+    * Cross-engine exactness: float moment sums are association-sensitive,
+    * so each vector is unit-normalized (norm = the same left-fold both
+    * engines run) then quantized to int64 at 2¹⁴ — from there every
+    * accumulation (per-dim sums, Σ‖q‖², ‖Σq‖²) is exact integer math in
+    * ANY order, and the mean divides two exact numbers once: bit-equal
+    * hashes. Budget: per-dim sums stay in int64 while n·2¹⁴ < 2³¹·√…
+    * (safe to ~5×10⁹ vectors per label); past that flip the sd sums to
+    * double (exact ≤ 2⁵³) or drop a quant bit per 4× corpus growth.
+    *
+    * Plan shape: one narrow quantize projection; a map-side-combinable
+    * (label, dim) aggregate (exchange ≤ mappers × labels × 64 rows);
+    * the ALL row re-aggregates the SKINNY per-(label, dim) frame — the
+    * corpus is scanned once, never twice. */
+  def corpusDiversity(s: SparkSession, d: String): DataFrame =
+    corpusDiversityOf(graft.tables.Testdata.embeddings(s, d))
+
+  private[graft] def corpusDiversityOf(e: DataFrame): DataFrame = {
+    val nrm = norm(col("embedding"))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") / nrm * lit(16384.0) + lit(0.5)).cast("long"))
+    val q = e.select(col("label").cast("long").as("label"), qv.as("qv"))
+    // per-label scalar moments: n and Σ‖q‖² (the self-pair correction)
+    val scalar = q
+      .select(col("label"), aggregate(col("qv"), lit(0L), (a, x) => a + x * x).as("qq"))
+      .groupBy("label").agg(count(lit(1)).as("n_vecs"), sum("qq").as("s2"))
+    // per-(label, dim) component sums → ‖Σq‖² per label
+    val dimSums = q.select(col("label"), posexplode(col("qv")).as(Seq("dim", "qc")))
+      .groupBy("label", "dim").agg(sum("qc").as("sd"))
+    val perLabelNorm2 = dimSums.groupBy("label")
+      .agg(sum(col("sd") * col("sd")).as("snorm2"))
+    val perLabel = scalar.join(perLabelNorm2, "label")
+    // ALL row: global Σq per dim = Σ over labels of sd — reuses the
+    // skinny frame, embeddings are NOT rescanned
+    val globalNorm2 = dimSums.groupBy("dim").agg(sum("sd").as("gd"))
+      .agg(sum(col("gd") * col("gd")).as("snorm2"))
+    val global = scalar.agg(sum("n_vecs").as("n_vecs"), sum("s2").as("s2"))
+      .crossJoin(broadcast(globalNorm2))
+      .select(lit(-1L).as("label"), col("n_vecs"), col("s2"), col("snorm2"))
+    perLabel.unionByName(global)
+      .select(col("label"), col("n_vecs"),
+        when(col("n_vecs") > 1,
+          (col("snorm2") - col("s2")).cast("double") /
+            ((col("n_vecs") * (col("n_vecs") - 1)).cast("double") * lit(268435456.0)))
+          .as("mean_pair_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_corpus_diversity" -> corpusDiversity _,
     "sim_label_centroids" -> labelCentroids _,
     "sim_cosine_topk"   -> bruteTopK _,
     "sim_knn_label"     -> knnLabel _,
@@ -530,6 +587,48 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Quantize-then-integer-moments: the norm is the identical left fold
+    // (list_reduce over a 0.0-prepended list == the codegen kernel's
+    // sequential Σx² — the hashFeatures discipline), floor(x+0.5) matches
+    // op-for-op, and every aggregate from there is exact int64 — full
+    // strictness including the derived double.
+    "sim_corpus_diversity" ->
+      """WITH nv AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) /
+        |      sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), (a, b) -> a + b))
+        |      * 16384.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(qv, x -> x * x)), (a, b) -> a + b) AS qq
+        |  FROM nv
+        |), scalar AS (
+        |  SELECT label, COUNT(*) AS n_vecs, CAST(SUM(qq) AS BIGINT) AS s2
+        |  FROM sc GROUP BY 1
+        |), ds AS (
+        |  SELECT CAST(label AS BIGINT) AS label, i AS dim,
+        |    CAST(SUM(qv[i + 1]) AS BIGINT) AS sd
+        |  FROM nv, range(64) r(i) GROUP BY 1, 2
+        |), pl AS (
+        |  SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS snorm2 FROM ds GROUP BY 1
+        |), gl AS (
+        |  SELECT CAST(-1 AS BIGINT) AS label,
+        |    (SELECT CAST(SUM(n_vecs) AS BIGINT) FROM scalar) AS n_vecs,
+        |    (SELECT CAST(SUM(s2) AS BIGINT) FROM scalar) AS s2,
+        |    CAST(SUM(gd * gd) AS BIGINT) AS snorm2
+        |  FROM (SELECT dim, CAST(SUM(sd) AS BIGINT) AS gd FROM ds GROUP BY 1)
+        |), u AS (
+        |  SELECT s.label, s.n_vecs, s.s2, p.snorm2
+        |  FROM scalar s JOIN pl p USING (label)
+        |  UNION ALL SELECT label, n_vecs, s2, snorm2 FROM gl
+        |)
+        |SELECT label, n_vecs,
+        |  CASE WHEN n_vecs > 1 THEN CAST(snorm2 - s2 AS DOUBLE) /
+        |    (CAST(n_vecs * (n_vecs - 1) AS DOUBLE) * 268435456.0) END AS mean_pair_cos
+        |FROM u ORDER BY label""".stripMargin,
     // Global-scale quantization + exact integer sums: the scalar gmax and
     // the derived scale are the same doubles in both engines (max of
     // exact |x| values, one division), and floor(x·scale + 0.5) matches

@@ -625,6 +625,109 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Arrival buckets for [[vocabGrowth]] — ten corpus slices by doc_id. */
+  val VocabGrowthBuckets = 10
+
+  /** Heaps-law vocabulary growth curve — distinct-BIGRAM count as the
+    * corpus accumulates, the sizing evidence read BEFORE choosing a BPE
+    * vocab budget or a hash-feature width: a flattening curve says the
+    * corpus has saturated its domain vocabulary; a still-linear tail says
+    * more data keeps buying new types (and an OOV-heavy tokenizer). The
+    * type space is word BIGRAMS, not unigrams, deliberately: the
+    * synthetic corpus draws from a ~31-word vocabulary, so the unigram
+    * curve saturates inside bucket 0 (one degenerate row) while the
+    * bigram space (~31²) keeps arriving across the whole corpus — the
+    * same reason [[pmiBigrams]] mines pairs.
+    *
+    * The cumulative-distinct formulation that works at 100 TB: NOT a
+    * per-prefix `count_distinct` rescan per bucket (B corpus passes), and
+    * NOT a single-partition `dense_rank` over arrival order. Each type
+    * maps to its FIRST arrival bucket (min over a map-side-combinable
+    * gram-keyed aggregate — the exchange carries distinct grams per
+    * mapper, a Heaps-law sliver of the corpus), then `vocab at bucket b`
+    * = Σ of new-type counts ≤ b — a running sum over the B-row frame, the
+    * [[cdfRank]] tiny-frame window (global but ≤ [[VocabGrowthBuckets]]
+    * rows; buckets that introduce nothing are absent rows by design). */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    // max doc_id memoized per (session, dir) — a 1-row scalar, the
+    // labelCentroids gmax discipline
+    val hi = graft.tables.FrameCache.cachedValue[Long](s,
+      s"vocab-maxid:${graft.tables.FrameCache.dirKey(d)}") {
+      documents(s, d).agg(max("doc_id")).head().getLong(0) + 1L
+    }
+    vocabGrowthOf(documents(s, d), hi)
+  }
+
+  private[graft] def vocabGrowthOf(docs: DataFrame, hi: Long,
+                                   buckets: Int = VocabGrowthBuckets): DataFrame = {
+    val b = least(lit(buckets - 1).cast("long"), expr(s"doc_id * $buckets div $hi"))
+    val grams = graft.functions.TextKernels.wordBigrams(
+      split(col("text"), " "), distinct = false)
+    val firstBucket = docs
+      .select(b.as("bucket"), explode(grams).as("gram"))
+      .groupBy("gram").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_tokens"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    firstBucket
+      .select(col("bucket"), col("n_new_tokens"),
+        sum("n_new_tokens").over(w).as("vocab_size"))
+      .orderBy("bucket")
+  }
+
+  /** Token budget for [[budgetTrim]] — sized so the sf0.01 corpus loses a
+    * meaningful tail; a cluster run sizes this to the training budget. */
+  val TrimBudget = 10000L
+
+  /** Token-budget corpus trim — "we can afford B training tokens: keep
+    * the best docs that fit": rank by an exact-integer quality key
+    * (alphabetic-char density ×2²⁰, ties → doc_id — doubles never enter
+    * the ordering, the keepBest discipline) and keep the ranked prefix
+    * whose INCLUSIVE cumulative token count stays ≤ B. The selection
+    * stage between quality scoring and [[mixResample]] when the budget,
+    * not per-source shares, is the binding constraint.
+    *
+    * The cumulative sum over the global quality order is [[packSpans]]'s
+    * distributed prefix, not a single-partition window: range-repartition
+    * on (qrank DESC, doc_id), per-slice totals → driver exclusive
+    * offsets, per-slice windows in parallel. The partitioned frame is
+    * memoized so the totals pass and the cumsum pass read the same
+    * assignment. */
+  def budgetTrim(s: SparkSession, d: String): DataFrame = {
+    val parts = graft.tables.FrameCache.cached(s,
+      s"trim-parts:${graft.tables.FrameCache.dirKey(d)}")(trimParts(documents(s, d)))
+    budgetTrimOf(parts)
+  }
+
+  /** (doc_id, qrank, n_tokens, pid): quality-ranked range slices,
+    * descending quality with ascending pid. */
+  private[graft] def trimParts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        element_at(graft.functions.TextKernels.charClassCounts(col("text")), 1)
+          .cast("long").as("alpha"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        expr("alpha * 1048576 div greatest(len, 1)").as("qrank"),
+        col("n_tokens"))
+      .repartitionByRange(PackParts, col("qrank").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+
+  private[graft] def budgetTrimOf(parts: DataFrame,
+                                  budget: Long = TrimBudget): DataFrame = {
+    val totals = parts.groupBy("pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val starts = totals.scanLeft(0 -> 0L) { case ((_, acc), (pid, t)) => pid -> (acc + t) }
+      .init.map { case (_, acc) => acc }
+    val startsByPid = totals.map(_._1).zip(starts).toMap
+    val startCol = coalesce(element_at(typedLit(startsByPid), col("pid")), lit(0L))
+    val w = Window.partitionBy("pid").orderBy(col("qrank").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    parts.select(col("doc_id"), col("qrank"), col("n_tokens"),
+        (startCol + sum(col("n_tokens")).over(w)).as("cum_tokens"))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
   /** Output shard count for [[shardPlan]] — sized to the harness; a
     * cluster export sizes this to (corpus tokens / target shard bytes). */
   val ShardCount = 8
@@ -1412,6 +1515,8 @@ object TextAnalysis {
     "text_dup_ngram_frac" -> dupNgramFrac _,
     "text_sample_stratified" -> sampleStratified _,
     "text_pack_spans"  -> packSpans _,
+    "text_vocab_growth" -> vocabGrowth _,
+    "text_budget_trim" -> budgetTrim _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -1790,6 +1895,45 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Cumulative distinct via gram → min(bucket): the oracle runs the
+    // identical reduction (the pmi_bigrams comprehension), so bucket
+    // boundaries and the tiny-frame running sum are exact.
+    "text_vocab_growth" ->
+      """WITH hi AS (SELECT MAX(doc_id) + 1 AS hi FROM documents),
+        |w AS (
+        |  SELECT LEAST(9, doc_id * 10 // hi.hi) AS bucket,
+        |    string_split(text, ' ') AS words
+        |  FROM documents, hi
+        |), t AS (
+        |  SELECT bucket,
+        |    unnest([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS gram
+        |  FROM w
+        |), f AS (
+        |  SELECT gram, MIN(bucket) AS bucket FROM t GROUP BY gram
+        |), p AS (
+        |  SELECT bucket, COUNT(*) AS n_new_tokens FROM f GROUP BY 1
+        |)
+        |SELECT bucket, n_new_tokens,
+        |  CAST(SUM(n_new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+        |FROM p ORDER BY bucket""".stripMargin,
+    // The oracle runs the single-partition global-window form of the
+    // budget prefix (fine at sf0.01 — the scale shape is the Spark
+    // side's contract); qrank is exact-int density so ordering and the
+    // inclusive <= cut agree bit-for-bit.
+    "text_budget_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1048576
+        |      // greatest(len(text), 1) AS qrank,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, qrank, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY qrank DESC, doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, qrank, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
     // the (id % 2^31) pre-fold mirrors the Spark side's pmod (testdata ids
     // are positive, so % = pmod here); see SampleFold.
     "text_sample_stratified" ->

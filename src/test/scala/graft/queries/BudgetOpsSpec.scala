@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engineered-input specs for the round-12 budget/moment operators:
+  * Bloom-gated semi join, pairwise-free corpus diversity, Heaps-law
+  * vocabulary growth, and the token-budget trim. Each op also has a
+  * full-strict DuckDB oracle; these tests pin the edge cases the
+  * synthetic corpus cannot exercise (simulated Bloom false positives,
+  * single-member diversity groups, empty vocab buckets, the inclusive
+  * budget boundary).
+  */
+class BudgetOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------ joinBloom
+
+  test("joinBloom: bloom misses drop without joining, simulated FPs are stripped, matches survive") {
+    val fact = Seq(
+      (1L, "A", 10.0), (1L, "A", 5.0), (2L, "B", 7.5),
+      (3L, "A", 100.0), // key absent from bloom AND dim: definite miss
+      (42L, "C", 1.0)   // key IN the bloom but NOT the dim: simulated FP
+    ).toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+    val dim = Seq(1L, 2L).toDF("fk_key")
+    // bloom deliberately built over a SUPERSET {1, 2, 42}: the exact
+    // semi join must strip 42 the way it strips a real false positive
+    val bloom = Relational.fkBloom(Seq(1L, 2L, 42L).toDF("fk_key"))
+    val out = Relational.joinBloomOf(fact, dim, bloom).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("A" -> ((2L, 1500L)), "B" -> ((1L, 750L))), s"got $out")
+  }
+
+  test("joinBloom == plain semi join on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val gated = Relational.joinBloom(spark, d).collect().toSeq
+    val plain = graft.tables.Testdata.lineitem(spark, d)
+      .join(graft.tables.Testdata.orders(spark, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(gated == plain)
+    assert(gated.nonEmpty)
+  }
+
+  // ------------------------------------------------ corpusDiversity
+
+  test("corpusDiversity: identical pair = 1, orthogonal pair = 0, singleton = null, ALL row exact") {
+    def v(i: Int): Array[Float] = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val e = Seq(
+      (0L, v(0), 0), (1L, v(0), 0),       // label 0: identical → 1.0
+      (2L, v(0), 1), (3L, v(1), 1),       // label 1: orthogonal → 0.0
+      (4L, v(2), 2)                        // label 2: singleton → null
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.corpusDiversityOf(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out(0L) == ((2L, Some(1.0))))
+    assert(out(1L) == ((2L, Some(0.0))))
+    assert(out(2L) == ((1L, None)))
+    // ALL row: per-dim sums (3·2¹⁴, 2¹⁴, 2¹⁴, 0) → ‖Σq‖² = 11·2²⁸,
+    // Σ‖q‖² = 5·2²⁸ → (11−5)/(5·4) = 0.3 exactly
+    assert(out(-1L) == ((5L, Some(0.3))))
+  }
+
+  test("corpusDiversity on testdata: every label bounded in [-1,1], ALL row consistent, rerun-identical") {
+    val d = "/root/testdata/sf0.001"
+    val a = Similarity.corpusDiversity(spark, d).collect()
+    val b = Similarity.corpusDiversity(spark, d).collect()
+    assert(a.toSeq == b.toSeq)
+    val byLabel = a.map(r => r.getLong(0) -> r).toMap
+    assert(byLabel.contains(-1L))
+    for (r <- a if !r.isNullAt(2))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"label ${r.getLong(0)} out of range")
+    // n_vecs of the ALL row is the sum of the label rows
+    assert(byLabel(-1L).getLong(1) ==
+      a.filter(_.getLong(0) >= 0).map(_.getLong(1)).sum)
+  }
+
+  // -------------------------------------------------- vocabGrowth
+
+  test("vocabGrowth: first-bucket attribution, cumulative vocab, empty buckets absent") {
+    // hi = 10, 10 buckets → bucket == doc_id; types are word bigrams
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (5L, "c d e"), (9L, "a e f")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowthOf(docs, hi = 10L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      0L -> ((1L, 1L)),   // "a b"
+      1L -> ((1L, 2L)),   // "a c"
+      5L -> ((2L, 4L)),   // "c d", "d e"
+      9L -> ((2L, 6L))),  // "a e", "e f"
+      s"got $out")
+  }
+
+  test("vocabGrowth on testdata: vocab_size is strictly increasing, non-degenerate, ends at the distinct bigram count") {
+    val d = "/root/testdata/sf0.001"
+    val out = TextAnalysis.vocabGrowth(spark, d).orderBy("bucket").collect()
+    assert(out.length > 1, "bigram vocab must keep arriving past bucket 0")
+    val sizes = out.map(_.getLong(2)).toSeq
+    assert(sizes == sizes.sorted && sizes.distinct == sizes, "vocab_size must strictly increase")
+    val total = graft.tables.Testdata.documents(spark, d)
+      .select(explode(graft.functions.TextKernels.wordBigrams(
+        split(col("text"), " "), distinct = false)).as("g"))
+      .select(countDistinct("g")).head().getLong(0)
+    assert(sizes.last == total)
+    assert(out.map(_.getLong(1)).sum == total)
+  }
+
+  // --------------------------------------------------- budgetTrim
+
+  test("budgetTrim: quality order decides survival and the budget boundary is inclusive") {
+    // qrank: "aaaa" → 2²⁰ (pure alpha), "ab cd" → 4·2²⁰/5, "1111" → 0
+    val docs = Seq(
+      (10L, "aaaa"),   // 1 token, rank 1 → cum 1
+      (20L, "ab cd"),  // 2 tokens, rank 2 → cum 3
+      (30L, "1111")    // 1 token, rank 3 → cum 4: over budget 3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.budgetTrimOf(TextAnalysis.trimParts(docs), budget = 3L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    assert(out == Map(10L -> 1L, 20L -> 3L), s"got $out") // cum==budget survives
+  }
+
+  test("budgetTrim distributed prefix == single-window formulation on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val dist = TextAnalysis.budgetTrim(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qrank").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val single = TextAnalysis.trimParts(graft.tables.Testdata.documents(spark, d))
+      .select(col("doc_id"), col("qrank"), col("n_tokens"),
+        sum("n_tokens").over(w).as("cum_tokens"))
+      .filter(col("cum_tokens") <= TextAnalysis.TrimBudget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist == single)
+    assert(dist.nonEmpty)
+    assert(dist.map(_._3).sum <= TextAnalysis.TrimBudget)
+  }
+}
