@@ -548,22 +548,26 @@ object Similarity {
     val qv = transform(col("embedding"),
       x => floor(x.cast("double") / nrm * lit(16384.0) + lit(0.5)).cast("long"))
     val q = e.select(col("label").cast("long").as("label"), qv.as("qv"))
-    // per-label scalar moments: n and Σ‖q‖² (the self-pair correction)
-    val scalar = q
-      .select(col("label"), aggregate(col("qv"), lit(0L), (a, x) => a + x * x).as("qq"))
-      .groupBy("label").agg(count(lit(1)).as("n_vecs"), sum("qq").as("s2"))
-    // per-(label, dim) component sums → ‖Σq‖² per label
+    // ONE posexplode aggregate carries every moment: per (label, dim)
+    // component sum (→ ‖Σq‖²), component square-sum (Σ over dims = the
+    // Σ‖q‖² self-pair correction) and the member count (identical on
+    // every dim — max picks it without a second corpus pass). Both
+    // consumers below re-aggregate THIS skinny frame, so the two
+    // readers share one exchange (ReusedExchange) and embeddings scan
+    // exactly once — PlanSpec-gated.
     val dimSums = q.select(col("label"), posexplode(col("qv")).as(Seq("dim", "qc")))
-      .groupBy("label", "dim").agg(sum("qc").as("sd"))
-    val perLabelNorm2 = dimSums.groupBy("label")
-      .agg(sum(col("sd") * col("sd")).as("snorm2"))
-    val perLabel = scalar.join(perLabelNorm2, "label")
-    // ALL row: global Σq per dim = Σ over labels of sd — reuses the
-    // skinny frame, embeddings are NOT rescanned
-    val globalNorm2 = dimSums.groupBy("dim").agg(sum("sd").as("gd"))
-      .agg(sum(col("gd") * col("gd")).as("snorm2"))
-    val global = scalar.agg(sum("n_vecs").as("n_vecs"), sum("s2").as("s2"))
-      .crossJoin(broadcast(globalNorm2))
+      .groupBy("label", "dim")
+      .agg(sum("qc").as("sd"), sum(col("qc") * col("qc")).as("sq"),
+        count(lit(1)).as("cnt"))
+    val perLabel = dimSums.groupBy("label")
+      .agg(max("cnt").as("n_vecs"), sum("sq").as("s2"),
+        sum(col("sd") * col("sd")).as("snorm2"))
+    // ALL row: global Σq per dim = Σ over labels of sd — same frame,
+    // embeddings are NOT rescanned
+    val global = dimSums.groupBy("dim")
+      .agg(sum("sd").as("gd"), sum("sq").as("gsq"), sum("cnt").as("gcnt"))
+      .agg(max("gcnt").as("n_vecs"), sum("gsq").as("s2"),
+        sum(col("gd") * col("gd")).as("snorm2"))
       .select(lit(-1L).as("label"), col("n_vecs"), col("s2"), col("snorm2"))
     perLabel.unionByName(global)
       .select(col("label"), col("n_vecs"),

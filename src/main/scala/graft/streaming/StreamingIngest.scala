@@ -81,6 +81,50 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("approx_users"))
 
+  /** Windowed embedding-diversity monitor — the streaming twin of
+    * [[graft.queries.Similarity.corpusDiversity]]: per event-time window
+    * and label, the mean pairwise cosine of the window's embeddings via
+    * the same pairless moment identity (Σ_{i≠j}vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖²
+    * over int64-quantized unit vectors). This is the drift/redundancy
+    * alarm a live ingest runs: a window whose mean cosine jumps is a
+    * scraper stuck re-crawling one template (redundancy) or a source
+    * collapsing to one topic (drift) — caught before the batch SemDeDup
+    * pass would see it.
+    *
+    * Every moment is ALGEBRAIC, so the whole op is two chained windowed
+    * aggregations (the Spark ≥ 3.5 multiple-stateful-operator shape —
+    * the second stage keys on `window_time` of the first): stage 1 holds
+    * (window, label, dim) integer moments — state is open-windows ×
+    * labels × dim rows of three int64s, independent of stream rate —
+    * and stage 2 folds the 64 dim rows per (window, label) after the
+    * watermark closes them. Append-mode results are final per window and
+    * bit-equal to running [[graft.queries.Similarity.corpusDiversityOf]]
+    * on the same rows as a batch (spec-asserted). */
+  def diversityStream(emb: DataFrame, eventTimeCol: String = "event_time",
+                      win: String = "10 minutes",
+                      watermark: String = "20 minutes"): DataFrame = {
+    val n = sqrt(aggregate(transform(col("embedding"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (a, v) => a + v))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") / n * lit(16384.0) + lit(0.5)).cast("long"))
+    emb
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol), col("label").cast("long").as("label"),
+        posexplode(qv).as(Seq("dim", "qc")))
+      .groupBy(window(col(eventTimeCol), win), col("label"), col("dim"))
+      .agg(sum("qc").as("sd"), sum(col("qc") * col("qc")).as("sq"),
+        count(lit(1)).as("cnt"))
+      .groupBy(window(window_time(col("window")), win), col("label"))
+      .agg(max("cnt").as("n_vecs"), sum("sq").as("s2"),
+        sum(col("sd") * col("sd")).as("snorm2"))
+      .select(col("window.start").as("window_start"), col("label"),
+        col("n_vecs"),
+        when(col("n_vecs") > 1,
+          (col("snorm2") - col("s2")).cast("double") /
+            ((col("n_vecs") * (col("n_vecs") - 1)).cast("double") * lit(268435456.0)))
+          .as("mean_pair_cos"))
+  }
+
   /** Windowed heavy hitters — the streaming twin of
     * [[graft.queries.TextAnalysis.freqItems]]: per event-time window,
     * surface the keys whose count reaches `minCount`, suppress the long

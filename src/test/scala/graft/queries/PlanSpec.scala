@@ -459,4 +459,53 @@ class PlanSpec extends SparkSpec {
       assert(carrying.isEmpty, s"$q: text entered an exchange: $carrying")
     }
   }
+
+  test("corpusDiversity: one embeddings scan — both moment readers share the (label, dim) exchange") {
+    // The per-label rows and the ALL row both re-aggregate the same
+    // skinny per-(label, dim) moment frame; if that sharing breaks (e.g.
+    // a second direct aggregate over the corpus), a second FileScan of
+    // embeddings.parquet appears and the op pays the corpus twice.
+    // AQE defers exchange reuse to runtime (the static adaptive plan
+    // prints both subtrees), so assert under the static planner, where
+    // ReuseExchange is deterministic; AQE reuses the same canonical
+    // stages at runtime.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.SparkEntry.queries("sim_corpus_diversity")(spark, sf)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val scans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"sim_corpus_diversity: $scans embeddings scans in plan (want 1)")
+    assert(plan.contains("ReusedExchange"),
+      "sim_corpus_diversity: the two moment readers no longer share the (label, dim) exchange")
+  }
+
+  test("joinBloom: bloom probe rides the fact scan and the plan builds broadcast-free") {
+    val plan = formatted("rel_join_bloom")
+    assert(plan.contains("might_contain"), "rel_join_bloom: Bloom probe missing from the plan")
+    assert(plan.contains("LeftSemi"), "rel_join_bloom: exact FP-strip semi join missing")
+    // no strategy hint anywhere: with the broadcast threshold disabled the
+    // plan must still build (and degrade to a shuffle join, never BNLJ)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cold = graft.SparkEntry.queries("rel_join_bloom")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!cold.contains("BroadcastNestedLoopJoin"),
+        "rel_join_bloom: BNLJ under disabled broadcast threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("budgetTrim never runs a global single-partition window") {
+    // same contract as pack spans: the budget prefix is a distributed
+    // prefix (range repartition on the quality key + driver offsets) —
+    // every Window in the plan must be partitioned.
+    val wins = TextAnalysis.budgetTrim(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec
+      }
+    assert(wins.nonEmpty, "budget trim lost its window entirely")
+    assert(wins.forall(_.nonEmpty), "budget trim regressed to an unpartitioned global window")
+  }
 }

@@ -461,4 +461,51 @@ class StreamingIngestSpec extends SparkSpec {
       assert(got == expected, "stream drifted from the batch probe")
     } finally q.stop()
   }
+
+  test("diversity stream: chained windowed moments equal the batch diversity per window") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    def v(i: Int): Array[Float] = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val input = MemoryStream[(Timestamp, Int, Array[Float])]
+    val emb = input.toDF().toDF("event_time", "label", "embedding")
+    val agg = StreamingIngest.diversityStream(emb, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("div_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData(
+        // window 1: label 0 identical pair → 1.0; label 1 orthogonal → 0.0
+        (new Timestamp(t0), 0, v(0)), (new Timestamp(t0 + 1000), 0, v(0)),
+        (new Timestamp(t0), 1, v(0)), (new Timestamp(t0 + 2000), 1, v(1)),
+        // window 2: {e1, e1, e2} → (‖Σq‖²−Σ‖q‖²)/(n(n−1)) = 1/3; singleton → null
+        (new Timestamp(w2), 0, v(0)), (new Timestamp(w2 + 1000), 0, v(0)),
+        (new Timestamp(w2 + 2000), 0, v(1)),
+        (new Timestamp(w2), 1, v(2)))
+      q.processAllAvailable()
+      // advance the watermark far past both windows so append emits them
+      input.addData((new Timestamp(w2 + 60 * 60000), 9, v(3)))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, label, n_vecs, mean_pair_cos FROM div_out ORDER BY window_start, label")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      val byKey = rows.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val w1Start = t0 - (t0 % 600000)
+      val w2Start = w2 - (w2 % 600000)
+      assert(byKey((w1Start, 0L)) == ((2L, Some(1.0))))
+      assert(byKey((w1Start, 1L)) == ((2L, Some(0.0))))
+      assert(byKey((w2Start, 0L)) == ((3L, Some(1.0 / 3.0))))
+      assert(byKey((w2Start, 1L)) == ((1L, None)))
+      // batch twin: the same window-2 label-0 rows through corpusDiversityOf
+      val batch = graft.queries.Similarity.corpusDiversityOf(
+        Seq((0L, v(0), 0), (1L, v(0), 0), (2L, v(1), 0))
+          .toDF("vec_id", "embedding", "label")).collect()
+        .filter(_.getLong(0) == 0L).head
+      assert(byKey((w2Start, 0L))._2.contains(batch.getDouble(2)),
+        "stream drifted from the batch moment identity")
+    } finally q.stop()
+  }
 }
