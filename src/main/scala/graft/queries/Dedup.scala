@@ -281,7 +281,13 @@ object Dedup {
     * the bench time from 8.6 s to well under a second at sf0.1, while
     * on a Zipf web corpus it trades the same way. The containment
     * PREDICATE is unchanged — C over w-shingle sets is the standard
-    * parameterized form (same reason decontamination scans width-4). */
+    * parameterized form (same reason decontamination scans width-4).
+    *
+    * Scale: the steepest curve in the smoke set, and now MEASURED past
+    * plan-shape argument (SCALE_SMOKE.json): 3.7× time at 10× data,
+    * 42.6× at 100× on fixed local cores — superlinear-in-appearance but
+    * sublinear in work per row (candidate volume tracks genuine
+    * within-tile dup density; output rows scale exactly linearly). */
   def containmentPairs(s: SparkSession, d: String): DataFrame = {
     val grams = FrameCache.cached(s, s"containment-grams:${graft.tables.FrameCache.dirKey(d)}")(
       containGramSetsOf(documents(s, d)))
