@@ -1245,6 +1245,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Split-leakage audit — the contamination check a pipeline runs on its
+    * OWN splits, the complement of eval-set decontamination
+    * ([[decontaminateSpans]] guards against an EXTERNAL benchmark; this
+    * guards val/test against train): for each split pair, how many
+    * distinct [[graft.queries.Dedup.OverlapGramN]]-gram shingles they
+    * share, and what fraction of each side's gram vocabulary that is.
+    * A doc-level hash split ([[splitAssign]] — reproduced here rule for
+    * rule, so the audit measures the splits the pipeline actually ships)
+    * is disjoint at the DOCUMENT level by construction, but templated or
+    * near-dup docs landing on opposite sides leak n-grams across the
+    * boundary — exactly the memorization shortcut a held-out loss is
+    * supposed to exclude, invisible to any per-doc check. High
+    * `leak_into_b` on (train, val) means the val loss is optimistic; the
+    * fix is near-dup dedup BEFORE splitting, and this report is the
+    * evidence.
+    *
+    * Scale shape = [[graft.queries.Dedup.sourceOverlap]] keyed on split:
+    * distinct (split, gram) reduction first, self-join CO-PARTITIONED on
+    * gram with per-gram fan-out ≤ C(3,2) = 3, split totals broadcast
+    * back. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakageOf(documents(s, d))
+
+  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame = {
+    val gramN = graft.queries.Dedup.OverlapGramN
+    val words = split(col("text"), " ")
+    val pct = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L) % 100L
+    val splitCol = when(pct < SplitTrainPct, "train")
+      .when(pct < SplitValPct, "val").otherwise("test")
+    val grams = graft.functions.TextKernels.wordShingles(words, gramN, distinct = true)
+    val sg = docs.filter(size(words) >= gramN)
+      .select(splitCol.as("split"), explode(grams).as("gram"))
+      .distinct()
+    val totals = sg.groupBy("split").agg(count(lit(1)).as("n"))
+    val pairs = sg.as("a")
+      .join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.split") < col("b.split"))
+      .select(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals.withColumnRenamed("split", "split_a")
+        .withColumnRenamed("n", "n_a")), Seq("split_a"))
+      .join(broadcast(totals.withColumnRenamed("split", "split_b")
+        .withColumnRenamed("n", "n_b")), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        (col("shared").cast("double") / col("n_a")).as("leak_into_a"),
+        (col("shared").cast("double") / col("n_b")).as("leak_into_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   // ------------------------------------------------------- global shuffle
 
   /** Shard count for [[shuffleOrder]]. */
@@ -1517,6 +1569,7 @@ object TextAnalysis {
     "text_pack_spans"  -> packSpans _,
     "text_vocab_growth" -> vocabGrowth _,
     "text_budget_trim" -> budgetTrim _,
+    "text_split_leakage" -> splitLeakage _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -1895,6 +1948,37 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same split rule as text_split_assign, same gram comprehension as
+    // text_source_overlap — exact counts, one double division each.
+    "text_split_leakage" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4
+        |), sp AS (
+        |  SELECT CASE
+        |    WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 80 THEN 'train'
+        |    WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split, words
+        |  FROM w
+        |), g0 AS (
+        |  SELECT split, unnest(list_distinct(
+        |    [array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)])) AS gram
+        |  FROM sp
+        |), g AS (
+        |  SELECT DISTINCT split, gram FROM g0
+        |), t AS (
+        |  SELECT split, COUNT(*) AS n FROM g GROUP BY split
+        |), p AS (
+        |  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.split < b.split
+        |  GROUP BY 1, 2
+        |)
+        |SELECT split_a, split_b, CAST(shared AS BIGINT) AS shared,
+        |  CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+        |  CAST(shared AS DOUBLE) / ta.n AS leak_into_a,
+        |  CAST(shared AS DOUBLE) / tb.n AS leak_into_b
+        |FROM p JOIN t ta ON split_a = ta.split JOIN t tb ON split_b = tb.split
+        |ORDER BY split_a, split_b""".stripMargin,
     // Cumulative distinct via gram → min(bucket): the oracle runs the
     // identical reduction (the pmi_bigrams comprehension), so bucket
     // boundaries and the tiny-frame running sum are exact.

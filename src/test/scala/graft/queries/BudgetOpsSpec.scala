@@ -126,6 +126,42 @@ class BudgetOpsSpec extends SparkSpec {
     assert(out == Map(10L -> 1L, 20L -> 3L), s"got $out") // cum==budget survives
   }
 
+  // ------------------------------------------------- splitLeakage
+
+  test("splitLeakage: counts and fractions match a first-principles recomputation") {
+    // splits derived with the op's own hash rule so the fixture never
+    // depends on which ids land where
+    def splitOf(id: Long): String = {
+      val pct = (((id % 2147483648L) * 2654435761L) % 4294967296L) % 100L
+      if (pct < 80) "train" else if (pct < 90) "val" else "test"
+    }
+    val texts = (0L until 40L).map { id =>
+      // every doc shares the "common template gram" words; half also
+      // carry an id-unique tail so totals differ per split
+      val tail = if (id % 2 == 0) s" u$id v$id w$id x$id" else ""
+      id -> (s"common template gram block c$id$tail")
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val out = TextAnalysis.splitLeakageOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    // first-principles: distinct 4-gram sets per split
+    def gramsOf(t: String): Set[String] =
+      t.split(" ").sliding(4).map(_.mkString(" ")).toSet
+    val bySplit = texts.groupBy { case (id, _) => splitOf(id) }
+      .map { case (s, ds) => s -> ds.flatMap(d => gramsOf(d._2)).toSet }
+    for (Seq(a, b) <- bySplit.keys.toSeq.sorted.combinations(2)) {
+      val shared = (bySplit(a) & bySplit(b)).size.toLong
+      if (shared > 0) {
+        val (gotShared, na, nb, la, lb) = out((a, b))
+        assert(gotShared == shared, s"($a,$b) shared")
+        assert(na == bySplit(a).size.toLong && nb == bySplit(b).size.toLong)
+        assert(la == shared.toDouble / na && lb == shared.toDouble / nb)
+      } else assert(!out.contains((a, b)))
+    }
+    assert(out.nonEmpty, "fixture must produce at least one leaking pair")
+  }
+
   test("budgetTrim distributed prefix == single-window formulation on testdata") {
     val d = "/root/testdata/sf0.001"
     val dist = TextAnalysis.budgetTrim(spark, d).collect()
