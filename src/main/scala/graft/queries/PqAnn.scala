@@ -139,10 +139,40 @@ object PqAnn {
       encode(e, train(s, d))
     }
 
+  /** The code frame persisted through [[graft.tables.Bucketed]] — the
+    * [[IvfAnn.ivfIndexPersisted]] discipline applied to PQ, where it
+    * matters MOST of the three ANN families: the codes are the 32×
+    * compression artifact, so the on-disk index is what a 100 TB corpus
+    * actually stores (3 TB of codes vs 100 TB of floats), and the encode
+    * pass (per-row argmin over codebooks — the corpus-sized cost) runs
+    * ONCE ever instead of once per session. The codebooks themselves are
+    * deliberately NOT persisted, exactly like the IVF quantizer:
+    * [[train]] is a seed-fixed deterministic fit over a bounded sample,
+    * so a cold session retrains bit-identical books for a few seconds
+    * instead of carrying model plumbing — the corpus-sized artifact is
+    * the thing worth storing. Bucketed on `vec_id` so downstream
+    * id-keyed joins against the code frame read co-located buckets. */
+  private[graft] def pqIndexPersisted(s: SparkSession, d: String): DataFrame = {
+    val name = "pq_index_" +
+      graft.tables.Bucketed.sanitize(s"$d:$SubSpaces:$CodebookSize")
+    graft.tables.Bucketed.ensure(s, name, "vec_id")(pqIndex(s, d))
+    s.table(name)
+  }
+
   /** ANN top-K via asymmetric distance computation over the code frame;
     * output contract matches [[Similarity.bruteTopK]]
     * (query_id, rank, neighbor_id). */
-  def pqTopK(s: SparkSession, d: String): DataFrame = {
+  def pqTopK(s: SparkSession, d: String): DataFrame =
+    pqTopKFrom(s, d, pqIndex(s, d))
+
+  /** [[pqTopK]] answered from the persisted bucketed code frame — results
+    * IDENTICAL (deterministic codebook retrain + persisted codes;
+    * spec-pinned equality incl. a cold sibling session), only the index's
+    * provenance differs. */
+  def pqTopKPersisted(s: SparkSession, d: String): DataFrame =
+    pqTopKFrom(s, d, pqIndexPersisted(s, d))
+
+  private def pqTopKFrom(s: SparkSession, d: String, codeFrame: DataFrame): DataFrame = {
     val books = train(s, d)
     val w = books(0)(0).length
     // bounded query set to the driver (the centroid-literal discipline):
@@ -169,7 +199,7 @@ object PqAnn {
       }.reduce(_ + _)
       struct(lit(qid).as("query_id"), adc.as("adc"))
     }: _*))
-    val shortlist = pqIndex(s, d)
+    val shortlist = codeFrame
       .select(col("vec_id").as("neighbor_id"), adcRows.as("q"))
       .select(col("q.query_id").as("query_id"), col("neighbor_id"),
         negate(col("q.adc")).as("cos")) // topKAgg keeps max "cos" = min adc
@@ -197,6 +227,7 @@ object PqAnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_pq" -> pqTopK _,
+    "sim_ann_pq_p" -> pqTopKPersisted _,
   )
 
   /** Approximate by design — recall is spec-gated, rows-only at the

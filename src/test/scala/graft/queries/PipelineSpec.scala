@@ -238,6 +238,29 @@ class PipelineSpec extends SparkSpec {
       s"corpus re-scanned for assignment in a cold session:\n${scans.mkString("\n")}")
   }
 
+  test("persisted PQ index: identical results, cold session reads codes from disk not a re-encode") {
+    val r1 = PqAnn.pqTopK(spark, sf).collect().map(_.toSeq).toSet
+    val rp = PqAnn.pqTopKPersisted(spark, sf).collect().map(_.toSeq).toSet
+    assert(rp == r1, "persisted-code search drifted from the in-memory index")
+    // sibling session: shared catalog, cold FrameCache — equality here
+    // also proves the seed-fixed codebook retrain is bit-deterministic
+    // (inconsistent books would shuffle ADC ranks against stored codes)
+    val s2 = spark.newSession()
+    val df2 = PqAnn.pqTopKPersisted(s2, sf)
+    assert(df2.collect().map(_.toSeq).toSet == r1, "cold session result drifted")
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.exists(_.contains("graft-bucketed/pq_index_")),
+      s"persisted PQ codes not read:\n${scans.mkString("\n")}")
+    // embeddings appear only on the bounded query/re-rank sides — the
+    // corpus-sized ENCODE never re-runs (its argmin projection would show
+    // as an embeddings scan WITHOUT the code-table scan beside it)
+    assert(scans.count(_.contains("embeddings.parquet")) <= 2,
+      s"corpus re-encoded in a cold session:\n${scans.mkString("\n")}")
+  }
+
   test("incremental near-dup: equals full-LSH cross pairs, cold session never re-reads corpus text") {
     val r1 = Dedup.incrementalNearDup(spark, sf).collect().map(_.toSeq).toSet
     // ground truth: the full-corpus LSH pairs restricted to (corpus, batch)
