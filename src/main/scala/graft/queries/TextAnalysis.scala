@@ -1297,6 +1297,68 @@ object TextAnalysis {
       .orderBy("split_a", "split_b")
   }
 
+  /** RRF dampening constant (the standard k = 60 of Cormack et al.) and
+    * the survivor-list size for [[rankFusion]]. */
+  val RrfK = 60.0
+  val RrfTopK = 50
+
+  /** Curation-signal rank fusion — reciprocal rank fusion (RRF) of three
+    * independent quality orderings (alphabetic density, length, distinct-
+    * bigram diversity) into one robust score: Σᵢ 1/(k + rankᵢ). The
+    * ensemble trick data-curation stacks use when no single heuristic is
+    * trustworthy — RANKS, not raw scores, so no signal's scale dominates
+    * and one saturated signal cannot drown the others; a doc must rank
+    * well on several dials to survive.
+    *
+    * Ranks are competition ranks (ties share; SQL `RANK()`), computed
+    * WITHOUT three global corpus sorts: per signal, a value-frequency
+    * aggregate (the distinct-value frame, Heaps-small), an exclusive
+    * running count over THAT tiny frame ([[cdfRank]]'s discipline — the
+    * only unpartitioned windows in the plan run over distinct-value
+    * frames, never the corpus), and a broadcast join back. The three
+    * rank joins chain on one scan of the signal frame; the final top-K
+    * is a bounded TakeOrdered, not a global sort. Every rank is an exact
+    * int64 and the RRF sum is a fixed chain of three IEEE divisions and
+    * two adds — bit-equal cross-engine, full-strict oracle. */
+  def rankFusion(s: SparkSession, d: String): DataFrame = {
+    val base = graft.tables.FrameCache.cached(s,
+      s"rrf-base:${graft.tables.FrameCache.dirKey(d)}")(rrfSignals(documents(s, d)))
+    rankFusionOf(base)
+  }
+
+  /** (doc_id, qrank, n_chars, n_bigrams) — the three integer signals. */
+  private[graft] def rrfSignals(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        element_at(graft.functions.TextKernels.charClassCounts(col("text")), 1)
+          .cast("long").as("alpha"),
+        size(graft.functions.TextKernels.wordBigrams(words, distinct = true))
+          .cast("long").as("n_bigrams"))
+      .select(col("doc_id"),
+        expr("alpha * 1048576 div greatest(len, 1)").as("qrank"),
+        col("len").as("n_chars"), col("n_bigrams"))
+  }
+
+  private[graft] def rankFusionOf(base: DataFrame): DataFrame = {
+    def rankOf(sig: String, as: String): DataFrame = {
+      val w = Window.orderBy(col(sig).desc).rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(sig).agg(count(lit(1)).as("c"))
+        .select(col(sig), (coalesce(sum("c").over(w), lit(0L)) + 1L).as(as))
+    }
+    base
+      .join(broadcast(rankOf("qrank", "rank_quality")), Seq("qrank"))
+      .join(broadcast(rankOf("n_chars", "rank_length")), Seq("n_chars"))
+      .join(broadcast(rankOf("n_bigrams", "rank_diversity")), Seq("n_bigrams"))
+      .select(col("doc_id"), col("rank_quality"), col("rank_length"),
+        col("rank_diversity"),
+        (lit(1.0) / (lit(RrfK) + col("rank_quality")) +
+          lit(1.0) / (lit(RrfK) + col("rank_length")) +
+          lit(1.0) / (lit(RrfK) + col("rank_diversity"))).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(RrfTopK)
+  }
+
   // ------------------------------------------------------- global shuffle
 
   /** Shard count for [[shuffleOrder]]. */
@@ -1570,6 +1632,7 @@ object TextAnalysis {
     "text_vocab_growth" -> vocabGrowth _,
     "text_budget_trim" -> budgetTrim _,
     "text_split_leakage" -> splitLeakage _,
+    "text_rank_fusion" -> rankFusion _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -1948,6 +2011,29 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // RANK() with ties == the exclusive running-count-of-better-values
+    // formulation; the RRF sum is the identical fixed op chain.
+    "text_rank_fusion" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1048576
+        |      // greatest(len(text), 1) AS qrank,
+        |    CAST(len(text) AS BIGINT) AS n_chars,
+        |    CAST(len(list_distinct(
+        |      [words[i] || ' ' || words[i+1] for i in range(1, len(words))])) AS BIGINT)
+        |      AS n_bigrams
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |), r AS (
+        |  SELECT doc_id,
+        |    CAST(RANK() OVER (ORDER BY qrank DESC) AS BIGINT) AS rank_quality,
+        |    CAST(RANK() OVER (ORDER BY n_chars DESC) AS BIGINT) AS rank_length,
+        |    CAST(RANK() OVER (ORDER BY n_bigrams DESC) AS BIGINT) AS rank_diversity
+        |  FROM b
+        |)
+        |SELECT doc_id, rank_quality, rank_length, rank_diversity,
+        |  1.0 / (60.0 + rank_quality) + 1.0 / (60.0 + rank_length)
+        |    + 1.0 / (60.0 + rank_diversity) AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin,
     // Same split rule as text_split_assign, same gram comprehension as
     // text_source_overlap — exact counts, one double division each.
     "text_split_leakage" ->

@@ -112,6 +112,49 @@ class BudgetOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum == total)
   }
 
+  // --------------------------------------------------- rankFusion
+
+  test("rankFusion: competition ranks share ties, RRF arithmetic exact, equal scores cut by doc_id") {
+    val base = Seq(
+      (1L, 100L, 50L, 10L), // fully tied with doc 2 on every signal
+      (2L, 100L, 50L, 10L),
+      (3L, 90L, 40L, 8L),
+      (4L, 80L, 30L, 12L)   // wins diversity, loses the other two
+    ).toDF("doc_id", "qrank", "n_chars", "n_bigrams")
+    val out = TextAnalysis.rankFusionOf(base).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // competition ranks: ties share, next rank skips
+    assert(byId(1L)._1 == 1 && byId(2L)._1 == 1 && byId(3L)._1 == 3 && byId(4L)._1 == 4)
+    assert(byId(1L)._2 == 1 && byId(2L)._2 == 1 && byId(3L)._2 == 3 && byId(4L)._2 == 4)
+    assert(byId(4L)._3 == 1 && byId(1L)._3 == 2 && byId(2L)._3 == 2 && byId(3L)._3 == 4)
+    def rrf(a: Long, b: Long, c: Long) =
+      1.0 / (60.0 + a) + 1.0 / (60.0 + b) + 1.0 / (60.0 + c)
+    for ((id, (a, b, c, got)) <- byId) assert(got == rrf(a, b, c), s"doc $id rrf")
+    // identical rank TUPLES (not just multisets — IEEE sums are order-
+    // sensitive) → equal rrf → doc_id breaks the tie
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 3L))
+  }
+
+  test("rankFusion broadcast-CDF ranks == global-window formulation on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val dist = TextAnalysis.rankFusion(spark, d).collect().map(_.toSeq)
+    val w = (sig: String) => org.apache.spark.sql.expressions.Window.orderBy(col(sig).desc)
+    val single = TextAnalysis.rrfSignals(graft.tables.Testdata.documents(spark, d))
+      .select(col("doc_id"),
+        rank().over(w("qrank")).cast("long").as("rank_quality"),
+        rank().over(w("n_chars")).cast("long").as("rank_length"),
+        rank().over(w("n_bigrams")).cast("long").as("rank_diversity"))
+      .select(col("doc_id"), col("rank_quality"), col("rank_length"), col("rank_diversity"),
+        (lit(1.0) / (lit(60.0) + col("rank_quality")) +
+          lit(1.0) / (lit(60.0) + col("rank_length")) +
+          lit(1.0) / (lit(60.0) + col("rank_diversity"))).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id")).limit(TextAnalysis.RrfTopK)
+      .collect().map(_.toSeq)
+    assert(dist.toSeq == single.toSeq)
+    assert(dist.nonEmpty)
+  }
+
   // --------------------------------------------------- budgetTrim
 
   test("budgetTrim: quality order decides survival and the budget boundary is inclusive") {
