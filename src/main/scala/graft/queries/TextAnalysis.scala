@@ -1297,6 +1297,47 @@ object TextAnalysis {
       .orderBy("split_a", "split_b")
   }
 
+  /** Head size and report cut points for [[ngramCoverage]]. */
+  val CoverageHead = 1000
+  val CoverageCuts: Seq[Int] = Seq(10, 100, 1000)
+
+  /** N-gram head-coverage curve — at each cut k, the fraction of ALL
+    * trigram OCCURRENCES covered by the k most frequent trigram types:
+    * the Zipf-head evidence that pairs with [[vocabGrowth]]'s type curve
+    * when sizing a vocabulary ([[vocabGrowth]] answers "how many types
+    * exist", this answers "how much of the corpus the head buys" — the
+    * truncation-loss estimate for a capped vocab or feature table).
+    *
+    * Scale shape: one gram-count aggregate (map-side combinable), then
+    * the head is a BOUNDED TakeOrdered of [[CoverageHead]] rows — rank
+    * and running sum are windows over THAT 1000-row frame only, never
+    * the full type table (a global row_number over billions of distinct
+    * grams is the single-reducer sort this avoids); the occurrence total
+    * re-aggregates the count frame, sharing its exchange. Ties order
+    * (count DESC, gram) on both engines; coverage is one exact-int
+    * division per cut — full strictness. */
+  def ngramCoverage(s: SparkSession, d: String): DataFrame =
+    ngramCoverageOf(documents(s, d))
+
+  private[graft] def ngramCoverageOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = graft.functions.TextKernels.wordShingles(words, 3, distinct = false)
+    val counts = docs.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    val head = counts.orderBy(desc("c"), col("gram")).limit(CoverageHead)
+    val ord = Window.orderBy(desc("c"), col("gram"))
+    val ranked = head
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("cum_occurrences",
+        sum("c").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("k").isin(CoverageCuts.map(_.toLong): _*))
+    ranked.crossJoin(broadcast(total))
+      .select(col("k"), col("cum_occurrences"), col("total").as("total_occurrences"),
+        (col("cum_occurrences").cast("double") / col("total")).as("coverage"))
+      .orderBy("k")
+  }
+
   /** RRF dampening constant (the standard k = 60 of Cormack et al.) and
     * the survivor-list size for [[rankFusion]]. */
   val RrfK = 60.0
@@ -1633,6 +1674,7 @@ object TextAnalysis {
     "text_budget_trim" -> budgetTrim _,
     "text_split_leakage" -> splitLeakage _,
     "text_rank_fusion" -> rankFusion _,
+    "text_ngram_coverage" -> ngramCoverage _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2011,6 +2053,30 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Identical (count DESC, gram) head order, cum over the same order,
+    // one division per cut.
+    "text_ngram_coverage" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), g0 AS (
+        |  SELECT unnest([array_to_string(words[i:i+2], ' ')
+        |    for i in range(1, len(words) - 1)]) AS gram FROM w
+        |), c AS (
+        |  SELECT gram, COUNT(*) AS c FROM g0 GROUP BY gram
+        |), t AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM c),
+        |h AS (
+        |  SELECT gram, c FROM c ORDER BY c DESC, gram LIMIT 1000
+        |), r AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, gram) AS BIGINT) AS k,
+        |    CAST(SUM(c) OVER (ORDER BY c DESC, gram
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_occurrences
+        |  FROM h
+        |)
+        |SELECT k, cum_occurrences, t.total AS total_occurrences,
+        |  CAST(cum_occurrences AS DOUBLE) / t.total AS coverage
+        |FROM r, t WHERE k IN (10, 100, 1000) ORDER BY k""".stripMargin,
     // RANK() with ties == the exclusive running-count-of-better-values
     // formulation; the RRF sum is the identical fixed op chain.
     "text_rank_fusion" ->

@@ -155,6 +155,34 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // ------------------------------------------------ ngramCoverage
+
+  test("ngramCoverage: cuts match a first-principles Zipf-head recomputation on testdata") {
+    val d = "/root/testdata/sf0.001"
+    val out = TextAnalysis.ngramCoverage(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    // first principles, driver-side
+    val texts = graft.tables.Testdata.documents(spark, d)
+      .select("text").collect().map(_.getString(0))
+    val occ = texts.flatMap(t => t.split(" ").sliding(3).filter(_.length == 3)
+      .map(_.mkString(" "))).groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val total = occ.values.sum
+    val headOrder = occ.toSeq.sortBy { case (g, c) => (-c, g) }
+    for ((k, (cum, tot, cov)) <- out) {
+      val expCum = headOrder.take(k.toInt).map(_._2).sum
+      assert(tot == total, s"k=$k total")
+      assert(cum == expCum, s"k=$k cum")
+      assert(cov == cum.toDouble / total, s"k=$k coverage")
+    }
+    // cuts beyond the distinct-type count are absent, available ones present
+    for (k <- TextAnalysis.CoverageCuts)
+      assert(out.contains(k.toLong) == (headOrder.size >= k), s"cut $k presence")
+    // coverage must be monotone in k
+    val covs = out.toSeq.sortBy(_._1).map(_._2._3)
+    assert(covs == covs.sorted)
+  }
+
   // --------------------------------------------------- budgetTrim
 
   test("budgetTrim: quality order decides survival and the budget boundary is inclusive") {
