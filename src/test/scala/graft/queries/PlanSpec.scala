@@ -48,11 +48,13 @@ class PlanSpec extends SparkSpec {
     * crosses against the bounded broadcast CENTROID set (nlist rows —
     * IvfAnn.ivfIndex/ivfTopK); text_surprisal crosses the ONE-row corpus
     * total against the vocab frame only (the corpus side hash-joins the
-    * pre-scored vocab — TextAnalysis.surprisalOf). Everything else must
-    * stay hash/merge-joined — a BNLJ appearing anywhere else is a
+    * pre-scored vocab — TextAnalysis.surprisalOf); text_ngram_coverage
+    * crosses its ONE-row occurrence total against the ≤3-row cut frame
+    * (both sides bounded — TextAnalysis.ngramCoverageOf). Everything else
+    * must stay hash/merge-joined — a BNLJ appearing anywhere else is a
     * join-key regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
-    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal")
+    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
