@@ -115,6 +115,18 @@ object Bench {
         v / b > RegressThreshold && v - b > PrevRoundMinDeltaSec) => k
     }
 
+  /** Queries the previous round's artifact timed that this registry no
+    * longer carries — a silently DELETED query is indistinguishable from
+    * a passing one in every count-based gate (the r11 failure shape:
+    * rel_expectations threw and simply vanished from the correctness
+    * report). Renames/intentional removals surface here once and the
+    * next round's artifact clears them. */
+  private[graft] def vanishedOf(results: Seq[(String, Double)],
+                                prev: Map[String, Double]): Seq[String] = {
+    val current = results.map(_._1).toSet
+    prev.keysIterator.filterNot(current).toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -173,14 +185,18 @@ object Bench {
       System.gc()
       name -> timing
     }
-    // filtered dev runs must not clobber the full-run report artifact
+    // filtered dev runs must not clobber the full-run report artifact —
+    // and their vanished diff would be pure noise (the subset is the
+    // point), so the disappearance detector only arms on full runs
+    val vanishedSeq =
+      if (only.isEmpty) vanishedOf(results, prevRound) else Nil
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
-      results, baseline, sfNum, prevArtifact, prevRound)
+      results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
     println(renderLine(results, baseline, sfNum,
-      prevRegressedOf(results, prevRound)))
+      prevRegressedOf(results, prevRound), vanishedSeq))
     spark.stop()
   }
 
@@ -216,14 +232,16 @@ object Bench {
   private[graft] def renderLine(results: Seq[(String, Double)],
                                 baseline: Map[String, Double],
                                 sfNum: String,
-                                prevRegressed: Seq[String] = Nil): String = {
+                                prevRegressed: Seq[String] = Nil,
+                                vanished: Seq[String] = Nil): String = {
     val ok = results.filter(_._2 >= 0)
     val regressed = regressedOf(results, baseline).take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
     // capped at 3 names: the full vs_prev_round RATIO map stays in the
     // report file (the line bans bulky per-query maps — r5/r6 truncation)
     val prevReg = prevRegressed.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val van = vanished.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":{"""
-    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"prev_regressed":$prevReg,"failed":${results.size - ok.size}}"""
+    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"prev_regressed":$prevReg,"vanished":$van,"failed":${results.size - ok.size}}"""
     val (failedQ, succQ) = results.partition(_._2 < 0)
     val ordered = failedQ ++ succQ.sortBy(-_._2) // failures first, then largest
     val entries = ordered.map { case (k, v) => ("\"" + k + "\":" + r2(v), v) }
@@ -256,7 +274,8 @@ object Bench {
   private[graft] def writeReport(path: String, results: Seq[(String, Double)],
                                  baseline: Map[String, Double], sfNum: String,
                                  prevArtifact: String = "",
-                                 prevRound: Map[String, Double] = Map.empty): Unit =
+                                 prevRound: Map[String, Double] = Map.empty,
+                                 armVanished: Boolean = true): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -270,11 +289,19 @@ object Bench {
       val regressed = regressedOf(results, baseline).map("\"" + _ + "\"").mkString("[", ",", "]")
       val prevRegressed = prevRegressedOf(results, prevRound)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      val line = renderLine(results, baseline, sfNum, prevRegressedOf(results, prevRound))
+      // ADVICE r11: a query that silently DISAPPEARS from the registry
+      // must fail loudly, not vanish from the artifacts — diff the
+      // current name set against the previous round's (r11's own
+      // rel_expectations break surfaced as an absent correctness key).
+      val vanishedSeq = if (armVanished) vanishedOf(results, prevRound) else Nil
+      val vanished = vanishedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val line = renderLine(results, baseline, sfNum,
+        prevRegressedOf(results, prevRound), vanishedSeq)
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
            |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
+           |"vanished_vs_prev_round":$vanished,
            |"line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
            |""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

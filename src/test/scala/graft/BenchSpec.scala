@@ -187,4 +187,16 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs(qsum + shownFailures - total) <= 0.005 * results.size + 0.001,
       s"collapsed map sum $qsum (+$shownFailures failures) != total $total")
   }
+
+  test("vanished detector: queries in the previous artifact but not the registry surface by name") {
+    val prev = Map("q_kept" -> 1.0, "q_deleted" -> 2.0, "q_also_gone" -> 0.5)
+    val results = Seq("q_kept" -> 1.1, "q_new" -> 0.3)
+    assert(Bench.vanishedOf(results, prev) == Seq("q_also_gone", "q_deleted"))
+    // and the line carries it (capped), so the driver's window sees it
+    val line = Bench.renderLine(results, Map.empty, "0.1",
+      vanished = Seq("q_also_gone", "q_deleted"))
+    assert(line.contains(""""vanished":["q_also_gone","q_deleted"]"""))
+    // a failed query (-1) is NOT vanished — it is present and counted
+    assert(Bench.vanishedOf(Seq("q_deleted" -> -1.0), Map("q_deleted" -> 2.0)).isEmpty)
+  }
 }
