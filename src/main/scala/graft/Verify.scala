@@ -56,9 +56,31 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    // The deletion half of the same advice (Bench carries its twin): a
+    // query REMOVED from the registry would silently disappear from the
+    // next correctness report — diff the registry's name set against the
+    // latest committed CORRECTNESS_r*.json and name what vanished. Full
+    // dumps only: a filtered local run subsets on purpose.
+    val vanished: Seq[String] =
+      if (only.nonEmpty) Nil
+      else {
+        val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .map(_.getName).filter(_.matches("CORRECTNESS_r\\d+\\.json"))
+        if (arts.isEmpty) Nil
+        else {
+          val latest = arts.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+          val prevNames = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
+            .findAllMatchIn(Files.readString(Paths.get(latest)))
+            .map(_.group(1)).toSet
+          (prevNames -- SparkEntry.queries.keySet).toSeq.sorted
+        }
+      }
+    Files.writeString(Paths.get(s"$outDir/_verify_vanished.json"),
+      vanished.map(q).mkString("[", ",", "]"))
     System.err.println(
       s"[verify] ${failures.size} of ${SparkEntry.queries.size} queries FAILED" +
-        (if (failures.isEmpty) "" else s": ${failures.keys.mkString(",")}"))
+        (if (failures.isEmpty) "" else s": ${failures.keys.mkString(",")}") +
+        (if (vanished.isEmpty) "" else s"; VANISHED vs last round: ${vanished.mkString(",")}"))
     // Exit 0 even on failures: the driver must still run the DuckDB
     // compare over the queries that DID dump — the manifest + stderr
     // line carry the failure signal without zeroing the whole round.
