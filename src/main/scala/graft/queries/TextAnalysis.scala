@@ -1297,6 +1297,57 @@ object TextAnalysis {
       .orderBy("split_a", "split_b")
   }
 
+  /** Quality-gate overlap audit — which filters kill the SAME documents:
+    * the redundancy screen run before a pipeline stacks gates (two gates
+    * with near-total kill overlap cost two passes for one signal; a gate
+    * whose kills are mostly unique is carrying real weight). Three gates
+    * re-derived expression-for-expression from their oracled owners —
+    * the [[qualityScore]] keep rule, the [[gopherRules]] conjunction,
+    * and "language undetermined" ([[langId]]'s zero-hit rule) — so the
+    * audit measures the gates the pipeline actually ships.
+    *
+    * Shape: the cheapest possible — every gate is a document-local
+    * boolean in ONE narrow projection (all four language stopword lists
+    * ride a single [[graft.functions.TextKernels.stopwordHits]] sweep),
+    * then a single keyless aggregate of conjunction counts: no join, no
+    * keyed exchange, one 9-column row out at any corpus size. */
+  def gateOverlap(s: SparkSession, d: String): DataFrame =
+    gateOverlapOf(documents(s, d))
+
+  private[graft] def gateOverlapOf(docs: DataFrame): DataFrame = {
+    val n = length(col("text"))
+    val classes = graft.functions.TextKernels.charClassCounts(col("text"))
+    val killQuality = !(n >= 40 &&
+      element_at(classes, 1).cast("double") / n >= 0.5 &&
+      element_at(classes, 2).cast("double") / n <= 0.2)
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val charTotal = aggregate(transform(words, w => length(w)), lit(0), (a, v) => a + v)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val symbolWords = size(filter(words, w => w.contains("#") || w.contains("...")))
+    val stop = graft.functions.TextKernels.stopwordHits(words, LangStopwords.map(_._2))
+    val meanWordLen = charTotal.cast("double") / nWords
+    val killGopher = !(
+      nWords.cast("long") >= GopherMinWords && nWords.cast("long") <= GopherMaxWords &&
+        meanWordLen >= GopherMinMeanWordLen && meanWordLen <= GopherMaxMeanWordLen &&
+        symbolWords.cast("double") / nWords <= GopherMaxSymbolRatio &&
+        alphaWords.cast("double") / nWords >= GopherMinAlphaFrac &&
+        element_at(stop, 1).cast("long") >= GopherMinStopHits)
+    val killLang = LangStopwords.indices
+      .map(i => element_at(stop, i + 1) === 0).reduce(_ && _)
+    def k(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    docs.select(killQuality.as("kq"), killGopher.as("kg"), killLang.as("kl"))
+      .agg(count(lit(1)).as("n_docs"),
+        k(col("kq")).as("kill_quality"),
+        k(col("kg")).as("kill_gopher"),
+        k(col("kl")).as("kill_lang"),
+        k(col("kq") && col("kg")).as("kill_quality_gopher"),
+        k(col("kq") && col("kl")).as("kill_quality_lang"),
+        k(col("kg") && col("kl")).as("kill_gopher_lang"),
+        k(col("kq") && col("kg") && col("kl")).as("kill_all"),
+        k(col("kq") || col("kg") || col("kl")).as("kill_any"))
+  }
+
   /** Head size and report cut points for [[ngramCoverage]]. */
   val CoverageHead = 1000
   val CoverageCuts: Seq[Int] = Seq(10, 100, 1000)
@@ -1675,6 +1726,7 @@ object TextAnalysis {
     "text_split_leakage" -> splitLeakage _,
     "text_rank_fusion" -> rankFusion _,
     "text_ngram_coverage" -> ngramCoverage _,
+    "text_gate_overlap" -> gateOverlap _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2053,6 +2105,39 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Gate booleans re-derived from the text_quality / text_gopher_rules /
+    // text_langid oracles verbatim; counts are exact conjunction sums.
+    "text_gate_overlap" ->
+      s"""WITH b AS (
+         |  SELECT
+         |    NOT (len(text) >= 40
+         |      AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / len(text) >= 0.5
+         |      AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(text) <= 0.2) AS kq,
+         |    NOT (len(words) >= $GopherMinWords AND len(words) <= $GopherMaxWords
+         |      AND CAST(list_sum([len(x) for x in words]) AS DOUBLE) / len(words) >= $GopherMinMeanWordLen
+         |      AND CAST(list_sum([len(x) for x in words]) AS DOUBLE) / len(words) <= $GopherMaxMeanWordLen
+         |      AND CAST(len([x for x in words if contains(x, '#') OR contains(x, '...')]) AS DOUBLE)
+         |        / len(words) <= $GopherMaxSymbolRatio
+         |      AND CAST(len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS DOUBLE)
+         |        / len(words) >= $GopherMinAlphaFrac
+         |      AND len([x for x in words if x IN ('the','a','of','and','to','in','is','it')])
+         |        >= $GopherMinStopHits) AS kg,
+         |    (len([x for x in words if x IN ('the','a','of','and','to','in','is','it')]) = 0
+         |     AND len([x for x in words if x IN ('el','la','de','y','en','que','los','un')]) = 0
+         |     AND len([x for x in words if x IN ('der','die','das','und','zu','den','ist','ein')]) = 0
+         |     AND len([x for x in words if x IN ('le','la','de','et','un','que','les','est')]) = 0) AS kl
+         |  FROM (SELECT text, string_split(text, ' ') AS words FROM documents)
+         |)
+         |SELECT COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) AS kill_quality,
+         |  CAST(SUM(CASE WHEN kg THEN 1 ELSE 0 END) AS BIGINT) AS kill_gopher,
+         |  CAST(SUM(CASE WHEN kl THEN 1 ELSE 0 END) AS BIGINT) AS kill_lang,
+         |  CAST(SUM(CASE WHEN kq AND kg THEN 1 ELSE 0 END) AS BIGINT) AS kill_quality_gopher,
+         |  CAST(SUM(CASE WHEN kq AND kl THEN 1 ELSE 0 END) AS BIGINT) AS kill_quality_lang,
+         |  CAST(SUM(CASE WHEN kg AND kl THEN 1 ELSE 0 END) AS BIGINT) AS kill_gopher_lang,
+         |  CAST(SUM(CASE WHEN kq AND kg AND kl THEN 1 ELSE 0 END) AS BIGINT) AS kill_all,
+         |  CAST(SUM(CASE WHEN kq OR kg OR kl THEN 1 ELSE 0 END) AS BIGINT) AS kill_any
+         |FROM b""".stripMargin,
     // Identical (count DESC, gram) head order, cum over the same order,
     // one division per cut.
     "text_ngram_coverage" ->

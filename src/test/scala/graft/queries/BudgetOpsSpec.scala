@@ -155,6 +155,42 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // ------------------------------------------------- gateOverlap
+
+  test("gateOverlap: each gate fires exactly on its engineered doc; conjunction counts exact") {
+    val prose = "the black cat sat down on the wooden mat and it is quite fine today"
+    val docs = Seq(
+      // d1: passes every gate (60 words, mean len in band, stopwords, alpha-dense)
+      1L -> Seq.fill(4)(prose).mkString(" "),
+      // d2: quality-only kill — digit-heavy words sink the CHAR alpha
+      // ratio below 0.5 while every WORD still contains a letter, so the
+      // gopher word-level dials all pass (incl. 2 stopword hits)
+      2L -> (Seq.fill(48)("ab123456") ++ Seq("the", "it")).mkString(" "),
+      // d3: gopher-only kill — clean prose but only 15 words (< 50)
+      3L -> prose,
+      // d4: language kill — alpha-dense words hitting NO stopword list;
+      // zero en hits structurally implies the gopher stopword rule fails
+      // too, so kill_lang is a subset of kill_gopher
+      4L -> Seq.fill(50)("palabras").mkString(" ")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gateOverlapOf(docs).collect().head
+    val got = (0 until 9).map(i => r.getLong(i))
+    //          n, kq, kg, kl, kq&kg, kq&kl, kg&kl, all, any
+    assert(got == Seq(4L, 1L, 2L, 1L, 0L, 0L, 1L, 0L, 3L), s"got $got")
+  }
+
+  test("gateOverlap on testdata: conjunctions bounded by singles, lang kill subset of gopher kill") {
+    val r = TextAnalysis.gateOverlap(spark, "/root/testdata/sf0.001").collect().head
+    val Seq(n, kq, kg, kl, kqg, kql, kgl, all, any) = (0 until 9).map(r.getLong)
+    assert(n > 0 && any <= n)
+    assert(kqg <= math.min(kq, kg) && kql <= math.min(kq, kl) && kgl <= math.min(kg, kl))
+    assert(all <= Seq(kqg, kql, kgl).min)
+    // inclusion-exclusion reconciles exactly
+    assert(any == kq + kg + kl - kqg - kql - kgl + all)
+    // structural: a doc with zero en stopword hits fails gopher's stop rule
+    assert(kgl == kl, "kill_lang must be a subset of kill_gopher")
+  }
+
   // ------------------------------------------------ ngramCoverage
 
   test("ngramCoverage: cuts match a first-principles Zipf-head recomputation on testdata") {
