@@ -1314,7 +1314,11 @@ object TextAnalysis {
   def gateOverlap(s: SparkSession, d: String): DataFrame =
     gateOverlapOf(documents(s, d))
 
-  private[graft] def gateOverlapOf(docs: DataFrame): DataFrame = {
+  /** The three kill booleans as one narrow projection over a `text`
+    * column, every other input column passed through — shared by the
+    * batch audit and the streaming rate monitor
+    * ([[graft.streaming.StreamingIngest.gateRateStream]]). */
+  private[graft] def gateFlagsOf(docs: DataFrame): DataFrame = {
     val n = length(col("text"))
     val classes = graft.functions.TextKernels.charClassCounts(col("text"))
     val killQuality = !(n >= 40 &&
@@ -1335,8 +1339,12 @@ object TextAnalysis {
         element_at(stop, 1).cast("long") >= GopherMinStopHits)
     val killLang = LangStopwords.indices
       .map(i => element_at(stop, i + 1) === 0).reduce(_ && _)
+    docs.select(col("*"), killQuality.as("kq"), killGopher.as("kg"), killLang.as("kl"))
+  }
+
+  private[graft] def gateOverlapOf(docs: DataFrame): DataFrame = {
     def k(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
-    docs.select(killQuality.as("kq"), killGopher.as("kg"), killLang.as("kl"))
+    gateFlagsOf(docs).select("kq", "kg", "kl")
       .agg(count(lit(1)).as("n_docs"),
         k(col("kq")).as("kill_quality"),
         k(col("kg")).as("kill_gopher"),

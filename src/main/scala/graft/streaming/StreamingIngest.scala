@@ -125,6 +125,34 @@ object StreamingIngest {
           .as("mean_pair_cos"))
   }
 
+  /** Windowed quality-gate kill rates — the streaming twin of
+    * [[graft.queries.TextAnalysis.gateOverlap]]: per event-time window,
+    * how many arriving documents each gate (quality / Gopher / lang-ID)
+    * would kill, and the any-gate rate. The live filter-drift alarm: a
+    * window whose kill rate jumps means the SOURCE changed (a scraper
+    * picked up a boilerplate farm, an encoding broke), caught while the
+    * batch pipeline would still be accumulating the damage. Gate
+    * booleans are the audit's own expressions
+    * ([[graft.queries.TextAnalysis.gateFlagsOf]] — one narrow
+    * projection), so stream and batch can never disagree on what a gate
+    * means; state is one counter row per open window, watermark-evicted. */
+  def gateRateStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                     win: String = "10 minutes",
+                     watermark: String = "20 minutes"): DataFrame = {
+    def k(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    graft.queries.TextAnalysis.gateFlagsOf(docs)
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        k(col("kq")).as("kill_quality"),
+        k(col("kg")).as("kill_gopher"),
+        k(col("kl")).as("kill_lang"),
+        k(col("kq") || col("kg") || col("kl")).as("kill_any"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("kill_quality"), col("kill_gopher"), col("kill_lang"), col("kill_any"),
+        (col("kill_any").cast("double") / col("n_docs")).as("kill_rate"))
+  }
+
   /** Windowed heavy hitters — the streaming twin of
     * [[graft.queries.TextAnalysis.freqItems]]: per event-time window,
     * surface the keys whose count reaches `minCount`, suppress the long

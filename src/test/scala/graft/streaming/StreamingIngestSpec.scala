@@ -462,6 +462,48 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate-rate stream: per-window kill counts equal the batch gate audit on the same rows") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val prose = "the black cat sat down on the wooden mat and it is quite fine today"
+    val pass = Seq.fill(4)(prose).mkString(" ")          // kills nothing
+    val qualityKill = (Seq.fill(48)("ab123456") ++ Seq("the", "it")).mkString(" ")
+    val langKill = Seq.fill(50)("palabras").mkString(" ") // lang + gopher
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("event_time", "text")
+    val agg = StreamingIngest.gateRateStream(docs, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData(
+        (new Timestamp(t0), pass), (new Timestamp(t0 + 1000), qualityKill),
+        (new Timestamp(t0 + 2000), langKill),
+        (new Timestamp(w2), pass), (new Timestamp(w2 + 1000), pass))
+      q.processAllAvailable()
+      input.addData((new Timestamp(w2 + 60 * 60000), pass)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_docs, kill_quality, kill_gopher, kill_lang, kill_any, kill_rate " +
+          "FROM gate_out ORDER BY window_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))
+      assert(rows.length == 2)
+      assert(rows(0) == ((3L, 1L, 1L, 1L, 2L, 2.0 / 3.0)), s"w1 ${rows(0)}")
+      assert(rows(1) == ((2L, 0L, 0L, 0L, 0L, 0.0)), s"w2 ${rows(1)}")
+      // batch twin on window 1's rows
+      val batch = graft.queries.TextAnalysis.gateOverlapOf(
+        Seq(0L -> pass, 1L -> qualityKill, 2L -> langKill).toDF("doc_id", "text"))
+        .collect().head
+      assert((batch.getLong(1), batch.getLong(2), batch.getLong(3), batch.getLong(8)) ==
+        ((rows(0)._2, rows(0)._3, rows(0)._4, rows(0)._5)),
+        "stream drifted from the batch gate audit")
+    } finally q.stop()
+  }
+
   test("diversity stream: chained windowed moments equal the batch diversity per window") {
     val sql = spark.sqlContext
     import sql.implicits._
