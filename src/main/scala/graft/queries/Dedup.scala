@@ -142,6 +142,41 @@ object Dedup {
     minhashLshPairsOf(documents(s, d), MaxBucketSize, grams, bands)
   }
 
+  /** Pairs sampled per similarity band for [[reviewSample]]. */
+  val ReviewPerBand = 5
+
+  /** Near-dup review sample — the human-QA stage before a DESTRUCTIVE
+    * dedup runs: a deterministic handful of pairs from each similarity
+    * band (band = ⌊20·J⌋, so 0.05-wide slices of the ≥ 0.8 range), so a
+    * reviewer inspects borderline 0.80-0.85 pairs separately from
+    * near-identical 0.95+ ones before signing off on the threshold.
+    * Deterministic by the samplers' Knuth-hash discipline (stable under
+    * retries, auditable, reproducible outside Spark — `rand()` is none
+    * of those): pick order = the multiplicative hash of the folded pair
+    * key, ties → (doc_a, doc_b).
+    *
+    * Scale shape: rides [[minhashLshPairs]]' memoized pair frame (no
+    * second candidate pass), one band-keyed `row_number() <= k` in the
+    * WindowGroupLimit form — the exchange moves ≤ k rows per (band,
+    * mapper), never the pair set. */
+  def reviewSample(s: SparkSession, d: String): DataFrame =
+    reviewSampleOf(minhashLshPairs(s, d))
+
+  private[graft] def reviewSampleOf(pairs: DataFrame,
+                                    perBand: Int = ReviewPerBand): DataFrame = {
+    val keyed = pairs
+      .withColumn("band", floor(col("jaccard") * 20).cast("long"))
+      .withColumn("pick",
+        (pmod(col("doc_a") * 1000003L + col("doc_b"), lit(2147483648L)) *
+          2654435761L) % 4294967296L)
+    val w = Window.partitionBy("band")
+      .orderBy(col("pick"), col("doc_a"), col("doc_b"))
+    keyed.withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= perBand)
+      .select(col("band"), col("pick_rank"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("band", "pick_rank")
+  }
+
   // --- exact Jaccard via prefix filtering (lossless, oracle-able) --------
 
   /** Jaccard bar for the EXACT pipeline — the same 0.8 the LSH path uses,
@@ -1238,6 +1273,7 @@ object Dedup {
     "dedup_fuzzy_edit"     -> fuzzyEditPairs _,
     "text_source_overlap"  -> sourceOverlap _,
     "dedup_minhash_lsh"    -> minhashLshPairs _,
+    "dedup_review_sample"  -> reviewSample _,
     "dedup_winnow"         -> winnowPairs _,
     "dedup_jaccard_prefix" -> jaccardPrefixPairs _,
     "dedup_clusters"       -> dedupClusters _,
@@ -1463,6 +1499,34 @@ object Dedup {
         |)
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Rides the lossless-at-this-corpus pair set (the dedup_minhash_lsh
+    // brute-force twin), identical banding/Knuth-pick arithmetic, same
+    // ROW_NUMBER order — full strictness.
+    "dedup_review_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |), k AS (
+        |  SELECT doc_a, doc_b, jaccard,
+        |    CAST(FLOOR(jaccard * 20) AS BIGINT) AS band,
+        |    (((doc_a * 1000003 + doc_b) % 2147483648) * 2654435761) % 4294967296 AS pick
+        |  FROM p WHERE jaccard >= 0.8
+        |), r AS (
+        |  SELECT band, doc_a, doc_b, jaccard,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY band
+        |      ORDER BY pick, doc_a, doc_b) AS BIGINT) AS pick_rank
+        |  FROM k
+        |)
+        |SELECT band, pick_rank, doc_a, doc_b, jaccard FROM r
+        |WHERE pick_rank <= 5 ORDER BY band, pick_rank""".stripMargin,
     // Same brute-force ground truth — prefix filtering is lossless, so
     // the driver compares at FULL strictness (any missed pair = hash
     // mismatch), unlike the LSH row where the oracle checks recall.

@@ -155,6 +155,41 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // ----------------------------------------------- reviewSample
+
+  test("reviewSample: banding, per-band cap, Knuth-hash pick order, rerun determinism") {
+    def pick(a: Long, b: Long): Long =
+      (((a * 1000003L + b) % 2147483648L) * 2654435761L) % 4294967296L
+    // band 16 gets 7 pairs (cap must drop 2), band 20 gets 2
+    val pairs = ((1L to 7L).map(i => (i, i + 100L, 0.82)) ++
+      Seq((50L, 51L, 1.0), (60L, 61L, 1.0)))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.reviewSampleOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byBand = out.groupBy(_._1)
+    assert(byBand.keySet == Set(16L, 20L))
+    assert(byBand(16L).length == 5 && byBand(20L).length == 2)
+    // the 5 survivors of band 16 are exactly the 5 smallest pick hashes
+    val expect16 = (1L to 7L).map(i => (i, i + 100L)).sortBy { case (a, b) => (pick(a, b), a, b) }
+      .take(5).zipWithIndex.map { case ((a, b), i) => (16L, i + 1L, a, b) }
+    assert(byBand(16L).sortBy(_._2).toSeq == expect16)
+    // rerun-identical
+    val rerun = Dedup.reviewSampleOf(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rerun.toSeq == out.toSeq)
+  }
+
+  test("reviewSample on testdata: subset of the LSH pairs, per-band cap held") {
+    val d = "/root/testdata/sf0.001"
+    val sample = Dedup.reviewSample(spark, d).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    val all = Dedup.minhashLshPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sample.nonEmpty && sample.subsetOf(all))
+    val perBand = Dedup.reviewSample(spark, d).collect().groupBy(_.getLong(0))
+    assert(perBand.values.forall(_.length <= Dedup.ReviewPerBand))
+  }
+
   // ------------------------------------------------- gateOverlap
 
   test("gateOverlap: each gate fires exactly on its engineered doc; conjunction counts exact") {

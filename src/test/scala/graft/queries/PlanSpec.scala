@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
     // node bounds the exchange to k rows per (group, mapper). Losing it
     // means the shuffle carries every row a group ever had.
     for (q <- Seq("rel_topk_per_group", "text_tfidf_topk", "rel_sample_per_group",
-                  "text_domain_cap")) {
+                  "text_domain_cap", "dedup_review_sample")) {
       val plan = formatted(q)
       assert(plan.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit:\n$plan")
     }
