@@ -124,7 +124,9 @@ object Bench {
   private[graft] def vanishedOf(results: Seq[(String, Double)],
                                 prev: Map[String, Double]): Seq[String] = {
     val current = results.map(_._1).toSet
-    prev.keysIterator.filterNot(current).toSeq.sorted
+    // "_other" (the stdout line's collapse bucket) and any other
+    // underscore-prefixed harness artifact in a prior line is not a query
+    prev.keysIterator.filterNot(current).filterNot(_.startsWith("_")).toSeq.sorted
   }
 
   def main(args: Array[String]): Unit = {

@@ -198,5 +198,8 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""vanished":["q_also_gone","q_deleted"]"""))
     // a failed query (-1) is NOT vanished — it is present and counted
     assert(Bench.vanishedOf(Seq("q_deleted" -> -1.0), Map("q_deleted" -> 2.0)).isEmpty)
+    // the prior line's "_other" collapse bucket is a harness artifact,
+    // never a vanished query
+    assert(Bench.vanishedOf(Seq("q" -> 1.0), Map("q" -> 1.0, "_other" -> 9.9)).isEmpty)
   }
 }
