@@ -383,6 +383,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Fraction of the corpus the temperature mix keeps (the token budget
+    * expressed as a document fraction). */
+  val TempMixKeepFrac = 0.5
+
+  /** Temperature-based source rebalancing — [[mixResample]]'s upstream
+    * sibling: that op enforces EXPLICIT target shares; this one DERIVES
+    * them from the observed source distribution by temperature scaling
+    * (mT5-style): target_i ∝ count_i^(1/T), flattening the head so
+    * low-resource sources are upsampled relative to their raw share. The
+    * temperature is FIXED at T = 2, deliberately: count^(1/2) is `sqrt`,
+    * the one power both engines round correctly — a general `pow` is not
+    * correctly rounded and would break full-strict hashing (the same
+    * reason the repo's scores are log-free rationals).
+    *
+    * Keep probability per source: p_i = min(1, target_i · B / count_i)
+    * with B = [[TempMixKeepFrac]] · corpus. Selection is the samplers'
+    * Knuth-hash rule — `hash(doc_id) < ⌊p_i·2³²⌋` — so membership is
+    * retry-stable and reproducible. The source stats (counts, Σ√count)
+    * are memoized scalars folded IN SOURCE ORDER on the driver (a
+    * float Σ is association-sensitive; the oracle folds the same sorted
+    * list), the per-source thresholds ride back as a broadcast join on
+    * ~dozens of rows, and the corpus side stays a narrow projection. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.tables.FrameCache.cachedValue[Seq[(String, Long)]](s,
+      s"tempmix-stats:${graft.tables.FrameCache.dirKey(d)}") {
+      documents(s, d).groupBy("source").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    }
+    temperatureMixOf(documents(s, d), stats)
+  }
+
+  private[graft] def temperatureMixOf(docs: DataFrame,
+                                      stats: Seq[(String, Long)],
+                                      keepFrac: Double = TempMixKeepFrac): DataFrame = {
+    val total = stats.map(_._2).sum
+    // sequential fold in source order — bit-stable, oracle-mirrored
+    val sumSqrt = stats.foldLeft(0.0) { case (a, (_, c)) => a + math.sqrt(c.toDouble) }
+    val thresholds = stats.map { case (src, c) =>
+      val p = math.min(1.0, math.sqrt(c.toDouble) / sumSqrt * (total * keepFrac) / c)
+      (src, c, math.floor(p * 4294967296.0).toLong)
+    }
+    val thrDf = docs.sparkSession.createDataFrame(thresholds)
+      .toDF("source", "source_docs", "keep_threshold")
+    val bucket = (pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(thrDf), "source")
+      .filter(bucket < col("keep_threshold"))
+      .select(col("doc_id"), col("source"), col("source_docs"), col("keep_threshold"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------ decontamination
 
   /** Shingle width for contamination scans. Production pipelines use
@@ -1735,6 +1786,7 @@ object TextAnalysis {
     "text_rank_fusion" -> rankFusion _,
     "text_ngram_coverage" -> ngramCoverage _,
     "text_gate_overlap" -> gateOverlap _,
+    "text_temperature_mix" -> temperatureMix _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2113,6 +2165,28 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // sqrt is correctly rounded on both engines (unlike general pow —
+    // the reason T is pinned to 2); the Σ√count fold runs in the same
+    // source order via list(ORDER BY); identical op order in p.
+    "text_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+        |), s AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |    list_reduce(list_prepend(0.0,
+        |      list(sqrt(CAST(c AS DOUBLE)) ORDER BY source)), (a, b) -> a + b) AS ss
+        |  FROM c
+        |), t AS (
+        |  SELECT source, CAST(c.c AS BIGINT) AS source_docs,
+        |    CAST(FLOOR(LEAST(1.0,
+        |      sqrt(CAST(c.c AS DOUBLE)) / s.ss * (s.total * 0.5) / c.c)
+        |      * 4294967296.0) AS BIGINT) AS keep_threshold
+        |  FROM c, s
+        |)
+        |SELECT d.doc_id, d.source, t.source_docs, t.keep_threshold
+        |FROM documents d JOIN t USING (source)
+        |WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) < t.keep_threshold
+        |ORDER BY d.doc_id""".stripMargin,
     // Gate booleans re-derived from the text_quality / text_gopher_rules /
     // text_langid oracles verbatim; counts are exact conjunction sums.
     "text_gate_overlap" ->

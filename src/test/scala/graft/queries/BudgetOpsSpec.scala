@@ -155,6 +155,49 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // -------------------------------------------- temperatureMix
+
+  test("temperatureMix: T=2 flattening fully keeps the low-resource source, thresholds exact") {
+    def hash(id: Long): Long = ((id % 2147483648L) * 2654435761L) % 4294967296L
+    // A: 90 docs, B: 10 docs → targets ∝ (√90, √10); budget = 50 docs
+    // p_B = √10/(√90+√10) · 50/10 = 1.25 → clamped to 1.0 (upsampled side)
+    val docs = ((0L until 90L).map(i => (i, "A")) ++ (90L until 100L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val stats = Seq("A" -> 90L, "B" -> 10L)
+    val out = TextAnalysis.temperatureMixOf(docs, stats).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val bys = out.groupBy(_._2)
+    // B fully kept: threshold clamped to exactly 2³²
+    assert(bys("B").map(_._1).toSet == (90L until 100L).toSet)
+    assert(bys("B").head._3 == 4294967296L)
+    // A kept = exactly the hash-rule survivors at the hand-computed threshold
+    val sumSqrt = math.sqrt(90.0) + math.sqrt(10.0)
+    val pA = math.min(1.0, math.sqrt(90.0) / sumSqrt * (100L * 0.5) / 90L)
+    val thrA = math.floor(pA * 4294967296.0).toLong
+    assert(bys("A").head._3 == thrA)
+    assert(bys("A").map(_._1).toSet ==
+      (0L until 90L).filter(hash(_) < thrA).toSet)
+    // rerun-identical
+    assert(TextAnalysis.temperatureMixOf(docs, stats).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq == out.toSeq)
+  }
+
+  test("temperatureMix on testdata: every source kept at a rate >= its raw share would imply") {
+    val d = "/root/testdata/sf0.001"
+    val out = TextAnalysis.temperatureMix(spark, d)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = graft.tables.Testdata.documents(spark, d).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    // temperature flattening: smaller sources keep a HIGHER fraction
+    val fracs = totals.toSeq.sortBy(_._2).map { case (s, n) =>
+      kept.getOrElse(s, 0L).toDouble / n
+    }
+    assert(fracs.zip(fracs.tail).forall { case (small, big) => small >= big - 0.15 },
+      s"keep fractions should not increase with source size: $fracs")
+  }
+
   // ----------------------------------------------- reviewSample
 
   test("reviewSample: banding, per-band cap, Knuth-hash pick order, rerun determinism") {
