@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   * asserted unchanged by the round-trip spec; the LAYOUT is the output). */
 object Compaction {
 
-  /** Rewrite `df` under `outDir` as ceil(n / targetPerFile) range-sorted
-    * parquet files; returns the file count it sized for. */
+  /** Rewrite `df` under `outDir` as ~ceil(n / targetPerFile) range-sorted
+    * parquet files; returns the file count it sized for. The count is
+    * approximate by construction: `repartitionByRange` picks boundaries
+    * from a SAMPLE, so a partition can land slightly over the target and
+    * the writer (correctly) splits it — `maxRecordsPerFile` is the HARD
+    * bound, the file count the soft one. */
   def compact(df: DataFrame, sortCol: String, targetPerFile: Long, outDir: String): Int = {
     require(targetPerFile > 0, "targetPerFile must be positive")
     val n = df.count()

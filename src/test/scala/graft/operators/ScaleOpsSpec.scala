@@ -89,7 +89,11 @@ class ScaleOpsSpec extends SparkSpec {
     assert(files == ((n + 399) / 400).toInt, "file count not sized from the row count")
     val written = new java.io.File(out).listFiles()
       .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
-    assert(written.length == files, s"expected $files parquet files, got ${written.length}")
+    // file count is sampling-approximate (range boundaries come from a
+    // sample; an over-target partition splits at maxRecordsPerFile — the
+    // HARD bound asserted below), so allow a file or two of drift
+    assert(written.length >= files && written.length <= files + 2,
+      s"expected ~$files parquet files, got ${written.length}")
     // per-file key ranges must be pairwise disjoint — the file-pruning
     // precondition: a footer min/max check can then skip whole files for
     // any o_orderkey range predicate.

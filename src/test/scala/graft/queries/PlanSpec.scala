@@ -499,6 +499,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("temperatureMix: thresholds broadcast back, no corpus window") {
+    // the per-source threshold frame is ~dozens of rows — it must ride a
+    // broadcast hash join onto the corpus projection; any Window or
+    // shuffle join here means the derivation regressed onto the corpus
+    val plan = formatted("text_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      "text_temperature_mix: threshold join no longer broadcasts")
+    assert(!plan.linesIterator.exists(_.trim.endsWith(" Window")),
+      "text_temperature_mix: unexpected window over the corpus")
+  }
+
   test("budgetTrim never runs a global single-partition window") {
     // same contract as pack spans: the budget prefix is a distributed
     // prefix (range repartition on the quality key + driver offsets) —
