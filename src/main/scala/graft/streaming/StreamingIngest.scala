@@ -153,6 +153,43 @@ object StreamingIngest {
         (col("kill_any").cast("double") / col("n_docs")).as("kill_rate"))
   }
 
+  /** Windowed source-mix drift — per event-time window, each source's
+    * share of arriving documents next to its BASELINE share (the static
+    * corpus mix passed in — at 100 TB, the persisted
+    * [[graft.queries.TextAnalysis.sourceMix]] report): the "one scraper
+    * went dark / one source is flooding" alarm, read as a share delta
+    * per (window, source). Composition of the windowed-counts state shape
+    * with a post-aggregation stream-static broadcast join — the static
+    * side is re-planned per micro-batch like [[enrichStream]], so a
+    * refreshed baseline lands without a restart. Share arithmetic is two
+    * exact counts and one division per row; state = one counter per
+    * (open window, source), watermark-evicted. */
+  def sourceMixDriftStream(docs: DataFrame, baseline: DataFrame,
+                           eventTimeCol: String = "event_time",
+                           win: String = "10 minutes",
+                           watermark: String = "20 minutes"): DataFrame = {
+    val counts = docs
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), win), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = docs
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_window"))
+    // two aggregations over the same watermarked input share one state
+    // horizon; the stream-stream equi-join on the closed window is
+    // append-final. The baseline is static: broadcast per micro-batch.
+    counts.join(totals, "window")
+      .join(broadcast(baseline.select(col("source"),
+        col("baseline_share").cast("double").as("baseline_share"))), Seq("source"), "left")
+      .select(col("window.start").as("window_start"), col("source"),
+        col("n_docs"),
+        (col("n_docs").cast("double") / col("n_window")).as("window_share"),
+        col("baseline_share"),
+        (col("n_docs").cast("double") / col("n_window") -
+          coalesce(col("baseline_share"), lit(0.0))).as("share_delta"))
+  }
+
   /** Windowed heavy hitters — the streaming twin of
     * [[graft.queries.TextAnalysis.freqItems]]: per event-time window,
     * surface the keys whose count reaches `minCount`, suppress the long

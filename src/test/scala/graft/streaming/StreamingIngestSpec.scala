@@ -462,6 +462,36 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("source-mix drift stream: window shares and deltas vs the static baseline") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("event_time", "source")
+    val baseline = Seq(("A", 0.5), ("B", 0.5)).toDF("source", "baseline_share")
+    val agg = StreamingIngest.sourceMixDriftStream(docs, baseline,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData(
+        (new Timestamp(t0), "A"), (new Timestamp(t0 + 1000), "A"),
+        (new Timestamp(t0 + 2000), "A"), (new Timestamp(t0 + 3000), "B"),
+        (new Timestamp(w2), "A"))
+      q.processAllAvailable()
+      input.addData((new Timestamp(w2 + 60 * 60000), "A")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT source, n_docs, window_share, share_delta FROM mix_out ORDER BY window_start, source")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq(
+        ("A", 3L, 0.75, 0.25), ("B", 1L, 0.25, -0.25),
+        ("A", 1L, 1.0, 0.5)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("gate-rate stream: per-window kill counts equal the batch gate audit on the same rows") {
     val sql = spark.sqlContext
     import sql.implicits._
