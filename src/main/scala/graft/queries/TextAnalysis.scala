@@ -383,6 +383,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context radius and output cut for [[skipgramPairs]]. */
+  val SkipgramWindow = 2
+  val SkipgramTopK = 100
+
+  /** Skip-gram co-occurrence counts — the (word, context) table word2vec
+    * negative sampling and the GloVe X_ij matrix are trained FROM: for
+    * every position, the words up to [[SkipgramWindow]] to its right,
+    * counted corpus-wide (left-to-right, so each unordered co-occurrence
+    * is counted once at its left endpoint; a symmetric consumer sums the
+    * two orientations). Distinct from [[pmiBigrams]] (adjacent-only,
+    * significance-scored) and [[ngramTopK]] (contiguous grams): the ±W
+    * window is what captures "related but not adjacent" context.
+    *
+    * Scale shape: pair generation is a NARROW higher-order projection
+    * (nested sequence/transform over the word array — ~W rows per token,
+    * no join, no kernel needed); the count is the word-count shape (hash
+    * agg, map-side combinable, hot pairs arrive as one partial per
+    * mapper); the output cut is a bounded TakeOrdered on (count DESC,
+    * pair) — never a global sort of the pair vocabulary. */
+  def skipgramPairs(s: SparkSession, d: String): DataFrame =
+    skipgramPairsOf(documents(s, d))
+
+  private[graft] def skipgramPairsOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val pairs = flatten(transform(
+      sequence(lit(0), size(words) - 2),
+      i => transform(
+        sequence(i + 1, least(i + lit(SkipgramWindow), size(words) - 1)),
+        j => struct(element_at(words, i + 1).as("w_a"),
+          element_at(words, j + 1).as("w_b")))))
+    docs.filter(size(words) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+      .agg(count(lit(1)).as("n_cooccur"))
+      .orderBy(desc("n_cooccur"), col("w_a"), col("w_b"))
+      .limit(SkipgramTopK)
+  }
+
   /** Fraction of the corpus the temperature mix keeps (the token budget
     * expressed as a document fraction). */
   val TempMixKeepFrac = 0.5
@@ -1787,6 +1825,7 @@ object TextAnalysis {
     "text_ngram_coverage" -> ngramCoverage _,
     "text_gate_overlap" -> gateOverlap _,
     "text_temperature_mix" -> temperatureMix _,
+    "text_skipgram_pairs" -> skipgramPairs _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2165,6 +2204,20 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Identical window comprehension (1-based in DuckDB), exact counts,
+    // same (count DESC, pair) total order at the cut.
+    "text_skipgram_pairs" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), x AS (
+        |  SELECT unnest(flatten([[{'w_a': words[i], 'w_b': words[j]}
+        |      for j in range(i + 1, least(i + 2, len(words)) + 1)]
+        |    for i in range(1, len(words))]), recursive := true)
+        |  FROM w
+        |)
+        |SELECT w_a, w_b, COUNT(*) AS n_cooccur FROM x GROUP BY 1, 2
+        |ORDER BY n_cooccur DESC, w_a, w_b LIMIT 100""".stripMargin,
     // sqrt is correctly rounded on both engines (unlike general pow —
     // the reason T is pinned to 2); the Σ√count fold runs in the same
     // source order via list(ORDER BY); identical op order in p.

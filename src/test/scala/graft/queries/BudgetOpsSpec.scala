@@ -155,6 +155,32 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // -------------------------------------------- skipgramPairs
+
+  test("skipgramPairs: window-2 pairs, left-endpoint counting, boundary docs") {
+    val docs = Seq(
+      (1L, "a b c d"),   // pairs: ab ac bc bd cd
+      (2L, "a b"),       // ab
+      (3L, "x")          // too short: nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramPairsOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L), s"got $out")
+  }
+
+  test("skipgramPairs on testdata: counts exceed adjacent-bigram counts, cut is deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val out = TextAnalysis.skipgramPairs(spark, d).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.SkipgramTopK)
+    val counts = out.map(_.getLong(2)).toSeq
+    assert(counts == counts.sortBy(-_), "must be ordered by count desc")
+    // rerun-identical (ties at the cut break on the pair, not partitioning)
+    assert(TextAnalysis.skipgramPairs(spark, d).collect().map(_.toSeq).toSeq ==
+      out.map(_.toSeq).toSeq)
+  }
+
   // -------------------------------------------- temperatureMix
 
   test("temperatureMix: T=2 flattening fully keeps the low-resource source, thresholds exact") {
