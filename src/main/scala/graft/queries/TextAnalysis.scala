@@ -327,6 +327,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram conditional surprisal — the word-ORDER quality signal the
+    * unigram [[surprisal]] is blind to: shuffled or spliced text keeps a
+    * plausible unigram distribution but implausible transitions, and
+    * s(b|a) = ⌊log₂(c(a·) div c(ab))⌋ bits per transition surfaces
+    * exactly that (the CCNet-style LM filter in the repo's integer
+    * discipline — floor-log₂ of an exact integer ratio is bit-identical
+    * cross-engine where a float log never is). The context count c(a·)
+    * sums the bigram table's own left-word counts, so the conditional's
+    * numerator and denominator come from the SAME instance universe.
+    *
+    * Scale shape: one bigram explode + the word-count aggregate; the
+    * (bigram → bits) score table joins back on the gram key with NO
+    * broadcast hint — the bigram vocabulary grows superlinearly with
+    * corpus size (the one table in this family that can outgrow a
+    * broadcast), so AQE picks broadcast while it fits and degrades to a
+    * co-partitioned shuffle join when it doesn't. Per-doc rollup is one
+    * map-side-combinable aggregate. */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalOf(documents(s, d))
+
+  private[graft] def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val bi = docs.filter(size(words) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
+    val bc = bi.groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .withColumn("a", substring_index(col("g"), " ", 1))
+    val ac = bc.groupBy("a").agg(sum("c_ab").as("c_a"))
+    // ⌊log₂(c_a div c_ab)⌋ via binary-digit count — the surprisal trick
+    val scored = bc.join(ac, "a")
+      .select(col("g"),
+        (length(conv(expr("c_a div c_ab").cast("string"), 10, 2)) - 1)
+          .cast("long").as("s"))
+    bi.join(scored, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal_bits"))
+      .withColumn("mean_bits",
+        col("surprisal_bits").cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- mix resample
 
   /** Token budget for [[mixResample]] — the target corpus size, in
@@ -1826,6 +1867,7 @@ object TextAnalysis {
     "text_gate_overlap" -> gateOverlap _,
     "text_temperature_mix" -> temperatureMix _,
     "text_skipgram_pairs" -> skipgramPairs _,
+    "text_bigram_surprisal" -> bigramSurprisal _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2204,6 +2246,28 @@ object TextAnalysis {
         |  CAST(cum_start // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_start % 2048 AS BIGINT) AS pack_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    // floor-log2 via binary digit count (the text_surprisal /
+    // text_domain_entropy trick); exact integer div; one double division
+    // per doc at the end.
+    "text_bigram_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS g
+        |  FROM w
+        |), bc AS (
+        |  SELECT g, COUNT(*) AS c_ab, string_split(g, ' ')[1] AS a FROM bi GROUP BY g
+        |), ac AS (
+        |  SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
+        |), sc AS (
+        |  SELECT g, length(bin(ac.c_a // bc.c_ab)) - 1 AS s
+        |  FROM bc JOIN ac USING (a)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_bits
+        |FROM bi JOIN sc USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Identical window comprehension (1-based in DuckDB), exact counts,
     // same (count DESC, pair) total order at the cut.
     "text_skipgram_pairs" ->

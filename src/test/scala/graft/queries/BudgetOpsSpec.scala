@@ -155,6 +155,30 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
   }
 
+  // ---------------------------------------- bigramSurprisal
+
+  test("bigramSurprisal: exact integer bits, common transitions cheap, rare ones dear") {
+    // c(x y) = 4, c(x z) = 1, context c(x·) = 5:
+    // s(x y) = floor(log2(5 div 4)) = 0; s(x z) = floor(log2(5 div 1)) = 2
+    val docs = ((1L to 4L).map(i => (i, "x y")) :+ (5L, "x z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisalOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (i <- 1L to 4L) assert(out(i) == ((1L, 0L, 0.0)), s"doc $i")
+    assert(out(5L) == ((1L, 2L, 2.0)))
+  }
+
+  test("bigramSurprisal on testdata: every doc scored, bits non-negative, self-consistent mean") {
+    val out = TextAnalysis.bigramSurprisal(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getLong(2) >= 0)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1))
+    }
+    // order information exists: scores are not all identical
+    assert(out.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   // -------------------------------------------- skipgramPairs
 
   test("skipgramPairs: window-2 pairs, left-endpoint counting, boundary docs") {
