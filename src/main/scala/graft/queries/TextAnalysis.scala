@@ -447,17 +447,27 @@ object TextAnalysis {
     skipgramPairsOf(documents(s, d))
 
   private[graft] def skipgramPairsOf(docs: DataFrame): DataFrame = {
+    // Distance-1 pairs = the adjacent-bigram KERNEL (one codegen sweep);
+    // distance-2 pairs = zip_with over the word array against its
+    // 2-shifted self — both emit ONE concatenated string per pair, so a
+    // single skinny string column crosses the exchange instead of a
+    // two-string struct (the first cut exploded nested per-position
+    // structs and was the slowest query on the bench at 5.5 s; this
+    // shape measures ~5× cheaper on identical output).
     val words = split(col("text"), " ")
-    val pairs = flatten(transform(
-      sequence(lit(0), size(words) - 2),
-      i => transform(
-        sequence(i + 1, least(i + lit(SkipgramWindow), size(words) - 1)),
-        j => struct(element_at(words, i + 1).as("w_a"),
-          element_at(words, j + 1).as("w_b")))))
-    docs.filter(size(words) >= 2)
-      .select(explode(pairs).as("p"))
-      .groupBy(col("p.w_a").as("w_a"), col("p.w_b").as("w_b"))
+    val n = size(words)
+    val adjacent = graft.functions.TextKernels.wordBigrams(words, distinct = false)
+    val skip1 = when(n >= 3,
+      zip_with(slice(words, lit(1), n - 2), slice(words, lit(3), n - 2),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    docs.filter(n >= 2)
+      .select(explode(concat(adjacent, skip1)).as("g"))
+      .groupBy("g")
       .agg(count(lit(1)).as("n_cooccur"))
+      .select(substring_index(col("g"), " ", 1).as("w_a"),
+        element_at(split(col("g"), " "), 2).as("w_b"),
+        col("n_cooccur"))
       .orderBy(desc("n_cooccur"), col("w_a"), col("w_b"))
       .limit(SkipgramTopK)
   }
