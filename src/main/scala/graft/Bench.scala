@@ -304,7 +304,7 @@ object Bench {
            |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
-           |"line":${"\"" + line.replace("\\", "\\\\").replace("\"", "\\\"") + "\""}}
+           |"line":${graft.tools.JsonText.quote(line)}}
            |""".stripMargin
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         json.getBytes("UTF-8"))

@@ -31,18 +31,10 @@ object Verify {
         failures(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JSON string escape (shared helper): a tab or CR in builder-authored
+    // SQL would otherwise make the driver's json.load fail and silently
+    // zero the round's correctness.
+    def q(s: String): String = graft.tools.JsonText.quote(s)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
@@ -66,8 +58,15 @@ object Verify {
       else {
         val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .map(_.getName).filter(_.matches("CORRECTNESS_r\\d+\\.json"))
-        if (arts.isEmpty) Nil
-        else {
+        if (arts.isEmpty) {
+          // Say so: the artifact listing is cwd-relative, so a run from
+          // the wrong directory finds nothing — without this line a
+          // silently DISARMED deletion detector is indistinguishable
+          // from a clean diff (ADVICE r12).
+          System.err.println("[verify] no prior CORRECTNESS_r*.json in cwd " +
+            s"(${new java.io.File(".").getAbsolutePath}) — vanished-query detector DISARMED, not clean")
+          Nil
+        } else {
           val latest = arts.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt)
           val prevNames = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r
             .findAllMatchIn(Files.readString(Paths.get(latest)))

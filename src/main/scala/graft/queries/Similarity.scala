@@ -532,9 +532,16 @@ object Similarity {
     * engines run) then quantized to int64 at 2¹⁴ — from there every
     * accumulation (per-dim sums, Σ‖q‖², ‖Σq‖²) is exact integer math in
     * ANY order, and the mean divides two exact numbers once: bit-equal
-    * hashes. Budget: per-dim sums stay in int64 while n·2¹⁴ < 2³¹·√…
-    * (safe to ~5×10⁹ vectors per label); past that flip the sd sums to
-    * double (exact ≤ 2⁵³) or drop a quant bit per 4× corpus growth.
+    * hashes. Budget: |sd| ≤ n·2¹⁴ (tight only for a fully collapsed
+    * label), so sd² is n²-bounded — int64 would wrap SILENTLY (non-ANSI
+    * Spark) at n ≈ 1.8×10⁵ collapsed vectors, exactly the degenerate
+    * corpus this metric exists to flag. The squares are therefore summed
+    * in double: exact (hence order-independent and oracle-bit-equal)
+    * while snorm2 ≤ 2⁵³, i.e. n ≲ 5.8×10³ worst-case-collapsed and far
+    * beyond for any real corpus (random signs put sd at ~√n·2¹⁴, pushing
+    * exactness past 10¹¹ vectors); past the envelope the metric degrades
+    * to correctly-rounded approximation — never wraparound garbage.
+    * Σ‖q‖² (s2 ≤ n·2²⁸) stays int64: safe to n ≈ 3.4×10¹⁰.
     *
     * Plan shape: one narrow quantize projection; a map-side-combinable
     * (label, dim) aggregate (exchange ≤ mappers × labels × 64 rows);
@@ -561,13 +568,13 @@ object Similarity {
         count(lit(1)).as("cnt"))
     val perLabel = dimSums.groupBy("label")
       .agg(max("cnt").as("n_vecs"), sum("sq").as("s2"),
-        sum(col("sd") * col("sd")).as("snorm2"))
+        sum(col("sd").cast("double") * col("sd")).as("snorm2"))
     // ALL row: global Σq per dim = Σ over labels of sd — same frame,
     // embeddings are NOT rescanned
     val global = dimSums.groupBy("dim")
       .agg(sum("sd").as("gd"), sum("sq").as("gsq"), sum("cnt").as("gcnt"))
       .agg(max("gcnt").as("n_vecs"), sum("gsq").as("s2"),
-        sum(col("gd") * col("gd")).as("snorm2"))
+        sum(col("gd").cast("double") * col("gd")).as("snorm2"))
       .select(lit(-1L).as("label"), col("n_vecs"), col("s2"), col("snorm2"))
     perLabel.unionByName(global)
       .select(col("label"), col("n_vecs"),
@@ -617,12 +624,12 @@ object Similarity {
         |    CAST(SUM(qv[i + 1]) AS BIGINT) AS sd
         |  FROM nv, range(64) r(i) GROUP BY 1, 2
         |), pl AS (
-        |  SELECT label, CAST(SUM(sd * sd) AS BIGINT) AS snorm2 FROM ds GROUP BY 1
+        |  SELECT label, SUM(CAST(sd AS DOUBLE) * sd) AS snorm2 FROM ds GROUP BY 1
         |), gl AS (
         |  SELECT CAST(-1 AS BIGINT) AS label,
         |    (SELECT CAST(SUM(n_vecs) AS BIGINT) FROM scalar) AS n_vecs,
         |    (SELECT CAST(SUM(s2) AS BIGINT) FROM scalar) AS s2,
-        |    CAST(SUM(gd * gd) AS BIGINT) AS snorm2
+        |    SUM(CAST(gd AS DOUBLE) * gd) AS snorm2
         |  FROM (SELECT dim, CAST(SUM(sd) AS BIGINT) AS gd FROM ds GROUP BY 1)
         |), u AS (
         |  SELECT s.label, s.n_vecs, s.s2, p.snorm2

@@ -743,7 +743,27 @@ object TextAnalysis {
       .repartitionByRange(PackParts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
 
-  private[graft] def packSpansOf(parts: DataFrame): DataFrame = {
+  /** Pin a range-partitioned frame's partition assignment across jobs.
+    *
+    * The distributed-prefix helpers below each run TWO jobs over their
+    * parts frame (per-slice totals collect, then the windowed per-slice
+    * prefix), and are only correct when both jobs read the SAME
+    * partition assignment: `repartitionByRange` re-samples its range
+    * boundaries per execution (the sampler is seeded from fresh RDD
+    * ids), so an unmemoized frame can place edge rows in different
+    * slices between the two reads and silently misalign the driver
+    * offsets. Production callers memoize via [[graft.tables.FrameCache]]
+    * (storageLevel != NONE → returned as-is); any other frame is pinned
+    * here with an EAGER localCheckpoint — materialized once, lineage
+    * truncated, and self-cleaning (the ContextCleaner drops the blocks
+    * when the RDD is GC'd, unlike `Dataset.persist`, which only an
+    * explicit unpersist frees — VERDICT r4's leak class). */
+  private def pinAssignment(parts: DataFrame): DataFrame =
+    if (parts.storageLevel != org.apache.spark.storage.StorageLevel.NONE) parts
+    else parts.localCheckpoint()
+
+  private[graft] def packSpansOf(parts0: DataFrame): DataFrame = {
+    val parts = pinAssignment(parts0)
     // per-slice totals → driver-side exclusive prefix (PackParts rows)
     val totals = parts.groupBy("pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -852,8 +872,9 @@ object TextAnalysis {
       .repartitionByRange(PackParts, col("qrank").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
 
-  private[graft] def budgetTrimOf(parts: DataFrame,
+  private[graft] def budgetTrimOf(parts0: DataFrame,
                                   budget: Long = TrimBudget): DataFrame = {
+    val parts = pinAssignment(parts0)
     val totals = parts.groupBy("pid").agg(sum("n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val starts = totals.scanLeft(0 -> 0L) { case ((_, acc), (pid, t)) => pid -> (acc + t) }
@@ -894,10 +915,14 @@ object TextAnalysis {
     shardPlanOf(documents(s, d))
 
   private[graft] def shardPlanOf(docs: DataFrame): DataFrame = {
-    val sized = docs
+    // pinned even on the production path — unlike packSpans/budgetTrim,
+    // shardPlan builds its parts frame here rather than via FrameCache,
+    // so without the pin the counts job and the rank job could read
+    // different range assignments (the two-job contract above)
+    val sized = pinAssignment(docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(PackParts, col("n_tokens").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", spark_partition_id()))
     // per-slice row counts → driver-side exclusive prefix (PackParts rows)
     val counts = sized.groupBy("pid").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -116,7 +116,10 @@ object StreamingIngest {
         count(lit(1)).as("cnt"))
       .groupBy(window(window_time(col("window")), win), col("label"))
       .agg(max("cnt").as("n_vecs"), sum("sq").as("s2"),
-        sum(col("sd") * col("sd")).as("snorm2"))
+        // sd² in double, mirroring corpusDiversityOf: int64 would wrap
+        // silently at ~1.8e5 collapsed vectors per window; double is
+        // exact ≤ 2⁵³ and correctly-rounded (never wrapped) beyond.
+        sum(col("sd").cast("double") * col("sd")).as("snorm2"))
       .select(col("window.start").as("window_start"), col("label"),
         col("n_vecs"),
         when(col("n_vecs") > 1,

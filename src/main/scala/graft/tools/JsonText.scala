@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Hand-rolled JSON string quoting for the artifact writers (Bench,
+  * Verify, ScaleSmoke) — the repo builds its one-line artifacts with
+  * string interpolation (no JSON library on the unmanaged classpath),
+  * so every interpolated free-text value (exception messages, SQL,
+  * skip reasons) must be escaped here. Spark exception messages
+  * routinely carry newlines, tabs and backslashes; any one of them
+  * unescaped makes the whole artifact unparseable — exactly when the
+  * artifact is reporting a failure. */
+object JsonText {
+  /** `s` as a quoted JSON string literal: backslash, quote, and ALL
+    * control chars (<0x20) escaped. */
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -222,7 +222,10 @@ object ScaleSmoke {
         case Right((q, b, t, r, rb, rt)) =>
           s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt}"""
         case Left((q, reason)) =>
-          s""""$q":{"skipped":"${reason.replace("\"", "'")}"}"""
+          // full JSON escape, not just quote-swapping: Spark failure
+          // messages carry newlines/backslashes, and an unparseable
+          // SCALE_SMOKE.json is worst exactly on the failure path
+          s""""$q":{"skipped":${JsonText.quote(reason)}}"""
       }.mkString(",")
       val recJson = recalls.map { case (q, r) => s""""$q":${r3(r)}""" }.mkString(",")
       (s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"reps":$reps,""" +
