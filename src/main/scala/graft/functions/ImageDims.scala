@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** REAL image-dimension parsing from container headers — no codec, no
+  * decode: PNG, JPEG and GIF all carry their pixel dimensions as plain
+  * header arithmetic (reference behavior: a media catalog records dims
+  * per attachment without decoding pixels; the decode/feature stage in
+  * [[MediaFeatures]] stays stubbed, but dimensions are not a decode
+  * concern and are parsed for real here).
+  *
+  *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+  *    chunk MUST be first (PNG spec §5.6): 4-byte length, `IHDR`, then
+  *    width and height as big-endian uint32 at byte offsets 16 and 20.
+  *  - JPEG: `FF D8`, then a marker-segment WALK — every segment is
+  *    `FF <marker> <len_be16> <payload>`; dimensions live in the
+  *    frame-header segment (SOF0/1/2/…: precision byte, height be16,
+  *    width be16). The walk skips APPn/COM/quant tables by their length
+  *    fields — offsets are data-dependent, which is why this is a small
+  *    bounded loop and not a fixed `substring`.
+  *  - GIF: `GIF87a`/`GIF89a`, then the logical-screen descriptor's
+  *    width and height as LITTLE-endian uint16 at offsets 6 and 8.
+  *
+  * Output packs `(width << 32) | height` into one long (both fit uint32
+  * / uint16 by format definition, so the pack is lossless and keeps the
+  * expression primitive-typed for codegen); NULL for any non-image,
+  * truncated, or malformed header — never an exception, never garbage.
+  * One narrow projection, fully inside WholeStageCodegen.
+  */
+object ImageDims {
+
+  /** `(width << 32) | height` as a long; null when not parseable. */
+  def packedDims(data: Column): Column =
+    ColumnInterop.column(PackedImageDims(ColumnInterop.expression(data)))
+
+  /** Convenience splitters over [[packedDims]] — nulls propagate. */
+  def width(packed: Column): Column =
+    org.apache.spark.sql.functions.shiftright(packed, 32)
+  def height(packed: Column): Column =
+    packed.bitwiseAND(org.apache.spark.sql.functions.lit(0xFFFFFFFFL))
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+  /** Max JPEG header segments walked before giving up — a corrupt file
+    * that never reaches an SOF must not loop; real headers carry a
+    * handful of APPn/DQT/DHT segments before the frame header. */
+  val MaxJpegSegments = 64
+
+  /** Parse; `null` when the bytes are not a PNG/JPEG/GIF with an intact
+    * dimension header. Shared by interpreted eval and codegen. */
+  def parse(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 10) return null
+    // PNG ---------------------------------------------------------------
+    if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A) {
+      if (b.length < 24) return null
+      if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return null
+      val w = be32(b, 16); val h = be32(b, 20)
+      // spec: zero dimensions are invalid; top bit set = malformed uint31
+      if (w == 0L || h == 0L || w > 0x7FFFFFFFL || h > 0x7FFFFFFFL) return null
+      return java.lang.Long.valueOf((w << 32) | h)
+    }
+    // JPEG --------------------------------------------------------------
+    if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) {
+      var i = 2
+      var segs = 0
+      while (i + 3 < b.length && segs < MaxJpegSegments) {
+        if ((b(i) & 0xFF) != 0xFF) return null // lost marker sync
+        // fill bytes: consecutive FFs pad before a marker (spec B.1.1.2)
+        var j = i + 1
+        while (j < b.length && (b(j) & 0xFF) == 0xFF) j += 1
+        if (j + 2 >= b.length) return null
+        val marker = b(j) & 0xFF
+        if (marker == 0xD9 || marker == 0xDA) return null // EOI/SOS before any SOF
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+          i = j + 1 // standalone marker, no length field
+        } else {
+          val len = be16(b, j + 1)
+          if (len < 2) return null
+          val sof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (sof) {
+            if (j + 8 >= b.length || len < 7) return null
+            val h = be16(b, j + 4); val w = be16(b, j + 6)
+            if (w == 0 || h == 0) return null
+            return java.lang.Long.valueOf((w.toLong << 32) | h.toLong)
+          }
+          i = j + 1 + len
+        }
+        segs += 1
+      }
+      return null
+    }
+    // GIF ---------------------------------------------------------------
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w == 0 || h == 0) return null
+      return java.lang.Long.valueOf((w.toLong << 32) | h.toLong)
+    }
+    null
+  }
+}
+
+/** The codegen expression for [[ImageDims.packedDims]]: primitive long
+  * out, null on unparseable input — the parse loop runs inside the
+  * generated code via a reference object (same pattern as
+  * [[MortonInterleave]]), so the projection stays in WholeStageCodegen. */
+case class PackedImageDims(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"image_dims expects binary, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims"
+
+  override def nullSafeEval(input: Any): Any =
+    ImageDims.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.ImageDims.parse($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -24,13 +24,19 @@ object MediaFeatures {
 
   val FeatureDim = 16
 
-  /** STUB decoder: stands in for e.g. JPEG decode + resize + pooled
-    * embedding. Deterministic in the input bytes; replace with a real
-    * codec to productionize — the pipeline around it does not change. */
+  /** Decoder front-end: dimensions are parsed FOR REAL from the
+    * container header ([[ImageDims.parse]] — PNG IHDR / JPEG SOF walk /
+    * GIF descriptor, pure byte arithmetic, no codec); only the pixel
+    * decode → pooled-embedding step remains a deterministic STUB (this
+    * environment ships no media libraries). Non-image bytes fall back
+    * to the stub's synthetic dims so the pipeline shape is total. */
   private[graft] def decodeStub(data: Array[Byte]): (Int, Int, Array[Float]) = {
     val len = data.length
-    val width = 16 + math.floorMod(if (len == 0) 0 else data(0).toInt, 64)
-    val height = 16 + math.floorMod(if (len < 2) 0 else data(1).toInt, 64)
+    val packed = ImageDims.parse(data)
+    val (width, height) =
+      if (packed != null) (((packed >>> 32) & 0x7FFFFFFFL).toInt, (packed & 0xFFFFFFFFL).toInt)
+      else (16 + math.floorMod(if (len == 0) 0 else data(0).toInt, 64),
+            16 + math.floorMod(if (len < 2) 0 else data(1).toInt, 64))
     val feats = new Array[Float](FeatureDim)
     var i = 0
     while (i < len) { feats(i % FeatureDim) += (data(i) & 0xFF) / 255.0f; i += 1 }

@@ -59,6 +59,51 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL image-dimension extraction end-to-end
+    * ([[graft.functions.ImageDims]]: PNG IHDR / JPEG SOF marker-walk /
+    * GIF screen descriptor — header arithmetic, no codec). The testdata
+    * carries no image bytes (ASCII text), so this query SYNTHESIZES a
+    * spec-conformant header per document with dimensions planted as
+    * known functions of doc_id, then parses them back with the real
+    * expression — a round-trip the oracle checks by asserting the
+    * planted values directly: any endianness, offset, or marker-walk
+    * bug diverges Spark from the oracle. Four variants cycle by doc_id:
+    * PNG, JPEG (with a VARIABLE-length COM segment before the SOF so
+    * the data-dependent walk is exercised, not a fixed offset), GIF,
+    * and a truncated PNG (magic intact, IHDR missing → kind sniffs but
+    * dims are NULL — the malformed-input contract). Whole thing is one
+    * narrow codegen projection: build bytes, parse, unpack. */
+  def imageDims(s: SparkSession, d: String): DataFrame = {
+    def be32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    def be16(v: Column): Column = unhex(lpad(hex(v), 4, "0"))
+    def le16(v: Column): Column = unhex(concat(
+      lpad(hex(pmod(v, lit(256L))), 2, "0"), lpad(hex(v.divide(lit(256L)).cast("long")), 2, "0")))
+    val variant = pmod(col("doc_id"), lit(4L))
+    val w = lit(1L) + pmod(col("doc_id"), lit(1021L))
+    val h = lit(1L) + pmod(col("doc_id"), lit(769L))
+    val comLen = pmod(col("doc_id"), lit(23L)) // COM payload bytes, varies the walk
+    val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be32(w), be32(h), unhex(lit("0806000000")))
+    val jpeg = concat(unhex(lit("FFD8")),
+      unhex(lit("FFE000104A46494600010100000100010000")), // APP0/JFIF, len 16
+      unhex(lit("FFFE")), be16(comLen + lit(2L)),
+      encode(repeat(lit("x"), comLen.cast("int")), "UTF-8"), // COM, len 2+L
+      unhex(lit("FFC0001108")), be16(h), be16(w), // SOF0, len 17, 8-bit
+      unhex(lit("03012200021101031101")))
+    val gif = concat(lit("GIF89a".getBytes("US-ASCII")), le16(w), le16(h),
+      unhex(lit("F70000")))
+    val truncatedPng = unhex(lit("89504E470D0A1A0A0000000D")) // magic + len, no IHDR
+    val data = when(variant === 0, png).when(variant === 1, jpeg)
+      .when(variant === 2, gif).otherwise(truncatedPng)
+    val packed = graft.functions.ImageDims.packedDims(data)
+    documents(s, d).select(col("doc_id"), data.as("data"), packed.as("packed"))
+      .select(col("doc_id"),
+        magicKind(col("data")).as("kind"),
+        graft.functions.ImageDims.width(col("packed")).as("width"),
+        graft.functions.ImageDims.height(col("packed")).as("height"))
+      .orderBy("doc_id")
+  }
+
   /** Frame stride (bytes) and per-asset frame cap for [[frameSample]]. */
   val FrameStride = 64
   val MaxFrames = 4
@@ -93,6 +138,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
+    "mm_image_dims"   -> imageDims _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -134,5 +180,20 @@ object Multimodal {
          |  CAST(least($FrameStride, n - off) AS BIGINT) AS n_bytes,
          |  md5(substr(text, CAST(off + 1 AS BIGINT), $FrameStride)) AS frame_md5
          |FROM o ORDER BY doc_id, frame_id""".stripMargin,
+    // The oracle asserts the PLANTED dimensions (known functions of
+    // doc_id) — the Spark side must build a conformant header and parse
+    // it back through the real expression to reproduce them, so any
+    // offset/endianness/marker-walk defect hash-diverges. Variant 3 is
+    // the truncated header: PNG magic sniffs, dims NULL.
+    "mm_image_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+        |       WHEN doc_id % 4 = 2 THEN 'image/gif'
+        |       ELSE 'image/png' END AS kind,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(1 + doc_id % 1021 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |       ELSE CAST(1 + doc_id % 769 AS BIGINT) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-fixture specs for [[ImageDims]]: the fixtures are ACTUAL encoded
+  * files produced by the JDK's own ImageIO writers (PNG, JPEG, GIF ship
+  * in the JDK — no external media libs needed to ENCODE a test image),
+  * so the parser is verified against real container layouts — JFIF APP0
+  * placement, real chunk ordering — not hand-typed bytes. Truncation and
+  * corruption cases then exercise every null path: the contract is NULL
+  * for anything unparseable, never an exception, never garbage dims. */
+class ImageDimsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def encodeFixture(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x336699) // non-trivial pixel so encoders emit data
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def dims(b: Array[Byte]): Option[(Long, Long)] =
+    Option(ImageDims.parse(b)).map(p => (p >>> 32, p & 0xFFFFFFFFL))
+
+  test("real ImageIO-encoded PNG/JPEG/GIF parse to their true dimensions") {
+    for (fmt <- Seq("png", "jpg", "gif"); (w, h) <- Seq((23, 7), (1, 1), (640, 480))) {
+      val bytes = encodeFixture(fmt, w, h)
+      assert(dims(bytes).contains((w.toLong, h.toLong)),
+        s"$fmt ${w}x$h parsed as ${dims(bytes)}")
+    }
+  }
+
+  test("JPEG marker walk survives injected APPn/COM segments before the SOF") {
+    val real = encodeFixture("jpg", 31, 17)
+    // splice a COM segment (variable length) and an APP1 right after SOI
+    for (comLen <- Seq(0, 1, 22, 200)) {
+      val com = Array[Byte](0xFF.toByte, 0xFE.toByte,
+        (((comLen + 2) >> 8) & 0xFF).toByte, ((comLen + 2) & 0xFF).toByte) ++
+        Array.fill(comLen)('x'.toByte)
+      val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte, 0x00, 0x04, 0x41, 0x42)
+      val spliced = real.take(2) ++ com ++ app1 ++ real.drop(2)
+      assert(dims(spliced).contains((31L, 17L)),
+        s"walk lost dims with a $comLen-byte COM injected")
+    }
+  }
+
+  test("truncated and corrupt headers are NULL, never garbage") {
+    val png = encodeFixture("png", 23, 7)
+    val jpg = encodeFixture("jpg", 23, 7)
+    val gif = encodeFixture("gif", 23, 7)
+    // every truncation of each header's dimension-bearing prefix
+    for (n <- 0 until 24) assert(dims(png.take(n)).isEmpty, s"png truncated at $n")
+    for (n <- 0 until 10) {
+      assert(dims(jpg.take(n)).isEmpty, s"jpg truncated at $n")
+      assert(dims(gif.take(n)).isEmpty, s"gif truncated at $n")
+    }
+    // JPEG cut mid-walk before any SOF: walk runs out of bytes → null
+    assert(dims(jpg.take(12)).isEmpty)
+    // marker desync: overwrite the byte after SOI so no FF follows
+    val desync = jpg.clone(); desync(2) = 0x00
+    assert(dims(desync).isEmpty)
+    // PNG with zero width is spec-invalid
+    val zw = png.clone(); zw(16) = 0; zw(17) = 0; zw(18) = 0; zw(19) = 0
+    assert(dims(zw).isEmpty)
+    // non-image bytes
+    assert(dims("just some plain text".getBytes("US-ASCII")).isEmpty)
+    assert(dims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("column expression matches the scala parser and stays codegen (no fallback)") {
+    val rows = Seq(
+      ("png", encodeFixture("png", 99, 44)),
+      ("jpg", encodeFixture("jpg", 12, 345)),
+      ("gif", encodeFixture("gif", 7, 6)),
+      ("txt", "nope".getBytes("US-ASCII")))
+    val df = rows.toDF("name", "data")
+      .select(col("name"), ImageDims.packedDims(col("data")).as("p"))
+      .select(col("name"), ImageDims.width(col("p")).as("w"),
+        ImageDims.height(col("p")).as("h"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    assert(got("png").contains((99L, 44L)))
+    assert(got("jpg").contains((12L, 345L)))
+    assert(got("gif").contains((7L, 6L)))
+    assert(got("txt").isEmpty)
+  }
+
+  test("mm_image_dims: planted dims round-trip through build-then-parse on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Multimodal.imageDims(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      if (id % 4 == 3) {
+        assert(r.isNullAt(2) && r.isNullAt(3), s"doc $id: truncated variant must be null")
+        assert(r.getString(1) == "image/png") // magic sniffs even when dims don't parse
+      } else {
+        assert(r.getLong(2) == 1 + id % 1021, s"doc $id width")
+        assert(r.getLong(3) == 1 + id % 769, s"doc $id height")
+      }
+    }
+    // the build-then-parse projection must compile into whole-stage
+    // codegen over the parquet scan — a fallback to interpreted eval
+    // would silently cost the hot path its codegen span (checked on the
+    // corpus plan, not a local Seq, because ConvertToLocalRelation
+    // constant-folds LocalTableScan projections away; AQE off so the
+    // adaptive wrapper doesn't hide the codegen spans from toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val codegenStages =
+      try graft.queries.Multimodal.imageDims(spark, d)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(codegenStages.nonEmpty, "no WholeStageCodegen stage in the plan")
+  }
+}
