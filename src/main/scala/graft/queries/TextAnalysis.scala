@@ -368,6 +368,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram count floor for the [[lmScore]] model table — transitions
+    * rarer than this are PRUNED from the model (the table a cluster
+    * would actually broadcast/materialize), forcing the backoff path;
+    * c(ab) ≥ 2 is the classic singleton-prune. */
+  val LmMinBigram = 2L
+  /** Integerized stupid-backoff penalty: Brants et al.'s α = 0.4 costs
+    * −log₂(0.4) ≈ 1.32 bits per backed-off transition; the repo's
+    * integer-bits discipline rounds UP to 2 (conservative: backing off
+    * can never look cheaper than a modeled transition of equal counts,
+    * and the score stays exact int64 — no float α whose rounding could
+    * diverge cross-engine). */
+  val LmBackoffBits = 2L
+
+  /** Stupid-backoff LM document score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the backoff composition
+    * of [[surprisal]] and [[bigramSurprisal]] into ONE quality signal:
+    * each token is charged the conditional bigram surprisal
+    * ⌊log₂(c(a·) div c(ab))⌋ when the transition is in the pruned model
+    * table, and backs off to its UNIGRAM surprisal plus
+    * [[LmBackoffBits]] when it is not (first token of a doc has no
+    * context and is always unigram-scored). Shuffled/spliced text keeps
+    * its unigram distribution but loses its transitions to the pruned
+    * tail, so it pays the backoff penalty exactly where the unigram
+    * filter is blind — the CCNet-perplexity shape in pure integer math.
+    *
+    * Scale shape: the unigram score table is Heaps-small and
+    * broadcasts; the pruned bigram table joins with NO hint (the one
+    * table here that can outgrow a broadcast — AQE broadcasts while it
+    * fits, degrades to a co-partitioned shuffle join when it doesn't:
+    * the [[bigramSurprisal]] policy, and pruning shrinks it further);
+    * per-doc rollup is one map-side-combinable aggregate, and the final
+    * assembly joins two SKINNY (doc_id, long) frames. Document text
+    * never crosses an exchange. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(documents(s, d))
+
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    // unigram score table — surprisalOf's vocab, reused as the backoff
+    val tok = docs.select(explode(words).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    val uq = ((col("n") - pmod(col("n"), col("c"))) / col("c")).cast("long")
+    val uni = freq.crossJoin(broadcast(total))
+      .select(col("t"), (length(conv(uq.cast("string"), 10, 2)) - 1).cast("long").as("s1"))
+    // transition instances carry (gram, target word) — the target is the
+    // backoff lookup key when the gram misses the pruned table
+    val bi = docs.filter(size(words) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
+      .withColumn("b", substring_index(col("g"), " ", -1))
+    val bc = bi.groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .withColumn("a", substring_index(col("g"), " ", 1))
+    // context totals come from the FULL table (true c(a·) denominators);
+    // only the scored entries are pruned — the real LM-table discipline
+    val ac = bc.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val pruned = bc.filter(col("c_ab") >= LmMinBigram).join(ac, "a")
+      .select(col("g"),
+        (length(conv(expr("c_a div c_ab").cast("string"), 10, 2)) - 1)
+          .cast("long").as("s2"))
+    val trans = bi.join(pruned, Seq("g"), "left")
+      .join(broadcast(uni.toDF("b", "s1")), "b")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("s2"), col("s1") + lit(LmBackoffBits))).as("tb"))
+    // first token of every doc: unigram-scored (no context exists)
+    val first = docs
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"),
+        substring_index(col("text"), " ", 1).as("t"))
+      .join(broadcast(uni), "t")
+    first.join(trans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s1") + coalesce(col("tb"), lit(0L))).as("lm_bits"))
+      .withColumn("mean_bits", col("lm_bits").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- mix resample
 
   /** Token budget for [[mixResample]] — the target corpus size, in
@@ -1903,6 +1979,7 @@ object TextAnalysis {
     "text_temperature_mix" -> temperatureMix _,
     "text_skipgram_pairs" -> skipgramPairs _,
     "text_bigram_surprisal" -> bigramSurprisal _,
+    "text_lm_score"      -> lmScore _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2303,6 +2380,50 @@ object TextAnalysis {
         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS surprisal_bits,
         |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_bits
         |FROM bi JOIN sc USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Stupid backoff assembled from the two surprisal oracles' own CTE
+    // shapes: unigram bits (bin-length of exact int64 division), pruned
+    // bigram bits with FULL-table context denominators, COALESCE as the
+    // backoff switch (+2 = the integerized alpha), first token always
+    // unigram. All-int64 until the one final double division.
+    "text_lm_score" ->
+      s"""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |), f AS (
+        |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        |), n AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM f
+        |), uni AS (
+        |  SELECT t, CAST(length(bin(n.n // f.c)) - 1 AS BIGINT) AS s1
+        |  FROM f CROSS JOIN n
+        |), w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest([{'g': words[i] || ' ' || words[i+1], 'b': words[i+1]}
+        |      for i in range(1, len(words))], recursive := true)
+        |  FROM w WHERE len(words) >= 2
+        |), bc AS (
+        |  SELECT g, COUNT(*) AS c_ab, string_split(g, ' ')[1] AS a FROM bi GROUP BY g
+        |), ac AS (
+        |  SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
+        |), pr AS (
+        |  SELECT g, CAST(length(bin(ac.c_a // bc.c_ab)) - 1 AS BIGINT) AS s2
+        |  FROM bc JOIN ac USING (a) WHERE bc.c_ab >= ${LmMinBigram}
+        |), tr AS (
+        |  SELECT bi.doc_id,
+        |    COALESCE(pr.s2, uni.s1 + ${LmBackoffBits}) AS s
+        |  FROM bi LEFT JOIN pr USING (g) JOIN uni ON uni.t = bi.b
+        |), tsum AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tb FROM tr GROUP BY doc_id
+        |), fs AS (
+        |  SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens, uni.s1
+        |  FROM w JOIN uni ON uni.t = w.words[1]
+        |)
+        |SELECT fs.doc_id, fs.n_tokens,
+        |  CAST(fs.s1 + COALESCE(tsum.tb, 0) AS BIGINT) AS lm_bits,
+        |  CAST(fs.s1 + COALESCE(tsum.tb, 0) AS DOUBLE) / fs.n_tokens AS mean_bits
+        |FROM fs LEFT JOIN tsum USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Identical window comprehension (1-based in DuckDB), exact counts,
     // same (count DESC, pair) total order at the cut.
     "text_skipgram_pairs" ->

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engineered-input specs for the round-13 quality operators: the
+  * stupid-backoff LM score. The full-strict DuckDB oracle covers the
+  * corpus; these tests pin (a) exact reproduction against a plain-Scala
+  * reference implementation on an adversarial mini-corpus (both backoff
+  * and modeled paths live), and (b) the separation property that
+  * motivates the operator — shuffled text pays the backoff penalty
+  * where unigram surprisal is provably blind. */
+class QualityOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Plain-Scala stupid backoff — the spec's independent twin of
+    * [[TextAnalysis.lmScoreOf]] (same constants, same integer-bits
+    * discipline, zero shared code). */
+  private def refLm(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val unigrams = toks.flatMap(_._2)
+    val c = unigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = unigrams.size.toLong
+    def bits(q: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(q)
+    def s1(w: String): Long = bits(n / c(w))
+    val bigrams = toks.flatMap { case (_, ws) =>
+      ws.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val cab = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ca = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def trans(a: String, b: String): Long =
+      if (cab.getOrElse((a, b), 0L) >= TextAnalysis.LmMinBigram) bits(ca(a) / cab((a, b)))
+      else s1(b) + TextAnalysis.LmBackoffBits
+    toks.map { case (id, ws) =>
+      val lm = s1(ws.head) +
+        ws.sliding(2).filter(_.size == 2).map(p => trans(p(0), p(1))).sum
+      id -> (ws.size.toLong, lm)
+    }.toMap
+  }
+
+  private val miniCorpus: Seq[(Long, String)] =
+    (0L until 10L).map(i => i -> "the cat sat on the mat") ++ Seq(
+      10L -> "mat the on sat cat the", // unigram-identical shuffle of the above
+      11L -> "solo",                   // single token: first-token path only
+      12L -> "the cat sat the cat sat on it", // mixes modeled + backoff
+      13L -> "")                       // empty text = one empty token
+
+  test("lmScore reproduces the reference stupid backoff exactly (modeled + backoff paths)") {
+    val want = refLm(miniCorpus)
+    val got = TextAnalysis.lmScoreOf(miniCorpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet, s"doc set ${got.keySet} != ${want.keySet}")
+    for ((id, (nt, lm)) <- want)
+      assert(got(id) == ((nt, lm)), s"doc $id: got ${got(id)}, want ($nt, $lm)")
+    // both scoring paths must actually fire in this corpus: the repeated
+    // sentence's transitions are modeled (count 10 >= prune floor), the
+    // shuffle's are all singletons (pruned -> backoff)
+    val orig = got(0L)._2.toDouble / got(0L)._1
+    val shuf = got(10L)._2.toDouble / got(10L)._1
+    assert(shuf > orig, s"shuffled $shuf must out-bit original $orig")
+  }
+
+  test("unigram surprisal is blind to the shuffle; lmScore separates it") {
+    val df = miniCorpus.toDF("doc_id", "text")
+    val uni = TextAnalysis.surprisalOf(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(0L) == uni(10L),
+      "engineered docs are not unigram-identical — spec corpus broken")
+    val lm = TextAnalysis.lmScoreOf(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(lm(10L) > lm(0L),
+      s"lmScore failed to separate the shuffle: ${lm(10L)} <= ${lm(0L)}")
+  }
+
+  test("lmScore on the corpus: every doc scored, rerun-deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.tables.Testdata.documents(spark, d)
+    val rows = TextAnalysis.lmScore(spark, d).collect()
+    assert(rows.length == docs.count(), "a document vanished from the score")
+    val again = TextAnalysis.lmScore(spark, d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+}
