@@ -21,11 +21,13 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ StoreQueries.queries ++
       Dedup.queries ++ Similarity.queries ++ IvfAnn.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries ++ PqAnn.queries ++
-      Provenance.queries ++ SemDedup.queries ++ Pca.queries ++ Pipeline.queries
+      Provenance.queries ++ SemDedup.queries ++ Pca.queries ++ Pipeline.queries ++
+      QualityClf.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ IvfAnn.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql ++ PqAnn.oracleSql ++
-      Provenance.oracleSql ++ SemDedup.oracleSql ++ Pca.oracleSql ++ Pipeline.oracleSql
+      Provenance.oracleSql ++ SemDedup.oracleSql ++ Pca.oracleSql ++ Pipeline.oracleSql ++
+      QualityClf.oracleSql
 }

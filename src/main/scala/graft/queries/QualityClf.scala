@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+
+/** Learned quality classifier — the DCLM / FineWeb-Edu pipeline stage
+  * (Li et al. 2024; Penedo et al. 2024): distill a quality signal into
+  * a LINEAR model over cheap features, then score the whole corpus with
+  * it at a fraction of the teacher's cost. Here the teacher is the
+  * repo's own full-strict Gopher rule gate
+  * ([[TextAnalysis.gopherRules]]), the features are the oracle-pinned
+  * 1024-dim hashed bag-of-words ([[TextAnalysis.hashFeatures]] —
+  * Karp-Rabin buckets, exact int64), and the model is trained once,
+  * deterministically, on the driver ([[graft.tools.TrainQualityClf]]:
+  * zero init, full-batch GD, fixed epochs/rate — no random seed exists)
+  * and shipped as INTEGER literals quantized at 2¹⁶.
+  *
+  * Scoring discipline: logit_q = Bias + Σ_word W(bucket(word)) is pure
+  * int64 arithmetic (weights int, counts int — the per-word fold adds
+  * the bucket weight once per occurrence, which IS the BoW dot
+  * product), so the score hash-compares full-strict; the one double is
+  * logit_q / 2¹⁶ — division by a power of two, IEEE-exact. Unseen
+  * buckets weigh 0 (OOV-neutral: an out-of-domain doc scores the bias).
+  *
+  * Scale shape: the model is ~30 literal (bucket, weight) pairs folded
+  * into the projection itself — no join, no broadcast, NO weight table
+  * to distribute; the whole document score is a ROW-LOCAL higher-order
+  * fold (hash each word, look up the literal map, accumulate), so the
+  * corpus is scored in one narrow codegen projection with zero
+  * exchanges (the final orderBy is presentation-only). At 100 TB this
+  * is the cheapest possible full-corpus pass — the very property that
+  * makes the distilled-classifier stage worth running everywhere the
+  * teacher is too slow. A bigger model (10⁵+ nonzero weights) flips to
+  * the broadcast-join form over [[TextAnalysis.hashFeatures]]' long
+  * format; the plan stays scan-shaped either way. */
+object QualityClf {
+
+  /** Quantization scale for the shipped weights: 2¹⁶. */
+  val WeightScale = 65536L
+
+  /** Trained weights by feature bucket — output of
+    * `runMain graft.tools.TrainQualityClf /root/testdata/sf0.01`
+    * (quantized accuracy vs the Gopher teacher: 0.9700 on the 500
+    * training docs; reproduced bit-for-bit by QualityOpsSpec). */
+  val Weights: Seq[(Long, Long)] = Seq(
+    84L -> 6743L,
+    94L -> -3621L,
+    96L -> 11697L,
+    97L -> 35421L,
+    101L -> 32920L,
+    109L -> 13010L,
+    146L -> 4090L,
+    192L -> 7717L,
+    227L -> 2351L,
+    332L -> 2697L,
+    353L -> 5614L,
+    357L -> 5364L,
+    359L -> 11230L,
+    365L -> 6892L,
+    368L -> 2449L,
+    377L -> 10853L,
+    491L -> 13883L,
+    602L -> 2775L,
+    636L -> 7229L,
+    725L -> 7648L,
+    738L -> 6305L,
+    808L -> 6703L,
+    871L -> 9243L,
+    887L -> 12967L,
+    897L -> 5600L,
+    990L -> -392L,
+    1008L -> 7466L)
+  val Bias = -435809L
+
+  def qualityClf(s: SparkSession, d: String): DataFrame =
+    qualityClfOf(documents(s, d))
+
+  private[graft] def qualityClfOf(docs: DataFrame): DataFrame = {
+    val M = graft.functions.TextKernels.WinnowMod
+    val wmap = typedLit(Weights.toMap)
+    // the hashFeatures bucket kernel, inlined per word inside the fold
+    def bucket(word: Column): Column = pmod(
+      aggregate(filter(split(word, ""), c => length(c) === 1),
+        lit(0L), (acc, ch) => pmod(acc * 256L + ascii(ch), lit(M))),
+      lit(graft.queries.TextAnalysis.HashFeatDim.toLong))
+    val logit = aggregate(split(col("text"), " "), lit(Bias),
+      (acc, w) => acc + coalesce(element_at(wmap, bucket(w)), lit(0L)))
+    docs.select(col("doc_id"), logit.as("logit_q"))
+      .withColumn("score", col("logit_q").cast("double") / lit(WeightScale.toDouble))
+      .withColumn("pass", col("logit_q") > 0L)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_clf" -> qualityClf _,
+  )
+
+  /** The DuckDB twin folds THE SAME weight literals (interpolated from
+    * [[Weights]] — one source of truth, the two sides cannot drift):
+    * identical bucket hash, LEFT JOIN against the literal VALUES table,
+    * int64 sum + bias, one power-of-two division. */
+  val oracleSql: Map[String, String] = {
+    val values = Weights.map { case (i, v) => s"($i, $v)" }.mkString(", ")
+    Map("text_quality_clf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(unicode(word[i]) AS BIGINT) for i in range(1, len(word)+1)]),
+         |      (acc, c) -> (acc * 256 + c) % 1000000007) % 1024 AS idx
+         |  FROM tok
+         |), sc AS (
+         |  SELECT h.doc_id,
+         |    CAST($Bias + COALESCE(SUM(wt.w), 0) AS BIGINT) AS logit_q
+         |  FROM h LEFT JOIN (VALUES $values) AS wt(idx, w) USING (idx)
+         |  GROUP BY h.doc_id
+         |)
+         |SELECT doc_id, logit_q,
+         |  CAST(logit_q AS DOUBLE) / 65536.0 AS score,
+         |  logit_q > 0 AS pass
+         |FROM sc ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic driver-side trainer for the learned quality classifier
+  * (the DCLM / FineWeb-Edu pipeline stage: distill an expensive or
+  * rule-based quality label into a linear model over cheap features,
+  * then score the whole corpus with the model).
+  *
+  * Training setup — everything fixed so a re-run reproduces the shipped
+  * weights bit-for-bit:
+  *  - features: the oracle-pinned 1024-dim hashed bag-of-words
+  *    ([[graft.queries.TextAnalysis.hashFeatures]] — Karp-Rabin buckets);
+  *  - labels: the Gopher fixed-rule gate's `pass` bit
+  *    ([[graft.queries.TextAnalysis.gopherRules]]) — the distillation
+  *    teacher, itself full-strict oracled;
+  *  - model: logistic regression via FULL-batch gradient descent, zero
+  *    init (no random seed at all), fixed epoch count and learning
+  *    rate, L2 on weights, docs folded in doc_id order — deterministic
+  *    float64 on one driver thread;
+  *  - output: weights QUANTIZED to int64 at 2¹⁶ ([[WeightScale]]) and
+  *    printed as the Scala literal + the DuckDB VALUES literal that
+  *    [[graft.queries.QualityClf]] ships. Only buckets observed in
+  *    training carry weight; everything else scores 0 (OOV-neutral).
+  *
+  * Run: `sbt "runMain graft.tools.TrainQualityClf /root/testdata/sf0.01"`
+  * and paste the printed literals into QualityClf.scala. The spec
+  * re-derives quantized training accuracy to pin teacher agreement. */
+object TrainQualityClf {
+
+  val Epochs = 3000
+  val LearningRate = 0.05
+  val L2 = 1e-3
+  val WeightScale = 65536L
+
+  /** (weightsByBucket, bias) in float64 — exposed so the spec can rerun
+    * training and assert the committed literals match. */
+  def train(xs: Array[(Long, Map[Long, Long])], label: Map[Long, Boolean]): (Map[Long, Double], Double) = {
+    val buckets = xs.flatMap(_._2.keys).distinct.sorted
+    val w = scala.collection.mutable.Map(buckets.map(_ -> 0.0): _*)
+    var b = 0.0
+    val n = xs.length.toDouble
+    for (_ <- 1 to Epochs) {
+      val gw = scala.collection.mutable.Map(buckets.map(_ -> 0.0): _*)
+      var gb = 0.0
+      for ((id, feats) <- xs) { // xs pre-sorted by doc_id: fixed fold order
+        val z = b + feats.iterator.map { case (i, c) => w(i) * c }.sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val err = p - (if (label(id)) 1.0 else 0.0)
+        for ((i, c) <- feats) gw(i) += err * c
+        gb += err
+      }
+      for (i <- buckets) w(i) = w(i) - LearningRate * (gw(i) / n + L2 * w(i))
+      b = b - LearningRate * (gb / n)
+    }
+    (w.toMap, b)
+  }
+
+  def quantize(w: Map[Long, Double], b: Double): (Seq[(Long, Long)], Long) =
+    (w.toSeq.map { case (i, v) => i -> math.round(v * WeightScale) }
+      .filter(_._2 != 0L).sortBy(_._1),
+      math.round(b * WeightScale))
+
+  /** Load (doc_id → bucket counts) and (doc_id → gopher pass). */
+  def trainingData(s: SparkSession, d: String): (Array[(Long, Map[Long, Long])], Map[Long, Boolean]) = {
+    val feats = graft.queries.TextAnalysis.hashFeatures(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val labels = graft.queries.TextAnalysis.gopherRules(s, d)
+      .select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    (feats.toArray.sortBy(_._1), labels)
+  }
+
+  def quantizedAccuracy(xs: Array[(Long, Map[Long, Long])], label: Map[Long, Boolean],
+                        wq: Map[Long, Long], bq: Long): Double = {
+    val hits = xs.count { case (id, feats) =>
+      val logit = bq + feats.iterator.map { case (i, c) => wq.getOrElse(i, 0L) * c }.sum
+      (logit > 0L) == label(id)
+    }
+    hits.toDouble / xs.length
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-train-quality-clf")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (xs, label) = trainingData(spark, d)
+    val (w, b) = train(xs, label)
+    val (wq, bq) = quantize(w, b)
+    val acc = quantizedAccuracy(xs, label, wq.toMap, bq)
+    println(f"[train] docs=${xs.length} buckets=${wq.size} quantized-accuracy=$acc%.4f bias=$bq")
+    println("// ---- Scala literal (paste into QualityClf) ----")
+    println(wq.map { case (i, v) => s"${i}L -> ${v}L" }
+      .mkString("  val Weights: Seq[(Long, Long)] = Seq(\n    ", ",\n    ", s")\n  val Bias = ${bq}L"))
+    println("// ---- DuckDB VALUES literal ----")
+    println(wq.map { case (i, v) => s"($i, $v)" }.mkString(", "))
+    spark.stop()
+  }
+}

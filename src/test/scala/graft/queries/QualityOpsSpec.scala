@@ -72,6 +72,56 @@ class QualityOpsSpec extends SparkSpec {
       s"lmScore failed to separate the shuffle: ${lm(10L)} <= ${lm(0L)}")
   }
 
+  // ----------------------------------------------- quality classifier
+
+  test("committed classifier literals reproduce bit-for-bit from the deterministic trainer") {
+    import graft.tools.TrainQualityClf
+    val (xs, label) = TrainQualityClf.trainingData(spark, "/root/testdata/sf0.01")
+    val (w, b) = TrainQualityClf.train(xs, label)
+    val (wq, bq) = TrainQualityClf.quantize(w, b)
+    assert(wq == QualityClf.Weights,
+      "trained weights drifted from the committed literals — retrain or revert")
+    assert(bq == QualityClf.Bias)
+    val acc = TrainQualityClf.quantizedAccuracy(xs, label, wq.toMap, bq)
+    assert(acc >= 0.95, s"teacher agreement $acc below the documented 0.97")
+  }
+
+  test("qualityClf: planted junk scores below planted prose; scorer matches a hand fold") {
+    // prose: corpus-vocabulary words incl. stopword mass, > MinWords of
+    // them — the profile the teacher passes; junk: symbol mash with no
+    // trained buckets — scores the bare (negative) bias
+    val prose = (Seq.fill(10)("the small table") ++ Seq.fill(10)("a fast query join"))
+      .mkString(" ")
+    val junk = Seq.fill(60)("###").mkString(" ")
+    val docs = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+    val got = QualityClf.qualityClfOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(2L)._1 == QualityClf.Bias, "untrained buckets must score exactly the bias")
+    assert(got(1L)._1 > got(2L)._1, s"prose ${got(1L)} must outscore junk ${got(2L)}")
+    assert(got(1L)._2 && !got(2L)._2, s"pass bits wrong: $got")
+    // hand fold: logit = bias + sum over words of the bucket weight
+    val M = graft.functions.TextKernels.WinnowMod
+    val wmap = QualityClf.Weights.toMap
+    def bucket(w: String): Long =
+      w.foldLeft(0L)((a, c) => ((a * 256 + c.toLong) % M + M) % M) % 1024
+    val wantProse = QualityClf.Bias +
+      prose.split(" ", -1).map(w => wmap.getOrElse(bucket(w), 0L)).sum
+    assert(got(1L)._1 == wantProse, s"scorer ${got(1L)._1} != hand fold $wantProse")
+  }
+
+  test("qualityClf on the corpus: agreement with the Gopher teacher, rerun-deterministic") {
+    val d = "/root/testdata/sf0.01"
+    val clf = QualityClf.qualityClf(spark, d).select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val teacher = TextAnalysis.gopherRules(spark, d).select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val agree = clf.count { case (id, p) => teacher(id) == p }.toDouble / clf.size
+    assert(agree >= 0.95, s"corpus agreement $agree below the trained 0.97")
+    val again = QualityClf.qualityClf(spark, d).select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(clf == again)
+  }
+
   test("lmScore on the corpus: every doc scored, rerun-deterministic") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.tables.Testdata.documents(spark, d)
