@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps the generated `REGISTRY.md` honest: the committed file must be
+  * byte-identical to a fresh render from the live registry, and the
+  * generator's module inventory must cover every registered query (a
+  * new module wired into SparkEntry but not RegistryDump would
+  * otherwise silently list queries under the wrong owner). */
+class RegistrySpec extends AnyFunSuite {
+
+  private val root = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+
+  test("module inventory covers every registered query exactly once") {
+    val fromModules = graft.tools.RegistryDump.modules.flatMap(_._2.keys)
+    assert(fromModules.distinct.size == fromModules.size,
+      "a query name is registered by two modules")
+    assert(fromModules.toSet == SparkEntry.queries.keySet,
+      s"RegistryDump.modules out of sync with SparkEntry: " +
+        s"missing=${SparkEntry.queries.keySet -- fromModules.toSet}, " +
+        s"extra=${fromModules.toSet -- SparkEntry.queries.keySet}")
+  }
+
+  test("committed REGISTRY.md matches a fresh render (regenerate with RegistryDump)") {
+    val f = root.resolve("REGISTRY.md")
+    assert(java.nio.file.Files.exists(f),
+      "REGISTRY.md missing — run `sbt \"runMain graft.tools.RegistryDump\"`")
+    val committed = java.nio.file.Files.readString(f)
+    val fresh = graft.tools.RegistryDump.render(root)
+    assert(committed == fresh,
+      "REGISTRY.md drifted from the registry — regenerate with RegistryDump")
+  }
+
+  test("every oracle key has a queries entry and vice-versa oracles are a subset") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL with no query: $orphans")
+  }
+}
