@@ -86,7 +86,15 @@ object FrameCache {
   /** Driver-side computed values that share the frames' lifecycle (e.g.
     * IvfAnn's trained centroid matrix — a few KB that must die with its
     * session). A lost race just recomputes the pure value; no rollback
-    * needed. */
+    * needed.
+    *
+    * STALENESS CONTRACT (same as [[cached]]): a key derived from input
+    * data must embed [[dirKey]]'s mtime/size fingerprint — every
+    * dir-derived call site does — so a mid-session rewrite of the
+    * backing files recomputes instead of serving the stale scalar, and
+    * the superseded sibling is evicted at insert (StoreContractSpec
+    * pins both). A key WITHOUT the fingerprint asserts its input is
+    * immutable for the session's lifetime. */
   def cachedValue[T](s: SparkSession, key: String)(build: => T): T = {
     val m = tableFor(values, s)
     m.get(key) match {

@@ -1,0 +1,91 @@
+package graft.tables
+
+import graft.SparkSpec
+
+/** Contract specs for the persisted-artifact layer (VERDICT r12 asks 6
+  * and 7): the FrameCache staleness contract must hold for SCALAR
+  * memos exactly as it does for frames, and [[Bucketed.ensure]] must
+  * survive a lost creation race — a sibling session (or a crashed
+  * predecessor's half-written directory) must never surface a broken
+  * table to the reader. */
+class StoreContractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cachedValue: dirKey rewrite invalidates the scalar memo and evicts the stale sibling") {
+    val dir = java.nio.file.Files.createTempDirectory("framecache-val-stale").toFile
+    try {
+      spark.range(3).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/t.parquet")
+      val k1 = FrameCache.dirKey(dir.getPath)
+      val a = FrameCache.cachedValue[Long](spark, s"val-stale-probe:$k1")(
+        spark.read.parquet(s"${dir.getPath}/t.parquet").count())
+      assert(a == 3L)
+      // a memo hit must NOT re-read the input
+      val hit = FrameCache.cachedValue[Long](spark, s"val-stale-probe:$k1")(
+        fail("memo miss on an unchanged fingerprint"))
+      assert(hit == 3L)
+      // rewrite the backing parquet: the fingerprinted key changes, the
+      // next read recomputes against the NEW data, the stale entry dies
+      Thread.sleep(5)
+      spark.range(2000).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/t.parquet")
+      val k2 = FrameCache.dirKey(dir.getPath)
+      assert(k1 != k2, "rewritten dir must fingerprint differently")
+      val b = FrameCache.cachedValue[Long](spark, s"val-stale-probe:$k2")(
+        spark.read.parquet(s"${dir.getPath}/t.parquet").count())
+      assert(b == 2000L, "stale scalar served after an input rewrite")
+      assert(!FrameCache.valueKeys(spark).contains(s"val-stale-probe:$k1"),
+        "superseded scalar memo leaked")
+      assert(FrameCache.valueKeys(spark).contains(s"val-stale-probe:$k2"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
+  test("Bucketed.ensure: a sibling session reuses the built table instead of rewriting") {
+    val name = s"graft_contract_sibling_${System.nanoTime()}"
+    try {
+      val t1 = Bucketed.ensure(spark, name, "k")(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      val path = s"/tmp/graft-bucketed/$name"
+      val mtimes1 = new java.io.File(path).listFiles().map(f => f.getName -> f.lastModified()).toMap
+      // sibling session: shares the SharedState catalog, has a FRESH
+      // FrameCache — the lost-race shape (its memo says "not built")
+      val sibling = spark.newSession()
+      val t2 = Bucketed.ensure(sibling, name, "k")(
+        fail("sibling rebuilt a table the catalog already holds"))
+      assert(t2 == t1)
+      val mtimes2 = new java.io.File(path).listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(mtimes1 == mtimes2, "sibling ensure rewrote the on-disk layout")
+      // and the sibling actually reads the co-located layout
+      assert(sibling.table(name).count() == 3L)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
+  test("Bucketed.ensure: a half-written directory from a crashed predecessor is overwritten, not served") {
+    val name = s"graft_contract_halfwrite_${System.nanoTime()}"
+    val path = new java.io.File(s"/tmp/graft-bucketed/$name")
+    try {
+      // simulate the crash: data directory exists with garbage (a torn
+      // part file, no _SUCCESS), but the table never reached the catalog
+      path.mkdirs()
+      java.nio.file.Files.write(path.toPath.resolve("part-00000-torn.snappy.parquet"),
+        Array[Byte](0x50, 0x41, 0x52)) // truncated "PAR1" magic
+      assert(!spark.catalog.tableExists(name))
+      Bucketed.ensure(spark, name, "k")(
+        Seq((10L, "x"), (20L, "y")).toDF("k", "v"))
+      // the reader sees ONLY the clean rebuild — the torn file is gone
+      // (mode(overwrite) replaces the directory) and every row reads
+      val rows = spark.table(name).orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.toSeq == Seq((10L, "x"), (20L, "y")))
+      assert(!path.listFiles().exists(_.getName.contains("torn")),
+        "torn predecessor file survived the rebuild")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+}
