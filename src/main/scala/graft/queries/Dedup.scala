@@ -345,7 +345,20 @@ object Dedup {
         graft.functions.TextKernels.hashedSortedIds(grams).as("gram_ids"))
   }
 
-  private[graft] def containmentPairsOf(grams: DataFrame): DataFrame = {
+  /** The raw collision rows of the containment prefix-filter join —
+    * (doc_a, doc_b) once per qualifying shared probe gram, BEFORE the
+    * distinct. Split out so the scale smoke can count candidate volume
+    * directly ([[graft.tools.ScaleSmoke]] telemetry: curve growth must
+    * be attributable to candidates vs verify cost, not guessed).
+    *
+    * Join strategy: deliberately UNHINTED (measured, not assumed): a
+    * SHUFFLE_HASH hint with the probe side as build was tried on the
+    * theory that sort-merge wastes the index-side sort — and measured
+    * WORSE at every scale (sf0.1 solo-bench 1.0 → 1.8 s; 100×-tile
+    * smoke 31.6 → 71.4 s): the per-partition hash build of millions of
+    * probe rows costs more than the sorts it saves, while AQE remains
+    * free to pick the strategy per-run from real sizes. */
+  private[graft] def containmentCandidatesOf(grams: DataFrame): DataFrame = {
     val exploded = grams.select(col("doc_id"), explode(col("gram_ids")).as("gram"))
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("freq"))
     val n = size(col("sorted"))
@@ -366,13 +379,22 @@ object Dedup {
     val alpha = floor((col("a.n_grams") * JaccardP + JaccardQ - 1) / JaccardQ)
     val posBound = least(col("a.pos"), col("b.pos")) + 1 +
       least(col("a.n_grams") - col("a.pos") - 1, col("b.n_grams") - col("b.pos") - 1)
-    val candidates = a.join(b,
+    a.join(b,
         col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id") &&
           col("b.n_grams") * JaccardQ >= col("a.n_grams") * JaccardP &&
           posBound >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  }
 
+  /** Candidate-volume probe for the smoke telemetry (shares the memoized
+    * gram index with [[containmentPairs]]). */
+  def containmentCandidateCount(s: SparkSession, d: String): Long =
+    containmentCandidatesOf(FrameCache.cached(s,
+      s"containment-grams:${graft.tables.FrameCache.dirKey(d)}")(
+      containGramSetsOf(documents(s, d)))).count()
+
+  private[graft] def containmentPairsOf(grams: DataFrame): DataFrame = {
+    val candidates = containmentCandidatesOf(grams).distinct()
     val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("gram_ids").as("ids_b"))
     val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))

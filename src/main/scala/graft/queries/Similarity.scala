@@ -372,38 +372,49 @@ object Similarity {
   private[graft] def srpNearDup(s: SparkSession, d: String, tables: Int, bits: Int,
       minCos: Double, maxBucket: Int): DataFrame = {
     val indexed = annIndex(s, d, tables, bits)
-    // SKINNY bucket rows: (vec_id, t, sig) only — the candidate join and
-    // its dedup shuffle ids, never vectors.
-    val sigs = indexed.select(col("vec_id"),
+    // bucket rows carry their VECTOR — the exact verify runs INSIDE the
+    // co-located bucket join (below) so its quadratic output never
+    // crosses an exchange. The r12 shape kept these rows skinny and
+    // globally dropDuplicates'd the raw candidate pairs before joining
+    // vectors back — but collision multiplicity is ~1 for bucket-noise
+    // pairs (the overwhelming majority), so that distinct sorted the
+    // ENTIRE candidate volume (~3.6 K rows/vector → 40+ GB sort spill
+    // at the 100× smoke tier, the tier's documented skip) to eliminate
+    // almost nothing. Shipping vectors through the bucket exchange
+    // costs tables·(1+probes) vector copies per row — ~15 KB/vector,
+    // linear, ~7 GB total at 100× — and deletes the giant sort: the
+    // only pair-keyed shuffle left is the final distinct over TRUE
+    // near-dups, which is output-sized (linear), not candidate-sized.
+    val sigs = indexed.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("t"), col(s"sig_$t").as("sig"))): _*)).as("b"))
-      .select(col("vec_id"), col("b.t").as("t"), col("b.sig").as("sig"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("b.t").as("t"), col("b.sig").as("sig"))
 
-    // corpus (plain) side, hot-bucket capped: per-bucket counts shuffle on
-    // the same (t, sig) key as the join — co-partitioned, no extra shape.
-    val sizes = sigs.groupBy("t", "sig").agg(count(lit(1)).as("bucket_n"))
+    // hot-bucket cap: per-bucket counts aggregate SKINNY (t, sig) rows
+    // and shuffle on the join's own key — co-partitioned, no new shape.
+    val sizes = sigs.select("t", "sig")
+      .groupBy("t", "sig").agg(count(lit(1)).as("bucket_n"))
     val corpus = sigs.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("t", "sig"))
-      .select(col("t"), col("sig"), col("vec_id").as("vec_b"))
+      .select(col("t"), col("sig"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
 
     // probe side: each row additionally XOR-probes its Hamming-1 neighbors.
     val masks = probeMasks(bits, 1)
-    val probes = sigs.select(col("vec_id").as("vec_a"), col("t"),
-      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val probes = sigs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"), col("t"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
 
-    // one row per candidate pair (a pair can collide in several
-    // tables/probes) BEFORE vectors are joined back — so the exact-verify
-    // kernel runs once per unique pair, not once per collision.
-    val cand = probes.join(corpus, Seq("t", "sig"))
+    // verify-in-the-join: cos is computed on the join output and filtered
+    // in the same stage (never shuffled); a pair colliding in several
+    // tables/probes is verified per collision — ~1.2× kernel work in
+    // exchange for no candidate-volume sort anywhere in the plan.
+    probes.join(corpus, Seq("t", "sig"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
-
-    val va = indexed.select(col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val vb = indexed.select(col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dotd(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= minCos)
+      .dropDuplicates("vec_a", "vec_b") // output-sized: true pairs only
       .orderBy("vec_a", "vec_b")
   }
 

@@ -75,22 +75,25 @@ object ScaleSmoke {
     "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near")
 
   /** Queries with a KNOWN single-node resource ceiling past this tile
-    * count, skipped (with the reason recorded in the artifact) instead of
-    * filling the box's disk: srpNearDup's candidate volume is LINEAR in n
-    * but with a ~tables·probes·targetBucket ≈ 3.6 K-rows-per-vector
-    * constant — at 100× (500 K vectors) that is ~1.8 G candidate rows
-    * (≈ 40+ GB of shuffle + dedup-sort spill), which a 1000-executor
-    * cluster absorbs as ~2 MB/core but a single 32-thread box cannot
-    * (measured: the first 100× attempt died SPILL_OUT_OF_MEMORY / disk
-    * full). The 10× tier still measures it end-to-end. */
-  val SkipAtTiles: Map[String, (Int, String)] = Map(
-    "sim_srp_neardup" -> ((50,
-      "single-node disk ceiling: ~3.6k candidate rows/vector -> ~40+ GB dedup-sort spill at 100x; linear per-executor on a cluster, measured at the 10x tier")))
+    * count, skipped (with the reason recorded in the artifact) instead
+    * of filling the box's disk. EMPTY since r13: srpNearDup's 100× skip
+    * (~40 GB dedup-sort spill) fell to the verify-in-the-join rewrite —
+    * the candidate volume is never sorted or re-shuffled anymore (only
+    * the output-sized distinct of true pairs is), so the tier is
+    * measured, not asserted. */
+  val SkipAtTiles: Map[String, (Int, String)] = Map.empty
 
   /** One query per ANN family (VERDICT r10 item 2): float SRP-LSH, IVF,
     * PQ/ADC. All emit (query_id, rank, neighbor_id) — the bruteTopK
     * contract — so recall is one inner join against ground truth. */
   val AnnQueries = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq")
+
+  /** Candidate-volume probes (VERDICT r12 item 3): for filter-verify
+    * operators whose scale curve is worth attributing, count the raw
+    * pre-distinct candidate rows at both scales so the artifact shows
+    * whether curve growth is candidate volume or verify cost. */
+  val CandidateProbes: Map[String, (SparkSession, String) => Long] = Map(
+    "dedup_containment" -> ((s, d) => graft.queries.Dedup.containmentCandidateCount(s, d)))
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
@@ -153,6 +156,15 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val tileCounts = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(10, 100)
+    // iteration filter (the SPARK_GRAFT_BENCH_FILTER discipline): a
+    // filtered run measures only the named queries, skips the ANN recall
+    // sweep, and writes SCALE_SMOKE_filtered.json — NEVER the real
+    // artifact, which must always carry the full query set.
+    val filter: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_SMOKE_FILTER").map(_.split(",").map(_.trim).toSet)
+    val runQueries = filter.fold(Queries)(f => Queries.filter(f.contains))
+    val runAnn = if (filter.isEmpty) AnnQueries else Seq.empty
+    val artifact = if (filter.isEmpty) "SCALE_SMOKE.json" else "SCALE_SMOKE_filtered.json"
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -173,9 +185,11 @@ object ScaleSmoke {
       // At 100× a single timed rep per side keeps the whole smoke under
       // control; the 10× run keeps median-of-3 for noise immunity.
       val reps = if (tiles >= 50) 1 else 3
+      // (base, tiled) candidate counts per probed query, this tile run
+      val candCounts = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
       val rows: Seq[Either[(String, String), (String, Double, Double, Double, Long, Long)]] =
-        Queries.map { q =>
+        runQueries.map { q =>
           SkipAtTiles.get(q).filter(_._1 <= tiles) match {
             case Some((_, reason)) =>
               System.err.println(s"[scale-smoke] x$tiles $q SKIPPED: $reason")
@@ -193,6 +207,13 @@ object ScaleSmoke {
                 // output explosion behind idle cores — record both
                 val rBase = fn(spark, base).count()
                 val rTiled = fn(spark, out).count()
+                // candidate telemetry (pre-distinct collision rows) for
+                // the probed filter-verify operators
+                CandidateProbes.get(q).foreach { probe =>
+                  val cb = probe(spark, base); val ct = probe(spark, out)
+                  candCounts(q) = (cb, ct)
+                  System.err.println(s"[scale-smoke] x$tiles $q candidates $cb -> $ct")
+                }
                 val ratio = if (tBase > 0) tTiled / tBase else -1.0
                 System.err.println(f"[scale-smoke] x$tiles $q%-22s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f rows ${rBase}->${rTiled}")
                 Right((q, tBase, tTiled, ratio, rBase, rTiled))
@@ -203,7 +224,7 @@ object ScaleSmoke {
               }
           }
         }
-      val recalls = AnnQueries.map { q =>
+      val recalls = runAnn.map { q =>
         val r = try recallVsBrute(spark, out, graft.SparkEntry.queries(q)(spark, out))
                 catch { case e: Throwable =>
                   System.err.println(s"[scale-smoke] x$tiles recall $q FAILED: ${e.getClass.getSimpleName}")
@@ -220,7 +241,10 @@ object ScaleSmoke {
       val recallPass = recalls.forall(_._2 >= 0.8)
       val qJson = rows.map {
         case Right((q, b, t, r, rb, rt)) =>
-          s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt}"""
+          val cand = candCounts.get(q)
+            .map { case (cb, ct) => s""","cand_base":$cb,"cand_tiled":$ct""" }
+            .getOrElse("")
+          s""""$q":{"base_sec":${r3(b)},"tiled_sec":${r3(t)},"ratio":${r3(r)},"base_rows":$rb,"tiled_rows":$rt$cand}"""
         case Left((q, reason)) =>
           // full JSON escape, not just quote-swapping: Spark failure
           // messages carry newlines/backslashes, and an unparseable
@@ -235,7 +259,7 @@ object ScaleSmoke {
     }
     val json = runJsons.map(_._1).mkString(
       """{"runs":[""", ",", s"""],"pass":${runJsons.forall(_._2)}}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_SMOKE.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -50,11 +50,15 @@ class PlanSpec extends SparkSpec {
     * total against the vocab frame only (the corpus side hash-joins the
     * pre-scored vocab — TextAnalysis.surprisalOf); text_ngram_coverage
     * crosses its ONE-row occurrence total against the ≤3-row cut frame
-    * (both sides bounded — TextAnalysis.ngramCoverageOf). Everything else
-    * must stay hash/merge-joined — a BNLJ appearing anywhere else is a
-    * join-key regression that would never survive 100 TB. */
+    * (both sides bounded — TextAnalysis.ngramCoverageOf); text_lm_score
+    * inherits text_surprisal's one-row-total-vs-vocab cross for its
+    * unigram backoff table (TextAnalysis.lmScoreOf — the corpus side
+    * still hash-joins the pre-scored lookup). Everything else must stay
+    * hash/merge-joined — a BNLJ appearing anywhere else is a join-key
+    * regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
-    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage")
+    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
+    "text_lm_score")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
