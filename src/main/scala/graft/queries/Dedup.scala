@@ -394,7 +394,16 @@ object Dedup {
       containGramSetsOf(documents(s, d)))).count()
 
   private[graft] def containmentPairsOf(grams: DataFrame): DataFrame = {
-    val candidates = containmentCandidatesOf(grams).distinct()
+    // NO pre-verify distinct — the opposite call from the Jaccard path
+    // above, for a measured reason: there the positional filter leaves
+    // high collision multiplicity (pre-dedup halved sf0.1 time, 12.6 →
+    // 6.0 s), but HERE the asymmetric filters kill repeat-gram matches
+    // almost entirely (measured multiplicity 1.037 at the 100×-tile
+    // smoke: 20.80 M collisions → 20.06 M distinct pairs), so a
+    // candidate-sized distinct exchange+sort buys a 3.5 % verify saving
+    // — the srpNearDup r12 pathology. Verify per collision instead and
+    // dedup the OUTPUT-sized frame after the containment filter.
+    val candidates = containmentCandidatesOf(grams)
     val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("gram_ids").as("ids_b"))
     val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
@@ -402,6 +411,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / size(col("ids_a"))).as("containment"))
       .filter(col("containment") >= JaccardT)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

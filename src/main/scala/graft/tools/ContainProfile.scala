@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only one-off: stage-level wall time of dedup_containment at a
+  * given dir — gram build vs raw candidates vs distinct vs full query,
+  * so the 100x smoke ratio is attributable to a stage, not guessed. */
+object ContainProfile {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/tmp/graft-scale/sf0.1x100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"[contain-profile] $tag%-18s ${(System.nanoTime() - t0) / 1e9}%.2fs  rows=$n")
+    }
+    import graft.queries.Dedup
+    val grams = Dedup.containGramSetsOf(
+      graft.tables.Testdata.documents(spark, d)).cache()
+    t("grams-build")(grams.count())
+    t("candidates")(Dedup.containmentCandidatesOf(grams).count())
+    t("cand-distinct")(Dedup.containmentCandidatesOf(grams).distinct().count())
+    t("full-query")(Dedup.containmentPairsOf(grams).count())
+    t("full-query-2nd")(Dedup.containmentPairsOf(grams).count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: stage timing for text_dsir_weight. */
+object DsirProfile {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"[dsir-profile] $tag%-14s ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    val docs = graft.tables.Testdata.documents(spark, d)
+    t("feature-frame")(graft.queries.Dsir.profileFeatureFrame(docs).count())
+    t("full")(graft.queries.Dsir.dsirWeightsOf(docs).count())
+    t("full-warm")(graft.queries.Dsir.dsirWeightsOf(docs).count())
+    spark.stop()
+  }
+}

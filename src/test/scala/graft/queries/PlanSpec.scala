@@ -53,12 +53,15 @@ class PlanSpec extends SparkSpec {
     * (both sides bounded — TextAnalysis.ngramCoverageOf); text_lm_score
     * inherits text_surprisal's one-row-total-vs-vocab cross for its
     * unigram backoff table (TextAnalysis.lmScoreOf — the corpus side
-    * still hash-joins the pre-scored lookup). Everything else must stay
+    * still hash-joins the pre-scored lookup); text_dsir_weight crosses
+    * its ONE-row totals against the ≤1024-row bucket-count frame (both
+    * bounded — Dsir.dsirWeightsOf; the corpus side broadcast-joins the
+    * finished weight table). Everything else must stay
     * hash/merge-joined — a BNLJ appearing anywhere else is a join-key
     * regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
     "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
-    "text_lm_score")
+    "text_lm_score", "text_dsir_weight")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -122,6 +122,80 @@ class QualityOpsSpec extends SparkSpec {
     assert(clf == again)
   }
 
+  // ------------------------------------------------------ DSIR weights
+
+  /** Plain-Scala DSIR twin (same constants, zero shared code): hashed
+    * unigram+bigram buckets, gopher-pass target slice, Laplace-smoothed
+    * signed floor-log2 weights, per-occurrence sum. */
+  private def refDsir(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val M = graft.functions.TextKernels.WinnowMod
+    val B = Dsir.Buckets
+    def bucket(f: String): Long =
+      f.foldLeft(0L)((a, c) => ((a * 256 + c.toLong) % M + M) % M) % B
+    def stop(w: String) = Set("the", "a", "of", "and", "to", "in", "is", "it")(w)
+    def pass(ws: Seq[String]): Boolean = {
+      val n = ws.size
+      val mwl = ws.map(_.length).sum.toDouble / n
+      n >= 50 && n <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        ws.count(w => w.contains("#") || w.contains("...")).toDouble / n <= 0.1 &&
+        ws.count(_.exists(c => c.isLetter && c < 128)).toDouble / n >= 0.8 &&
+        ws.count(stop) >= 2
+    }
+    val toks = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1).toSeq
+      (id, ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")), pass(ws))
+    }
+    val all = toks.flatMap { case (_, fs, p) => fs.map(f => (bucket(f), p)) }
+    val cRaw = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cT = all.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nRaw = all.size.toLong; val nT = all.count(_._2).toLong
+    def bits(q: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(q)
+    def w(i: Long): Long = {
+      val num = (cT.getOrElse(i, 0L) + 1) * (nRaw + B)
+      val den = (cRaw(i) + 1) * (nT + B)
+      if (num >= den) bits(num / den) else -bits(den / num)
+    }
+    toks.map { case (id, fs, _) =>
+      id -> (fs.size.toLong, fs.map(f => w(bucket(f))).sum)
+    }.toMap
+  }
+
+  private val dsirCorpus: Seq[(Long, String)] = {
+    val prose = Seq.fill(6)("the quick brown foxes jumped over those lazy sleeping dogs").mkString(" ")
+    val junk = Seq.fill(8)("### 404 ### error ###").mkString(" ")
+    (0L until 8L).map(_ -> prose) ++ Seq(8L -> junk, 9L -> junk) ++
+      Seq(10L -> "the quick brown foxes rested", // target-vocab short doc (fails gate itself)
+          11L -> "### 404 error")                // junk-vocab short doc
+  }
+
+  test("dsirWeights reproduces the reference importance weights exactly") {
+    val want = refDsir(dsirCorpus)
+    val got = Dsir.dsirWeightsOf(dsirCorpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, v) <- want) assert(got(id) == v, s"doc $id: got ${got(id)}, want $v")
+  }
+
+  test("dsirWeights: target-domain vocabulary outscores off-target vocabulary") {
+    val got = Dsir.dsirWeightsOf(dsirCorpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the two SHORT docs both fail the gate — their scores are pure
+    // vocabulary resemblance, the paper's selection signal: the
+    // target-vocab one must outscore the junk-vocab one
+    assert(got(10L) > got(11L),
+      s"target-vocab ${got(10L)} must outscore junk-vocab ${got(11L)}")
+    assert(got(0L) > got(8L), "in-gate prose must outscore junk")
+  }
+
+  test("dsirWeights on the corpus: every doc scored, rerun-deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Dsir.dsirWeights(spark, d).collect()
+    assert(rows.length == graft.tables.Testdata.documents(spark, d).count())
+    val again = Dsir.dsirWeights(spark, d).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
+  }
+
   test("lmScore on the corpus: every doc scored, rerun-deterministic") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.tables.Testdata.documents(spark, d)
