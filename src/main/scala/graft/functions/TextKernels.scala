@@ -68,6 +68,10 @@ object TextKernels {
   def wordShingles(words: Column, n: Int, distinct: Boolean): Column =
     ColumnInterop.column(WordShingles(ColumnInterop.expression(words), n, distinct))
 
+  /** Karp-Rabin feature-hash bucket of one string (see [[KrBucket]]). */
+  def krBucket(word: Column, mod: Long, buckets: Long): Column =
+    ColumnInterop.column(KrBucket(ColumnInterop.expression(word), mod, buckets))
+
   /** Ascending-sorted xxhash64 ids of an array<string> — one pass, codegen. */
   def hashedSortedIds(grams: Column): Column =
     ColumnInterop.column(HashedSortedIds(ColumnInterop.expression(grams)))
@@ -735,6 +739,51 @@ case class CodepointStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("codepointStatsExpr", this, classOf[CodepointStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Karp-Rabin feature-bucket hash of one string — the
+  * [[graft.queries.TextAnalysis.hashFeatures]] fold
+  * (`acc·256 + codepoint mod 1e9+7`, then `mod buckets`) as ONE codegen
+  * scalar instead of the composed `aggregate(filter(split(word,"")),…)`
+  * higher-order chain, which allocates a per-character array and runs an
+  * interpreted lambda per element. Bit-identical by construction: the
+  * HOF's `split` produces one element per character, `length(c)===1`
+  * only drops nothing on non-empty strings, and `ascii` yields the
+  * element's first code point — i.e. the fold runs over the string's
+  * code points, exactly this loop. The three feature-hash consumers
+  * (hashFeatures, the quality classifier, DSIR) share it; the DuckDB
+  * oracles are untouched because the VALUES are unchanged. */
+case class KrBucket(child: Expression, mod: Long, buckets: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"kr_bucket expects string, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kr_bucket"
+
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 256L + cp) % mod
+      i += Character.charCount(cp)
+    }
+    acc % buckets
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("krBucket", this, classOf[KrBucket].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

@@ -65,10 +65,8 @@ object Dsir {
         (alphaWords.cast("double") / nWords) >= TextAnalysis.GopherMinAlphaFrac &&
         stopHits.cast("long") >= TextAnalysis.GopherMinStopHits
     val M = graft.functions.TextKernels.WinnowMod
-    def bucket(f: Column): Column = pmod(
-      aggregate(filter(split(f, ""), c => length(c) === 1),
-        lit(0L), (acc, ch) => pmod(acc * 256L + ascii(ch), lit(M))),
-      lit(Buckets))
+    def bucket(f: Column): Column =
+      graft.functions.TextKernels.krBucket(f, M, Buckets)
     docs
       .select(col("doc_id"), pass.as("pass"),
         explode(concat(words,

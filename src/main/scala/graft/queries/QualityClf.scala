@@ -79,11 +79,9 @@ object QualityClf {
   private[graft] def qualityClfOf(docs: DataFrame): DataFrame = {
     val M = graft.functions.TextKernels.WinnowMod
     val wmap = typedLit(Weights.toMap)
-    // the hashFeatures bucket kernel, inlined per word inside the fold
-    def bucket(word: Column): Column = pmod(
-      aggregate(filter(split(word, ""), c => length(c) === 1),
-        lit(0L), (acc, ch) => pmod(acc * 256L + ascii(ch), lit(M))),
-      lit(graft.queries.TextAnalysis.HashFeatDim.toLong))
+    // the hashFeatures bucket kernel (codegen KrBucket), per word
+    def bucket(word: Column): Column = graft.functions.TextKernels
+      .krBucket(word, M, graft.queries.TextAnalysis.HashFeatDim.toLong)
     val logit = aggregate(split(col("text"), " "), lit(Bias),
       (acc, w) => acc + coalesce(element_at(wmap, bucket(w)), lit(0L)))
     docs.select(col("doc_id"), logit.as("logit_q"))

@@ -1838,12 +1838,13 @@ object TextAnalysis {
     * aggregate lambdas — codegen'd builtins, no UDF). */
   def hashFeatures(s: SparkSession, d: String): DataFrame = {
     val M = graft.functions.TextKernels.WinnowMod
-    def polyHash(word: Column): Column =
-      aggregate(filter(split(word, ""), c => length(c) === 1),
-        lit(0L), (acc, ch) => pmod(acc * 256L + ascii(ch), lit(M)))
     documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), pmod(polyHash(col("word")), lit(HashFeatDim.toLong)).as("feat_idx"))
+      .select(col("doc_id"),
+        // the codegen KrBucket kernel — bit-identical to the composed
+        // aggregate(filter(split(word,"")),…) fold (KernelPropertySpec)
+        graft.functions.TextKernels.krBucket(col("word"), M, HashFeatDim.toLong)
+          .as("feat_idx"))
       .groupBy("doc_id", "feat_idx")
       .agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "feat_idx")
