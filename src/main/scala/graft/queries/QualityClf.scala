@@ -76,15 +76,21 @@ object QualityClf {
   def qualityClf(s: SparkSession, d: String): DataFrame =
     qualityClfOf(documents(s, d))
 
-  private[graft] def qualityClfOf(docs: DataFrame): DataFrame = {
+  /** The classifier logit as a COLUMN over a text column — the single
+    * definition batch and streaming score through (the gateFlagsOf
+    * discipline: stream and batch can never disagree on what the score
+    * means). Row-local int64 fold, no state, no shuffle. */
+  private[graft] def logitOf(text: Column): Column = {
     val M = graft.functions.TextKernels.WinnowMod
     val wmap = typedLit(Weights.toMap)
-    // the hashFeatures bucket kernel (codegen KrBucket), per word
     def bucket(word: Column): Column = graft.functions.TextKernels
       .krBucket(word, M, graft.queries.TextAnalysis.HashFeatDim.toLong)
-    val logit = aggregate(split(col("text"), " "), lit(Bias),
+    aggregate(split(text, " "), lit(Bias),
       (acc, w) => acc + coalesce(element_at(wmap, bucket(w)), lit(0L)))
-    docs.select(col("doc_id"), logit.as("logit_q"))
+  }
+
+  private[graft] def qualityClfOf(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), logitOf(col("text")).as("logit_q"))
       .withColumn("score", col("logit_q").cast("double") / lit(WeightScale.toDouble))
       .withColumn("pass", col("logit_q") > 0L)
       .orderBy("doc_id")

@@ -156,6 +156,35 @@ object StreamingIngest {
         (col("kill_any").cast("double") / col("n_docs")).as("kill_rate"))
   }
 
+  /** Windowed learned-quality monitoring — the streaming twin of
+    * [[graft.queries.QualityClf]]: per event-time window, arriving-doc
+    * count, classifier pass count/rate and mean logit. The
+    * model-drift/source-drift alarm the DCLM-style pipeline runs live:
+    * a window whose classifier pass rate jumps means the source
+    * changed, caught before the batch rescoring pass would see it. The
+    * logit is [[graft.queries.QualityClf.logitOf]] — the SAME literal
+    * fold the batch scorer runs (one definition, stream and batch
+    * cannot disagree), a stateless row-local projection; the only state
+    * is one counter row per open window, watermark-evicted. The sum of
+    * int64 logits is exact (|logit| ≲ 2²⁰·n_words, far from wrap at any
+    * realistic window volume); the means are final one-shot divisions. */
+  def qualityClfStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                       win: String = "10 minutes",
+                       watermark: String = "20 minutes"): DataFrame =
+    docs
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol),
+        graft.queries.QualityClf.logitOf(col("text")).as("logit_q"))
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("logit_q") > 0L, 1L).otherwise(0L)).as("n_pass"),
+        sum("logit_q").as("logit_sum"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs")).as("pass_rate"),
+        (col("logit_sum").cast("double") / col("n_docs") /
+          graft.queries.QualityClf.WeightScale.toDouble).as("mean_score"))
+
   /** Windowed source-mix drift — per event-time window, each source's
     * share of arriving documents next to its BASELINE share (the static
     * corpus mix passed in — at 100 TB, the persisted

@@ -534,6 +534,47 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality-clf stream: per-window pass counts and mean score equal the batch scorer") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    // prose hits trained stopword/content buckets (positive logit);
+    // junk hits no trained bucket and scores the negative bias
+    val prose = (Seq.fill(10)("the small table") ++ Seq.fill(10)("a fast query join")).mkString(" ")
+    val junk = Seq.fill(60)("###").mkString(" ")
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("event_time", "text")
+    val agg = StreamingIngest.qualityClfStream(docs, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("clf_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData(
+        (new Timestamp(t0), prose), (new Timestamp(t0 + 1000), junk),
+        (new Timestamp(t0 + 2000), prose),
+        (new Timestamp(w2), junk))
+      q.processAllAvailable()
+      input.addData((new Timestamp(w2 + 60 * 60000), prose)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_docs, n_pass, pass_rate, mean_score FROM clf_out ORDER BY window_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.length == 2)
+      assert((rows(0)._1, rows(0)._2, rows(0)._3) == ((3L, 2L, 2.0 / 3.0)), s"w1 ${rows(0)}")
+      assert((rows(1)._1, rows(1)._2, rows(1)._3) == ((1L, 0L, 0.0)), s"w2 ${rows(1)}")
+      // batch twin on window 1's rows: identical logits, identical mean
+      val batch = graft.queries.QualityClf.qualityClfOf(
+        Seq(0L -> prose, 1L -> junk, 2L -> prose).toDF("doc_id", "text"))
+        .collect()
+      assert(batch.count(_.getBoolean(3)) == rows(0)._2, "pass count drifted from batch")
+      val meanScore = batch.map(_.getLong(1)).sum.toDouble / 3 /
+        graft.queries.QualityClf.WeightScale
+      assert(rows(0)._4 == meanScore, "mean score drifted from batch")
+    } finally q.stop()
+  }
+
   test("diversity stream: chained windowed moments equal the batch diversity per window") {
     val sql = spark.sqlContext
     import sql.implicits._
