@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** REAL WAV (RIFF/WAVE) header metadata — the audio analog of
+  * [[ImageDims]]: channel count, sample rate, bit depth and payload
+  * size are pure header arithmetic, no codec (the decode stage in
+  * [[MediaFeatures]] stays stubbed; cataloging audio needs none of it).
+  *
+  * Layout (RIFF spec): `RIFF <sz32le> WAVE`, then a CHUNK WALK — each
+  * chunk is `<id 4B> <size32le> <payload, padded to even>`; the `fmt `
+  * chunk carries format(2) channels(2 LE) sample_rate(4 LE)
+  * byte_rate(4) block_align(2) bits_per_sample(2); the `data` chunk's
+  * size is the payload byte count. Real files put LIST/INFO/fact
+  * chunks before either, so offsets are data-dependent — the same
+  * bounded-walk shape as the JPEG SOF scan, one codegen expression.
+  *
+  * Output: `array<long>` `[channels, sample_rate, bits_per_sample,
+  * data_bytes]` (the [[TextKernels.CodepointStats]] multi-value
+  * convention); NULL for non-WAV/truncated/malformed input — a `fmt `
+  * chunk must be found and sane; `data` may legitimately be absent in
+  * a header-only prefix, reported as data_bytes = −1 rather than
+  * failing the parse. */
+object AudioMeta {
+
+  def wavMeta(data: Column): Column =
+    ColumnInterop.column(WavMeta(ColumnInterop.expression(data)))
+
+  def channels(meta: Column): Column = meta.getItem(0)
+  def sampleRate(meta: Column): Column = meta.getItem(1)
+  def bitsPerSample(meta: Column): Column = meta.getItem(2)
+  def dataBytes(meta: Column): Column = meta.getItem(3)
+
+  /** Chunk-walk bound — real WAVs carry a handful of metadata chunks. */
+  val MaxChunks = 64
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** Parse; null when not an intact RIFF/WAVE header with a sane fmt. */
+  def parse(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12L // Long cursor: a hostile size field must not wrap an Int
+    var chunks = 0
+    var channels = -1L; var rate = -1L; var bits = -1L; var dataBytes = -1L
+    while (i + 8 <= b.length && chunks < MaxChunks) {
+      val at = i.toInt
+      val size = le32(b, at + 4) // unsigned 32-bit, always >= 0 in a Long
+      if (tag(b, at, "fmt ")) {
+        if (size < 16 || i + 8 + 16 > b.length) return null
+        channels = le16(b, at + 10).toLong
+        rate = le32(b, at + 12)
+        bits = le16(b, at + 22).toLong
+        if (channels < 1 || channels > 64 || rate < 1 || bits < 1) return null
+      } else if (tag(b, at, "data")) {
+        dataBytes = size // declared payload size; may exceed a truncated buffer
+      }
+      // chunks pad to even length (RIFF rule real writers follow)
+      i += 8L + size + (size % 2)
+      chunks += 1
+    }
+    if (channels < 0) return null // no fmt chunk reached
+    Array(channels, rate, bits, dataBytes)
+  }
+}
+
+/** Codegen expression for [[AudioMeta.wavMeta]]. */
+case class WavMeta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"wav_meta expects binary, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_meta"
+
+  private def wrap(r: Array[Long]): Any =
+    if (r == null) null else new GenericArrayData(r)
+
+  override def nullSafeEval(input: Any): Any =
+    wrap(AudioMeta.parse(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wavMeta", this, classOf[WavMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object ${ev.value}_r = $self.evalBytes($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) ${ev.value}_r; }
+    """)
+  }
+
+  /** Codegen entry point (byte[] in, ArrayData or null out). */
+  def evalBytes(b: Array[Byte]): AnyRef =
+    wrap(AudioMeta.parse(b)).asInstanceOf[AnyRef]
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

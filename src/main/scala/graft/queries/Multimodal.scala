@@ -104,6 +104,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL WAV header metadata end-to-end ([[graft.functions.AudioMeta]]:
+    * RIFF chunk walk, `fmt ` fields, `data` size — header arithmetic,
+    * no codec): the audio analog of [[imageDims]], same synthesize-with-
+    * planted-values oracle discipline. Variants cycle by doc_id: plain
+    * WAV; WAV with a variable-length LIST chunk BEFORE fmt (the walk is
+    * data-dependent, not a fixed offset); RIFF/WAVE with no fmt chunk
+    * (magic sniffs, metadata NULL); raw text bytes (not RIFF at all).
+    * data_bytes is planted as the doc's own n_chars so the 32-bit LE
+    * size field round-trips a corpus value, not a constant. */
+  def audioMeta(s: SparkSession, d: String): DataFrame = {
+    def le(v: Column, n: Int): Column = unhex(concat((0 until n).map(k =>
+      lpad(hex(pmod(shiftright(v, 8 * k), lit(256L))), 2, "0")): _*))
+    def ascii(t: String): Column = lit(t.getBytes("US-ASCII"))
+    val variant = pmod(col("doc_id"), lit(4L))
+    val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
+    val rate = lit(8000L) * (lit(1L) + pmod(col("doc_id"), lit(5L)))
+    val bits = lit(8L) * (lit(1L) + pmod(col("doc_id"), lit(3L)))
+    val dataBytes = col("n_chars").cast("long")
+    val listLen = lit(2L) * pmod(col("doc_id"), lit(11L)) // even: no pad ambiguity
+    val fmtChunk = concat(ascii("fmt "), le(lit(16L), 4),
+      le(lit(1L), 2), le(ch, 2), le(rate, 4),
+      le((rate * ch * bits / lit(8)).cast("long"), 4),
+      le((ch * bits / lit(8)).cast("long"), 2), le(bits, 2))
+    val dataChunk = concat(ascii("data"), le(dataBytes, 4)) // header-only: payload truncated
+    val riff = concat(ascii("RIFF"), le(lit(36L) + dataBytes, 4), ascii("WAVE"))
+    val listChunk = concat(ascii("LIST"), le(listLen, 4),
+      encode(repeat(lit("x"), listLen.cast("int")), "UTF-8"))
+    val data = when(variant === 0, concat(riff, fmtChunk, dataChunk))
+      .when(variant === 1, concat(riff, listChunk, fmtChunk, dataChunk))
+      .when(variant === 2, riff) // no fmt chunk: sniffs as wav, meta null
+      .otherwise(encode(col("text"), "UTF-8"))
+    val meta = graft.functions.AudioMeta.wavMeta(data)
+    documents(s, d).select(col("doc_id"), data.as("data"), meta.as("m"))
+      .select(col("doc_id"),
+        magicKind(col("data")).as("kind"),
+        graft.functions.AudioMeta.channels(col("m")).as("channels"),
+        graft.functions.AudioMeta.sampleRate(col("m")).as("sample_rate"),
+        graft.functions.AudioMeta.bitsPerSample(col("m")).as("bits_per_sample"),
+        graft.functions.AudioMeta.dataBytes(col("m")).as("data_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Frame stride (bytes) and per-asset frame cap for [[frameSample]]. */
   val FrameStride = 64
   val MaxFrames = 4
@@ -139,6 +181,7 @@ object Multimodal {
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_dims"   -> imageDims _,
+    "mm_audio_meta"   -> audioMeta _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,6 +237,20 @@ object Multimodal {
         |       ELSE CAST(1 + doc_id % 1021 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 4 = 3 THEN NULL
         |       ELSE CAST(1 + doc_id % 769 AS BIGINT) END AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same planted-value discipline as mm_image_dims: the oracle asserts
+    // the values the header builder encoded; the Spark side must build a
+    // spec-conformant RIFF and WALK it back (the LIST variant shifts fmt
+    // by a data-dependent offset). Variant 2 sniffs as wav but carries
+    // no fmt -> metadata NULL; variant 3 is not RIFF at all.
+    "mm_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'application/octet-stream'
+        |       ELSE 'audio/wav' END AS kind,
+        |  CASE WHEN doc_id % 4 <= 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 4 <= 1 THEN CAST(8000 * (1 + doc_id % 5) AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 <= 1 THEN CAST(8 * (1 + doc_id % 3) AS BIGINT) END AS bits_per_sample,
+        |  CASE WHEN doc_id % 4 <= 1 THEN CAST(n_chars AS BIGINT) END AS data_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-fixture specs for [[AudioMeta]]: fixtures are ACTUAL WAV files
+  * encoded by the JDK's own javax.sound.sampled writer (no external
+  * audio libs needed to ENCODE), so the chunk walk is verified against
+  * a real writer's chunk layout; then truncation/corruption pins every
+  * null path. */
+class AudioMetaSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def encodeWav(rate: Float, bits: Int, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, bits, channels, bits > 8, false)
+    val payload = new Array[Byte](frames * fmt.getFrameSize)
+    java.util.Arrays.fill(payload, 0x11.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(payload), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def meta(b: Array[Byte]): Option[Seq[Long]] =
+    Option(AudioMeta.parse(b)).map(_.toSeq)
+
+  test("real JDK-encoded WAVs parse to their true format fields") {
+    for ((rate, bits, ch, frames) <- Seq((8000f, 8, 1, 100), (44100f, 16, 2, 7),
+                                         (16000f, 16, 1, 1))) {
+      val b = encodeWav(rate, bits, ch, frames)
+      val got = meta(b)
+      val expectData = frames.toLong * ch * bits / 8
+      assert(got.contains(Seq(ch.toLong, rate.toLong, bits.toLong, expectData)),
+        s"wav rate=$rate bits=$bits ch=$ch parsed as $got")
+    }
+  }
+
+  test("chunk walk survives injected LIST metadata before fmt") {
+    val real = encodeWav(22050f, 16, 1, 10)
+    for (listLen <- Seq(0, 4, 26)) {
+      val list = "LIST".getBytes("US-ASCII") ++
+        Array[Byte]((listLen & 0xFF).toByte, ((listLen >> 8) & 0xFF).toByte, 0, 0) ++
+        Array.fill(listLen)('i'.toByte)
+      val spliced = real.take(12) ++ list ++ real.drop(12)
+      assert(meta(spliced).exists(m => m(1) == 22050L && m(2) == 16L),
+        s"walk lost fmt behind a $listLen-byte LIST chunk")
+    }
+  }
+
+  test("truncated and corrupt headers are NULL, never garbage") {
+    val real = encodeWav(8000f, 8, 1, 50)
+    for (n <- 0 until 12) assert(meta(real.take(n)).isEmpty, s"truncated at $n")
+    // RIFF/WAVE with the fmt chunk cut off mid-payload
+    assert(meta(real.take(20)).isEmpty)
+    // zero channels is spec-invalid
+    val zc = real.clone(); zc(22) = 0; zc(23) = 0
+    assert(meta(zc).isEmpty)
+    // non-RIFF bytes
+    assert(meta("definitely not audio data here".getBytes("US-ASCII")).isEmpty)
+    // header-only prefix: fmt intact, data chunk size declared but
+    // payload truncated — parse succeeds with the DECLARED size
+    val fmtEnd = 12 + 8 + 16
+    val hdrOnly = real.take(fmtEnd) ++ "data".getBytes("US-ASCII") ++
+      Array[Byte](0x40, 0x1F, 0, 0) // declares 8000 payload bytes
+    assert(meta(hdrOnly).exists(_(3) == 8000L))
+  }
+
+  test("mm_audio_meta: planted fields round-trip through build-then-walk on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Multimodal.audioMeta(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      id % 4 match {
+        case 0 | 1 =>
+          assert(r.getString(1) == "audio/wav")
+          assert(r.getLong(2) == 1 + id % 2, s"doc $id channels")
+          assert(r.getLong(3) == 8000 * (1 + id % 5), s"doc $id rate")
+          assert(r.getLong(4) == 8 * (1 + id % 3), s"doc $id bits")
+        case 2 =>
+          assert(r.getString(1) == "audio/wav") // magic sniffs, fmt absent
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        case _ =>
+          assert(r.getString(1) == "application/octet-stream")
+          assert(r.isNullAt(2))
+      }
+    }
+  }
+}
