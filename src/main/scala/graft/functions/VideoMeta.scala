@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** REAL MP4/ISO-BMFF header metadata — the video leg of the
+  * image/audio/video header-parsing triple ([[ImageDims]],
+  * [[AudioMeta]]): movie timescale and duration live in the `mvhd` box
+  * inside `moov`, pure box-tree arithmetic, no codec. The file is a
+  * sequence of boxes `[size:u32be][type:4cc][payload]` (size==1 → a
+  * 64-bit extended size follows; size==0 → box runs to EOF); `moov` is
+  * a CONTAINER whose children are boxes again, so the parse is a
+  * two-level bounded walk with data-dependent offsets — free/skip
+  * boxes and non-mvhd moov children (iods, trak…) must be stepped
+  * over by their size fields. `mvhd` v0 carries timescale/duration as
+  * u32 at payload offsets 12/16; v1 widens the times to u64
+  * (timescale stays u32) — both versions parsed.
+  *
+  * Output `array<long>` `[timescale, duration]`; NULL for non-MP4,
+  * truncated, or malformed input (no ftyp, no moov/mvhd reached,
+  * zero timescale, unknown mvhd version) — never an exception. */
+object VideoMeta {
+
+  def mp4Meta(data: Column): Column =
+    ColumnInterop.column(Mp4Meta(ColumnInterop.expression(data)))
+
+  def timescale(meta: Column): Column = meta.getItem(0)
+  def duration(meta: Column): Column = meta.getItem(1)
+
+  val MaxBoxes = 64
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int, s: String): Boolean =
+    b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+      b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+
+  /** (size, headerLen) of the box at `i`, or null on malformed/truncated. */
+  private def boxAt(b: Array[Byte], i: Long, end: Long): Array[Long] = {
+    if (i + 8 > end) return null
+    var size = be32(b, i.toInt)
+    var hdr = 8L
+    if (size == 1L) {
+      if (i + 16 > end) return null
+      size = be64(b, i.toInt + 8); hdr = 16L
+    } else if (size == 0L) size = end - i // runs to EOF
+    if (size < hdr || i + size > end) return null
+    Array(size, hdr)
+  }
+
+  /** Parse; null unless an intact ftyp…moov/mvhd chain is found. */
+  def parse(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 12) return null
+    if (!tag(b, 4, "ftyp")) return null
+    val end = b.length.toLong
+    var i = 0L
+    var boxes = 0
+    while (i + 8 <= end && boxes < MaxBoxes) {
+      val box = boxAt(b, i, end)
+      if (box == null) return null
+      if (tag(b, i.toInt + 4, "moov")) {
+        var j = i + box(1)
+        val inner = i + box(0)
+        var kids = 0
+        while (j + 8 <= inner && kids < MaxBoxes) {
+          val kid = boxAt(b, j, inner)
+          if (kid == null) return null
+          if (tag(b, j.toInt + 4, "mvhd")) {
+            val p = (j + kid(1)).toInt // payload: version(1) flags(3) ...
+            if (p + 4 > end) return null
+            (b(p) & 0xFF) match {
+              case 0 => // ctime(4) mtime(4) timescale(4) duration(4)
+                if (p + 20 > end || kid(0) < kid(1) + 20) return null
+                val ts = be32(b, p + 12); val dur = be32(b, p + 16)
+                if (ts < 1) return null
+                return Array(ts, dur)
+              case 1 => // ctime(8) mtime(8) timescale(4) duration(8)
+                if (p + 32 > end || kid(0) < kid(1) + 32) return null
+                val ts = be32(b, p + 20); val dur = be64(b, p + 24)
+                if (ts < 1 || dur < 0) return null
+                return Array(ts, dur)
+              case _ => return null
+            }
+          }
+          j += kid(0); kids += 1
+        }
+        return null // moov exhausted without an mvhd
+      }
+      i += box(0); boxes += 1
+    }
+    null
+  }
+}
+
+/** Codegen expression for [[VideoMeta.mp4Meta]]. */
+case class Mp4Meta(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"mp4_meta expects binary, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mp4_meta"
+
+  private def wrap(r: Array[Long]): Any =
+    if (r == null) null else new GenericArrayData(r)
+
+  override def nullSafeEval(input: Any): Any =
+    wrap(VideoMeta.parse(input.asInstanceOf[Array[Byte]]))
+
+  def evalBytes(b: Array[Byte]): AnyRef =
+    wrap(VideoMeta.parse(b)).asInstanceOf[AnyRef]
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mp4Meta", this, classOf[Mp4Meta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object ${ev.value}_r = $self.evalBytes($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) ${ev.value}_r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -146,6 +146,48 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL MP4 header metadata end-to-end
+    * ([[graft.functions.VideoMeta]]: two-level box walk to `moov/mvhd`,
+    * timescale + duration, both mvhd versions) — same planted-value
+    * oracle discipline as [[imageDims]]/[[audioMeta]]. Variants: plain
+    * ftyp+moov[mvhd v0]; ftyp + variable-length `free` box + moov with
+    * a leading `iods` child and an mvhd v1 (64-bit times — BOTH walk
+    * levels and both versions data-dependent); ftyp only (sniffs as
+    * mp4, metadata NULL); raw text. duration_ms = duration·1000 div
+    * timescale — exact int64 on both engines. */
+  def videoMeta(s: SparkSession, d: String): DataFrame = {
+    def be32(v: Column): Column = unhex(lpad(hex(v), 8, "0"))
+    def be64(v: Column): Column = unhex(lpad(hex(v), 16, "0"))
+    def ascii(t: String): Column = lit(t.getBytes("US-ASCII"))
+    val variant = pmod(col("doc_id"), lit(4L))
+    val ts = lit(600L) * (lit(1L) + pmod(col("doc_id"), lit(4L)))
+    val durV0 = col("n_chars").cast("long") * (lit(1L) + pmod(col("doc_id"), lit(5L)))
+    val durV1 = col("n_chars").cast("long") * lit(1000L) + col("doc_id")
+    val freeLen = lit(2L) * pmod(col("doc_id"), lit(9L))
+    val ftyp = concat(be32(lit(16L)), ascii("ftyp"), ascii("isom"), be32(lit(0L)))
+    val mvhdV0 = concat(be32(lit(28L)), ascii("mvhd"),
+      be32(lit(0L)), be32(lit(0L)), be32(lit(0L)), be32(ts), be32(durV0))
+    val moovV0 = concat(be32(lit(36L)), ascii("moov"), mvhdV0)
+    val free = concat(be32(lit(8L) + freeLen), ascii("free"),
+      encode(repeat(lit("f"), freeLen.cast("int")), "UTF-8"))
+    val iods = concat(be32(lit(10L)), ascii("iods"), unhex(lit("0000")))
+    val mvhdV1 = concat(be32(lit(40L)), ascii("mvhd"),
+      be32(lit(0x01000000L)), be64(lit(0L)), be64(lit(0L)), be32(ts), be64(durV1))
+    val moovV1 = concat(be32(lit(58L)), ascii("moov"), iods, mvhdV1)
+    val data = when(variant === 0, concat(ftyp, moovV0))
+      .when(variant === 1, concat(ftyp, free, moovV1))
+      .when(variant === 2, ftyp)
+      .otherwise(encode(col("text"), "UTF-8"))
+    val meta = graft.functions.VideoMeta.mp4Meta(data)
+    documents(s, d).select(col("doc_id"), data.as("data"), meta.as("m"))
+      .select(col("doc_id"),
+        magicKind(col("data")).as("kind"),
+        graft.functions.VideoMeta.timescale(col("m")).as("timescale"),
+        graft.functions.VideoMeta.duration(col("m")).as("duration"))
+      .withColumn("duration_ms", expr("duration * 1000 div timescale"))
+      .orderBy("doc_id")
+  }
+
   /** Frame stride (bytes) and per-asset frame cap for [[frameSample]]. */
   val FrameStride = 64
   val MaxFrames = 4
@@ -182,6 +224,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSample _,
     "mm_image_dims"   -> imageDims _,
     "mm_audio_meta"   -> audioMeta _,
+    "mm_video_meta"   -> videoMeta _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,6 +294,21 @@ object Multimodal {
         |  CASE WHEN doc_id % 4 <= 1 THEN CAST(8000 * (1 + doc_id % 5) AS BIGINT) END AS sample_rate,
         |  CASE WHEN doc_id % 4 <= 1 THEN CAST(8 * (1 + doc_id % 3) AS BIGINT) END AS bits_per_sample,
         |  CASE WHEN doc_id % 4 <= 1 THEN CAST(n_chars AS BIGINT) END AS data_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Planted mvhd fields behind both walk levels (free box shifts moov,
+    // iods shifts mvhd, v1 widens the time fields); duration_ms is the
+    // exact integer division both engines share.
+    "mm_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'application/octet-stream'
+        |       ELSE 'video/mp4' END AS kind,
+        |  CASE WHEN doc_id % 4 <= 1 THEN CAST(600 * (1 + doc_id % 4) AS BIGINT) END AS timescale,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(n_chars * (1 + doc_id % 5) AS BIGINT)
+        |       WHEN doc_id % 4 = 1 THEN CAST(n_chars * 1000 + doc_id AS BIGINT) END AS duration,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(n_chars * (1 + doc_id % 5) AS BIGINT) * 1000
+        |         // CAST(600 * (1 + doc_id % 4) AS BIGINT)
+        |       WHEN doc_id % 4 = 1 THEN CAST(n_chars * 1000 + doc_id AS BIGINT) * 1000
+        |         // CAST(600 * (1 + doc_id % 4) AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

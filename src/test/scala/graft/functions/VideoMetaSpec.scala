@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Box-level specs for [[VideoMeta]] — no MP4 writer ships in the JDK,
+  * so fixtures are hand-authored to the ISO-BMFF box grammar (the same
+  * grammar the corpus query synthesizes): both mvhd versions, the
+  * 64-bit extended-size form, unknown sibling boxes at both walk
+  * levels, and every truncation/corruption null path. */
+class VideoMetaSpec extends SparkSpec {
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ cc(typ) ++ payload
+  private val ftyp = box("ftyp", cc("isom") ++ be32(0))
+  private def mvhd0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur))
+  private def mvhd1(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", be32(0x01000000L) ++ be64(0) ++ be64(0) ++ be32(ts) ++ be64(dur))
+
+  private def meta(b: Array[Byte]): Option[Seq[Long]] =
+    Option(VideoMeta.parse(b)).map(_.toSeq)
+
+  test("mvhd v0 and v1 parse through sibling boxes at both walk levels") {
+    val plain = ftyp ++ box("moov", mvhd0(600, 7200))
+    assert(meta(plain).contains(Seq(600L, 7200L)))
+    val cluttered = ftyp ++ box("free", Array.fill(10)('f'.toByte)) ++
+      box("moov", box("iods", Array[Byte](0, 0)) ++ mvhd1(1000, 5000000007L))
+    // v1 carries a 64-bit duration past u32 range
+    assert(meta(cluttered).contains(Seq(1000L, 5000000007L)))
+  }
+
+  test("64-bit extended box size (size==1) is honored on the walk") {
+    val moovPayload = mvhd0(90000, 450000)
+    val bigMoov = be32(1) ++ cc("moov") ++ be64(16L + moovPayload.length) ++ moovPayload
+    assert(meta(ftyp ++ bigMoov).contains(Seq(90000L, 450000L)))
+  }
+
+  test("truncated and corrupt inputs are NULL, never garbage") {
+    val good = ftyp ++ box("moov", mvhd0(600, 7200))
+    for (n <- 0 until 12) assert(meta(good.take(n)).isEmpty, s"truncated at $n")
+    assert(meta(ftyp).isEmpty, "ftyp alone has no mvhd")
+    // moov whose declared size overruns the buffer
+    assert(meta(good.dropRight(4)).isEmpty)
+    // mvhd with an unknown version byte
+    val badVer = ftyp ++ box("moov",
+      box("mvhd", be32(0x02000000L) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1)))
+    assert(meta(badVer).isEmpty)
+    // zero timescale is spec-invalid
+    assert(meta(ftyp ++ box("moov", mvhd0(0, 7200))).isEmpty)
+    // moov full of non-mvhd children
+    assert(meta(ftyp ++ box("moov", box("iods", Array[Byte](0, 0)))).isEmpty)
+    // not ISO-BMFF at all
+    assert(meta("plain prose, no boxes anywhere".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("mm_video_meta: planted fields round-trip through build-then-walk on the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.queries.Multimodal.videoMeta(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val id = r.getLong(0)
+      id % 4 match {
+        case 0 | 1 =>
+          assert(r.getString(1) == "video/mp4")
+          assert(r.getLong(2) == 600 * (1 + id % 4), s"doc $id timescale")
+          assert(r.getLong(4) == r.getLong(3) * 1000 / r.getLong(2), s"doc $id duration_ms")
+        case 2 =>
+          assert(r.getString(1) == "video/mp4") // ftyp sniffs, no moov
+          assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        case _ =>
+          assert(r.getString(1) == "application/octet-stream")
+          assert(r.isNullAt(2))
+      }
+    }
+  }
+}
