@@ -113,16 +113,52 @@ object Dsir {
       .orderBy("doc_id")
   }
 
+  /** DSIR selection — the RESAMPLING half of the paper (its Gumbel
+    * top-k, integerized): thin the raw corpus toward the target by
+    * accepting each doc with probability ∝ 2^(dsir_bits − max_bits),
+    * decided by the [[TextAnalysis.sampleStratified]] Knuth hash bucket
+    * (reproducible outside Spark, stable under task retries — never
+    * `rand()`). rate = ⌊buckets / 2^(max−bits)⌋ in pure int64 (shift,
+    * never a float pow), clamped at 2⁶² so a far-from-target doc gets
+    * rate 0, and the corpus max is one broadcast scalar — so docs AT
+    * the max keep rate 1.0 and every halving of importance halves the
+    * acceptance. Output = the kept docs with their audit columns
+    * (bits, bucket, rate). Plan: the weights frame crossed with a
+    * 1-row max + a narrow filter — nothing new shuffles.
+    *
+    * On the SYNTHETIC corpus this keeps everything at rate 1.0 — its
+    * vocabulary is identical in pass and fail docs, so every bucket
+    * weight is 0: a true zero-information case, asserted as such in
+    * the spec, with the selection behavior pinned on an engineered
+    * corpus whose target/raw vocabularies actually differ. */
+  def dsirSample(s: SparkSession, d: String): DataFrame =
+    dsirSampleOf(scoreFeatures(graft.tables.FrameCache.checkpointed(s,
+      s"dsir-feats:${graft.tables.FrameCache.dirKey(d)}")(featureFrame(documents(s, d)))))
+
+  private[graft] def dsirSampleOf(weights: DataFrame): DataFrame = {
+    val mx = weights.agg(max("dsir_bits").as("bmax"))
+    val bucket = ((pmod(col("doc_id"), lit(TextAnalysis.SampleFold))
+      * TextAnalysis.SampleHashA) % 4294967296L) % TextAnalysis.SampleBuckets
+    weights.crossJoin(broadcast(mx))
+      .withColumn("bucket", bucket)
+      .withColumn("rate", expr(
+        s"${TextAnalysis.SampleBuckets} div shiftleft(cast(1 as bigint), " +
+          "cast(least(bmax - dsir_bits, 62) as int))"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("dsir_bits"), col("bucket"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dsir_weight" -> dsirWeights _,
+    "text_dsir_sample" -> dsirSample _,
   )
 
   /** DuckDB twin: the hashFeatures fold over the concatenated
     * unigram+bigram list, the gopher-pass CTE from the text_gopher_rules
     * oracle, the same one-aggregate conditional counts, and the signed
     * bin-length weights — all exact int64 until the final division. */
-  val oracleSql: Map[String, String] = Map(
-    "text_dsir_weight" ->
+  private val weightOracle: String =
       s"""WITH w AS (
          |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
          |), p AS (
@@ -174,6 +210,29 @@ object Dsir {
          |  CAST(SUM(wt.w) AS BIGINT) AS dsir_bits,
          |  CAST(SUM(wt.w) AS DOUBLE) / COUNT(*) AS mean_bits
          |FROM h JOIN wt USING (idx)
-         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_dsir_weight" -> weightOracle,
+    // The sample twin nests the ENTIRE weight oracle as a CTE body (one
+    // source of truth — the two oracles cannot drift), then replays the
+    // Knuth-bucket accept with the same shift-not-pow integer rate.
+    "text_dsir_sample" ->
+      s"""WITH dw AS (
+         |${weightOracle}
+         |), mx AS (
+         |  SELECT MAX(dsir_bits) AS bmax FROM dw
+         |)
+         |SELECT doc_id, dsir_bits,
+         |  ((doc_id % ${TextAnalysis.SampleFold}) * ${TextAnalysis.SampleHashA})
+         |    % 4294967296 % ${TextAnalysis.SampleBuckets} AS bucket,
+         |  ${TextAnalysis.SampleBuckets}
+         |    // (CAST(1 AS BIGINT) << CAST(least(mx.bmax - dsir_bits, 62) AS INTEGER)) AS rate
+         |FROM dw CROSS JOIN mx
+         |WHERE ((doc_id % ${TextAnalysis.SampleFold}) * ${TextAnalysis.SampleHashA})
+         |    % 4294967296 % ${TextAnalysis.SampleBuckets}
+         |  < ${TextAnalysis.SampleBuckets}
+         |    // (CAST(1 AS BIGINT) << CAST(least(mx.bmax - dsir_bits, 62) AS INTEGER))
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -56,12 +56,14 @@ class PlanSpec extends SparkSpec {
     * still hash-joins the pre-scored lookup); text_dsir_weight crosses
     * its ONE-row totals against the ≤1024-row bucket-count frame (both
     * bounded — Dsir.dsirWeightsOf; the corpus side broadcast-joins the
-    * finished weight table). Everything else must stay
+    * finished weight table; text_dsir_sample adds one more bounded
+    * cross — the 1-row corpus-max against the per-doc weights frame).
+    * Everything else must stay
     * hash/merge-joined — a BNLJ appearing anywhere else is a join-key
     * regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
     "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
-    "text_lm_score", "text_dsir_weight")
+    "text_lm_score", "text_dsir_weight", "text_dsir_sample")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

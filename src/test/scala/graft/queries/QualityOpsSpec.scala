@@ -196,6 +196,50 @@ class QualityOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  private def sampleBucket(id: Long): Long =
+    ((id % TextAnalysis.SampleFold) * TextAnalysis.SampleHashA) %
+      4294967296L % TextAnalysis.SampleBuckets
+  private def sampleRate(bmax: Long)(bits: Long): Long =
+    TextAnalysis.SampleBuckets / (1L << math.min(bmax - bits, 62L))
+
+  test("dsirSample: target-vocab docs survive, off-target docs are rate-0 dropped") {
+    // the SYNTHETIC corpus is zero-information for DSIR (identical
+    // vocabulary in pass and fail docs → every bucket weight is 0 and
+    // everything is kept at rate 1.0 — asserted in the corpus test
+    // below); the selection behavior needs an engineered corpus where
+    // target and raw vocabularies actually differ
+    val weights = Dsir.dsirWeightsOf(dsirCorpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bmax = weights.values.max
+    val wantKept = weights.collect {
+      case (id, b) if sampleBucket(id) < sampleRate(bmax)(b) => id }.toSet
+    val got = Dsir.dsirSampleOf(Dsir.dsirWeightsOf(dsirCorpus.toDF("doc_id", "text")))
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == wantKept, "kept set diverged from the formula")
+    for (r <- got) {
+      assert(r.getLong(2) == sampleBucket(r.getLong(0)))
+      assert(r.getLong(3) == sampleRate(bmax)(r.getLong(1)))
+    }
+    // junk docs sit many bits below the prose max → rate 0, ALL dropped
+    for (junkId <- Seq(8L, 9L, 11L))
+      assert(!wantKept.contains(junkId), s"off-target doc $junkId survived")
+    // prose at the corpus max importance is always kept
+    for ((id, b) <- weights if b == bmax)
+      assert(wantKept.contains(id), s"max-importance doc $id dropped")
+    assert(wantKept.nonEmpty)
+  }
+
+  test("dsirSample on the corpus: formula-exact (vacuously all-kept: zero-information vocab)") {
+    val d = "/root/testdata/sf0.001"
+    val weights = Dsir.dsirWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bmax = weights.values.max
+    val wantKept = weights.collect {
+      case (id, b) if sampleBucket(id) < sampleRate(bmax)(b) => id }.toSet
+    val got = Dsir.dsirSample(spark, d).collect().map(_.getLong(0)).toSet
+    assert(got == wantKept, "kept set diverged from the formula")
+  }
+
   test("lmScore on the corpus: every doc scored, rerun-deterministic") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.tables.Testdata.documents(spark, d)
