@@ -96,8 +96,51 @@ object QualityClf {
       .orderBy("doc_id")
   }
 
+  /** Candidate thresholds for [[qualitySweep]], in raw logit units
+    * (score × 2¹⁶): −8 … +8 in steps of 2 — brackets the corpus logit
+    * range so the curve's ends pin 100 % and ~0 % retention. */
+  val SweepThresholds: Seq[Long] = (-8L to 8L by 2L).map(_ * WeightScale)
+
+  /** Classifier threshold sweep — the calibration curve a pipeline
+    * owner reads BEFORE picking the quality cut: for each candidate
+    * threshold, how many documents and tokens survive `score ≥ t`, as
+    * counts and corpus fractions. Knowing "t = 0 keeps 43 % of tokens"
+    * is the difference between a tuned filter and a guessed one
+    * (FineWeb's threshold-ablation methodology).
+    *
+    * Shape: one narrow per-doc projection (logit fold + token count),
+    * then ONE keyless aggregate computing every threshold's conditional
+    * sums side by side — |T| literal thresholds ⇒ 2·|T|+2 running sums,
+    * map-side combinable, a single 1-row exchange at any corpus size —
+    * and a `stack` unpivot of that single row into the |T|-row report.
+    * Fractions divide exact int64 pairs once per row. */
+  def qualitySweep(s: SparkSession, d: String): DataFrame =
+    qualitySweepOf(documents(s, d))
+
+  private[graft] def qualitySweepOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(logitOf(col("text")).as("logit"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val aggs =
+      Seq(count(lit(1)).as("total_docs"), sum("n_tokens").as("total_tokens")) ++
+        SweepThresholds.zipWithIndex.flatMap { case (t, i) =>
+          Seq(sum(when(col("logit") >= t, 1L).otherwise(0L)).as(s"d_$i"),
+            sum(when(col("logit") >= t, col("n_tokens")).otherwise(0L)).as(s"t_$i"))
+        }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = SweepThresholds.zipWithIndex
+      .map { case (t, i) => s"${t}L, d_$i, t_$i" }
+      .mkString(s"stack(${SweepThresholds.size}, ", ", ", ")")
+    one.select(expr(s"$stackArgs as (threshold_q, n_docs, n_tokens)"),
+        col("total_docs"), col("total_tokens"))
+      .select(col("threshold_q"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("total_docs")).as("doc_frac"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("token_frac"))
+      .orderBy("threshold_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_clf" -> qualityClf _,
+    "text_quality_sweep" -> qualitySweep _,
   )
 
   /** The DuckDB twin folds THE SAME weight literals (interpolated from
@@ -125,6 +168,41 @@ object QualityClf {
          |SELECT doc_id, logit_q,
          |  CAST(logit_q AS DOUBLE) / 65536.0 AS score,
          |  logit_q > 0 AS pass
-         |FROM sc ORDER BY doc_id""".stripMargin)
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // The sweep twin reuses the identical logit CTE chain, crosses it
+    // with the literal threshold list, and divides exact int64 pairs —
+    // one division per report row on both engines.
+    "text_quality_sweep" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(unicode(word[i]) AS BIGINT) for i in range(1, len(word)+1)]),
+         |      (acc, c) -> (acc * 256 + c) % 1000000007) % 1024 AS idx
+         |  FROM tok
+         |), sc AS (
+         |  SELECT h.doc_id,
+         |    CAST($Bias + COALESCE(SUM(wt.w), 0) AS BIGINT) AS logit
+         |  FROM h LEFT JOIN (VALUES $values) AS wt(idx, w) USING (idx)
+         |  GROUP BY h.doc_id
+         |), base AS (
+         |  SELECT sc.logit,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+         |), tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS td,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS tt FROM base
+         |)
+         |SELECT CAST(t.th AS BIGINT) AS threshold_q,
+         |  CAST(COUNT(*) FILTER (WHERE base.logit >= t.th) AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(SUM(base.n_tokens) FILTER (WHERE base.logit >= t.th), 0) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) FILTER (WHERE base.logit >= t.th) AS DOUBLE) / tot.td AS doc_frac,
+         |  CAST(COALESCE(SUM(base.n_tokens) FILTER (WHERE base.logit >= t.th), 0) AS DOUBLE) / tot.tt AS token_frac
+         |FROM base CROSS JOIN tot
+         |CROSS JOIN (VALUES ${SweepThresholds.map(t => s"($t)").mkString(", ")}) AS t(th)
+         |GROUP BY t.th, tot.td, tot.tt
+         |ORDER BY threshold_q""".stripMargin)
   }
 }

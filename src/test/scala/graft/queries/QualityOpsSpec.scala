@@ -122,6 +122,31 @@ class QualityOpsSpec extends SparkSpec {
     assert(clf == again)
   }
 
+  test("qualitySweep: retention curve is monotone, ends pinned, counts match a direct fold") {
+    val prose = (Seq.fill(10)("the small table") ++ Seq.fill(10)("a fast query join")).mkString(" ")
+    val junk = Seq.fill(60)("###").mkString(" ")
+    val docs = Seq((1L, prose), (2L, junk), (3L, prose)).toDF("doc_id", "text")
+    val rows = QualityClf.qualitySweepOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == QualityClf.SweepThresholds, "threshold set drifted")
+    // monotone non-increasing retention as the cut rises
+    for (w <- rows.sliding(2); Array(a, b) = w.toArray)
+      assert(a._2 >= b._2 && a._3 >= b._3, s"non-monotone at ${b._1}")
+    // low end pinned: the lowest cut keeps everything (junk logit =
+    // bias ≈ −6.65 > −8); at t = 0 exactly the positive-logit prose
+    // survives — the junk doc is cut, so the curve genuinely moves
+    assert(rows.head._2 == 3L && rows.head._4 == 1.0, s"low end ${rows.head}")
+    val atZero = rows.find(_._1 == 0L).get
+    assert(atZero._2 == 2L, s"t=0 should keep the two prose docs: $atZero")
+    // exact agreement with a direct per-doc fold at every threshold
+    val perDoc = QualityClf.qualityClfOf(docs).collect().map(_.getLong(1))
+      .zip(Seq(prose, junk, prose).map(_.split(" ", -1).length.toLong))
+    for ((t, nd, nt, _, _) <- rows) {
+      val kept = perDoc.filter(_._1 >= t)
+      assert(nd == kept.length && nt == kept.map(_._2).sum, s"mismatch at $t")
+    }
+  }
+
   // ------------------------------------------------------ DSIR weights
 
   /** Plain-Scala DSIR twin (same constants, zero shared code): hashed
