@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's custom kernels — the
+  * `SparkSessionExtensions` entry point that makes every codegen
+  * expression callable BY NAME from `spark.sql(...)`, so a SQL-only
+  * user of the library gets the same operators the Column API exposes:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT kr_bucket(word), morton_key(x, y), image_dims(bytes) FROM t
+  * }}}
+  *
+  * Builders validate arity here and leave type checking to each
+  * expression's own `checkInputDataTypes` (the analyzer surfaces both
+  * as AnalysisExceptions). Literal-parameter functions (minhash_sig's
+  * slot count, word_shingles' width) fold their argument at build time
+  * — a non-literal there is an error by construction, same contract as
+  * Spark's own `approx_percentile` accuracy argument.
+  *
+  * [[GraftExtensions.ensureRegistered]] retrofits the same functions
+  * onto an already-built session (idempotent) — the path the harness
+  * and specs use, since `getOrCreate` ignores extension config once a
+  * session exists. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $other")
+  }
+  private def litBool(e: Expression, fn: String, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a boolean literal, got $other")
+  }
+  private def arity(fn: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+    args
+  }
+
+  private def fd(name: String, usage: String, n: Int)(
+      build: Seq[Expression] => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      (args: Seq[Expression]) => build(arity(name, n)(args)))
+
+  /** The registered surface — one entry per public kernel. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fd("morton_key", "morton_key(x, y) - 64-bit z-order key of two 31-bit coords", 2)(
+      a => graft.functions.MortonInterleave(a(0), a(1))),
+    fd("kr_bucket", "kr_bucket(word) - Karp-Rabin 1024-bucket feature hash", 1)(
+      a => graft.functions.KrBucket(a(0),
+        graft.functions.TextKernels.WinnowMod,
+        graft.queries.TextAnalysis.HashFeatDim.toLong)),
+    fd("image_dims", "image_dims(bytes) - (width<<32)|height from PNG/JPEG/GIF headers", 1)(
+      a => graft.functions.PackedImageDims(a(0))),
+    fd("wav_meta", "wav_meta(bytes) - [channels, sample_rate, bits, data_bytes] from a RIFF/WAVE header", 1)(
+      a => graft.functions.WavMeta(a(0))),
+    fd("mp4_meta", "mp4_meta(bytes) - [timescale, duration] from an MP4 moov/mvhd", 1)(
+      a => graft.functions.Mp4Meta(a(0))),
+    fd("simhash64", "simhash64(tokens) - 64-bit SimHash hex of an array<string>", 1)(
+      a => graft.functions.SimHash64(a(0))),
+    fd("minhash_sig", "minhash_sig(grams, k) - k-slot MinHash signature (k literal)", 2)(
+      a => graft.functions.MinHashSignature(a(0), litInt(a(1), "minhash_sig", "k"))),
+    fd("word_shingles", "word_shingles(words, n, distinct) - width-n shingles (n, distinct literals)", 3)(
+      a => graft.functions.WordShingles(a(0), litInt(a(1), "word_shingles", "n"),
+        litBool(a(2), "word_shingles", "distinct"))),
+    fd("sorted_intersect_count", "sorted_intersect_count(a, b) - |A∩B| of two sorted array<long>", 2)(
+      a => graft.functions.SortedIntersectCount(a(0), a(1))),
+    fd("dot_double", "dot_double(a, b) - float-vector dot product in double", 2)(
+      a => graft.functions.DotProductDouble(a(0), a(1))),
+    fd("codepoint_stats", "codepoint_stats(text) - [n, distinct, sum c^2, argmax key, max c] code-point moments", 1)(
+      a => graft.functions.CodepointStats(a(0))),
+    fd("deflate_length", "deflate_length(text) - deflate(6) byte length", 1)(
+      a => graft.functions.DeflateLength(a(0))),
+    fd("unicode_nfc", "unicode_nfc(text) - NFC-normalized text", 1)(
+      a => graft.functions.UnicodeNormalize(a(0), "NFC")),
+  )
+
+  /** Idempotently register the surface on a live session. */
+  def ensureRegistered(s: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.ColumnInterop.registerFunction(s, id, info, builder)
+    }
+}

