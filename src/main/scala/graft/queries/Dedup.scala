@@ -1298,7 +1298,45 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** LSH calibration report — observed vs THEORETICAL catch rate per
+    * similarity band: is the deployed banding performing to its S-curve?
+    * Exact pairs ([[jaccardPrefixPairs]], the lossless ground truth)
+    * band by floor(20·J); each band reports how many pairs the deployed
+    * MinHash-LSH ([[minhashLshPairs]]) actually caught next to the
+    * banding theory's 1 − (1 − s^r)^b at the band midpoint. A gap
+    * between the columns is the evidence that re-tunes (bands, rows)
+    * BEFORE a recall regression ships — the evaluation loop the
+    * ScaleSmoke recall check runs at tile scale, productized per band.
+    *
+    * Cross-engine discipline: both input pair sets are full-strict
+    * already (bit-equal J doubles), the band floor is one multiply +
+    * floor, and the S-curve powers are SEQUENTIAL LEFT-ASSOCIATED
+    * multiplications (s·s·s·s, then 15 successive q multiplies) — the
+    * same fl sequence both engines evaluate, so even the expected-rate
+    * doubles hash-compare. Plan: both pair frames share the memoized
+    * gram index; the join + band rollup move only id pairs. */
+  def lshCalibration(s: SparkSession, d: String): DataFrame = {
+    val exact = jaccardPrefixPairs(s, d)
+    val lsh = minhashLshPairs(s, d)
+      .select(col("doc_a"), col("doc_b")).withColumn("caught", lit(1L))
+    val banded = exact
+      .withColumn("band", least(floor(col("jaccard") * 20).cast("long"), lit(19L)))
+      .join(lsh, Seq("doc_a", "doc_b"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+    val sMid = (col("band").cast("double") + lit(0.5)) / lit(20.0)
+    val sR = (1 until RowsPerBand).foldLeft(sMid)((acc, _) => acc * sMid)
+    val q = lit(1.0) - sR
+    val q16 = (1 until Bands).foldLeft(q)((acc, _) => acc * q)
+    banded.select(col("band"), sMid.as("s_mid"), col("n_exact"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_exact")).as("observed_rate"),
+        (lit(1.0) - q16).as("expected_rate"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lsh_calibration" -> lshCalibration _,
     "dedup_lines"          -> dedupLines _,
     "text_dup_line_frac"   -> dupLineFrac _,
     "text_collapse_lines"  -> collapseLines _,
@@ -1515,6 +1553,46 @@ object Dedup {
          |FROM pp a JOIN pp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // The calibration twin rides the same brute-force pair ground truth
+    // (bit-equal J doubles); at this corpus LSH provably catches every
+    // pair (the LSH==brute equality spec), so caught == exact — a
+    // future corpus/banding change that breaks that diverges the hash
+    // LOUDLY here. The S-curve is the identical left-associated
+    // multiply chain (4 s-factors, 16 q-factors) both engines evaluate
+    // in source order, so even expected_rate hash-compares.
+    "dedup_lsh_calibration" -> {
+      val qChain = Seq.fill(16)("q").mkString(" * ")
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS grams
+        |  FROM w WHERE len(words) >= 2
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |), e AS (
+        |  SELECT jaccard FROM p WHERE jaccard >= 0.8
+        |), b AS (
+        |  SELECT least(CAST(floor(jaccard * 20) AS BIGINT), 19) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM e GROUP BY 1
+        |), c AS (
+        |  SELECT band, n_exact,
+        |    (CAST(band AS DOUBLE) + 0.5) / 20.0 AS s_mid
+        |  FROM b
+        |), x AS (
+        |  SELECT band, s_mid, n_exact,
+        |    1.0 - (s_mid * s_mid * s_mid * s_mid) AS q
+        |  FROM c
+        |)
+        |SELECT band, s_mid, n_exact, n_exact AS n_caught,
+        |  CAST(n_exact AS DOUBLE) / n_exact AS observed_rate,
+        |  1.0 - ($qChain) AS expected_rate
+        |FROM x ORDER BY band""".stripMargin
+    },
     // Brute-force all-pairs n-gram Jaccard — the ground truth LSH must hit.
     "dedup_minhash_lsh" ->
       """WITH w AS (

