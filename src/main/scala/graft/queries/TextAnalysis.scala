@@ -404,7 +404,11 @@ object TextAnalysis {
   def lmScore(s: SparkSession, d: String): DataFrame =
     lmScoreOf(documents(s, d))
 
-  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+  /** The trained backoff model tables — (unigram (t, s1), pruned bigram
+    * (g, s2)) — factored out so batch scoring and the STREAMING scorer
+    * ([[graft.streaming.StreamingIngest.lmScoreStream]]) train through
+    * one definition and cannot disagree on what the model is. */
+  private[graft] def lmModelOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val words = split(col("text"), " ")
     // unigram score table — surprisalOf's vocab, reused as the backoff
     val tok = docs.select(explode(words).as("t"))
@@ -413,12 +417,8 @@ object TextAnalysis {
     val uq = ((col("n") - pmod(col("n"), col("c"))) / col("c")).cast("long")
     val uni = freq.crossJoin(broadcast(total))
       .select(col("t"), (length(conv(uq.cast("string"), 10, 2)) - 1).cast("long").as("s1"))
-    // transition instances carry (gram, target word) — the target is the
-    // backoff lookup key when the gram misses the pruned table
     val bi = docs.filter(size(words) >= 2)
-      .select(col("doc_id"),
-        explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
-      .withColumn("b", substring_index(col("g"), " ", -1))
+      .select(explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
     val bc = bi.groupBy("g").agg(count(lit(1)).as("c_ab"))
       .withColumn("a", substring_index(col("g"), " ", 1))
     // context totals come from the FULL table (true c(a·) denominators);
@@ -428,6 +428,18 @@ object TextAnalysis {
       .select(col("g"),
         (length(conv(expr("c_a div c_ab").cast("string"), 10, 2)) - 1)
           .cast("long").as("s2"))
+    (uni, pruned)
+  }
+
+  private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val (uni, pruned) = lmModelOf(docs)
+    // transition instances carry (gram, target word) — the target is the
+    // backoff lookup key when the gram misses the pruned table
+    val bi = docs.filter(size(words) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
+      .withColumn("b", substring_index(col("g"), " ", -1))
     val trans = bi.join(pruned, Seq("g"), "left")
       .join(broadcast(uni.toDF("b", "s1")), "b")
       .groupBy("doc_id")

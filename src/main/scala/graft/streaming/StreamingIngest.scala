@@ -185,6 +185,58 @@ object StreamingIngest {
         (col("logit_sum").cast("double") / col("n_docs") /
           graft.queries.QualityClf.WeightScale.toDouble).as("mean_score"))
 
+  /** Streaming stupid-backoff LM scoring — per arriving document, the
+    * SAME score [[graft.queries.TextAnalysis.lmScore]] computes in
+    * batch, against model tables trained on a STATIC reference corpus
+    * (one [[graft.queries.TextAnalysis.lmModelOf]] definition — stream
+    * and batch cannot disagree on the model): the live fluency gate
+    * that scores a crawl as it lands instead of after the next batch
+    * rescoring pass. Out-of-vocabulary tokens take the surprisal
+    * family's documented OOV default — unigram count 1, i.e.
+    * ⌊log₂ N⌋ bits (`oovBits`, computed once from the static side) —
+    * so NEW text scores conservatively high instead of erroring.
+    *
+    * Shape: per-row transition structs built from the words array (no
+    * stream-stream join — position 0 is the unigram-scored first
+    * token, position i carries its (prev word, word) gram), then two
+    * STREAM-STATIC joins (pruned bigram table, unigram table — static
+    * sides re-planned per micro-batch like [[enrichStream]]) and one
+    * watermark-evicted (window, doc) aggregate. */
+  def lmScoreStream(docs: DataFrame, modelCorpus: DataFrame,
+                    eventTimeCol: String = "event_time",
+                    win: String = "10 minutes",
+                    watermark: String = "20 minutes"): DataFrame = {
+    val (uni, pruned) = graft.queries.TextAnalysis.lmModelOf(modelCorpus)
+    val oovBits: Long = {
+      val n = modelCorpus
+        .select(explode(split(col("text"), " ")).as("t")).count()
+      63L - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    }
+    val words = split(col("text"), " ")
+    val toks = docs
+      .withWatermark(eventTimeCol, watermark)
+      .select(col(eventTimeCol), col("doc_id"),
+        explode(transform(words, (w, i) => struct(
+          w.as("b"),
+          when(i === 0, lit(null).cast("string"))
+            .otherwise(concat(element_at(words, i), lit(" "), w)).as("g")))).as("x"))
+      .select(col(eventTimeCol), col("doc_id"), col("x.b").as("b"), col("x.g").as("g"))
+    val scored = toks
+      .join(pruned, Seq("g"), "left")
+      .join(uni.toDF("b", "s1"), Seq("b"), "left")
+      .select(col(eventTimeCol), col("doc_id"),
+        when(col("g").isNull, coalesce(col("s1"), lit(oovBits)))
+          .otherwise(coalesce(col("s2"),
+            coalesce(col("s1"), lit(oovBits)) + lit(graft.queries.TextAnalysis.LmBackoffBits)))
+          .as("bits"))
+    scored
+      .groupBy(window(col(eventTimeCol), win), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("lm_bits"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_tokens"), col("lm_bits"),
+        (col("lm_bits").cast("double") / col("n_tokens")).as("mean_bits"))
+  }
+
   /** Windowed source-mix drift — per event-time window, each source's
     * share of arriving documents next to its BASELINE share (the static
     * corpus mix passed in — at 100 TB, the persisted

@@ -575,6 +575,65 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LM-score stream: per-doc scores equal the batch scorer against the same static model") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val corpus = graft.tables.Testdata.documents(spark, "/root/testdata/sf0.001")
+    val sample = corpus.select("doc_id", "text").limit(8).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.lmScoreStream(docs, corpus,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("lm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(sample.map { case (id, t) => (new Timestamp(t0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), sample.head._1, sample.head._2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_tokens, lm_bits FROM lm_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.queries.TextAnalysis.lmScore(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == sample.map(_._1).toSet)
+      for ((id, v) <- got)
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+    } finally q.stop()
+  }
+
+  test("LM-score stream: out-of-vocabulary text takes the documented OOV default, never errors") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val corpus = graft.tables.Testdata.documents(spark, "/root/testdata/sf0.001")
+    val n = corpus.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "))).count()
+    val oovBits = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.lmScoreStream(docs, corpus,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("lm_oov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1800000000000L
+      input.addData((new Timestamp(t0), 9001L, "zzqx wvrk zzqx"))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), 9002L, "flush"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n_tokens, lm_bits FROM lm_oov WHERE doc_id = 9001").head()
+      // first token: oovBits; two transitions, both gram-missing with
+      // OOV targets: (oovBits + 2) each — the exact documented formula
+      assert(r.getLong(0) == 3L)
+      assert(r.getLong(1) == oovBits + 2 * (oovBits + 2),
+        s"OOV score ${r.getLong(1)} != ${oovBits + 2 * (oovBits + 2)}")
+    } finally q.stop()
+  }
+
   test("diversity stream: chained windowed moments equal the batch diversity per window") {
     val sql = spark.sqlContext
     import sql.implicits._
