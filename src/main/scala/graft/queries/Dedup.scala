@@ -359,21 +359,26 @@ object Dedup {
     * probe rows costs more than the sorts it saves, while AQE remains
     * free to pick the strategy per-run from real sizes. */
   private[graft] def containmentCandidatesOf(grams: DataFrame): DataFrame = {
-    val exploded = grams.select(col("doc_id"), explode(col("gram_ids")).as("gram"))
-    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("freq"))
-    val n = size(col("sorted"))
-    val probeLen = (n - floor((n * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
-    val sorted = exploded.join(freq, "gram")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("freq"), col("gram")))).as("sorted"))
-      .select(col("doc_id"), n.as("n_grams"),
-        transform(col("sorted"), _.getField("gram")).as("by_freq"),
-        probeLen.as("probe_len"))
-
-    val probe = sorted.select(col("doc_id"), col("n_grams"),
-      posexplode(slice(col("by_freq"), lit(1), col("probe_len"))).as(Seq("pos", "gram")))
-    val index = sorted.select(col("doc_id"), col("n_grams"),
-      posexplode(col("by_freq")).as(Seq("pos", "gram")))
+    // Rarest-first positions as ONE window rank over the exploded
+    // postings — the r12 shape collected every doc's grams into a
+    // sorted ARRAY and then posexploded that array twice (probe slice +
+    // full index): three materializations of the corpus gram set, with
+    // the array rows dominating peak memory exactly at the 100×-tile
+    // smoke where the hot JVM is already pressured. The window form
+    // keeps rows skinny end to end — same doc_id exchange, the sort
+    // happens inside the window instead of inside sort_array, the index
+    // side IS the ranked frame, and the probe side is a FILTER on it
+    // (pos < probe_len) instead of a second explosion.
+    val exploded = grams.select(col("doc_id"),
+      size(col("gram_ids")).as("n_grams"), explode(col("gram_ids")).as("gram"))
+    val freq = exploded.select("gram").groupBy("gram").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy("doc_id").orderBy(col("freq"), col("gram"))
+    val index = exploded.join(freq, "gram")
+      .withColumn("pos", row_number().over(w) - 1)
+      .select(col("doc_id"), col("n_grams"), col("pos"), col("gram"))
+    val probeLen = (col("n_grams") -
+      floor((col("n_grams") * JaccardP + JaccardQ - 1) / JaccardQ) + 1).cast("int")
+    val probe = index.filter(col("pos") < probeLen)
     val a = probe.as("a"); val b = index.as("b")
     // required overlap α = ⌈t·n_A⌉ depends on the contained side only.
     val alpha = floor((col("a.n_grams") * JaccardP + JaccardQ - 1) / JaccardQ)
