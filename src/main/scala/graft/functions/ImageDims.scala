@@ -96,7 +96,13 @@ object ImageDims {
             if (w == 0 || h == 0) return null
             return java.lang.Long.valueOf((w.toLong << 32) | h.toLong)
           }
-          i = j + 1 + len
+          // Long arithmetic for the skip: on a near-2GB input
+          // j + 1 + len can overflow Int negative while the loop guard
+          // stays true — the same hostile-size discipline as the
+          // AudioMeta/VideoMeta Long cursors.
+          val ni = j.toLong + 1L + len.toLong
+          if (ni + 3L >= b.length.toLong) return null
+          i = ni.toInt
         }
         segs += 1
       }

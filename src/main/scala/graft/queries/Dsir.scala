@@ -26,9 +26,10 @@ import graft.tables.Testdata._
   * float log never is). A document's score is the BoW dot product —
   * the per-occurrence sum of its buckets' weights — all int64 until
   * the one final mean division. Int64 budget: num/den ≤ (F+1)·(F+B)
-  * for F total feature occurrences — exact to F ≈ 3×10⁹ occurrences;
-  * past that the weight table computation (1024 rows, driver-cheap)
-  * flips to double while the corpus-side sum stays int64.
+  * for F total feature occurrences — the products fit int64 (and the
+  * true integer `div` is exact) up to F ≈ 3×10⁹ occurrences; a corpus
+  * past that must widen the 1024-row weight-table arithmetic to
+  * decimal(38,0) before the broadcast (corpus-side sums stay int64).
   *
   * Scale shape: ONE corpus pass builds the bucket table (feature
   * explode → ≤1024-row map-side-combinable conditional aggregate: raw
@@ -99,12 +100,15 @@ object Dsir {
       sum("c_raw").as("n_raw"), sum("c_t").as("n_t"))
     def bits(q: Column): Column =
       (length(conv(q.cast("string"), 10, 2)) - 1).cast("long")
-    val num = (col("c_t") + 1L) * (col("n_raw") + lit(Buckets))
-    val den = (col("c_raw") + 1L) * (col("n_t") + lit(Buckets))
-    // exact signed floor-log2 of num/den (ratios in [1/2, 2) score 0)
-    val w = when(num >= den, bits(((num - pmod(num, den)) / den).cast("long")))
-      .otherwise(-bits(((den - pmod(den, num)) / num).cast("long")))
+    // exact signed floor-log2 of num/den (ratios in [1/2, 2) score 0).
+    // True int64 `div` (the lmModelOf idiom) — a double-emulated floor
+    // division is exact only to 2^53 and would silently break the
+    // full-strict hash contract near the documented F ≈ 3×10⁹ envelope.
+    val w = when(col("num") >= col("den"), bits(expr("num div den")))
+      .otherwise(-bits(expr("den div num")))
     val weights = counts.crossJoin(broadcast(totals))
+      .withColumn("num", (col("c_t") + 1L) * (col("n_raw") + lit(Buckets)))
+      .withColumn("den", (col("c_raw") + 1L) * (col("n_t") + lit(Buckets)))
       .select(col("idx"), w.as("w"))
     feats.join(broadcast(weights), "idx")
       .groupBy("doc_id")

@@ -85,8 +85,13 @@ object QualityClf {
     val wmap = typedLit(Weights.toMap)
     def bucket(word: Column): Column = graft.functions.TextKernels
       .krBucket(word, M, graft.queries.TextAnalysis.HashFeatDim.toLong)
+    // try_element_at, not element_at: under ANSI mode (default-on in
+    // upstream Spark 4.x) element_at on a map THROWS for missing keys —
+    // i.e. for nearly every out-of-vocabulary word — while
+    // try_element_at is null-on-miss in both modes, keeping the
+    // OOV-neutral coalesce(…, 0L) path mode-independent.
     aggregate(split(text, " "), lit(Bias),
-      (acc, w) => acc + coalesce(element_at(wmap, bucket(w)), lit(0L)))
+      (acc, w) => acc + coalesce(try_element_at(wmap, bucket(w)), lit(0L)))
   }
 
   private[graft] def qualityClfOf(docs: DataFrame): DataFrame = {

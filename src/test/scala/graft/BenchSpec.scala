@@ -188,6 +188,25 @@ class BenchSpec extends AnyFunSuite {
       s"collapsed map sum $qsum (+$shownFailures failures) != total $total")
   }
 
+  test("prev-round full report parses: timings object only, sf-gated, sentinels out") {
+    // VERDICT r13 item 6: cross-round per-query diffs read the previous
+    // round's FULL report (bench_report.json "timings" — one row per
+    // registered query) because the BENCH_r* stdout line collapses the
+    // fast tail into "_other" under the driver's fixed capture window.
+    val p = write(
+      """{"sf":0.1,"regress_threshold":1.5,"regress_min_delta_sec":0.75,
+        |"baseline_queries":179,"timings":{"q_slow":1.23,"q_tail":0.04,"q_broken":-1.0},
+        |"vs_prev":{"q_slow":1.01,"q_tail":9.9},"regressed":[],
+        |"line":"{\"metric\":\"total\",\"queries\":{\"ghost\":9.9}}"}""".stripMargin)
+    val m = Bench.loadQueryMap(p, "0.1", "timings").filter(_._2 >= 0)
+    // the tail query the stdout line would fold IS here; the failure
+    // sentinel and the vs_prev/line decoys are not
+    assert(m == Map("q_slow" -> 1.23, "q_tail" -> 0.04), m.toString)
+    assert(Bench.loadQueryMap(p, "0.001", "timings").isEmpty)
+    // the legacy artifact shape still parses through the same loader
+    assert(Bench.loadQueryMap(p, "0.1", "queries").isEmpty) // no queries obj
+  }
+
   test("vanished detector: queries in the previous artifact but not the registry surface by name") {
     val prev = Map("q_kept" -> 1.0, "q_deleted" -> 2.0, "q_also_gone" -> 0.5)
     val results = Seq("q_kept" -> 1.1, "q_new" -> 0.3)
