@@ -100,6 +100,27 @@ object TextKernels {
     * (n_cps, n_distinct, Σ count², max count, argmax code point). */
   def codepointStats(text: Column): Column =
     ColumnInterop.column(CodepointStats(ColumnInterop.expression(text)))
+
+  /** Writing-script ranges for [[scriptCounts]] — the DEFINITION is the
+    * code-point ranges themselves (plain integer compares, identical
+    * arithmetic in any engine), deliberately NOT `\p{Script=…}` property
+    * classes, whose membership shifts with each engine's Unicode table
+    * version and would break cross-engine full-strict compares. Latin
+    * spans ASCII letters + Latin-1/Extended-A/B; CJK includes Extension
+    * B (supplementary plane — surrogate-pair handling is part of the
+    * contract). Order here fixes the tie-break priority of the
+    * dominant-script vote. */
+  val ScriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin"      -> Seq((0x0041, 0x005A), (0x0061, 0x007A), (0x00C0, 0x024F)),
+    "cyrillic"   -> Seq((0x0400, 0x04FF)),
+    "cjk"        -> Seq((0x4E00, 0x9FFF), (0x20000, 0x2A6DF)),
+    "arabic"     -> Seq((0x0600, 0x06FF)),
+    "devanagari" -> Seq((0x0900, 0x097F)))
+
+  /** Per-script code-point counts — array<long> of
+    * (n_cps_total, then one count per [[ScriptRanges]] entry in order). */
+  def scriptCounts(text: Column): Column =
+    ColumnInterop.column(ScriptCounts(ColumnInterop.expression(text)))
 }
 
 /** `sort_array(transform(grams, g ⇒ xxhash64(g)))` as one codegen call —
@@ -739,6 +760,60 @@ case class CodepointStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("codepointStatsExpr", this, classOf[CodepointStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-script code-point counts in one narrow pass — the input of the
+  * mixed-script spam gate ([[graft.queries.TextAnalysis]] `text_script_mix`):
+  * SEO spam and encoding mojibake interleave scripts (Cyrillic lookalikes
+  * in Latin words, CJK keyword stuffing) that a Latin-only stopword
+  * language-id model scores as merely "unknown". Emits array<long> of
+  * (total code points, then one count per [[TextKernels.ScriptRanges]]
+  * band in declaration order). Iteration is by Unicode CODE POINT, not
+  * UTF-16 unit — supplementary-plane CJK (Extension B) must count once,
+  * matching DuckDB's per-character semantics. Membership is the range
+  * compare itself (see [[TextKernels.ScriptRanges]] for why property
+  * classes are banned); ranges are baked to a sorted flat array at
+  * construction so the hot loop is a short branchless scan. */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+
+  @transient private lazy val ranges: Array[(Int, Int, Int)] =
+    TextKernels.ScriptRanges.zipWithIndex.flatMap { case ((_, rs), si) =>
+      rs.map { case (lo, hi) => (lo, hi, si) }
+    }.sortBy(_._1).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"script_counts expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "script_counts"
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = new Array[Long](TextKernels.ScriptRanges.size + 1)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      out(0) += 1L
+      var r = 0
+      while (r < ranges.length && ranges(r)._1 <= cp) {
+        if (cp <= ranges(r)._2) { out(ranges(r)._3 + 1) += 1L; r = ranges.length }
+        else r += 1
+      }
+      i += Character.charCount(cp)
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("scriptCountsExpr", this, classOf[ScriptCounts].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

@@ -1935,6 +1935,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- mixed-script spam
+
+  /** `is_mixed` arms only past this many script-classified code points —
+    * a two-word caption with one emoji-adjacent Cyrillic char is not
+    * spam evidence. */
+  val ScriptMixMinChars = 20L
+  /** Minority-script fraction at or above which a doc flags as mixed. */
+  val ScriptMixFracMin = 0.05
+
+  /** Mixed-script detector — the spam/mojibake gate the stopword
+    * language-id model ([[langId]]) is structurally blind to: that model
+    * is Latin-stopword-only, so Cyrillic-lookalike substitution and CJK
+    * keyword stuffing score as merely "unknown" instead of hostile.
+    * Counts code points per writing-script RANGE
+    * ([[graft.functions.TextKernels.ScriptRanges]] — integer range
+    * compares, deliberately not engine-versioned `\p{Script}` classes)
+    * in ONE narrow kernel pass, then votes: dominant script (tie-break =
+    * declaration order), minority fraction as one exact-int64 division,
+    * and the flag `n_scripted ≥ 20 ∧ mix_frac ≥ 0.05`.
+    *
+    * The synthetic corpus is pure ASCII (every doc would be latin/0.0),
+    * so the query plants non-Latin suffixes as known functions of doc_id
+    * — the [[stripMarkup]] dirty-fixture discipline — including a
+    * SUPPLEMENTARY-PLANE CJK char (U+2000B), so surrogate-pair counting
+    * is oracle-checked, not just spec'd. Both engines synthesize the
+    * identical string (chr() twins below). Scale shape: one projection
+    * inside the scan, no exchange. */
+  def scriptMix(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextKernels
+    val variant = pmod(col("doc_id"), lit(4L))
+    val k = (pmod(col("doc_id"), lit(7L)) + 2L).cast("int")
+    val cyr = repeat(lit("Дом"), k) // Дом ×k
+    val cjk = repeat(lit("中𠀋"), k) // 中 + U+2000B (Ext B) ×k
+    val mixed = concat(repeat(lit("مر"), k), // مر ×k
+      repeat(lit("कख"), k), lit("spam")) // कख ×k
+    val dirty = when(variant === 1, concat(col("text"), lit(" "), cyr))
+      .when(variant === 2, concat(col("text"), lit(" "), cjk))
+      .when(variant === 3, concat(col("text"), lit(" "), mixed))
+      .otherwise(col("text"))
+    documents(s, d)
+      .select(col("doc_id"), TextKernels.scriptCounts(dirty).as("st"))
+      .select(col("doc_id"), col("st").getItem(0).as("n_cp"),
+        col("st").getItem(1).as("n_latin"), col("st").getItem(2).as("n_cyrillic"),
+        col("st").getItem(3).as("n_cjk"), col("st").getItem(4).as("n_arabic"),
+        col("st").getItem(5).as("n_devanagari"))
+      .withColumn("n_scripted", col("n_latin") + col("n_cyrillic") + col("n_cjk") +
+        col("n_arabic") + col("n_devanagari"))
+      .withColumn("n_top", greatest(col("n_latin"), col("n_cyrillic"), col("n_cjk"),
+        col("n_arabic"), col("n_devanagari")))
+      .withColumn("dominant",
+        when(col("n_scripted") === 0, "none")
+          .when(col("n_latin") === col("n_top"), "latin")
+          .when(col("n_cyrillic") === col("n_top"), "cyrillic")
+          .when(col("n_cjk") === col("n_top"), "cjk")
+          .when(col("n_arabic") === col("n_top"), "arabic")
+          .otherwise("devanagari"))
+      .withColumn("mix_frac", when(col("n_scripted") === 0, lit(0.0))
+        .otherwise((col("n_scripted") - col("n_top")).cast("double") /
+          col("n_scripted").cast("double")))
+      .withColumn("is_mixed",
+        col("n_scripted") >= ScriptMixMinChars && col("mix_frac") >= ScriptMixFracMin)
+      .drop("n_top")
+      .orderBy("doc_id")
+  }
+
+  /** `[^\x{lo}-\x{hi}…]` negated-class body for one [[TextKernels.ScriptRanges]]
+    * script — the oracle's counting regex is GENERATED from the same
+    * range table the kernel compiles, so the two definitions cannot
+    * drift. */
+  private def scriptClass(name: String): String =
+    graft.functions.TextKernels.ScriptRanges.find(_._1 == name).get._2
+      .map { case (lo, hi) => f"\\x{$lo%04X}-\\x{$hi%04X}" }.mkString
+
   // ------------------------------------------------ unicode normalization
 
   /** Unicode NFC canonicalization + Unicode lowercase — the identity
@@ -1971,6 +2044,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unicode_norm" -> unicodeNorm _,
     "text_char_diversity" -> charDiversity _,
+    "text_script_mix" -> scriptMix _,
     "text_gram_novelty" -> gramNovelty _,
     "text_hash_features" -> hashFeatures _,
     "text_tokens"      -> tokenCounts _,
@@ -2019,6 +2093,53 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same planted suffixes via chr() twins (no non-ASCII in the SQL
+    // text), counts via negated-class regexp_replace whose class bodies
+    // are GENERATED from TextKernels.ScriptRanges — DuckDB's length() is
+    // code-point length, so the supplementary-plane CJK char counts once
+    // on both engines. One CASE vote + one exact division, as in Spark.
+    "text_script_mix" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 1 THEN text || ' ' ||
+         |           repeat(chr(1044)||chr(1086)||chr(1084), CAST(doc_id % 7 + 2 AS INT))
+         |         WHEN doc_id % 4 = 2 THEN text || ' ' ||
+         |           repeat(chr(20013)||chr(131083), CAST(doc_id % 7 + 2 AS INT))
+         |         WHEN doc_id % 4 = 3 THEN text || ' ' ||
+         |           repeat(chr(1605)||chr(1585), CAST(doc_id % 7 + 2 AS INT)) ||
+         |           repeat(chr(2325)||chr(2326), CAST(doc_id % 7 + 2 AS INT)) || 'spam'
+         |         ELSE text END AS dirty
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CAST(length(dirty) AS BIGINT) AS n_cp,
+         |    CAST(length(regexp_replace(dirty, '[^${scriptClass("latin")}]', '', 'g')) AS BIGINT) AS n_latin,
+         |    CAST(length(regexp_replace(dirty, '[^${scriptClass("cyrillic")}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         |    CAST(length(regexp_replace(dirty, '[^${scriptClass("cjk")}]', '', 'g')) AS BIGINT) AS n_cjk,
+         |    CAST(length(regexp_replace(dirty, '[^${scriptClass("arabic")}]', '', 'g')) AS BIGINT) AS n_arabic,
+         |    CAST(length(regexp_replace(dirty, '[^${scriptClass("devanagari")}]', '', 'g')) AS BIGINT) AS n_devanagari
+         |  FROM dirty
+         |), m AS (
+         |  SELECT *,
+         |    n_latin + n_cyrillic + n_cjk + n_arabic + n_devanagari AS n_scripted,
+         |    greatest(n_latin, n_cyrillic, n_cjk, n_arabic, n_devanagari) AS n_top
+         |  FROM c
+         |), v AS (
+         |  SELECT *,
+         |    CASE WHEN n_scripted = 0 THEN 'none'
+         |         WHEN n_latin = n_top THEN 'latin'
+         |         WHEN n_cyrillic = n_top THEN 'cyrillic'
+         |         WHEN n_cjk = n_top THEN 'cjk'
+         |         WHEN n_arabic = n_top THEN 'arabic'
+         |         ELSE 'devanagari' END AS dominant,
+         |    CASE WHEN n_scripted = 0 THEN 0.0
+         |         ELSE CAST(n_scripted - n_top AS DOUBLE) / CAST(n_scripted AS DOUBLE) END AS mix_frac
+         |  FROM m
+         |)
+         |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_cjk, n_arabic, n_devanagari,
+         |  n_scripted, dominant, mix_frac,
+         |  (n_scripted >= $ScriptMixMinChars AND mix_frac >= $ScriptMixFracMin) AS is_mixed
+         |FROM v ORDER BY doc_id""".stripMargin,
     // Identical Karp-Rabin fold: acc·256 + codepoint mod 1e9+7, seeded 0
     // via list_prepend (DuckDB's list_reduce has no init parameter).
     "text_hash_features" ->
