@@ -1393,6 +1393,76 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------- main-content extraction
+
+  /** A block survives extraction only with at least this many words —
+    * JusText's "short blocks are boilerplate unless proven otherwise"
+    * rule, arithmetized. */
+  val ContentMinWords = 5L
+  /** Link-span regex: an anchor tag and its (tag-free) text. RE2-safe;
+    * anchors with NESTED markup inside the text are out of contract
+    * (the strip still removes their tags — only the link-density
+    * attribution misses them). */
+  private[graft] val LinkSpanRe = "<a [^>]*>[^<]*</a>"
+
+  /** The synthesized "crawled page" the extraction oracle runs on — the
+    * [[markupDirtyCol]] discipline, upgraded to a page SHAPE: one block
+    * per line, with the four boilerplate archetypes a real extractor
+    * must drop (nav link bar; short heading; link-list; link-heavy
+    * footer) wrapped around the document's prose. Both engines build
+    * the identical string. */
+  private[graft] def contentPageCol: Column = concat(
+    lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav>\n"),
+    lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>\n<p>"),
+    col("text"),
+    lit("</p>\n<ul><li><a href=\"/t/1\">one link</a></li>" +
+      "<li><a href=\"/t/2\">two link</a></li></ul>\n"),
+    lit("<footer>Copyright <a href=\"/tos\">Terms of Use</a> " +
+      "<a href=\"/p\">Privacy Policy</a></footer>"))
+
+  /** HTML main-content extraction (the JusText / trafilatura stage,
+    * arithmetized) — the decision [[stripMarkup]] deliberately does NOT
+    * make: strip keeps ALL text, while a crawl pipeline must decide
+    * WHICH text is content before any downstream gate sees it (markup-
+    * stripped nav/footer boilerplate poisons every n-gram and quality
+    * stat in this file). Per line-level block: tag-strip the block, then
+    * keep it iff it has ≥ [[ContentMinWords]] words AND its link-text
+    * share is ≤ ⅓ (3·link_len ≤ text_len — the exact-integer form of
+    * JusText's link-density bar, no doubles anywhere). link_len is the
+    * post-collapse length drop from deleting [[LinkSpanRe]] spans before
+    * stripping.
+    *
+    * Scale shape: the whole extraction is per-row higher-order
+    * arithmetic over the line array (transform → filter → array_join)
+    * inside the scan projection — ZERO exchanges at any corpus size,
+    * strictly cheaper than the explode + group-back form ([[Dedup.dedupLinesOf]]
+    * needs that shape for its cross-doc frequency vote; a pure per-doc
+    * rule does not). The DuckDB twin uses unnest + FILTERed ordered
+    * string_agg — different plan, identical values, full-strict. */
+  def extractContent(s: SparkSession, d: String): DataFrame =
+    extractContentOf(documents(s, d))
+
+  private[graft] def extractContentOf(docs: DataFrame): DataFrame = {
+    val blocks = transform(split(contentPageCol, "\n"), l => {
+      val txt = stripMarkupCol(l)
+      val noLink = stripMarkupCol(regexp_replace(l, LinkSpanRe, " "))
+      val textLen = length(txt).cast("long")
+      val linkLen = textLen - length(noLink).cast("long")
+      val nWords = when(textLen === 0, lit(0L))
+        .otherwise(size(split(txt, " ")).cast("long"))
+      struct(txt.as("txt"),
+        (nWords >= ContentMinWords && linkLen * 3L <= textLen).as("keep"))
+    })
+    val kept = filter(blocks, b => b.getField("keep"))
+    docs.select(col("doc_id"),
+      size(blocks).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      (size(blocks) - size(kept)).cast("long").as("n_dropped"),
+      array_join(transform(kept, b => b.getField("txt")), " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** PII regexes — RE2-safe (shared verbatim with the DuckDB twin).
     * Applied email → IPv4 → phone: each replacement's mask token carries
     * no digits, so later patterns can never re-match inside an earlier
@@ -2084,6 +2154,7 @@ object TextAnalysis {
     "text_cdf_rank"      -> cdfRank _,
     "text_compress_ratio" -> compressRatio _,
     "text_strip_markup"  -> stripMarkup _,
+    "text_extract_content" -> extractContent _,
     "text_redact_pii"    -> redactPii _,
     "text_freq_items"    -> freqItems _,
     "text_split_assign"  -> splitAssign _,
@@ -2941,6 +3012,53 @@ object TextAnalysis {
         |  CAST(len(clean) AS BIGINT) AS n_chars_clean,
         |  CAST(len(dirty) - len(clean) AS BIGINT) AS n_removed
         |FROM dec ORDER BY doc_id""".stripMargin,
+    // Same synthesized page (chr(10) line blocks), same strip chain as
+    // text_strip_markup per block, same exact-integer keep rule
+    // (words ≥ 5 AND 3·link_len ≤ text_len); reassembly is the ordered
+    // FILTERed string_agg (Spark side does the same arithmetic as
+    // per-row array ops — different plan, identical values).
+    "text_extract_content" ->
+      s"""WITH page AS (
+         |  SELECT doc_id,
+         |    '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' || chr(10) ||
+         |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+         |    '<p>' || text || '</p>' || chr(10) ||
+         |    '<ul><li><a href="/t/1">one link</a></li><li><a href="/t/2">two link</a></li></ul>' || chr(10) ||
+         |    '<footer>Copyright <a href="/tos">Terms of Use</a> <a href="/p">Privacy Policy</a></footer>' AS page
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(page, chr(10))) AS line,
+         |    generate_subscripts(string_split(page, chr(10)), 1) AS line_no
+         |  FROM page
+         |), m AS (
+         |  SELECT doc_id, line_no,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(line, '<[^>]*>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |        '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS txt,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(line, '$LinkSpanRe', ' ', 'g'), '<[^>]*>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |        '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS nolink
+         |  FROM b
+         |), k AS (
+         |  SELECT doc_id, line_no, txt,
+         |    ((CASE WHEN length(txt) = 0 THEN 0
+         |           ELSE len(string_split(txt, ' ')) END) >= $ContentMinWords
+         |     AND (length(txt) - length(nolink)) * 3 <= length(txt)) AS keep
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(txt, ' ' ORDER BY line_no) FILTER (WHERE keep), '') AS kept_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Identical regexes (the RE2-safe subset), identical email→IP→phone
     // order, per-stage counts on the stage's own input.
     "text_redact_pii" ->

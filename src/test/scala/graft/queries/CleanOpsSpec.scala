@@ -35,6 +35,47 @@ class CleanOpsSpec extends SparkSpec {
     assert(strip("a <unclosed forever") == "a <unclosed forever") // no '>': not a tag
   }
 
+  // --------------------------------------------- main-content extraction
+
+  test("extractContent: prose kept; nav, heading, link-list and footer boilerplate dropped") {
+    // the synthesized page has 5 blocks: nav (link bar), h1 (short),
+    // <p>prose</p>, link-list, link-heavy footer — only the prose block
+    // may survive, and only when it clears the word floor.
+    val prose = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq((1L, prose)).toDF("doc_id", "text")
+    val r = TextAnalysis.extractContentOf(df).head()
+    assert(r.getAs[Long]("n_blocks") == 5L)
+    assert(r.getAs[Long]("n_kept") == 1L)
+    assert(r.getAs[Long]("n_dropped") == 4L)
+    assert(r.getAs[String]("kept_text") == prose, r.getAs[String]("kept_text"))
+  }
+
+  test("extractContent: short prose falls to the word floor; long link-heavy prose to link density") {
+    // 4 words < ContentMinWords=5 -> even the prose block drops
+    val short = Seq((1L, "too short to keep")).toDF("doc_id", "text")
+    val rs = TextAnalysis.extractContentOf(short).head()
+    assert(rs.getAs[Long]("n_kept") == 0L)
+    assert(rs.getAs[String]("kept_text") == "") // empty husk, never null
+    // a prose block that is mostly anchor text violates 3*link <= text
+    val linky = Seq((2L,
+      "<a href=\"/x\">one two three four five six seven eight</a> tail word"))
+      .toDF("doc_id", "text")
+    val rl = TextAnalysis.extractContentOf(linky).head()
+    assert(rl.getAs[Long]("n_kept") == 0L,
+      s"link-heavy block survived: ${rl.getAs[String]("kept_text")}")
+  }
+
+  test("extractContent: kept blocks reassemble in document order, multi-block prose") {
+    // a doc whose text itself contains a '\n' contributes TWO prose-line
+    // blocks; both clear the rules and must join in order.
+    val df = Seq((3L, "alpha beta gamma delta epsilon one\nzeta eta theta iota kappa two"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.extractContentOf(df).head()
+    assert(r.getAs[Long]("n_blocks") == 6L) // the page's 5 + the extra line
+    assert(r.getAs[String]("kept_text") ==
+      "alpha beta gamma delta epsilon one zeta eta theta iota kappa two")
+  }
+
   test("stripMarkup: entities decode AFTER tag removal, so encoded tags surface as text") {
     assert(strip("x &lt;b&gt; y") == "x <b> y")
     assert(strip("&quot;q&quot;&nbsp;&#39;s") == "\"q\" 's")
