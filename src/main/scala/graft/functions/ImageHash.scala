@@ -1,0 +1,150 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+/** Perceptual image hashing over REAL decoded pixels — the multimodal
+  * near-dup stage (LAION-style corpus dedup): byte-exact sha2 cannot
+  * catch a re-encoded or resized image, and header dims
+  * ([[ImageDims]]) never see pixel content. The JDK's own `ImageIO`
+  * decodes PNG/JPEG/GIF offline (no external codec — the same classes
+  * the repo's header-parser specs already use to ENCODE fixtures), so
+  * the decode leg of the media pipeline is real, not stubbed.
+  *
+  * The hash is dHash (difference hash, the standard 64-bit perceptual
+  * fingerprint): average the luma over a 9×8 grid of pixel blocks, then
+  * emit one bit per horizontally-adjacent cell pair — 1 iff the left
+  * cell is brighter. Block averaging makes the hash stable under
+  * re-encoding (quantization noise shifts a cell average by ~1 luma
+  * unit) and under resizing (the grid is defined in RELATIVE
+  * coordinates, so a scaled twin averages the same image regions).
+  *
+  * Exactness discipline (this hash feeds a cross-run dedup identity, so
+  * it must be bit-reproducible): cell averages are never materialized
+  * as floats — each comparison is the exact int64 cross-multiplication
+  * `sum_a·n_b > sum_b·n_a` over 1000-scaled BT.601 luma block sums.
+  * With dims capped at [[MaxDim]] the products stay under 2^62, so the
+  * compare is exact for every input the decoder admits.
+  *
+  * Decode runs per partition inside `mapPartitions` (decoder/raster
+  * state per partition, not per row — the [[MediaFeatures]] contract);
+  * the hash itself is pure arithmetic on the decoded raster.
+  */
+object ImageHash {
+
+  // decode must never touch a display server
+  System.setProperty("java.awt.headless", "true")
+
+  /** Dimension cap (per side): keeps every cross-multiplied block-sum
+    * compare exact in int64 (sum ≤ 255000·(MaxDim²/72) ≈ 9.6e11, count
+    * ≤ 3.8e6 → product < 2^62) and bounds decoder memory against
+    * decompression-bomb inputs (a 16k×16k ARGB raster is ~1 GiB — the
+    * admission bar a real ingest enforces BEFORE decode via
+    * [[ImageDims.packedDims]] header dims, which need no codec). */
+  val MaxDim = 16384
+
+  /** dHash needs at least one pixel per grid cell. */
+  val MinW = 9
+  val MinH = 8
+
+  /** Decode to a raster, or null for anything that is not a decodable
+    * image within the [[MaxDim]]/[[MinW]]/[[MinH]] envelope — never an
+    * exception (the hostile-input contract the header parsers follow). */
+  def decode(data: Array[Byte]): BufferedImage = {
+    if (data == null || data.length < 8) return null
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      if (img == null || img.getWidth < MinW || img.getHeight < MinH ||
+        img.getWidth > MaxDim || img.getHeight > MaxDim) null
+      else img
+    } catch {
+      // ImageIO throws IIOException/IndexOutOfBounds/… on truncated or
+      // hostile streams; any failure is "not an image", never a crash
+      case _: Throwable => null
+    }
+  }
+
+  /** 1000-scaled BT.601 luma block sums over a gw×gh grid in relative
+    * coordinates: cell (gx,gy) covers pixel x ∈ [gx·W/gw, (gx+1)·W/gw)
+    * (integer bounds — exact, no resampling kernel to disagree about).
+    * Returns (sums, pixel counts), row-major. */
+  private[graft] def blockLumaSums(img: BufferedImage, gw: Int, gh: Int): (Array[Long], Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var gy = 0
+    while (gy < gh) {
+      val y0 = (gy.toLong * h / gh).toInt
+      val y1 = ((gy + 1).toLong * h / gh).toInt
+      var gx = 0
+      while (gx < gw) {
+        val x0 = (gx.toLong * w / gw).toInt
+        val x1 = ((gx + 1).toLong * w / gw).toInt
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val i = gy * gw + gx
+        sums(i) = s
+        counts(i) = (y1 - y0).toLong * (x1 - x0).toLong
+        gx += 1
+      }
+      gy += 1
+    }
+    (sums, counts)
+  }
+
+  /** 64-bit dHash of a decoded raster: bit k (MSB-first, row-major over
+    * the 8×8 comparison grid) = 1 iff cell (gx,gy) of the 9×8 luma grid
+    * is strictly brighter than cell (gx+1,gy). */
+  def dHash64(img: BufferedImage): Long = {
+    val (sums, counts) = blockLumaSums(img, 9, 8)
+    var bits = 0L
+    var k = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val a = gy * 9 + gx
+        val b = a + 1
+        // avg_a > avg_b ⇔ sum_a·n_b > sum_b·n_a — exact (see MaxDim)
+        if (sums(a) * counts(b) > sums(b) * counts(a)) bits |= 1L << (63 - k)
+        k += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Decode + hash; null when the bytes are not a hashable image. */
+  def hashBytes(data: Array[Byte]): java.lang.Long = {
+    val img = decode(data)
+    if (img == null) null else java.lang.Long.valueOf(dHash64(img))
+  }
+
+  /** 16-dim pooled-luma embedding (4×4 grid block means, normalized to
+    * [0,1]) of a decoded raster — the REAL feature leg of
+    * [[MediaFeatures.extract]]: a coarse but honest decoded-pixel
+    * descriptor, ANN-ready. One double division per cell, after exact
+    * integer block sums. */
+  def pooledLuma16(img: BufferedImage): Array[Float] = {
+    val (sums, counts) = blockLumaSums(img, 4, 4)
+    val out = new Array[Float](16)
+    var i = 0
+    while (i < 16) {
+      out(i) = if (counts(i) == 0L) 0f
+      else (sums(i).toDouble / (counts(i).toDouble * 255000.0)).toFloat
+      i += 1
+    }
+    out
+  }
+}

@@ -4,33 +4,36 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batched media decode / feature-extraction stage (the brief's multimodal
-  * component). The real thing would call an image/audio codec per batch
-  * (the Python twin is `mapInPandas`; the Scala-native shape used here is
-  * `mapPartitions` over a typed Dataset — same contract: iterator-in /
-  * iterator-out, so decoder state (a codec context, a model handle) is
-  * initialized once per partition, NOT once per row).
+  * component). The decode shape: `mapPartitions` over a typed Dataset
+  * (the Scala-native twin of `mapInPandas` — iterator-in / iterator-out,
+  * so decoder state is initialized once per partition, NOT once per row).
   *
-  * The decoder itself is a clearly-marked deterministic STUB — this
-  * environment ships no media libraries — but everything Spark-side is
-  * real: typed input/output rows, per-partition batching, schema carried
-  * through shuffles, and a fixed-width feature vector column ready for the
-  * [[graft.queries.Similarity]] ANN operators.
+  * The IMAGE leg decodes for real: [[ImageHash.decode]] (JDK `ImageIO` —
+  * PNG/JPEG/GIF, offline, no external codec) yields the true raster,
+  * whose dims and 16-dim pooled-luma embedding ([[ImageHash.pooledLuma16]])
+  * ride out as the feature vector. Bytes that are not a decodable image
+  * (audio/video codecs are genuinely absent in this environment, and a
+  * total pipeline must not drop them) fall back to header dims
+  * ([[ImageDims.parse]]) and a deterministic byte-fold descriptor —
+  * clearly labeled, schema-identical, so the downstream stages stay
+  * uniform.
   */
 object MediaFeatures {
 
   case class MediaRow(media_id: Long, data: Array[Byte], kind: String)
   case class MediaFeature(media_id: Long, kind: String, byte_len: Int,
-                          width: Int, height: Int, features: Array[Float])
+                          width: Int, height: Int, decoded: Boolean,
+                          features: Array[Float])
 
   val FeatureDim = 16
 
-  /** Decoder front-end: dimensions are parsed FOR REAL from the
-    * container header ([[ImageDims.parse]] — PNG IHDR / JPEG SOF walk /
-    * GIF descriptor, pure byte arithmetic, no codec); only the pixel
-    * decode → pooled-embedding step remains a deterministic STUB (this
-    * environment ships no media libraries). Non-image bytes fall back
-    * to the stub's synthetic dims so the pipeline shape is total. */
-  private[graft] def decodeStub(data: Array[Byte]): (Int, Int, Array[Float]) = {
+  /** Decode one asset: REAL raster decode + pooled-luma features for
+    * images; header-dims + byte-fold fallback for everything else (the
+    * `decoded` flag tells the consumer which leg produced the row). */
+  private[graft] def decodeMedia(data: Array[Byte]): (Int, Int, Boolean, Array[Float]) = {
+    val img = ImageHash.decode(data)
+    if (img != null)
+      return (img.getWidth, img.getHeight, true, ImageHash.pooledLuma16(img))
     val len = data.length
     val packed = ImageDims.parse(data)
     val (width, height) =
@@ -40,17 +43,17 @@ object MediaFeatures {
     val feats = new Array[Float](FeatureDim)
     var i = 0
     while (i < len) { feats(i % FeatureDim) += (data(i) & 0xFF) / 255.0f; i += 1 }
-    (width, height, feats)
+    (width, height, false, feats)
   }
 
   /** The per-partition decode stage. */
   def extract(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init of the (stub) decoder context happens here
+      // per-partition init of the decoder context happens here
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.data)
-        MediaFeature(r.media_id, r.kind, r.data.length, w, h, f)
+        val (w, h, dec, f) = decodeMedia(r.data)
+        MediaFeature(r.media_id, r.kind, r.data.length, w, h, dec, f)
       }
     }
   }

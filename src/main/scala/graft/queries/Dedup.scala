@@ -465,14 +465,39 @@ object Dedup {
   private[graft] def simhashNearDupOf(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame =
     simhashPairsOf(simhashSketchOf(docs), maxBucket)
 
-  private def simhashPairsOf(withBits: DataFrame, maxBucket: Int): DataFrame = {
-    val bandStructs = (0 until SimhashBands).map { b =>
-      struct(lit(b).as("band"), substring(col("sh"), b * 4 + 1, 4).as("chunk"))
+  private def simhashPairsOf(withBits: DataFrame, maxBucket: Int): DataFrame =
+    hammingBandPairs(withBits.select("doc_id", "bits"), maxBucket)
+
+  /** Generic 64-bit Hamming near-dup pairing over a (doc_id, bits)
+    * sketch frame — the lossless [[SimhashBands]]-way pigeonhole shared
+    * by the text SimHash ([[simhashNearDup]]) and the perceptual image
+    * hash ([[graft.queries.Multimodal]] `mm_phash_neardup`): with k+1
+    * disjoint 16-bit bands, any pair within Hamming [[HammingK]] agrees
+    * exactly on ≥1 band, so band-equality blocking loses nothing; the
+    * verify is one xor+popcount on the 8-byte sketches. Hot-bucket
+    * discipline as everywhere: buckets past `maxBucket` drop (bounded
+    * recall trade, [[MaxBucketSize]]). Bands are bit-chunks
+    * (`bits >> (64−w·(b+1)) & (2^w−1)`, w = 64/bands) — for the simhash
+    * defaults (4×16) identical values to the hex-substring form this
+    * path previously blocked on; the image hash blocks 8×8 because its
+    * measured perceptual perturbations reach 6 flips (lossless needs
+    * bands = k+1), trading a smaller band keyspace, which the bucket
+    * cap already disciplines. */
+  private[graft] def hammingBandPairs(withBits: DataFrame, maxBucket: Int,
+                                      bands: Int = SimhashBands,
+                                      k: Int = HammingK): DataFrame = {
+    require(64 % bands == 0 && bands > k,
+      s"bands=$bands must divide 64 and exceed k=$k for lossless blocking")
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("bits"), 64 - width * (b + 1)).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val bands = withBits.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val bandRows = withBits.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val sizes = bands.groupBy("band", "chunk").agg(count(lit(1)).as("bucket_n"))
-    val kept = bands.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "chunk"))
+    val sizes = bandRows.groupBy("band", "chunk").agg(count(lit(1)).as("bucket_n"))
+    val kept = bandRows.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "chunk"))
       .select("doc_id", "band", "chunk")
 
     val x = kept.as("x"); val y = kept.as("y")
@@ -487,7 +512,7 @@ object Dedup {
     candidates.join(ba, "doc_a").join(bb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= HammingK)
+      .filter(col("hamming") <= k)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -7,16 +7,18 @@ import graft.tables.Testdata._
 /** Multimodal-column plumbing (the brief's image/audio/video component):
   * media rides as an opaque `binary` column with a typed metadata struct;
   * decode/feature-extraction is a batched per-partition stage
-  * ([[graft.functions.MediaFeatures]]) whose decoder is STUBBED
-  * deterministically (no image/audio libs in this environment) while the
-  * Spark-side plumbing — schema, batching, partition flow — is real and
-  * tested.
+  * ([[graft.functions.MediaFeatures]]). The IMAGE leg decodes for real
+  * (JDK ImageIO — [[graft.functions.ImageHash]]: raster dims, pooled-luma
+  * features, 64-bit perceptual dHash + banded near-dup pairing below);
+  * audio/video sample decode has no codec in this environment, so those
+  * legs parse headers for real and fall back deterministically for
+  * payloads, clearly labeled.
   *
-  * This oracle-checked query exercises the metadata path end-to-end:
-  * synthesize the binary column (UTF-8 bytes of `documents.text` — the
-  * only deterministic bytes in the testdata), then compute the typed
-  * metadata a media catalog needs: byte length, content hash, and a
-  * deterministic kind classifier standing in for magic-byte sniffing.
+  * The oracle-checked metadata queries exercise the catalog path
+  * end-to-end: synthesize the binary column (UTF-8 bytes of
+  * `documents.text` — the only deterministic bytes in the testdata), then
+  * compute the typed metadata a media catalog needs: byte length,
+  * content hash, and magic-byte kind sniffing.
   */
 object Multimodal {
 
@@ -219,12 +221,167 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  // ------------------------------------------- perceptual image near-dup
+
+  /** Deterministic smooth test pattern: grayscale
+    * `128 + 100·sin(2π·fx·u + p1)·sin(2π·fy·v + p2)` over RELATIVE
+    * coordinates (u,v) — the same continuous field renders at any
+    * resolution, which is exactly the property a perceptual hash must
+    * be stable under. StrictMath keeps the render bit-reproducible
+    * across JVMs. */
+  private[graft] def renderPattern(fx: Double, fy: Double, p1: Double, p2: Double,
+                                   w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tau = 2.0 * StrictMath.PI
+    var y = 0
+    while (y < h) {
+      val v = (y + 0.5) / h
+      var x = 0
+      while (x < w) {
+        val u = (x + 0.5) / w
+        // phase-modulated (NON-separable) field: a separable sin·sin
+        // product makes whole grid rows borderline at once wherever the
+        // row factor crosses zero — 8-bit row flips under re-encode
+        // (measured); modulation keeps adjacent-cell luma differences
+        // away from zero almost everywhere, like a real photograph.
+        val l = 128.0 + 100.0 * StrictMath.sin(
+          tau * fx * u + p1 + 1.7 * StrictMath.sin(tau * fy * v + p2))
+        val li = math.max(0, math.min(255, StrictMath.round(l).toInt))
+        img.setRGB(x, y, (li << 16) | (li << 8) | li)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** JPEG at an explicit quality — the re-encode twin generator (a
+    * quality change is the classic perceptual-dup transformation). */
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Pattern parameters per image GROUP: frequencies cycle small ints;
+    * phases advance by irrational (golden-ratio / plastic-number) steps
+    * so no two groups render the same field — near-dup pairs stay
+    * within their group instead of accumulating identical-pattern mass
+    * across the corpus. */
+  private[graft] def patternParams(gid: Long): (Double, Double, Double, Double) = {
+    val tau = 2.0 * StrictMath.PI
+    (1.0 + (gid % 3).toDouble, 1.0 + ((gid / 3) % 3).toDouble,
+      tau * (gid * 0.6180339887498949 % 1.0), tau * (gid * 0.7548776662466927 % 1.0))
+  }
+
+  /** A second, deliberately different field for the group's "distinct"
+    * member: different frequency lattice AND phase offsets. */
+  private[graft] def distinctParams(gid: Long): (Double, Double, Double, Double) = {
+    val (fx, fy, p1, p2) = patternParams(gid)
+    (1.0 + ((gid * 5 + 2) % 4).toDouble, 1.0 + ((gid * 7 + 3) % 4).toDouble,
+      p1 + 2.1, p2 + 1.3)
+  }
+
+  /** Real encoded image bytes per doc_id — groups of four: the base PNG,
+    * its JPEG re-encode (quality 0.7), its resized PNG render (96×96 of
+    * the same relative-coordinate field), and a DISTINCT pattern. The
+    * first three are perceptual near-dups by construction; the fourth is
+    * the control. The testdata ships no image bytes (ASCII text), so the
+    * corpus-scale fixture is synthesized — but encode, decode and hash
+    * are all the real thing. */
+  private[graft] def syntheticImage(docId: Long): Array[Byte] = {
+    val gid = docId / 4
+    (docId % 4) match {
+      case 0 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
+      case 1 => val (fx, fy, p1, p2) = patternParams(gid); encodeJpeg(renderPattern(fx, fy, p1, p2, 64, 64), 0.7f)
+      case 2 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 96, 96))
+      case _ => val (fx, fy, p1, p2) = distinctParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
+    }
+  }
+
+  private[graft] case class PhashRow(doc_id: Long, phash: Option[Long], n_bytes: Int)
+
+  /** (doc_id, phash, n_bytes) via encode→decode→dHash in one
+    * per-partition decode stage ([[graft.functions.ImageHash]]). The
+    * frame is the corpus's PERSISTED perceptual index (one decode pass
+    * per asset, ever — the [[graft.queries.Dedup.simhashNearDup]] sketch
+    * discipline), memoized per (session, dir). */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // decoder/encoder context is per-partition state, not per row
+        ids.map { id =>
+          val bytes = syntheticImage(id)
+          val h = graft.functions.ImageHash.hashBytes(bytes)
+          PhashRow(id, if (h == null) None else Some(h.longValue()), bytes.length)
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual hash catalog — rows-only by design (DuckDB cannot decode
+    * images; the hash itself is pinned by ImageHashSpec's independent
+    * plain-Scala reference on real fixtures). */
+  def phash(s: SparkSession, d: String): DataFrame =
+    graft.tables.FrameCache.cached(s,
+      s"phash:${graft.tables.FrameCache.dirKey(d)}")(phashOf(documents(s, d)))
+      .orderBy("doc_id")
+
+  /** Image near-dup Hamming bar and band count. Measured on the fixture
+    * families (PhashSpec): JPEG re-encode perturbs ≤4 bits, a 64→96
+    * resize ≤6, while DISTINCT patterns sit ≥24 apart — k=7 catches
+    * every measured twin with margin and 8 bands of 8 bits keep the
+    * blocking LOSSLESS to 7 flips by pigeonhole (k+1 bands). The
+    * 8-bit band keyspace is smaller than simhash's 16-bit — the shared
+    * hot-bucket cap is the documented recall/volume trade at corpus
+    * scale. */
+  val ImgHammingK = 7
+  val ImgBands = 8
+
+  /** Perceptual near-dup pairs at Hamming ≤ [[ImgHammingK]] over the
+    * dHash sketch — re-encoded and resized twins land within a few bits
+    * while distinct images scatter, so the SAME lossless pigeonhole
+    * banding machinery that blocks the text SimHash pairs the images
+    * ([[graft.queries.Dedup.hammingBandPairs]]): 8-byte sketches ride
+    * the band exchange, the verify is one xor+popcount, hot buckets
+    * cap. This closes the multimodal dedup gap: sha2 catches byte dups,
+    * this catches the LAION-shape re-encode/resize dups. */
+  def phashNearDup(s: SparkSession, d: String): DataFrame =
+    pairsOfSketch(graft.tables.FrameCache.cached(s,
+      s"phash:${graft.tables.FrameCache.dirKey(d)}")(phashOf(documents(s, d))))
+
+  private[graft] def phashNearDupOf(docs: DataFrame): DataFrame =
+    pairsOfSketch(phashOf(docs))
+
+  private def pairsOfSketch(sketch: DataFrame): DataFrame =
+    Dedup.hammingBandPairs(
+      sketch.filter(col("phash").isNotNull)
+        .select(col("doc_id"), col("phash").as("bits")),
+      Dedup.MaxBucketSize, bands = ImgBands, k = ImgHammingK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
     "mm_image_dims"   -> imageDims _,
     "mm_audio_meta"   -> audioMeta _,
     "mm_video_meta"   -> videoMeta _,
+    "mm_phash"        -> phash _,
+    "mm_phash_neardup" -> phashNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(

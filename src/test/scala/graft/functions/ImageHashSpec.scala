@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The perceptual-hash kernel against an INDEPENDENT plain-Scala dHash
+  * reference on real encoded fixtures (PNG/JPEG/GIF via the JDK's own
+  * ImageIO — the offline decode path the header-parser specs already
+  * proved), plus the hostile-input fuzz contract. No Spark session —
+  * the kernel is pure JVM arithmetic. */
+class ImageHashSpec extends AnyFunSuite {
+
+  // --- independent reference: BigInt exact cell averages, string bits ---
+
+  /** Reference dHash written the naive way: collect every pixel's luma
+    * per 9×8 cell, average as an exact BigInt fraction, compare
+    * neighbors as cross-multiplied BigInts, build the word from a bit
+    * STRING — sharing no arithmetic shortcuts with the kernel. */
+  private def referenceDHash(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    def cell(gx: Int, gy: Int): (BigInt, BigInt) = {
+      var sum = BigInt(0)
+      var n = BigInt(0)
+      for (y <- (gy * h / 8) until ((gy + 1) * h / 8);
+           x <- (gx * w / 9) until ((gx + 1) * w / 9)) {
+        val rgb = img.getRGB(x, y)
+        val luma = BigInt(299) * ((rgb >> 16) & 0xFF) +
+          BigInt(587) * ((rgb >> 8) & 0xFF) + BigInt(114) * (rgb & 0xFF)
+        sum += luma
+        n += 1
+      }
+      (sum, n)
+    }
+    val bits = (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+      val (sa, na) = cell(gx, gy)
+      val (sb, nb) = cell(gx + 1, gy)
+      if (sa * nb > sb * na) '1' else '0'
+    }).mkString
+    java.lang.Long.parseUnsignedLong(bits, 2)
+  }
+
+  private def fixtures: Seq[(String, Array[Byte], BufferedImage)] = {
+    val imgs = Seq(
+      graft.queries.Multimodal.renderPattern(1, 2, 0.3, 1.1, 64, 64),
+      graft.queries.Multimodal.renderPattern(3, 1, 2.2, 0.4, 97, 61), // ragged dims
+      graft.queries.Multimodal.renderPattern(2, 3, 4.0, 2.8, 33, 17))
+    imgs.zipWithIndex.flatMap { case (img, i) =>
+      val png = graft.queries.Multimodal.encodePng(img)
+      val jpg = graft.queries.Multimodal.encodeJpeg(img, 0.85f)
+      val gifOut = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "gif", gifOut)
+      Seq((s"png$i", png, null), (s"jpg$i", jpg, null), (s"gif$i", gifOut.toByteArray, null))
+        .map { case (n, b, _) => (n, b, ImageHash.decode(b)) }
+    }
+  }
+
+  test("dHash64 is bit-identical to the independent BigInt reference on real PNG/JPEG/GIF") {
+    for ((name, bytes, img) <- fixtures) {
+      assert(img != null, s"$name did not decode")
+      val got = ImageHash.hashBytes(bytes)
+      assert(got != null, s"$name did not hash")
+      assert(got.longValue() == referenceDHash(img), s"$name hash mismatch")
+    }
+  }
+
+  test("decode envelope: undersized rasters, non-images and null are null, never a throw") {
+    assert(ImageHash.hashBytes(null) == null)
+    assert(ImageHash.hashBytes(Array.empty[Byte]) == null)
+    assert(ImageHash.hashBytes("not an image at all".getBytes("UTF-8")) == null)
+    // an 8x8 PNG is a real image but below the 9-wide dHash grid floor
+    val tiny = graft.queries.Multimodal.encodePng(
+      new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB))
+    assert(ImageHash.hashBytes(tiny) == null)
+    // 9x8 is the exact floor and must hash
+    val floor = graft.queries.Multimodal.encodePng(
+      graft.queries.Multimodal.renderPattern(1, 1, 0, 0, 9, 8))
+    assert(ImageHash.hashBytes(floor) != null)
+  }
+
+  test("fuzz: noise, truncations and bit-flips of valid images never throw") {
+    val rnd = new java.util.Random(42)
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](rnd.nextInt(256))
+      rnd.nextBytes(b)
+      ImageHash.hashBytes(b) // must not throw; result is null or a hash
+    }
+    val valid = graft.queries.Multimodal.encodePng(
+      graft.queries.Multimodal.renderPattern(2, 2, 1.0, 2.0, 32, 32))
+    for (cut <- 0 to valid.length by 7)
+      ImageHash.hashBytes(java.util.Arrays.copyOf(valid, cut))
+    for (i <- valid.indices by 11) {
+      val flipped = valid.clone()
+      flipped(i) = (flipped(i) ^ 0x40).toByte
+      ImageHash.hashBytes(flipped)
+    }
+  }
+
+  test("pooledLuma16: flat image pools to its own luma everywhere; gradient is monotone") {
+    val flat = new BufferedImage(40, 40, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 40; x <- 0 until 40) flat.setRGB(x, y, 0x808080)
+    val f = ImageHash.pooledLuma16(flat)
+    assert(f.length == 16)
+    assert(f.forall(v => math.abs(v - 128f / 255f) < 1e-3), f.mkString(","))
+    // left-dark right-bright gradient: each grid row must be increasing
+    val grad = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val l = x * 4
+      grad.setRGB(x, y, (l << 16) | (l << 8) | l)
+    }
+    val g = ImageHash.pooledLuma16(grad)
+    for (r <- 0 until 4; c <- 0 until 3)
+      assert(g(r * 4 + c) < g(r * 4 + c + 1))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.ImageHash
+import org.apache.spark.sql.functions._
+
+/** Behavioral contract of the perceptual image near-dup family: a
+  * re-encoded (quality-changed JPEG) twin and a resized twin are CAUGHT,
+  * a distinct image is NOT, and the Spark pairing (banded blocking +
+  * xor/popcount verify) reproduces exactly the brute-force pair set on
+  * the fixture corpus. */
+class PhashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def hashOf(docId: Long): Long =
+    ImageHash.hashBytes(Multimodal.syntheticImage(docId)).longValue()
+
+  test("re-encoded and resized twins land within ImgHammingK; distinct images far outside") {
+    for (gid <- 0L until 40L) {
+      val base = hashOf(gid * 4)
+      val jpeg = hashOf(gid * 4 + 1)
+      val resized = hashOf(gid * 4 + 2)
+      val distinct = hashOf(gid * 4 + 3)
+      assert(ham(base, jpeg) <= Multimodal.ImgHammingK,
+        s"gid=$gid jpeg twin at ${ham(base, jpeg)} bits")
+      assert(ham(base, resized) <= Multimodal.ImgHammingK,
+        s"gid=$gid resized twin at ${ham(base, resized)} bits")
+      assert(ham(base, distinct) > 2 * Multimodal.ImgHammingK,
+        s"gid=$gid distinct image only ${ham(base, distinct)} bits away")
+    }
+  }
+
+  test("phash frame: deterministic across runs, null only for undecodable bytes") {
+    val docs = (0L until 24L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Multimodal.phashOf(docs).orderBy("doc_id").collect()
+    val b = Multimodal.phashOf(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(!_.isNullAt(1)), "every synthesized image must hash")
+  }
+
+  test("banded pairing == brute-force Hamming pairs on the fixture corpus") {
+    val n = 48L // 12 groups of 4
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Multimodal.phashNearDupOf(docs)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val hashes = (0L until n).map(i => i -> hashOf(i)).toMap
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      if ham(hashes(a), hashes(b)) <= Multimodal.ImgHammingK
+    } yield (a, b, ham(hashes(a), hashes(b)).toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    // and the pair set has the designed shape: each group's three
+    // renders pair with each other; the distinct member pairs with no one
+    for (g <- 0L until (n / 4)) {
+      val Seq(v0, v1, v2, v3) = (0 to 3).map(v => g * 4 + v)
+      assert(got.exists(p => p._1 == v0 && p._2 == v1), s"group $g: jpeg twin missed")
+      assert(got.exists(p => p._1 == v0 && p._2 == v2), s"group $g: resized twin missed")
+      assert(got.exists(p => p._1 == v1 && p._2 == v2), s"group $g: twin transitivity missed")
+      // the distinct member must not pair with ITS OWN group's renders
+      // (cross-group pairs are legitimate: two patterns can genuinely
+      // look alike — the brute-force equality above already vouches for
+      // every pair the blocking emits)
+      val own = Set(v0, v1, v2)
+      assert(!got.exists(p => (p._1 == v3 && own(p._2)) || (p._2 == v3 && own(p._1))),
+        s"group $g: distinct member paired with its own group")
+    }
+  }
+
+  test("decoded features: real raster dims and pooled luma for images, fallback flagged for text") {
+    import graft.functions.MediaFeatures
+    import graft.functions.MediaFeatures.MediaRow
+    val img = Multimodal.renderPattern(2, 1, 0.5, 1.5, 48, 32)
+    val rows = Seq(
+      MediaRow(1L, Multimodal.encodePng(img), "image"),
+      MediaRow(2L, "just some text bytes".getBytes("UTF-8"), "text")).toDS()
+    val out = MediaFeatures.extract(rows).collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).width == 48 && out(0).height == 32)
+    val expected = ImageHash.pooledLuma16(img)
+    assert(out(0).features.sameElements(expected), "pooled features must come from the real raster")
+    assert(!out(1).decoded, "text bytes must take the labeled fallback leg")
+    assert(out(1).features.length == MediaFeatures.FeatureDim)
+  }
+}
