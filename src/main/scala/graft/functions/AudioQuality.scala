@@ -1,0 +1,126 @@
+package graft.functions
+
+/** Decoded-audio quality signals — the gate header metadata
+  * ([[AudioMeta]]) cannot provide: a WAV can be perfectly well-formed
+  * and still be clipped garbage, near-silence, or dead air. PCM decode
+  * goes through the JDK's own `javax.sound.sampled` (offline — the same
+  * classes [[graft.functions]]' audio specs already use to synthesize
+  * fixtures), so the decode leg is real; per asset the analyzer emits
+  * the three classic admission signals:
+  *
+  *  - RMS loudness (full-scale normalized — a corpus gate drops assets
+  *    below a floor: near-silent recordings carry no training signal);
+  *  - clipping fraction (samples at ≥ [[ClipBar]] of full scale — a
+  *    high fraction means the waveform was destroyed upstream);
+  *  - leading/trailing silence ratios (|sample| < [[SilenceBar]] runs
+  *    at the ends — dead air a trimmer would cut).
+  *
+  * Channels downmix by per-frame mean before the stats (documented
+  * contract — signals describe the mono mix). Streams process
+  * incrementally frame-by-frame (no whole-file sample buffer), bounded
+  * by [[MaxSamples]] against decompression-hostile inputs. Any
+  * undecodable/unsupported input analyzes to null — never an exception
+  * (the repo-wide hostile-input contract).
+  */
+object AudioQuality {
+
+  /** Frame-count admission cap (~33 min of 8 kHz mono): bounds work per
+    * asset; longer assets analyze their prefix (documented). */
+  val MaxSamples = 16000000L
+  /** |x| at or above this fraction of full scale counts as clipped. */
+  val ClipBar = 0.999
+  /** |x| below this fraction of full scale counts as silence. */
+  val SilenceBar = 1e-3
+
+  /** Per-asset signals; `nSamples` = analyzed mono frames. */
+  case class Signals(nSamples: Long, sampleRate: Long, rms: Double,
+                     clipFrac: Double, leadSilence: Double, tailSilence: Double)
+
+  /** Analyze WAV/AIFF bytes; null when not decodable PCM (8/16-bit,
+    * signed or unsigned, ≤ 8 channels). */
+  def analyze(data: Array[Byte]): Signals = {
+    if (data == null || data.length < 12) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 || ch > 8)
+          return null
+        val frameSize = fmt.getFrameSize
+        if (frameSize != ch * (bits / 8)) return null
+        val big = fmt.isBigEndian
+
+        var n = 0L
+        var sumSq = 0.0
+        var clipped = 0L
+        var lead = 0L
+        var leadOpen = true
+        var tailRun = 0L
+        val buf = new Array[Byte](frameSize * 1024)
+        var carry = 0 // bytes of an incomplete frame at buffer end
+        var done = false
+        while (!done && n < MaxSamples) {
+          val read = ais.read(buf, carry, buf.length - carry)
+          if (read <= 0) done = true
+          else {
+            val avail = carry + read
+            val frames = avail / frameSize
+            var f = 0
+            while (f < frames && n < MaxSamples) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = f * frameSize + c * (bits / 8)
+                val v =
+                  if (bits == 8) {
+                    if (signed) buf(o).toDouble / 128.0
+                    else ((buf(o) & 0xFF) - 128).toDouble / 128.0
+                  } else {
+                    val lo = if (big) buf(o + 1) else buf(o)
+                    val hi = if (big) buf(o) else buf(o + 1)
+                    val raw = (hi.toInt << 8) | (lo & 0xFF)
+                    val s = if (signed) raw else raw - 32768
+                    s.toDouble / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              val x = acc / ch
+              val ax = math.abs(x)
+              sumSq += x * x
+              if (ax >= ClipBar) clipped += 1
+              if (ax < SilenceBar) {
+                if (leadOpen) lead += 1
+                tailRun += 1
+              } else {
+                leadOpen = false
+                tailRun = 0
+              }
+              n += 1
+              f += 1
+            }
+            carry = avail - frames * frameSize
+            if (carry > 0)
+              System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+          }
+        }
+        if (n == 0) return null
+        val nd = n.toDouble
+        // a fully-silent asset is ALL leading silence (tail would double-count)
+        val tail = if (leadOpen) 0L else tailRun
+        Signals(n, fmt.getSampleRate.toLong, math.sqrt(sumSq / nd),
+          clipped / nd, lead / nd, tail / nd)
+      } finally ais.close()
+    } catch {
+      // UnsupportedAudioFileException / IOException / hostile headers:
+      // "not analyzable audio", never a crash
+      case _: Throwable => null
+    }
+  }
+}

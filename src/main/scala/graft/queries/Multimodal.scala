@@ -374,6 +374,84 @@ object Multimodal {
         .select(col("doc_id"), col("phash").as("bits")),
       Dedup.MaxBucketSize, bands = ImgBands, k = ImgHammingK)
 
+  // --------------------------------------------- decoded-audio quality
+
+  /** Encode a mono 16-bit PCM WAV of a (possibly overdriven, possibly
+    * end-padded) sine tone through `javax.sound` itself — the fixture
+    * generator for the decoded-audio gate. Overdrive (amp > 1) clips at
+    * full scale exactly as a destroyed recording would. */
+  private[graft] def toneWav(n: Int, rate: Float, amp: Double,
+                             leadFrac: Double, tailFrac: Double, freq: Double): Array[Byte] = {
+    val bytes = new Array[Byte](n * 2)
+    val tau = 2.0 * StrictMath.PI
+    var i = 0
+    while (i < n) {
+      val lead = i < (n * leadFrac).toInt
+      val tail = i >= n - (n * tailFrac).toInt
+      val x = if (lead || tail) 0.0
+      else math.max(-1.0, math.min(1.0, amp * StrictMath.sin(tau * freq * i / rate)))
+      val s = StrictMath.round(x * 32767.0).toInt
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real encoded WAV bytes per doc_id with PLANTED quality defects,
+    * cycling: clean tone (amplitude a known function of doc_id);
+    * overdriven tone (amp 1.6 — heavy clipping); tone with 20% leading /
+    * 10% trailing dead air; and non-audio bytes (the undecodable leg). */
+  private[graft] def syntheticAudio(docId: Long): Array[Byte] = {
+    val n = 800 + (docId % 400).toInt
+    val amp = 0.15 + 0.15 * (docId % 5).toDouble
+    val freq = 440.0 + 110.0 * (docId % 7).toDouble
+    (docId % 4) match {
+      case 0 => toneWav(n, 8000f, amp, 0.0, 0.0, freq)
+      case 1 => toneWav(n, 8000f, 1.6, 0.0, 0.0, freq)
+      case 2 => toneWav(n, 8000f, amp, 0.2, 0.1, freq)
+      case _ => s"not audio $docId".getBytes("UTF-8")
+    }
+  }
+
+  private[graft] case class AudioQRow(doc_id: Long, n_samples: Option[Long],
+                                      sample_rate: Option[Long], rms: Option[Double],
+                                      clip_frac: Option[Double], lead_silence: Option[Double],
+                                      tail_silence: Option[Double])
+
+  private[graft] def audioQualityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // decoder context per partition, not per row
+        ids.map { id =>
+          val sig = graft.functions.AudioQuality.analyze(syntheticAudio(id))
+          if (sig == null) AudioQRow(id, None, None, None, None, None, None)
+          else AudioQRow(id, Some(sig.nSamples), Some(sig.sampleRate), Some(sig.rms),
+            Some(sig.clipFrac), Some(sig.leadSilence), Some(sig.tailSilence))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decoded-audio quality gate ([[graft.functions.AudioQuality]]) —
+    * RMS loudness, clipping fraction, end-silence ratios per asset,
+    * through a REAL `javax.sound` PCM decode in a per-partition stage.
+    * Rows-only by design (DuckDB cannot decode audio; the signal
+    * arithmetic is pinned exactly by AudioQualitySpec's engineered
+    * square-wave fixtures). Same persisted-index discipline as
+    * [[phash]]: one decode pass per asset, memoized per (session, dir). */
+  def audioQuality(s: SparkSession, d: String): DataFrame =
+    graft.tables.FrameCache.cached(s,
+      s"audioq:${graft.tables.FrameCache.dirKey(d)}")(audioQualityOf(documents(s, d)))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
@@ -382,6 +460,7 @@ object Multimodal {
     "mm_video_meta"   -> videoMeta _,
     "mm_phash"        -> phash _,
     "mm_phash_neardup" -> phashNearDup _,
+    "mm_audio_quality" -> audioQuality _,
   )
 
   val oracleSql: Map[String, String] = Map(

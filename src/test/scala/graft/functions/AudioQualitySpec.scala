@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The decoded-audio quality analyzer on ENGINEERED PCM: square waves
+  * make every signal exact (rms of a ±a square IS a; planted zero runs
+  * ARE the silence ratios), so the assertions are equalities, not
+  * tolerances. Encode always goes through `javax.sound` itself — the
+  * analyzer is tested end-to-end from container bytes, not from arrays.
+  * Plus the hostile-input fuzz contract. */
+class AudioQualitySpec extends AnyFunSuite {
+
+  private def wav16(samples: Array[Int], rate: Float = 8000f, channels: Int = 1): Array[Byte] = {
+    require(samples.length % channels == 0)
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(2 * i) = (samples(i) & 0xFF).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, (samples.length / channels).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def wav8u(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
+    val bytes = samples.map(v => (v & 0xFF).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def square(n: Int, level: Int): Array[Int] =
+    Array.tabulate(n)(i => if (i % 2 == 0) level else -level)
+
+  test("half-scale square: rms exactly 0.5, no clipping, no silence") {
+    val s = AudioQuality.analyze(wav16(square(1000, 16384)))
+    assert(s != null)
+    assert(s.nSamples == 1000L && s.sampleRate == 8000L)
+    assert(s.rms == 0.5)
+    assert(s.clipFrac == 0.0 && s.leadSilence == 0.0 && s.tailSilence == 0.0)
+  }
+
+  test("full-scale square: every sample clipped, rms = 32767/32768 exactly") {
+    val s = AudioQuality.analyze(wav16(square(800, 32767)))
+    assert(s.clipFrac == 1.0)
+    assert(s.rms == 32767.0 / 32768.0)
+  }
+
+  test("planted dead air: lead and tail ratios are the exact planted fractions") {
+    val sig = Array.fill(100)(0) ++ square(800, 16384) ++ Array.fill(50)(0)
+    val s = AudioQuality.analyze(wav16(sig))
+    assert(s.nSamples == 950L)
+    assert(s.leadSilence == 100.0 / 950.0)
+    assert(s.tailSilence == 50.0 / 950.0)
+    // an all-silent asset is ALL leading silence, never double-counted as tail
+    val dead = AudioQuality.analyze(wav16(Array.fill(400)(0)))
+    assert(dead.leadSilence == 1.0 && dead.tailSilence == 0.0 && dead.rms == 0.0)
+  }
+
+  test("stereo downmixes per frame before the stats: L=+x, R=-x is silence") {
+    val frames = 300
+    val interleaved = Array.tabulate(frames * 2)(i => if (i % 2 == 0) 16384 else -16384)
+    val s = AudioQuality.analyze(wav16(interleaved, channels = 2))
+    assert(s.nSamples == frames.toLong)
+    assert(s.rms == 0.0 && s.leadSilence == 1.0)
+  }
+
+  test("8-bit unsigned decodes with the 128 offset: constant 192 is a 0.5 DC level") {
+    val s = AudioQuality.analyze(wav8u(Array.fill(500)(192)))
+    assert(s != null)
+    assert(s.rms == 0.5)
+    assert(s.leadSilence == 0.0)
+  }
+
+  test("the overdriven tone fixture clips hard; the padded fixture carries its planted air") {
+    import graft.queries.Multimodal
+    val over = AudioQuality.analyze(Multimodal.syntheticAudio(1L)) // variant 1: amp 1.6
+    assert(over.clipFrac > 0.2, s"overdriven clip ${over.clipFrac}")
+    val clean = AudioQuality.analyze(Multimodal.syntheticAudio(20L)) // variant 0: amp 0.15
+    assert(clean.clipFrac == 0.0)
+    assert(clean.rms > 0.09 && clean.rms < 0.12, s"tone rms ${clean.rms}") // ~a/sqrt(2)
+    val padded = AudioQuality.analyze(Multimodal.syntheticAudio(2L)) // variant 2
+    assert(math.abs(padded.leadSilence - 0.2) < 0.02, s"lead ${padded.leadSilence}")
+    assert(math.abs(padded.tailSilence - 0.1) < 0.02, s"tail ${padded.tailSilence}")
+    assert(AudioQuality.analyze(Multimodal.syntheticAudio(3L)) == null) // not audio
+  }
+
+  test("fuzz: noise, truncations and flips of a valid WAV never throw") {
+    val rnd = new java.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      AudioQuality.analyze(b)
+    }
+    val valid = wav16(square(200, 12000))
+    for (cut <- 0 to valid.length by 5)
+      AudioQuality.analyze(java.util.Arrays.copyOf(valid, cut))
+    for (i <- valid.indices by 7) {
+      val f = valid.clone()
+      f(i) = (f(i) ^ 0x20).toByte
+      AudioQuality.analyze(f)
+    }
+    assert(AudioQuality.analyze(null) == null)
+    assert(AudioQuality.analyze("plain text".getBytes("UTF-8")) == null)
+  }
+}
