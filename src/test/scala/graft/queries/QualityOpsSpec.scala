@@ -122,6 +122,24 @@ class QualityOpsSpec extends SparkSpec {
     assert(clf == again)
   }
 
+  test("retrain contract: OUT-OF-SAMPLE agreement on the 10x corpus holds the documented floor") {
+    // the literals were trained on sf0.01's 500 docs; sf0.1's 5000 are
+    // unseen data. Agreement below OosAgreementFloor is the documented
+    // retrain trigger (see QualityClf.Weights) — this spec IS the drift
+    // alarm, not a tautological re-check of the training slice.
+    val d = "/root/testdata/sf0.1"
+    val clf = QualityClf.qualityClf(spark, d).select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val teacher = TextAnalysis.gopherRules(spark, d).select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(clf.size == 5000 && teacher.size == 5000)
+    val agree = clf.count { case (id, p) => teacher(id) == p }.toDouble / clf.size
+    assert(agree >= QualityClf.OosAgreementFloor,
+      s"out-of-sample agreement $agree fell under ${QualityClf.OosAgreementFloor}: " +
+        "the corpus drifted from the training slice — re-run graft.tools.TrainQualityClf " +
+        "and refresh QualityClf.Weights")
+  }
+
   test("qualitySweep: retention curve is monotone, ends pinned, counts match a direct fold") {
     val prose = (Seq.fill(10)("the small table") ++ Seq.fill(10)("a fast query join")).mkString(" ")
     val junk = Seq.fill(60)("###").mkString(" ")
