@@ -45,8 +45,10 @@ object PqAnn {
     * stay small relative to a weak signal — the same high-dial setting
     * as IvfAnn's nprobe note; an easy corpus runs M=8 at 32×. */
   val SubSpaces = 16
-  /** Codewords per sub-space (one byte of code space each). */
-  val CodebookSize = 16
+  /** Codewords per sub-space (one byte of code space each). 32 since
+    * r14: 16 held the 0.8 recall bar only barely at 100× tiles — see
+    * the dial note on [[shortlistFor]]. */
+  val CodebookSize = 32
   /** ADC shortlist = K · this at the reference corpus size,
     * exact-re-ranked. The PQ recall dial (IVF's nprobe analogue). */
   val ShortlistFactor = 10
@@ -62,7 +64,17 @@ object PqAnn {
     * error budget yet stays a VANISHING fraction of the corpus
     * (√n/n → 0): ×2 at 5 K vectors, ×4 at 50 K (0.8%), ×12 at 500 K
     * (0.24%), ×~500 at 10¹² — the same sublinear-dial discipline as
-    * [[Similarity.adaptiveNearDupBits]]. */
+    * [[Similarity.adaptiveNearDupBits]].
+    *
+    * Which dial buys deep-tier recall (VERDICT r13 #8, measured at 100×
+    * tiles): NOT this one — doubling/tripling the shortlist moved
+    * recall only 0.82 → 0.84 and plateaued (the missed true neighbors
+    * rank beyond even a 3600-deep ADC shortlist). The binding
+    * constraint was 4-bit quantization noise on a diffuse-signal corpus
+    * (cos 0.3–0.48); [[CodebookSize]] 16 → 32 halves the per-sub-space
+    * error and lifts 100×-tile recall to 0.94 with the √n shortlist
+    * unchanged — the encode cost lands on the ONE-TIME index build,
+    * never the query path (same M lookups per row either way). */
   private[graft] def shortlistFor(n: Long): Int =
     Similarity.K * ShortlistFactor *
       math.max(1, math.ceil(math.sqrt(n.toDouble / ShortlistRefCorpus)).toInt)
