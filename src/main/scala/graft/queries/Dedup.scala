@@ -479,20 +479,34 @@ object Dedup {
     * recall trade, [[MaxBucketSize]]). Bands are bit-chunks
     * (`bits >> (64−w·(b+1)) & (2^w−1)`, w = 64/bands) — for the simhash
     * defaults (4×16) identical values to the hex-substring form this
-    * path previously blocked on; the image hash blocks 8×8 because its
-    * measured perceptual perturbations reach 6 flips (lossless needs
-    * bands = k+1), trading a smaller band keyspace, which the bucket
-    * cap already disciplines. */
+    * path previously blocked on.
+    *
+    * `joint` is the Manku et al. (WWW'07) multi-table refinement: block
+    * on every `joint`-combination of bands (keys are the concatenated
+    * chunks). Pigeonhole: ≤k flipped bits dirty ≤k bands, leaving
+    * ≥ bands−k clean — any k ≤ bands−joint keeps ≥joint clean bands,
+    * whose combination is one of the C(bands, joint) keys, so blocking
+    * stays LOSSLESS while the key space grows from 2^w to 2^(w·joint).
+    * That keyspace is the scale story: single 8-bit bands saturate the
+    * bucket cap at ~cap·256 docs (every bucket holds ~n/256 docs no
+    * matter how diverse the hashes), while 16-bit pair keys push that
+    * to ~cap·65536 per combo and random collisions stay negligible —
+    * the image path (8 bands, k=6, joint=2) pays 28 skinny probe rows
+    * per doc for it; the simhash path keeps the classic 4×16/joint=1. */
   private[graft] def hammingBandPairs(withBits: DataFrame, maxBucket: Int,
                                       bands: Int = SimhashBands,
-                                      k: Int = HammingK): DataFrame = {
-    require(64 % bands == 0 && bands > k,
-      s"bands=$bands must divide 64 and exceed k=$k for lossless blocking")
+                                      k: Int = HammingK,
+                                      joint: Int = 1): DataFrame = {
+    require(64 % bands == 0 && joint >= 1 && k <= bands - joint,
+      s"bands=$bands/joint=$joint must divide 64 and satisfy k=$k <= bands-joint for lossless blocking")
     val width = 64 / bands
     val mask = (1L << width) - 1L
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("bits"), 64 - width * (b + 1)).bitwiseAND(lit(mask)).as("chunk"))
+    def chunk(b: Int): Column =
+      shiftright(col("bits"), 64 - width * (b + 1)).bitwiseAND(lit(mask))
+    val bandStructs = (0 until bands).combinations(joint).toSeq.zipWithIndex.map {
+      case (combo, ci) =>
+        val key = combo.foldLeft(lit(0L))((acc, b) => acc * lit(mask + 1L) + chunk(b))
+        struct(lit(ci).as("band"), key.as("chunk"))
     }
     val bandRows = withBits.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))

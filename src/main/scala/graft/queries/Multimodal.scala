@@ -342,16 +342,30 @@ object Multimodal {
       s"phash:${graft.tables.FrameCache.dirKey(d)}")(phashOf(documents(s, d)))
       .orderBy("doc_id")
 
-  /** Image near-dup Hamming bar and band count. Measured on the fixture
-    * families (PhashSpec): JPEG re-encode perturbs ≤4 bits, a 64→96
-    * resize ≤6, while DISTINCT patterns sit ≥24 apart — k=7 catches
-    * every measured twin with margin and 8 bands of 8 bits keep the
-    * blocking LOSSLESS to 7 flips by pigeonhole (k+1 bands). The
-    * 8-bit band keyspace is smaller than simhash's 16-bit — the shared
-    * hot-bucket cap is the documented recall/volume trade at corpus
-    * scale. */
-  val ImgHammingK = 7
+  /** Image near-dup Hamming bar, band count, and joint-blocking order.
+    * Measured on the fixture families (PhashSpec): JPEG re-encode
+    * perturbs ≤4 bits, a 64→96 resize ≤6, while DISTINCT patterns sit
+    * ≥24 apart — k=6 is exactly the measured twin envelope, and
+    * blocking on every PAIR of the 8 8-bit bands (28 16-bit keys,
+    * Manku-style joint tables) keeps the candidate stage LOSSLESS to 6
+    * flips (k ≤ bands−joint) while the pair keyspace (2^16 per combo)
+    * holds bucket sizes sane far past where single 8-bit bands saturate
+    * the cap (~50 K images) — see
+    * [[graft.queries.Dedup.hammingBandPairs]]. */
+  val ImgHammingK = 6
   val ImgBands = 8
+
+  /** Blocking order by corpus size — the adaptive-dial discipline
+    * ([[PqAnn.shortlistFor]]): single 8-bit bands hold average bucket
+    * occupancy under a quarter of the cap up to n = cap·256/4 ≈ 12.8 K
+    * images and cost 8 probe rows per doc; past that the single-band
+    * keyspace saturates (every bucket ~n/256 docs regardless of hash
+    * diversity) and the Manku pair tables (28 probes, 2^16 keys per
+    * combo) take over. Both orders are LOSSLESS at k=6 (k ≤ bands−joint
+    * holds for joint 1 and 2), so the switch trades probe volume for
+    * keyspace, never recall. */
+  private[graft] def imgJointFor(n: Long): Int =
+    if (n <= Dedup.MaxBucketSize.toLong * 256L / 4L) 1 else 2
 
   /** Perceptual near-dup pairs at Hamming ≤ [[ImgHammingK]] over the
     * dHash sketch — re-encoded and resized twins land within a few bits
@@ -368,11 +382,12 @@ object Multimodal {
   private[graft] def phashNearDupOf(docs: DataFrame): DataFrame =
     pairsOfSketch(phashOf(docs))
 
-  private def pairsOfSketch(sketch: DataFrame): DataFrame =
-    Dedup.hammingBandPairs(
-      sketch.filter(col("phash").isNotNull)
-        .select(col("doc_id"), col("phash").as("bits")),
-      Dedup.MaxBucketSize, bands = ImgBands, k = ImgHammingK)
+  private def pairsOfSketch(sketch: DataFrame): DataFrame = {
+    val withBits = sketch.filter(col("phash").isNotNull)
+      .select(col("doc_id"), col("phash").as("bits"))
+    Dedup.hammingBandPairs(withBits, Dedup.MaxBucketSize,
+      bands = ImgBands, k = ImgHammingK, joint = imgJointFor(withBits.count()))
+  }
 
   // --------------------------------------------- decoded-audio quality
 

@@ -70,6 +70,20 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  test("both blocking orders are lossless: single-band and Manku pair tables emit identical pairs") {
+    // the adaptive dial (imgJointFor) switches orders by corpus size —
+    // the switch must trade probe volume for keyspace, never results
+    val docs = (0L until 32L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val bits = Multimodal.phashOf(docs)
+      .select(col("doc_id"), col("phash").as("bits"))
+    def pairs(joint: Int) = Dedup.hammingBandPairs(bits, Dedup.MaxBucketSize,
+      bands = Multimodal.ImgBands, k = Multimodal.ImgHammingK, joint = joint)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(1) == pairs(2))
+    assert(Multimodal.imgJointFor(5000L) == 1)
+    assert(Multimodal.imgJointFor(500000L) == 2)
+  }
+
   test("decoded features: real raster dims and pooled luma for images, fallback flagged for text") {
     import graft.functions.MediaFeatures
     import graft.functions.MediaFeatures.MediaRow
