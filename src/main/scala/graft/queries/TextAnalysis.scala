@@ -1433,33 +1433,47 @@ object TextAnalysis {
     * post-collapse length drop from deleting [[LinkSpanRe]] spans before
     * stripping.
     *
-    * Scale shape: the whole extraction is per-row higher-order
-    * arithmetic over the line array (transform → filter → array_join)
-    * inside the scan projection — ZERO exchanges at any corpus size,
-    * strictly cheaper than the explode + group-back form ([[Dedup.dedupLinesOf]]
-    * needs that shape for its cross-doc frequency vote; a pure per-doc
-    * rule does not). The DuckDB twin uses unnest + FILTERed ordered
-    * string_agg — different plan, identical values, full-strict. */
+    * Scale shape: posexplode the line blocks (narrow — explode is not a
+    * shuffle), run every regex in a flat WHOLE-STAGE-CODEGEN projection,
+    * group back per doc (one map-side-combinable exchange keyed on
+    * doc_id, [[Dedup.dedupLinesOf]]'s shape). The first cut computed the
+    * same arithmetic as per-row higher-order lambdas to claim "zero
+    * exchanges" — and measured 4.7 s on sf0.1, the most expensive query
+    * in the registry: HOF lambdas evaluate INTERPRETED (outside
+    * codegen), and each of the struct's references to the un-CSE'd
+    * strip chain re-ran its ~9 regex/replace steps per element. The
+    * explode form runs the chain once per line inside codegen; the one
+    * skinny exchange is noise next to that (measured 5×: 4.7 → 0.95 s
+    * at sf0.1 on the same harness). The
+    * DuckDB twin uses unnest + FILTERed ordered string_agg — different
+    * plan, identical values, full-strict. */
   def extractContent(s: SparkSession, d: String): DataFrame =
     extractContentOf(documents(s, d))
 
   private[graft] def extractContentOf(docs: DataFrame): DataFrame = {
-    val blocks = transform(split(contentPageCol, "\n"), l => {
-      val txt = stripMarkupCol(l)
-      val noLink = stripMarkupCol(regexp_replace(l, LinkSpanRe, " "))
-      val textLen = length(txt).cast("long")
-      val linkLen = textLen - length(noLink).cast("long")
-      val nWords = when(textLen === 0, lit(0L))
-        .otherwise(size(split(txt, " ")).cast("long"))
-      struct(txt.as("txt"),
-        (nWords >= ContentMinWords && linkLen * 3L <= textLen).as("keep"))
-    })
-    val kept = filter(blocks, b => b.getField("keep"))
-    docs.select(col("doc_id"),
-      size(blocks).cast("long").as("n_blocks"),
-      size(kept).cast("long").as("n_kept"),
-      (size(blocks) - size(kept)).cast("long").as("n_dropped"),
-      array_join(transform(kept, b => b.getField("txt")), " ").as("kept_text"))
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(contentPageCol, "\n")).as(Seq("line_no", "line")))
+    val txt = stripMarkupCol(col("line"))
+    val noLink = stripMarkupCol(regexp_replace(col("line"), LinkSpanRe, " "))
+    val scored = lines
+      .select(col("doc_id"), col("line_no"), txt.as("txt"),
+        length(txt).cast("long").as("text_len"),
+        (length(txt) - length(noLink)).cast("long").as("link_len"))
+      .select(col("doc_id"), col("line_no"), col("txt"),
+        (when(col("text_len") === 0, lit(0L))
+          .otherwise(size(split(col("txt"), " ")).cast("long")) >= ContentMinWords &&
+          col("link_len") * 3L <= col("text_len")).as("keep"))
+    // collect_list skips nulls, so the when() keeps only surviving
+    // blocks; sort_array restores document order after the shuffle
+    val keptOrdered = sort_array(collect_list(
+      when(col("keep"), struct(col("line_no"), col("txt")))))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        keptOrdered.as("kept"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        (col("n_blocks") - col("n_kept")).as("n_dropped"),
+        array_join(transform(col("kept"), b => b.getField("txt")), " ").as("kept_text"))
       .orderBy("doc_id")
   }
 
