@@ -80,8 +80,21 @@ object ScaleSmoke {
     * (~40 GB dedup-sort spill) fell to the verify-in-the-join rewrite —
     * the candidate volume is never sorted or re-shuffled anymore (only
     * the output-sized distinct of true pairs is), so the tier is
-    * measured, not asserted. */
-  val SkipAtTiles: Map[String, (Int, String)] = Map.empty
+    * measured, not asserted. One r14 entry: containment's exact-verify
+    * join intrinsically moves Σ(|A|+|B|) gram-id arrays per candidate —
+    * ~0.5 KB × ~208 M candidates ≈ 100+ GB of shuffle at 5 M docs,
+    * past this box's ~78 GB free (measured: the x1000 tier died on
+    * ENOSPC mid-verify). The volume is LINEAR in candidates — a
+    * cluster's aggregate disk absorbs it — and the stage whose growth
+    * law was actually in question (candidate generation, skinny 16-byte
+    * rows) is still PROBED at the skipped tier via [[CandidateProbes]],
+    * so the artifact carries measured candidate linearity to 1000×
+    * even where the verify cannot run on one box. */
+  val SkipAtTiles: Map[String, (Int, String)] = Map(
+    "dedup_containment" -> (500,
+      "single-node disk ceiling: exact-verify join shuffles ~0.5KB of gram ids " +
+        "per candidate (~100+ GB at 5M docs) past this box's ~78 GB free; " +
+        "linear in candidates (cluster-fine) — candidate stage probed below"))
 
   /** Tile counts at or past this run only [[DeepTrendQueries]] (VERDICT
     * r13 item 7): the point of a 1000× tier is a measured trend point
@@ -210,6 +223,18 @@ object ScaleSmoke {
           skip match {
             case Some(reason) =>
               System.err.println(s"[scale-smoke] x$tiles $q SKIPPED: $reason")
+              // the skinny candidate stage still runs where the full
+              // query cannot: its growth law is the claim under test
+              CandidateProbes.get(q).foreach { probe =>
+                try {
+                  val cb = probe(spark, base); val ct = probe(spark, out)
+                  candCounts(q) = (cb, ct)
+                  System.err.println(s"[scale-smoke] x$tiles $q candidates (probe-only) $cb -> $ct")
+                } catch {
+                  case e: Throwable =>
+                    System.err.println(s"[scale-smoke] x$tiles $q candidate probe FAILED: ${e.getClass.getSimpleName}")
+                }
+              }
               Left(q -> reason)
             case None =>
               // a query erroring at scale must not kill the artifact —
@@ -266,7 +291,10 @@ object ScaleSmoke {
           // full JSON escape, not just quote-swapping: Spark failure
           // messages carry newlines/backslashes, and an unparseable
           // SCALE_SMOKE.json is worst exactly on the failure path
-          s""""$q":{"skipped":${JsonText.quote(reason)}}"""
+          val cand = candCounts.get(q)
+            .map { case (cb, ct) => s""","cand_base":$cb,"cand_tiled":$ct""" }
+            .getOrElse("")
+          s""""$q":{"skipped":${JsonText.quote(reason)}$cand}"""
       }.mkString(",")
       val recJson = recalls.map { case (q, r) => s""""$q":${r3(r)}""" }.mkString(",")
       (s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"reps":$reps,"deep_trend":$deepTier,""" +
