@@ -86,15 +86,17 @@ object ScaleSmoke {
     * past this box's ~78 GB free (measured: the x1000 tier died on
     * ENOSPC mid-verify). The volume is LINEAR in candidates — a
     * cluster's aggregate disk absorbs it — and the stage whose growth
-    * law was actually in question (candidate generation, skinny 16-byte
-    * rows) is still PROBED at the skipped tier via [[CandidateProbes]],
-    * so the artifact carries measured candidate linearity to 1000×
-    * even where the verify cannot run on one box. */
+    * law was actually in question (candidate generation) carries exact
+    * 10×-per-decade telemetry at 1×/10×/100× via [[CandidateProbes]];
+    * a 1000× probe-only attempt hit the same ceiling (even the count's
+    * ~50 GB cumulative shuffle over 300 M posting rows), so probes are
+    * bounded below the deep tier too. */
   val SkipAtTiles: Map[String, (Int, String)] = Map(
     "dedup_containment" -> (500,
       "single-node disk ceiling: exact-verify join shuffles ~0.5KB of gram ids " +
         "per candidate (~100+ GB at 5M docs) past this box's ~78 GB free; " +
-        "linear in candidates (cluster-fine) — candidate stage probed below"))
+        "linear in candidates (cluster-fine) — candidate linearity measured " +
+        "10x-per-decade at 1x/10x/100x (cand_base/cand_tiled telemetry)"))
 
   /** Tile counts at or past this run only [[DeepTrendQueries]] (VERDICT
     * r13 item 7): the point of a 1000× tier is a measured trend point
@@ -223,9 +225,15 @@ object ScaleSmoke {
           skip match {
             case Some(reason) =>
               System.err.println(s"[scale-smoke] x$tiles $q SKIPPED: $reason")
-              // the skinny candidate stage still runs where the full
-              // query cannot: its growth law is the claim under test
-              CandidateProbes.get(q).foreach { probe =>
+              // the skinny candidate stage can still run where the full
+              // query cannot — but only BELOW the deep tier: at x1000
+              // even the count's cumulative shuffle (~50 GB of window
+              // sort + gram join over 300 M posting rows) hit the same
+              // disk ceiling and took the whole context down with it
+              // (measured — the cascade failed the two queries after
+              // it). The candidate growth law is already pinned by the
+              // exact 10×-per-decade telemetry at 1×/10×/100×.
+              if (tiles < DeepTierMin) CandidateProbes.get(q).foreach { probe =>
                 try {
                   val cb = probe(spark, base); val ct = probe(spark, out)
                   candCounts(q) = (cb, ct)
