@@ -1295,6 +1295,17 @@ object Dedup {
     * [[TextAnalysis.decontaminate]]'s contamination shingles. */
   val OverlapGramN = 4
 
+  /** Karp-Rabin modulus for [[sourceOverlap]]'s gram identity — the
+    * largest prime with (M−1)·256 + maxCodepoint < 2^63, so the fold
+    * `acc·256 + cp (mod M)` is exact int64 in BOTH engines (the
+    * [[graft.functions.KrBucket]] discipline, upsized from the 1e9+7
+    * feature modulus because here the hash IS the identity, not a
+    * bucket). Collision envelope: D distinct grams collide in expect
+    * D²/2M pairs — ~14 at a billion grams, ~1.4e5 (1e-6 relative) at
+    * the 100 TB scale's ~1e11, and BOTH engines compute the identical
+    * hash, so the cross-engine contract is exact regardless. */
+  val OverlapGramMod = 36028797018959593L
+
   /** Pairwise source contamination matrix — for every pair of `source`
     * subcorpora, how many distinct [[OverlapGramN]]-gram shingles they
     * share and the Jaccard similarity of their shingle sets. The
@@ -1307,9 +1318,15 @@ object Dedup {
     *
     * Scale shape: the unit is the distinct (source, shingle) frame —
     * map-side-combinable distinct keyed on the shingle hash, orders of
-    * magnitude smaller than the corpus. The pair counts come from a
-    * self-join CO-PARTITIONED on `gram` (both sides are the same frame:
-    * one exchange, reused), whose per-gram fan-out is bounded by
+    * magnitude smaller than the corpus. Gram TEXT never crosses an
+    * exchange: each shingle collapses to its exact-int64 Karp-Rabin
+    * hash ([[OverlapGramMod]]) in the scan projection, so the distinct
+    * and the self-join move 8-byte keys, not ~30-byte 4-word strings —
+    * the skinny-rows discipline that keeps the corpus-sized stage's
+    * shuffle ~4× narrower (measured: the 1000×-tile single-node run
+    * was spill-bound on the string frame). The pair counts come from a
+    * self-join CO-PARTITIONED on `gram_h` (both sides are the same
+    * frame: one exchange, reused), whose per-gram fan-out is bounded by
     * C(n_sources, 2) — sources are a catalog-sized dimension (dozens),
     * never corpus-sized, so the join output is |shared grams| ×
     * O(sources²) worst case and in practice the shared sliver. The
@@ -1322,11 +1339,14 @@ object Dedup {
     val grams = graft.functions.TextKernels.wordShingles(words, OverlapGramN, distinct = true)
     val sg = docs.filter(size(words) >= OverlapGramN)
       .select(col("source"), explode(grams).as("gram"))
+      .select(col("source"),
+        graft.functions.TextKernels.krBucket(col("gram"), OverlapGramMod, OverlapGramMod)
+          .as("gram_h"))
       .distinct()
     val totals = sg.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sg.as("a")
       .join(sg.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        col("a.gram_h") === col("b.gram_h") && col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("shared"))
@@ -1441,8 +1461,11 @@ object Dedup {
     // engines — not the windowing shortcut.
     // Same 4-gram shingle definition as the text_decontaminate oracle
     // (words[i:i+3] is 1-based inclusive = 4 words), same distinct
-    // (source, gram) unit, same a<b pair orientation; exact counts ⇒
-    // full strictness.
+    // (source, gram-hash) unit, same a<b pair orientation; the gram
+    // identity is the IDENTICAL exact-int64 Karp-Rabin fold
+    // (acc·256 + codepoint mod OverlapGramMod — the text_hash_features
+    // list_reduce shape, upsized modulus) both engines compute, so
+    // exact counts ⇒ full strictness, collisions and all.
     "text_source_overlap" ->
       s"""WITH w AS (
          |  SELECT source, string_split(text, ' ') AS words FROM documents
@@ -1451,13 +1474,20 @@ object Dedup {
          |  SELECT source, unnest(list_distinct(
          |    [array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)])) AS gram
          |  FROM w
+         |), gh AS (
+         |  SELECT source,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        [CAST(unicode(gram[i]) AS BIGINT) for i in range(1, len(gram)+1)]),
+         |      (acc, c) -> (acc * 256 + c) % $OverlapGramMod) AS gram_h
+         |  FROM g0
          |), g AS (
-         |  SELECT DISTINCT source, gram FROM g0
+         |  SELECT DISTINCT source, gram_h FROM gh
          |), t AS (
          |  SELECT source, COUNT(*) AS n FROM g GROUP BY source
          |), p AS (
          |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
-         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |  FROM g a JOIN g b ON a.gram_h = b.gram_h AND a.source < b.source
          |  GROUP BY a.source, b.source
          |)
          |SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared,

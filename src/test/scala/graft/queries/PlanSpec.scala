@@ -251,6 +251,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("source overlap: gram text collapses to its int64 hash before every exchange") {
+    // the corpus-sized stage is the (source, gram) distinct — the 4-word
+    // shingle STRING must die in the scan-side projection (KrBucket),
+    // so every exchange moves (source, gram_h) 8-byte keys. A "gram" or
+    // "text" column in any exchange is the ~4×-wider string frame the
+    // 1000×-tile run measured spill-bound.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try graft.SparkEntry.queries("text_source_overlap")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.map(_.name)
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty, "text_source_overlap: no exchanges found — plan probe broken")
+    val wide = exchanges.filter(ns => ns.exists(n => n == "gram" || n == "text"))
+    assert(wide.isEmpty,
+      s"text_source_overlap: gram/doc text entered an exchange: $wide")
+  }
+
   test("running-window and sessionization windows are all partitioned") {
     // same discipline as pack spans: an unpartitioned `sum() over (order
     // by ...)` is one reducer sorting the whole corpus at 100 TB.
