@@ -1,0 +1,135 @@
+package graft.functions
+
+/** Perceptual audio fingerprint over REAL decoded PCM — the audio leg
+  * of the multimodal near-dup stage, closing the symmetry with
+  * [[ImageHash]]: byte-exact sha2 cannot catch a re-mastered clip
+  * (gain-scaled, resampled, re-encoded), and header metadata
+  * ([[AudioMeta]]) never sees a sample.
+  *
+  * The fingerprint is the Haitsma-Kalker shape reduced to its energy
+  * profile (no filterbank — the only codecs in this environment are
+  * PCM, where the temporal envelope IS the robust axis): partition the
+  * clip into [[Windows]] equal TIME slices (window w covers frames
+  * [w·n/W, (w+1)·n/W) — integer bounds in relative coordinates, the
+  * [[ImageHash.blockLumaSums]] grid discipline), accumulate each
+  * window's energy (sum of squared mono samples), and emit one bit per
+  * adjacent-window pair: bit k = 1 iff window k is strictly louder
+  * (per-frame) than window k+1. Invariances by construction:
+  *
+  *  - gain: scaling every sample by g scales every window energy by g²
+  *    — every comparison is unchanged;
+  *  - resampling: windows are defined as fractions of the clip, so a
+  *    clip resampled to any rate pools (approximately) the same audio
+  *    per window — only boundary-frame rounding can perturb a
+  *    comparison, and only where adjacent windows are near-equal;
+  *  - re-quantization (16→8 bit): dither shifts each energy by
+  *    O(lsb²) — decisive comparisons survive.
+  *
+  * Comparisons divide out window length (per-frame mean energy,
+  * cross-multiplied exactly as int64·double cannot be — energies are
+  * doubles, accumulated in frame order, so the fingerprint is
+  * deterministic bit-for-bit run to run on identical bytes).
+  *
+  * Decode admission mirrors [[AudioQuality]] (JDK `javax.sound` PCM
+  * 8/16-bit, ≤ 8 channels, mono downmix by per-frame mean,
+  * [[AudioQuality.MaxSamples]] cap, null-never-throw); additionally the
+  * container must DECLARE its frame count (WAV/AIFF always do) — the
+  * window map needs n before the stream runs.
+  */
+object AudioFingerprint {
+
+  /** 65 windows → 64 adjacent-pair bits: one int64 sketch, the unit the
+    * Hamming banding machinery ([[graft.queries.Dedup]]) blocks on. */
+  val Windows = 65
+
+  /** Minimum analyzable frames: at least one frame per window. */
+  val MinFrames: Long = Windows.toLong
+
+  /** 64-bit fingerprint of WAV/AIFF bytes, or null when not decodable
+    * PCM with a declared frame count of at least [[MinFrames]]. */
+  def fingerprint(data: Array[Byte]): java.lang.Long = {
+    if (data == null || data.length < 12) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1 || ch > 8)
+          return null
+        val frameSize = fmt.getFrameSize
+        if (frameSize != ch * (bits / 8)) return null
+        val big = fmt.isBigEndian
+        val declared = ais.getFrameLength
+        if (declared < MinFrames) return null
+        val n = math.min(declared, AudioQuality.MaxSamples)
+
+        val energy = new Array[Double](Windows)
+        var i = 0L
+        val buf = new Array[Byte](frameSize * 1024)
+        var carry = 0
+        var done = false
+        while (!done && i < n) {
+          val read = ais.read(buf, carry, buf.length - carry)
+          if (read <= 0) done = true
+          else {
+            val avail = carry + read
+            val frames = avail / frameSize
+            var f = 0
+            while (f < frames && i < n) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val o = f * frameSize + c * (bits / 8)
+                val v =
+                  if (bits == 8) {
+                    if (signed) buf(o).toDouble / 128.0
+                    else ((buf(o) & 0xFF) - 128).toDouble / 128.0
+                  } else {
+                    val lo = if (big) buf(o + 1) else buf(o)
+                    val hi = if (big) buf(o) else buf(o + 1)
+                    val raw = (hi.toInt << 8) | (lo & 0xFF)
+                    val s = if (signed) raw else raw - 32768
+                    s.toDouble / 32768.0
+                  }
+                acc += v
+                c += 1
+              }
+              val x = acc / ch
+              // w = floor(i·W/n): i < MaxSamples (2^24·…) and W = 65 keep
+              // the product well under 2^63
+              energy((i * Windows / n).toInt) += x * x
+              i += 1
+              f += 1
+            }
+            carry = avail - frames * frameSize
+            if (carry > 0)
+              System.arraycopy(buf, frames * frameSize, buf, 0, carry)
+          }
+        }
+        if (i < MinFrames) return null
+        // a short read (truncated payload behind an honest header) still
+        // fingerprints its decoded prefix: n maps windows, i bounds data
+        var sketch = 0L
+        var k = 0
+        while (k < 64) {
+          // per-frame mean energy compare: E[k]/len[k] > E[k+1]/len[k+1]
+          // ⇔ E[k]·len[k+1] > E[k+1]·len[k] (lengths are exact ints)
+          val l0 = (k + 1).toLong * n / Windows - k.toLong * n / Windows
+          val l1 = (k + 2).toLong * n / Windows - (k + 1).toLong * n / Windows
+          if (energy(k) * l1 > energy(k + 1) * l0) sketch |= 1L << (63 - k)
+          k += 1
+        }
+        java.lang.Long.valueOf(sketch)
+      } finally ais.close()
+    } catch {
+      // UnsupportedAudioFileException / IOException / hostile headers:
+      // "not fingerprintable audio", never a crash
+      case _: Throwable => null
+    }
+  }
+}

@@ -1,0 +1,89 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+/** Decoded-pixel image admission signals — the gate header dims
+  * ([[ImageDims]]) and the perceptual hash ([[ImageHash]]) cannot
+  * provide: a PNG can be perfectly well-formed, correctly sized, AND a
+  * solid color / a black frame / blown-out white — carrying zero
+  * training signal. The LAION-shape corpus gate drops those BEFORE
+  * paying for captioning or embedding, on four classic raster signals:
+  *
+  *  - mean luma (exposure: all-dark / all-bright frames);
+  *  - luma standard deviation (contrast: ~0 means solid or near-solid);
+  *  - dark / bright pixel fractions (luma below [[DarkBar]] / at or
+  *    above [[BrightBar]] of full scale — blown shadows / highlights);
+  *  - edge density (mean |horizontal luma gradient|, full-scale
+  *    normalized: ~0 separates flat fills and heavy blur from textured
+  *    content — the cheap no-reference sharpness proxy).
+  *
+  * Decode is the REAL JDK `ImageIO` raster path ([[ImageHash.decode]]:
+  * PNG/JPEG/GIF offline, [[ImageHash.MaxDim]] decompression-bomb cap,
+  * null-never-throw on hostile bytes). Arithmetic discipline: per-pixel
+  * luma is the exact 1000-scaled BT.601 integer (0..255000); the mean,
+  * fractions and edge sums accumulate in int64 (sum ≤ 255000·MaxDim²
+  * < 2^57 — exact), only the variance accumulates its squared term in
+  * double, in row-major scan order, so every signal is deterministic
+  * bit-for-bit run to run.
+  */
+object ImageQuality {
+
+  /** Luma strictly below this 1000-scaled value counts as dark
+    * (0.1 of full scale — the classic underexposure bin). */
+  val DarkBar = 25500L
+  /** Luma at or above this 1000-scaled value counts as bright
+    * (0.9 of full scale — the blown-highlight bin). */
+  val BrightBar = 229500L
+
+  /** Per-image signals; luma-derived values are full-scale normalized
+    * to [0,1]. */
+  case class Signals(width: Int, height: Int, meanLuma: Double,
+                     lumaStd: Double, darkFrac: Double, brightFrac: Double,
+                     edgeDensity: Double)
+
+  private def luma(rgb: Int): Long =
+    299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+
+  /** Signals of a decoded raster (total function — any raster admitted
+    * by [[ImageHash.decode]] stays in-envelope). */
+  def signalsOf(img: BufferedImage): Signals = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val n = w.toLong * h
+    var sum = 0L
+    var sumSq = 0.0
+    var dark = 0L
+    var bright = 0L
+    var edgeAbs = 0L
+    var y = 0
+    while (y < h) {
+      var prev = -1L
+      var x = 0
+      while (x < w) {
+        val v = luma(img.getRGB(x, y))
+        sum += v
+        sumSq += v.toDouble * v.toDouble
+        if (v < DarkBar) dark += 1
+        if (v >= BrightBar) bright += 1
+        if (prev >= 0L) edgeAbs += math.abs(v - prev)
+        prev = v
+        x += 1
+      }
+      y += 1
+    }
+    val nd = n.toDouble
+    val mean = sum / nd
+    val variance = math.max(0.0, sumSq / nd - mean * mean)
+    val nEdges = (w - 1).toLong * h
+    Signals(w, h, mean / 255000.0, math.sqrt(variance) / 255000.0,
+      dark / nd, bright / nd,
+      if (nEdges == 0L) 0.0 else edgeAbs.toDouble / (nEdges.toDouble * 255000.0))
+  }
+
+  /** Decode + signals; null when the bytes are not a decodable image
+    * (the repo-wide hostile-input contract: never an exception). */
+  def analyze(data: Array[Byte]): Signals = {
+    val img = ImageHash.decode(data)
+    if (img == null) null else signalsOf(img)
+  }
+}

@@ -9,9 +9,13 @@ import graft.tables.Testdata._
   * decode/feature-extraction is a batched per-partition stage
   * ([[graft.functions.MediaFeatures]]). The IMAGE leg decodes for real
   * (JDK ImageIO — [[graft.functions.ImageHash]]: raster dims, pooled-luma
-  * features, 64-bit perceptual dHash + banded near-dup pairing below);
-  * audio/video sample decode has no codec in this environment, so those
-  * legs parse headers for real and fall back deterministically for
+  * features, 64-bit perceptual dHash + banded near-dup pairing, and the
+  * decoded-pixel quality gate [[graft.functions.ImageQuality]]); the
+  * AUDIO leg decodes for real too (JDK `javax.sound` PCM —
+  * [[graft.functions.AudioQuality]] admission signals and the
+  * [[graft.functions.AudioFingerprint]] perceptual near-dup sketch);
+  * VIDEO sample decode has no codec in this environment, so that leg
+  * parses headers for real and falls back deterministically for
   * payloads, clearly labeled.
   *
   * The oracle-checked metadata queries exercise the catalog path
@@ -467,6 +471,221 @@ object Multimodal {
       s"audioq:${graft.tables.FrameCache.dirKey(d)}")(audioQualityOf(documents(s, d)))
       .orderBy("doc_id")
 
+  // -------------------------------------------- decoded-pixel image gate
+
+  /** Grayscale render of `base + span·field(u,v)` over the
+    * [[renderPattern]] phase-modulated field — the planted-defect
+    * generator for the image-quality corpus: span 0 is a solid fill,
+    * (base 242, span 12) pins every pixel into the blown-highlight bin,
+    * (base 12, span 12) into the shadow bin. */
+  private[graft] def renderLeveled(gid: Long, base: Double, span: Double,
+                                   w: Int, h: Int): java.awt.image.BufferedImage = {
+    val (fx, fy, p1, p2) = patternParams(gid)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val tau = 2.0 * StrictMath.PI
+    var y = 0
+    while (y < h) {
+      val v = (y + 0.5) / h
+      var x = 0
+      while (x < w) {
+        val u = (x + 0.5) / w
+        val f = StrictMath.sin(tau * fx * u + p1 + 1.7 * StrictMath.sin(tau * fy * v + p2))
+        val li = math.max(0, math.min(255, StrictMath.round(base + span * f).toInt))
+        img.setRGB(x, y, (li << 16) | (li << 8) | li)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Real encoded bytes per doc_id with PLANTED raster defects, cycling:
+    * a normal textured pattern; a solid fill (zero contrast, zero
+    * edges); a blown-out bright frame; an all-shadow dark frame; and
+    * non-image bytes (the undecodable leg). */
+  private[graft] def syntheticImageQ(docId: Long): Array[Byte] = {
+    val gid = docId / 5
+    (docId % 5) match {
+      case 0 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
+      case 1 => encodePng(renderLeveled(gid, (100 + gid % 56).toDouble, 0.0, 64, 64))
+      case 2 => encodePng(renderLeveled(gid, 242.0, 12.0, 64, 64))
+      case 3 => encodePng(renderLeveled(gid, 12.0, 12.0, 64, 64))
+      case _ => s"not an image $docId".getBytes("UTF-8")
+    }
+  }
+
+  private[graft] case class ImageQRow(doc_id: Long, width: Option[Int], height: Option[Int],
+                                      mean_luma: Option[Double], luma_std: Option[Double],
+                                      dark_frac: Option[Double], bright_frac: Option[Double],
+                                      edge_density: Option[Double])
+
+  private[graft] def imageQualityOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // decoder context per partition, not per row
+        ids.map { id =>
+          val sig = graft.functions.ImageQuality.analyze(syntheticImageQ(id))
+          if (sig == null) ImageQRow(id, None, None, None, None, None, None, None)
+          else ImageQRow(id, Some(sig.width), Some(sig.height), Some(sig.meanLuma),
+            Some(sig.lumaStd), Some(sig.darkFrac), Some(sig.brightFrac), Some(sig.edgeDensity))
+        }
+      }
+      .toDF()
+  }
+
+  /** Decoded-pixel image admission gate
+    * ([[graft.functions.ImageQuality]]) — exposure, contrast,
+    * shadow/highlight fractions and edge density per asset through the
+    * REAL JDK `ImageIO` raster decode: the stage that drops solid
+    * fills, black frames and blown-out whites BEFORE the corpus pays
+    * for captioning/embedding (header dims and the perceptual hash
+    * never see pixel statistics). Rows-only by design (DuckDB cannot
+    * decode images; the signal arithmetic is pinned exactly by
+    * ImageQualitySpec's engineered rasters). Same persisted-index
+    * discipline as [[phash]]: one decode pass per asset, memoized per
+    * (session, dir). */
+  def imageQuality(s: SparkSession, d: String): DataFrame =
+    graft.tables.FrameCache.cached(s,
+      s"imgq:${graft.tables.FrameCache.dirKey(d)}")(imageQualityOf(documents(s, d)))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------- perceptual audio dedup
+
+  /** Amplitude lattice for the melody fixture — adjacent notes never
+    * repeat an amplitude, so every adjacent-window energy comparison in
+    * [[graft.functions.AudioFingerprint]] is DECISIVE (the fixture
+    * analog of the non-separable image field: borderline comparisons,
+    * not hash width, are what re-encode noise flips). */
+  private val MelodyAmps = Array(0.12, 0.25, 0.5, 0.85)
+
+  /** One amplitude per fingerprint window, deterministically from
+    * (seed, window), adjacent repeats re-rolled. */
+  private[graft] def melodyNotes(seed: Long): Array[Double] = {
+    val out = new Array[Double](graft.functions.AudioFingerprint.Windows)
+    var prev = -1
+    var w = 0
+    while (w < out.length) {
+      // splitmix64 finalizer: a LINEAR (seed, w) mix leaves adjacent
+      // windows nearly identical in the high bits and every melody
+      // degenerates to the same two-note alternation (measured — the
+      // fingerprint then cannot separate distinct melodies)
+      var z = seed * 0x9E3779B97F4A7C15L + w.toLong * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+      z ^= z >>> 27; z *= 0x94D049BB133111EBL
+      z ^= z >>> 31
+      var idx = ((z & 0x7FFFFFFFL) % 4L).toInt
+      if (idx == prev) idx = (idx + 1) % 4
+      out(w) = MelodyAmps(idx)
+      prev = idx
+      w += 1
+    }
+    out
+  }
+
+  /** Render a melody (one note per fingerprint window) as mono 16-bit
+    * PCM WAV at `rate`: sample = gain·amp_w·sin(2π·f_w·t) with t in
+    * SECONDS — the same continuous signal renders at any sample rate,
+    * which is exactly the invariance the fingerprint must hold. */
+  private[graft] def melodyWav(notes: Array[Double], rate: Float,
+                               durSec: Double, gain: Double): Array[Byte] = {
+    val n = StrictMath.round(rate * durSec).toInt
+    val bytes = new Array[Byte](n * 2)
+    val tau = 2.0 * StrictMath.PI
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * notes.length / n).toInt
+      val amp = notes(w)
+      val freq = 330.0 + 220.0 * amp
+      val x = math.max(-1.0, math.min(1.0, gain * amp *
+        StrictMath.sin(tau * freq * i / rate)))
+      val s = StrictMath.round(x * 32767.0).toInt
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real encoded WAV bytes per doc_id — groups of five: the base
+    * melody; its gain-scaled re-master (0.45×); its resample to a
+    * different rate (8000 → 11025 Hz); a DISTINCT melody; and non-audio
+    * bytes. The first three are perceptual near-dups by construction;
+    * the fourth is the control ([[syntheticImage]]'s group discipline,
+    * audio leg). */
+  private[graft] def syntheticMelody(docId: Long): Array[Byte] = {
+    val gid = docId / 5
+    (docId % 5) match {
+      case 0 => melodyWav(melodyNotes(gid), 8000f, 0.6, 1.0)
+      case 1 => melodyWav(melodyNotes(gid), 8000f, 0.6, 0.45)
+      case 2 => melodyWav(melodyNotes(gid), 11025f, 0.6, 1.0)
+      case 3 => melodyWav(melodyNotes(-gid - 1L), 8000f, 0.6, 1.0)
+      case _ => s"not audio $docId".getBytes("UTF-8")
+    }
+  }
+
+  private[graft] case class AfpRow(doc_id: Long, afp: Option[Long], n_bytes: Int)
+
+  private[graft] def audioFingerprintOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // decoder context per partition, not per row
+        ids.map { id =>
+          val bytes = syntheticMelody(id)
+          val h = graft.functions.AudioFingerprint.fingerprint(bytes)
+          AfpRow(id, if (h == null) None else Some(h.longValue()), bytes.length)
+        }
+      }
+      .toDF()
+  }
+
+  /** Perceptual audio fingerprint catalog
+    * ([[graft.functions.AudioFingerprint]]: real `javax.sound` PCM
+    * decode → 64-bit temporal-energy sketch) — rows-only by design
+    * (DuckDB cannot decode audio; the bit layout is pinned by
+    * AudioFingerprintSpec's independent reference on real fixtures).
+    * Persisted-index discipline as [[phash]]. */
+  def audioFingerprint(s: SparkSession, d: String): DataFrame =
+    graft.tables.FrameCache.cached(s,
+      s"afp:${graft.tables.FrameCache.dirKey(d)}")(audioFingerprintOf(documents(s, d)))
+      .orderBy("doc_id")
+
+  /** Audio near-dup Hamming bar — the measured twin envelope
+    * (AudioFingerprintSpec): gain/resample twins land at 0 bits (every
+    * adjacent-note comparison is decisive by fixture construction;
+    * boundary-frame rounding never flips one), distinct melodies ≥ 17
+    * apart. k=4 leaves margin for twins with borderline comparisons
+    * (real audio, unlike the lattice fixture, has near-equal adjacent
+    * windows) while staying lossless under both blocking orders
+    * (k ≤ bands−joint). */
+  val AudioHammingK = 4
+
+  /** Perceptual audio near-dup pairs at Hamming ≤ [[AudioHammingK]] —
+    * the audio leg of the multimodal dedup symmetry ([[phashNearDup]]):
+    * sha2 catches byte dups, this catches the re-mastered
+    * (gain-scaled/resampled) clip. Same lossless pigeonhole banding,
+    * same corpus-size-adaptive joint-blocking dial. */
+  def audioNearDup(s: SparkSession, d: String): DataFrame =
+    audioPairsOfSketch(graft.tables.FrameCache.cached(s,
+      s"afp:${graft.tables.FrameCache.dirKey(d)}")(audioFingerprintOf(documents(s, d))))
+
+  private[graft] def audioNearDupOf(docs: DataFrame): DataFrame =
+    audioPairsOfSketch(audioFingerprintOf(docs))
+
+  private def audioPairsOfSketch(sketch: DataFrame): DataFrame = {
+    val withBits = sketch.filter(col("afp").isNotNull)
+      .select(col("doc_id"), col("afp").as("bits"))
+    Dedup.hammingBandPairs(withBits, Dedup.MaxBucketSize,
+      bands = ImgBands, k = AudioHammingK, joint = imgJointFor(withBits.count()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
@@ -476,6 +695,9 @@ object Multimodal {
     "mm_phash"        -> phash _,
     "mm_phash_neardup" -> phashNearDup _,
     "mm_audio_quality" -> audioQuality _,
+    "mm_image_quality" -> imageQuality _,
+    "mm_audio_fingerprint" -> audioFingerprint _,
+    "mm_audio_neardup" -> audioNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[ImageQuality]]'s signal arithmetic on engineered rasters with
+  * hand-computable statistics, and the hostile-input contract. */
+class ImageQualitySpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int, level: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (level << 16) | (level << 8) | level)
+    img
+  }
+
+  test("solid fill: exact mean, zero contrast, zero edges, zero extreme bins") {
+    val s = ImageQuality.signalsOf(gray(16, 12, 128))
+    assert(s.width == 16 && s.height == 12)
+    // luma(128,128,128) = 128·(299+587+114) = 128000 exactly
+    assert(s.meanLuma == 128000.0 / 255000.0)
+    assert(s.lumaStd == 0.0)
+    assert(s.darkFrac == 0.0 && s.brightFrac == 0.0)
+    assert(s.edgeDensity == 0.0)
+  }
+
+  test("half-black/half-white columns: every moment exact by hand") {
+    // left 8 columns black (luma 0 — dark bin), right 8 white (255000 —
+    // bright bin); one luma jump per row at the seam
+    val img = new java.awt.image.BufferedImage(16, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 16)
+      img.setRGB(x, y, if (x < 8) 0 else 0xFFFFFF)
+    val s = ImageQuality.signalsOf(img)
+    assert(s.meanLuma == 0.5)
+    // variance = E[v²]−E[v]² = (255000²/2) − (255000/2)² = 255000²/4
+    assert(s.lumaStd == 0.5)
+    assert(s.darkFrac == 0.5 && s.brightFrac == 0.5)
+    // per row: 15 adjacent pairs, one jump of 255000 → mean |grad| =
+    // 255000/15 → normalized 1/15
+    assert(s.edgeDensity == 1.0 / 15.0)
+  }
+
+  test("dark and bright bins follow the documented bars exactly") {
+    // gray 25 → luma 25000 < 25500: dark; gray 26 → 26000: not dark
+    assert(ImageQuality.signalsOf(gray(9, 8, 25)).darkFrac == 1.0)
+    assert(ImageQuality.signalsOf(gray(9, 8, 26)).darkFrac == 0.0)
+    // gray 230 → 230000 ≥ 229500: bright; gray 229 → 229000: not
+    assert(ImageQuality.signalsOf(gray(9, 8, 230)).brightFrac == 1.0)
+    assert(ImageQuality.signalsOf(gray(9, 8, 229)).brightFrac == 0.0)
+  }
+
+  test("fixture corpus plants the designed defects") {
+    // leg 1: solid → flat; leg 2: blown bright; leg 3: all shadow
+    for (gid <- 0L until 10L) {
+      val solid = ImageQuality.analyze(graft.queries.Multimodal.syntheticImageQ(gid * 5 + 1))
+      assert(solid.lumaStd == 0.0 && solid.edgeDensity == 0.0, s"gid=$gid solid not flat")
+      val bright = ImageQuality.analyze(graft.queries.Multimodal.syntheticImageQ(gid * 5 + 2))
+      assert(bright.brightFrac == 1.0, s"gid=$gid bright frac ${bright.brightFrac}")
+      val dark = ImageQuality.analyze(graft.queries.Multimodal.syntheticImageQ(gid * 5 + 3))
+      assert(dark.darkFrac == 1.0, s"gid=$gid dark frac ${dark.darkFrac}")
+      val normal = ImageQuality.analyze(graft.queries.Multimodal.syntheticImageQ(gid * 5))
+      assert(normal.lumaStd > 0.05 && normal.edgeDensity > 0.0 &&
+        normal.darkFrac < 0.5 && normal.brightFrac < 0.5, s"gid=$gid normal leg gated")
+    }
+  }
+
+  test("hostile bytes never throw; undecodable analyzes to null") {
+    assert(ImageQuality.analyze(null) == null)
+    assert(ImageQuality.analyze(Array.emptyByteArray) == null)
+    assert(ImageQuality.analyze("garbage bytes".getBytes) == null)
+    val png = graft.queries.Multimodal.syntheticImageQ(0L)
+    for (cut <- Seq(4, 8, 16, 33, png.length / 2))
+      ImageQuality.analyze(java.util.Arrays.copyOf(png, cut)) // must not throw
+  }
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.AudioFingerprint
+
+/** Behavioral contract of the perceptual audio near-dup family: a
+  * gain-scaled re-master and a resampled twin are CAUGHT, a distinct
+  * melody is NOT, and the Spark pairing reproduces exactly the
+  * brute-force Hamming pair set on the fixture corpus — the
+  * [[PhashSpec]] discipline, audio leg. */
+class AudioFingerprintSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def fpOf(docId: Long): Long =
+    AudioFingerprint.fingerprint(Multimodal.syntheticMelody(docId)).longValue()
+
+  test("gain and resample twins land within AudioHammingK; distinct melodies far outside") {
+    var worstTwin = 0
+    var nearestDistinct = 64
+    for (gid <- 0L until 40L) {
+      val base = fpOf(gid * 5)
+      val gain = fpOf(gid * 5 + 1)
+      val resamp = fpOf(gid * 5 + 2)
+      val distinct = fpOf(gid * 5 + 3)
+      worstTwin = math.max(worstTwin, math.max(ham(base, gain), ham(base, resamp)))
+      nearestDistinct = math.min(nearestDistinct, ham(base, distinct))
+      assert(ham(base, gain) <= Multimodal.AudioHammingK,
+        s"gid=$gid gain twin at ${ham(base, gain)} bits")
+      assert(ham(base, resamp) <= Multimodal.AudioHammingK,
+        s"gid=$gid resampled twin at ${ham(base, resamp)} bits")
+      assert(ham(base, distinct) > 2 * Multimodal.AudioHammingK,
+        s"gid=$gid distinct melody only ${ham(base, distinct)} bits away")
+    }
+    info(s"measured envelope: worst twin $worstTwin bits, nearest distinct $nearestDistinct bits")
+  }
+
+  test("fingerprint is bit-identical to an independent reference on real fixtures") {
+    // independent reference: decode the WAV with javax.sound directly
+    // into a whole-clip sample array (no streaming/carry machinery),
+    // pool energies per window, compare per-frame means
+    def reference(data: Array[Byte]): Long = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val fmt = ais.getFormat
+      require(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+      val n = ais.getFrameLength.toInt
+      val raw = ais.readAllBytes()
+      val xs = (0 until n).map { i =>
+        ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xFF)).toShort.toDouble / 32768.0
+      }
+      val w = AudioFingerprint.Windows
+      val energy = new Array[Double](w)
+      for (i <- 0 until n) energy((i.toLong * w / n).toInt) += xs(i) * xs(i)
+      var bits = 0L
+      for (k <- 0 until 64) {
+        val l0 = (k + 1).toLong * n / w - k.toLong * n / w
+        val l1 = (k + 2).toLong * n / w - (k + 1).toLong * n / w
+        if (energy(k) * l1 > energy(k + 1) * l0) bits |= 1L << (63 - k)
+      }
+      bits
+    }
+    for (docId <- 0L until 20L if docId % 5 != 4) {
+      val bytes = Multimodal.syntheticMelody(docId)
+      assert(fpOf(docId) == reference(bytes), s"doc $docId diverges from reference")
+    }
+  }
+
+  test("fingerprint frame: deterministic, null only for the undecodable leg") {
+    val docs = (0L until 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Multimodal.audioFingerprintOf(docs).orderBy("doc_id").collect()
+    val b = Multimodal.audioFingerprintOf(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    for (r <- a) {
+      val id = r.getLong(0)
+      if (id % 5 == 4) assert(r.isNullAt(1), s"junk leg $id must not fingerprint")
+      else assert(!r.isNullAt(1), s"melody $id must fingerprint")
+    }
+  }
+
+  test("banded pairing == brute-force Hamming pairs; groups pair internally, distinct pairs with no one") {
+    val n = 60L // 12 groups of 5
+    val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Multimodal.audioNearDupOf(docs)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val fps = (0L until n).filter(_ % 5 != 4).map(i => i -> fpOf(i)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if ham(fps(a), fps(b)) <= Multimodal.AudioHammingK
+    } yield (a, b, ham(fps(a), fps(b)).toLong)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    for (g <- 0L until (n / 5)) {
+      val Seq(v0, v1, v2, v3) = (0 to 3).map(v => g * 5 + v)
+      assert(got.contains((v0, v1, ham(fps(v0), fps(v1)).toLong)), s"group $g: gain twin missed")
+      assert(got.contains((v0, v2, ham(fps(v0), fps(v2)).toLong)), s"group $g: resample twin missed")
+      assert(!got.exists(p => p._1 == v3 || p._2 == v3), s"group $g: distinct melody paired")
+    }
+  }
+
+  test("hostile bytes never throw: junk, truncated WAV, empty, null") {
+    val wav = Multimodal.syntheticMelody(0L)
+    assert(AudioFingerprint.fingerprint(null) == null)
+    assert(AudioFingerprint.fingerprint(Array.emptyByteArray) == null)
+    assert(AudioFingerprint.fingerprint("garbage".getBytes) == null)
+    for (cut <- Seq(4, 11, 12, 20, 44, wav.length / 2)) {
+      // truncations either fingerprint a decoded prefix or return null —
+      // never throw
+      AudioFingerprint.fingerprint(java.util.Arrays.copyOf(wav, cut))
+    }
+    // a clip shorter than one frame per window cannot map its windows
+    val tiny = Multimodal.melodyWav(Multimodal.melodyNotes(0L), 8000f, 0.005, 1.0)
+    assert(AudioFingerprint.fingerprint(tiny) == null)
+  }
+}

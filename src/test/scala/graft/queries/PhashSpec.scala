@@ -41,6 +41,18 @@ class PhashSpec extends SparkSpec {
     assert(a.forall(!_.isNullAt(1)), "every synthesized image must hash")
   }
 
+  test("image quality frame: deterministic, all signals null exactly on the undecodable leg") {
+    val docs = (0L until 25L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Multimodal.imageQualityOf(docs).orderBy("doc_id").collect()
+    val b = Multimodal.imageQualityOf(docs).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    for (r <- a) {
+      val id = r.getLong(0)
+      if (id % 5 == 4) assert(r.isNullAt(1) && r.isNullAt(4), s"junk leg $id must not analyze")
+      else assert(!r.isNullAt(1) && !r.isNullAt(4), s"image $id must analyze")
+    }
+  }
+
   test("banded pairing == brute-force Hamming pairs on the fixture corpus") {
     val n = 48L // 12 groups of 4
     val docs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
