@@ -456,6 +456,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------- CCNet ppl bucketing
+
+  /** Range slices for [[ccnetBucket]]'s two-job exact per-language
+    * rank — the [[PackParts]] dial for the perplexity axis. */
+  val CcnetSlices = 32
+
+  /** (doc_id, lang, mean_bits, pid) range-partitioned on the exact
+    * per-language perplexity order — the frame both rank jobs must read
+    * with ONE partition assignment (memoized per (session, dir);
+    * repartitionByRange reseeds boundaries per job otherwise). */
+  private[graft] def ccnetParts(docs: DataFrame): DataFrame =
+    lmScoreOf(docs).select(col("doc_id"), col("mean_bits"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .repartitionByRange(CcnetSlices, col("lang"), col("mean_bits"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): per language, rank every document by LM score
+    * ([[lmScore]]'s mean bits per token — low = fluent) and cut the
+    * ranking into equal thirds — `head` (most fluent, kept outright in
+    * the CCNet recipe), `middle`, `tail` (usually dropped). The stage
+    * BETWEEN the rule gates and the mixture recipe in the modern
+    * pipeline stack.
+    *
+    * Exactness: the bucket is integer arithmetic on the exact 0-based
+    * rank — `(rank·3) div n_lang` (sizes match SQL ntile: earlier
+    * buckets take the remainder) with ties broken by doc_id, and the
+    * rank itself is exact at any scale via the two-job range-partition
+    * pattern ([[packSpansOf]]'s discipline): range-partition on
+    * (lang, mean_bits, doc_id), collect the per-(slice, lang) counts
+    * (≤ slices·|langs| rows — catalog-sized), turn them into exclusive
+    * prefix offsets, and add the slice-local window rank. NO
+    * per-language global sort ever runs on one reducer — each slice
+    * ranks its own range in parallel, which is what survives a 100 TB
+    * language partition that a `ntile() over (partition by lang)`
+    * single-reducer window would not. */
+  def ccnetBucket(s: SparkSession, d: String): DataFrame =
+    ccnetBucketOf(graft.tables.FrameCache.cached(s,
+      s"ccnet-parts:${graft.tables.FrameCache.dirKey(d)}")(ccnetParts(documents(s, d))))
+
+  private[graft] def ccnetBucketOf(parts0: DataFrame): DataFrame = {
+    val parts = pinAssignment(parts0)
+    // per-(slice, lang) counts → driver-side exclusive prefix per lang
+    val totals = parts.groupBy("pid", "lang").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val nByLang = totals.groupBy(_._2).map { case (l, rs) => l -> rs.map(_._3).sum }
+    val startByKey = totals.groupBy(_._2).toSeq.flatMap { case (l, rs) =>
+      val sorted = rs.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, start) => s"$pid:$l" -> start }
+    }.toMap
+    val startCol = coalesce(
+      element_at(typedLit(startByKey), concat(col("pid"), lit(":"), col("lang"))), lit(0L))
+    val nCol = element_at(typedLit(nByLang), col("lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid", "lang").orderBy("mean_bits", "doc_id")
+    parts
+      .select(col("doc_id"), col("lang"), col("mean_bits"),
+        (startCol + row_number().over(w).cast("long") - 1L).as("ppl_rank"),
+        nCol.as("n_lang"))
+      .select(col("doc_id"), col("lang"), col("mean_bits"), col("ppl_rank"), col("n_lang"),
+        when(expr("(ppl_rank * 3) div n_lang") === 0L, "head")
+          .when(expr("(ppl_rank * 3) div n_lang") === 1L, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- mix resample
 
   /** Token budget for [[mixResample]] — the target corpus size, in
@@ -2151,6 +2219,7 @@ object TextAnalysis {
     "text_skipgram_pairs" -> skipgramPairs _,
     "text_bigram_surprisal" -> bigramSurprisal _,
     "text_lm_score"      -> lmScore _,
+    "text_ccnet_bucket"  -> ccnetBucket _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
     "text_ngram_topk"  -> ngramTopK _,
@@ -2176,6 +2245,51 @@ object TextAnalysis {
     "text_pmi_bigrams"   -> pmiBigrams _,
     "text_source_mix"    -> sourceMix _,
   )
+
+  /** The stupid-backoff scoring oracle body, shared verbatim by the
+    * text_lm_score and text_ccnet_bucket rows (the [[ClosureCteSql]]
+    * one-definition discipline: the model the bucketer ranks on cannot
+    * drift from the model the scorer is checked against). Final CTE
+    * `scored` = (doc_id, n_tokens, lm_bits, mean_bits). */
+  private[graft] lazy val lmScoreCteSql: String =
+      s"""tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |), f AS (
+        |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        |), n AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM f
+        |), uni AS (
+        |  SELECT t, CAST(length(bin(n.n // f.c)) - 1 AS BIGINT) AS s1
+        |  FROM f CROSS JOIN n
+        |), w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest([{'g': words[i] || ' ' || words[i+1], 'b': words[i+1]}
+        |      for i in range(1, len(words))], recursive := true)
+        |  FROM w WHERE len(words) >= 2
+        |), bc AS (
+        |  SELECT g, COUNT(*) AS c_ab, string_split(g, ' ')[1] AS a FROM bi GROUP BY g
+        |), ac AS (
+        |  SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
+        |), pr AS (
+        |  SELECT g, CAST(length(bin(ac.c_a // bc.c_ab)) - 1 AS BIGINT) AS s2
+        |  FROM bc JOIN ac USING (a) WHERE bc.c_ab >= ${LmMinBigram}
+        |), tr AS (
+        |  SELECT bi.doc_id,
+        |    COALESCE(pr.s2, uni.s1 + ${LmBackoffBits}) AS s
+        |  FROM bi LEFT JOIN pr USING (g) JOIN uni ON uni.t = bi.b
+        |), tsum AS (
+        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tb FROM tr GROUP BY doc_id
+        |), fs AS (
+        |  SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens, uni.s1
+        |  FROM w JOIN uni ON uni.t = w.words[1]
+        |), scored AS (
+        |  SELECT fs.doc_id, fs.n_tokens,
+        |    CAST(fs.s1 + COALESCE(tsum.tb, 0) AS BIGINT) AS lm_bits,
+        |    CAST(fs.s1 + COALESCE(tsum.tb, 0) AS DOUBLE) / fs.n_tokens AS mean_bits
+        |  FROM fs LEFT JOIN tsum USING (doc_id)
+        |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Same planted suffixes via chr() twins (no non-ASCII in the SQL
@@ -2605,44 +2719,30 @@ object TextAnalysis {
     // backoff switch (+2 = the integerized alpha), first token always
     // unigram. All-int64 until the one final double division.
     "text_lm_score" ->
-      s"""WITH tok AS (
-        |  SELECT unnest(string_split(text, ' ')) AS t FROM documents
-        |), f AS (
-        |  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
-        |), n AS (
-        |  SELECT CAST(SUM(c) AS BIGINT) AS n FROM f
-        |), uni AS (
-        |  SELECT t, CAST(length(bin(n.n // f.c)) - 1 AS BIGINT) AS s1
-        |  FROM f CROSS JOIN n
-        |), w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |), bi AS (
-        |  SELECT doc_id,
-        |    unnest([{'g': words[i] || ' ' || words[i+1], 'b': words[i+1]}
-        |      for i in range(1, len(words))], recursive := true)
-        |  FROM w WHERE len(words) >= 2
-        |), bc AS (
-        |  SELECT g, COUNT(*) AS c_ab, string_split(g, ' ')[1] AS a FROM bi GROUP BY g
-        |), ac AS (
-        |  SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
-        |), pr AS (
-        |  SELECT g, CAST(length(bin(ac.c_a // bc.c_ab)) - 1 AS BIGINT) AS s2
-        |  FROM bc JOIN ac USING (a) WHERE bc.c_ab >= ${LmMinBigram}
-        |), tr AS (
-        |  SELECT bi.doc_id,
-        |    COALESCE(pr.s2, uni.s1 + ${LmBackoffBits}) AS s
-        |  FROM bi LEFT JOIN pr USING (g) JOIN uni ON uni.t = bi.b
-        |), tsum AS (
-        |  SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tb FROM tr GROUP BY doc_id
-        |), fs AS (
-        |  SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens, uni.s1
-        |  FROM w JOIN uni ON uni.t = w.words[1]
-        |)
-        |SELECT fs.doc_id, fs.n_tokens,
-        |  CAST(fs.s1 + COALESCE(tsum.tb, 0) AS BIGINT) AS lm_bits,
-        |  CAST(fs.s1 + COALESCE(tsum.tb, 0) AS DOUBLE) / fs.n_tokens AS mean_bits
-        |FROM fs LEFT JOIN tsum USING (doc_id)
+      s"""WITH $lmScoreCteSql
+        |SELECT doc_id, n_tokens, lm_bits, mean_bits FROM scored
         |ORDER BY doc_id""".stripMargin,
+    // Rides the ENTIRE lm-score oracle as its scoring stage (shared CTE
+    // text — the model definition cannot drift between the two rows);
+    // the bucket is pure integer arithmetic on the exact 0-based
+    // per-lang rank, ties broken by doc_id, remainder to earlier
+    // buckets — the identical (rank*3) // n both engines evaluate.
+    "text_ccnet_bucket" ->
+      s"""WITH $lmScoreCteSql,
+        |lng AS (
+        |  SELECT s.doc_id, d.lang, s.mean_bits
+        |  FROM scored s JOIN documents d USING (doc_id)
+        |), r AS (
+        |  SELECT doc_id, lang, mean_bits,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY mean_bits, doc_id) - 1
+        |      AS BIGINT) AS ppl_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+        |  FROM lng
+        |)
+        |SELECT doc_id, lang, mean_bits, ppl_rank, n_lang,
+        |  CASE (ppl_rank * 3) // n_lang WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // Identical window comprehension (1-based in DuckDB), exact counts,
     // same (count DESC, pair) total order at the cut.
     "text_skipgram_pairs" ->

@@ -63,7 +63,10 @@ class PlanSpec extends SparkSpec {
     * regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
     "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
-    "text_lm_score", "text_dsir_weight", "text_dsir_sample")
+    "text_lm_score", "text_dsir_weight", "text_dsir_sample",
+    // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)
+    // inside its cached parts frame
+    "text_ccnet_bucket")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
@@ -274,7 +277,8 @@ class PlanSpec extends SparkSpec {
   test("running-window and sessionization windows are all partitioned") {
     // same discipline as pack spans: an unpartitioned `sum() over (order
     // by ...)` is one reducer sorting the whole corpus at 100 TB.
-    for (q <- Seq("rel_window_running", "rel_sessionize", "rel_window_ntile")) {
+    for (q <- Seq("rel_window_running", "rel_sessionize", "rel_window_ntile",
+        "text_ccnet_bucket")) {
       val wins = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec

@@ -292,4 +292,48 @@ class QualityOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
+
+  test("ccnetBucket assembly: engineered scores rank exactly, ntile-sized thirds, ties by doc_id") {
+    // feed ccnetBucketOf a hand-built parts frame (the stage after
+    // scoring): en has 9 docs scored 1..9 with one tie, de has 5 —
+    // every rank and bucket is checkable by hand
+    val parts0 = Seq(
+      (0L, "en", 3.0), (1L, "en", 1.0), (2L, "en", 9.0), (3L, "en", 2.0),
+      (4L, "en", 2.0), // tie with doc 3 → doc_id order
+      (5L, "en", 5.0), (6L, "en", 4.0), (7L, "en", 8.0), (8L, "en", 7.0),
+      (10L, "de", 6.0), (11L, "de", 1.5), (12L, "de", 2.5),
+      (13L, "de", 0.5), (14L, "de", 4.5))
+      .toDF("doc_id", "lang", "mean_bits")
+      .repartitionByRange(4, col("lang"), col("mean_bits"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val out = TextAnalysis.ccnetBucketOf(parts0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    // en by (score, doc_id): 1,3,4,0,6,5,8,7,2 → ranks 0..8, thirds 3/3/3
+    val enOrder = Seq(1L, 3L, 4L, 0L, 6L, 5L, 8L, 7L, 2L)
+    for ((id, r) <- enOrder.zipWithIndex) {
+      val bucket = if (r < 3) "head" else if (r < 6) "middle" else "tail"
+      assert(out(id) == ((r.toLong, 9L, bucket)), s"en doc $id: ${out(id)}")
+    }
+    // de by score: 13,11,12,14,10 → ranks 0..4; ntile(3) of 5 = 2,2,1
+    val deOrder = Seq(13L, 11L, 12L, 14L, 10L)
+    val deBuckets = Seq("head", "head", "middle", "middle", "tail")
+    for (((id, r), b) <- deOrder.zipWithIndex.zip(deBuckets))
+      assert(out(id) == ((r.toLong, 5L, b)), s"de doc $id: ${out(id)}")
+  }
+
+  test("ccnetBucket on the corpus: two-job rank == single-window rank, rerun-deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.ccnetBucket(spark, d).collect()
+    val again = TextAnalysis.ccnetBucket(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // brute-force twin: one global window per lang (fine at spec scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("mean_bits", "doc_id")
+    val brute = TextAnalysis.ccnetParts(graft.tables.Testdata.documents(spark, d))
+      .select(col("doc_id"), (row_number().over(w).cast("long") - 1L).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(r.getLong(3) == brute(r.getLong(0)),
+        s"doc ${r.getLong(0)}: assembled rank ${r.getLong(3)} != window ${brute(r.getLong(0))}")
+  }
 }
