@@ -580,6 +580,100 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Epoch ceiling for [[mixEpochs]] — the "don't repeat data too many
+    * times" dial from data-constrained scaling (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models": returns from repeating
+    * decay fast past a few epochs, so recipes cap repeats and spend the
+    * freed budget elsewhere). 2 is LOW for realism but sized so the
+    * sf0.01 corpus exercises the interesting regime: `de` caps on the
+    * first water-filling pass, and the budget it releases pushes `fr`
+    * over the ceiling on the SECOND pass — the iterative redistribution
+    * is live in the driver's own correctness gate, not just in specs. */
+  val MixMaxEpochs = 2L
+
+  /** Epoch-capped mixture planning — [[mixResample]] with the missing
+    * real-world constraint: no language may repeat more than
+    * [[MixMaxEpochs]] times, and budget a capped language cannot absorb
+    * is redistributed to the uncapped ones in proportion to their
+    * weights (water-filling). Each pass recomputes the uncapped share
+    * `w_l·B / (W_uncapped·T_l)`; any language over the ceiling is
+    * frozen at exactly [[MixMaxEpochs]] epochs, its `MaxEpochs·T_l`
+    * tokens leave the budget, and the pass repeats — at most |langs|
+    * passes, and B stays ≥ 0 because each pass removes languages whose
+    * assigned share EXCEEDED what they take capped. Per-doc repeats
+    * then reuse [[mixResample]]'s exact machinery: ⌊num/den⌋ plus the
+    * Knuth-bucket fractional accept decided by the int64 cross product
+    * `bucket·den < rem·SampleBuckets` — exact while
+    * `SampleBuckets·W·T_l < 2⁶³` (T_l up to ~10¹⁵ tokens, petabytes of
+    * text), no float epochs anywhere.
+    *
+    * Scale shape: the water-filling loop runs on the DRIVER over the
+    * per-language totals — catalog-sized (|langs| rows, ≤|langs|
+    * passes), the same bounded-collect discipline as [[temperatureMix]]
+    * — and the result re-enters the plan as a literal when-chain, so
+    * the corpus side is ONE aggregate for the totals plus a narrow
+    * row-local projection: doc text never shuffles. */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val stats = graft.tables.FrameCache.cachedValue[Seq[(String, Long)]](s,
+      s"mixepochs-stats:${graft.tables.FrameCache.dirKey(d)}") {
+      documents(s, d).groupBy("lang")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    }
+    mixEpochsOf(documents(s, d), stats)
+  }
+
+  /** The water-filling plan: lang → (whole, rem, den, capped) with the
+    * per-doc repeat count = whole + [bucket·den < rem·SampleBuckets].
+    * Pure int64 throughout; capped languages are exactly
+    * ([[MixMaxEpochs]], 0, 1, true). */
+  private[graft] def mixEpochsPlan(
+      stats: Seq[(String, Long)]): Map[String, (Long, Long, Long, Boolean)] = {
+    val weights = MixWeights.toMap
+    var remaining = stats.filter { case (l, t) => weights.getOrElse(l, 0L) > 0L && t > 0L }
+    var b = MixBudget
+    var capped = List.empty[String]
+    var done = false
+    while (!done && remaining.nonEmpty) {
+      val wsum = remaining.map(x => weights(x._1)).sum
+      val over = remaining.filter { case (l, t) =>
+        weights(l) * b > MixMaxEpochs * wsum * t }
+      if (over.isEmpty) done = true
+      else {
+        capped ++= over.map(_._1)
+        b -= MixMaxEpochs * over.map(_._2).sum
+        remaining = remaining.filterNot(x => over.exists(_._1 == x._1))
+      }
+    }
+    val wsum = remaining.map(x => weights(x._1)).sum
+    val out = remaining.map { case (l, t) =>
+      val num = weights(l) * b
+      val den = wsum * t
+      l -> ((num / den, num % den, den, false))
+    } ++ capped.map(l => l -> ((MixMaxEpochs, 0L, 1L, true)))
+    out.toMap
+  }
+
+  private[graft] def mixEpochsOf(docs: DataFrame,
+                                 stats: Seq[(String, Long)]): DataFrame = {
+    val plan = mixEpochsPlan(stats)
+    def chain[T](zero: Column, sel: ((Long, Long, Long, Boolean)) => Column): Column =
+      plan.toSeq.sortBy(_._1).foldLeft(zero) { case (acc, (l, v)) =>
+        when(col("lang") === l, sel(v)).otherwise(acc) }
+    val whole = chain(lit(0L), v => lit(v._1))
+    val rem = chain(lit(0L), v => lit(v._2))
+    val den = chain(lit(1L), v => lit(v._3))
+    val cappedCol = chain(lit(false), v => lit(v._4))
+    val toks = size(split(col("text"), " ")).cast("long")
+    val bucket = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA)
+      % 4294967296L) % SampleBuckets
+    docs.select(col("doc_id"), col("lang"), toks.as("n_tokens"))
+      .withColumn("n_repeats",
+        whole + when(bucket * den < rem * lit(SampleBuckets), lit(1L)).otherwise(lit(0L)))
+      .withColumn("capped", cappedCol)
+      .orderBy("doc_id")
+  }
+
   /** Context radius and output cut for [[skipgramPairs]]. */
   val SkipgramWindow = 2
   val SkipgramTopK = 100
@@ -1394,6 +1488,51 @@ object TextAnalysis {
       .withColumn("r_stop", col("stop_hits") >= GopherMinStopHits)
       .withColumn("pass", col("r_words") && col("r_word_len") && col("r_symbol") &&
         col("r_alpha") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
+  /** Banned-word list for [[blocklistGate]]. The REAL stage ships a
+    * large per-language list (C4 used the public "List of Dirty,
+    * Naughty, Obscene..." wordlist, ~400 entries per language); the
+    * mechanism is identical at any list size — a literal `IN` over
+    * row-local tokens — and these three words are chosen to be live in
+    * the synthetic corpus so both verdicts actually occur (at sf0.01:
+    * 400/500 docs have ≥1 hit, 131/500 exceed the fraction gate). */
+  val BlocklistWords = Seq("slow", "dup", "stale")
+
+  /** Fraction ceiling for [[blocklistGate]] as an exact integer percent:
+    * drop iff `n_banned·100 > BlocklistMaxPct·n_tokens` — the boundary
+    * is decided by an int64 cross product, never a float compare. */
+  val BlocklistMaxPct = 10L
+
+  /** Banned-word gate — the C4 "bad words" filter (Raffel et al. 2020
+    * §2.2 dropped any page containing a listed word) generalized to the
+    * fraction form Dolma-style pipelines use (drop only when banned
+    * tokens exceed a share of the document, so a single quoted slur
+    * doesn't nuke an encyclopedia article). Emits BOTH verdicts per doc
+    * — `any_hit` (the strict C4 rule) and `gate` (the fraction rule) —
+    * so the recipe owner picks the policy downstream; [[gopherRules]]'
+    * audit-view discipline.
+    *
+    * Scale shape: a pure narrow projection — token counting is a
+    * row-local higher-order filter against a literal list (no broadcast
+    * frame, no exchange, trivially streamable), the cheapest possible
+    * first-pass gate at 100 TB. */
+  def blocklistGate(s: SparkSession, d: String): DataFrame =
+    blocklistGateOf(documents(s, d))
+
+  private[graft] def blocklistGateOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val banned = size(filter(words, w => w.isin(BlocklistWords: _*)))
+    docs.select(col("doc_id"),
+      size(words).cast("long").as("n_tokens"),
+      banned.cast("long").as("n_banned"))
+      .withColumn("banned_frac",
+        col("n_banned").cast("double") / col("n_tokens"))
+      .withColumn("any_hit", col("n_banned") > lit(0L))
+      .withColumn("gate",
+        when(col("n_banned") * lit(100L) > lit(BlocklistMaxPct) * col("n_tokens"),
+          lit("drop")).otherwise(lit("keep")))
       .orderBy("doc_id")
   }
 
@@ -2226,7 +2365,9 @@ object TextAnalysis {
     "text_decontaminate" -> decontaminate _,
     "text_decontaminate_spans" -> decontaminateSpans _,
     "text_gopher_rules" -> gopherRules _,
+    "text_blocklist_gate" -> blocklistGate _,
     "text_mix_resample"  -> mixResample _,
+    "text_mix_epochs"    -> mixEpochs _,
     "text_surprisal"     -> surprisal _,
     "text_chunk_overlap" -> chunkOverlap _,
     "text_lang_mismatch" -> langMismatch _,
@@ -2603,6 +2744,23 @@ object TextAnalysis {
          |   AND alpha_word_frac >= $GopherMinAlphaFrac
          |   AND stop_hits >= $GopherMinStopHits) AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
+    // Counting a literal IN over the same token split; the fraction is
+    // one division of exact ints, and the gate boundary is the identical
+    // int64 cross product on both engines.
+    "text_blocklist_gate" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len([x for x in string_split(text, ' ')
+         |              if x IN ('slow','dup','stale')]) AS BIGINT) AS n_banned
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens, n_banned,
+         |  CAST(n_banned AS DOUBLE) / n_tokens AS banned_frac,
+         |  (n_banned > 0) AS any_hit,
+         |  CASE WHEN n_banned * 100 > $BlocklistMaxPct * n_tokens
+         |       THEN 'drop' ELSE 'keep' END AS gate
+         |FROM m ORDER BY doc_id""".stripMargin,
     // Span removal: positions are 0-based on both sides; DuckDB slices
     // are 1-based inclusive, so gram at start i = words[(i+1):(i+4)].
     "text_decontaminate_spans" ->
@@ -2963,6 +3121,59 @@ object TextAnalysis {
         |           * den < (num % den) * 100
         |         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
         |FROM j ORDER BY doc_id""".stripMargin,
+    // Water-filling unrolled to |MixWeights| passes (extra passes are
+    // identity once nothing is over the ceiling — the same fixpoint the
+    // Scala loop stops at): each pass flags languages whose share
+    // exceeds MaxEpochs·tokens against the CURRENT uncapped weight sum,
+    // then removes their capped tokens from the budget. All integer
+    // (DuckDB widens the window sums to HUGEINT — still exact); the
+    // per-doc accept is mix_resample's Knuth-bucket cross product; the
+    // GREATEST(wsum, 1) floor only fires when every language capped, in
+    // which case no row reads the uncapped branch.
+    "text_mix_epochs" -> {
+      val iters = (1 to MixWeights.size).map { k =>
+        s"""i$k AS (
+           |  SELECT lang, t, w, b, capped,
+           |    ((NOT capped) AND w * b > $MixMaxEpochs *
+           |      (SUM(CASE WHEN capped THEN 0 ELSE w END) OVER ()) * t) AS newly
+           |  FROM j${k - 1}
+           |), j$k AS (
+           |  SELECT lang, t, w,
+           |    b - $MixMaxEpochs * (SUM(CASE WHEN newly THEN t ELSE 0 END) OVER ()) AS b,
+           |    (capped OR newly) AS capped
+           |  FROM i$k
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH lt AS (
+         |  SELECT lang,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t,
+         |    CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 15 WHEN 'de' THEN 15
+         |              WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 0 END AS w
+         |  FROM documents GROUP BY lang
+         |), j0 AS (
+         |  SELECT lang, t, w, CAST($MixBudget AS BIGINT) AS b, false AS capped
+         |  FROM lt WHERE w > 0 AND t > 0
+         |), $iters, ws AS (
+         |  SELECT lang, t, w, b, capped,
+         |    GREATEST(SUM(CASE WHEN capped THEN 0 ELSE w END) OVER (), 1) AS wsum
+         |  FROM j${MixWeights.size}
+         |), fin AS (
+         |  SELECT lang, capped,
+         |    CASE WHEN capped THEN $MixMaxEpochs ELSE (w * b) // (wsum * t) END AS whole,
+         |    CASE WHEN capped THEN 0 ELSE (w * b) % (wsum * t) END AS rem,
+         |    CASE WHEN capped THEN 1 ELSE wsum * t END AS den
+         |  FROM ws
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(f.whole, 0) +
+         |    CASE WHEN ((((d.doc_id % 2147483648) * 2654435761) % 4294967296) % $SampleBuckets)
+         |           * COALESCE(f.den, 1) < COALESCE(f.rem, 0) * $SampleBuckets
+         |         THEN 1 ELSE 0 END AS BIGINT) AS n_repeats,
+         |  COALESCE(f.capped, false) AS capped
+         |FROM documents d LEFT JOIN fin f ON d.lang = f.lang
+         |ORDER BY doc_id""".stripMargin
+    },
     // Same integer surprisal: ⌊log₂(N // c)⌋ = length(bin(quotient)) - 1
     // (DuckDB's bin() is unpadded, like Spark's conv(_, 10, 2)); counts
     // CAST back from HUGEINT; the final mean is one double division of

@@ -413,4 +413,50 @@ class BudgetOpsSpec extends SparkSpec {
     assert(dist.nonEmpty)
     assert(dist.map(_._3).sum <= TextAnalysis.TrimBudget)
   }
+
+  // ------------------------------------------------------ mixEpochs
+
+  test("mixEpochsPlan: one pass caps two langs, budget redistributes, uncapped rationals exact") {
+    // weights en40/es15/de15/fr15/zh15, B=50000, cap=2. Pass 1
+    // (wsum=100): es caps (750000 > 200·1000), fr caps (750000 >
+    // 200·2000); B → 44000. Pass 2 (wsum=70): nobody over → fixpoint.
+    val stats = Seq("de" -> 20000L, "en" -> 30000L, "es" -> 1000L,
+      "fr" -> 2000L, "zh" -> 10000L)
+    val plan = TextAnalysis.mixEpochsPlan(stats)
+    assert(plan("es") == ((2L, 0L, 1L, true)))
+    assert(plan("fr") == ((2L, 0L, 1L, true)))
+    assert(plan("en") == ((0L, 1760000L, 2100000L, false)))
+    assert(plan("de") == ((0L, 660000L, 1400000L, false)))
+    assert(plan("zh") == ((0L, 660000L, 700000L, false)))
+  }
+
+  test("mixEpochsPlan: released budget pushes a second language over the cap on pass 2") {
+    // pass 1 (wsum=70): es caps (750000 > 140·3300); zh survives
+    // (750000 < 140·5500 = 770000). pass 2 (wsum=55, B=43400): zh caps
+    // (651000 > 110·5500 = 605000). pass 3 (wsum=40, B=32400): en holds
+    // (1296000 < 80·30000) → whole 1, rem 96000 over den 1200000.
+    val plan = TextAnalysis.mixEpochsPlan(
+      Seq("en" -> 30000L, "es" -> 3300L, "zh" -> 5500L))
+    assert(plan("es") == ((2L, 0L, 1L, true)))
+    assert(plan("zh") == ((2L, 0L, 1L, true)))
+    assert(plan("en") == ((1L, 96000L, 1200000L, false)))
+  }
+
+  test("mixEpochs on sf0.01: de caps pass 1, released budget caps fr pass 2, ceiling binds per doc") {
+    val d = "/root/testdata/sf0.01"
+    val out = TextAnalysis.mixEpochs(spark, d).collect()
+    // the ceiling is a PER-DOC invariant of the fixpoint: num ≤ cap·den
+    // for every uncapped lang, so whole+accept never exceeds the cap
+    assert(out.forall(_.getLong(3) <= TextAnalysis.MixMaxEpochs),
+      "a doc repeats beyond the epoch ceiling")
+    val cappedLangs = out.filter(_.getBoolean(4)).map(_.getString(1)).toSet
+    assert(cappedLangs == Set("de", "fr"), s"capped: $cappedLangs")
+    // capped languages land EXACTLY at cap·T_l tokens — no rounding
+    for (l <- cappedLangs) {
+      val rows = out.filter(_.getString(1) == l)
+      assert(rows.forall(_.getLong(3) == TextAnalysis.MixMaxEpochs))
+    }
+    val again = TextAnalysis.mixEpochs(spark, d).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

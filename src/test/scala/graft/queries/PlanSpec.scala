@@ -402,10 +402,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("narrow pipeline gates shuffle nothing but the harness result sort") {
-    // gopherRules and urlCanon judge each row in isolation — the ONLY
-    // exchange either may plan is the driver-hash orderBy. A second
-    // exchange means the op grew a corpus pass it must not need.
-    for (q <- Seq("text_gopher_rules", "text_url_canon")) {
+    // gopherRules, urlCanon and blocklistGate judge each row in
+    // isolation; mixEpochs' corpus pass is the separate cached stats
+    // job, and its returned frame is a literal when-chain projection —
+    // for all four the ONLY exchange the frame may plan is the
+    // driver-hash orderBy. A second exchange means the op grew a corpus
+    // pass it must not need.
+    for (q <- Seq("text_gopher_rules", "text_url_canon",
+        "text_blocklist_gate", "text_mix_epochs")) {
       val xs = shuffles(q)
       assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
         s"$q: expected exactly the result-sort exchange, got $xs")

@@ -336,4 +336,20 @@ class QualityOpsSpec extends SparkSpec {
       assert(r.getLong(3) == brute(r.getLong(0)),
         s"doc ${r.getLong(0)}: assembled rank ${r.getLong(3)} != window ${brute(r.getLong(0))}")
   }
+
+  test("blocklistGate: clean keeps, exact-boundary fraction keeps, over-threshold drops, any_hit tracks") {
+    val docs = Seq(
+      (1L, "scan column window merge"),                           // no hits
+      (2L, "slow scan scan scan scan scan scan scan scan scan"),  // 1/10 = exactly 10%
+      (3L, "slow dup scan scan scan scan scan scan scan scan"),   // 2/10 > 10%
+      (4L, "stale")).toDF("doc_id", "text")                       // 1/1
+    val out = TextAnalysis.blocklistGateOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(4), r.getString(5)))).toMap
+    assert(out(1L) == ((0L, false, "keep")))
+    // the boundary is decided by the int64 cross product, and exactly-at
+    // is NOT over: the strict C4 rule (any_hit) still flags the doc
+    assert(out(2L) == ((1L, true, "keep")))
+    assert(out(3L) == ((2L, true, "drop")))
+    assert(out(4L) == ((1L, true, "drop")))
+  }
 }
