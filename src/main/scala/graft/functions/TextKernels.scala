@@ -87,6 +87,11 @@ object TextKernels {
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     ColumnInterop.column(WinnowFingerprints(ColumnInterop.expression(text), k, w))
 
+  /** Content-defined chunks (array<long>, each `len·2³¹ + KR hash`) with
+    * boundaries where the w-byte rolling hash's low maskBits are zero. */
+  def cdcChunks(text: Column, w: Int, maskBits: Int): Column =
+    ColumnInterop.column(CdcChunks(ColumnInterop.expression(text), w, maskBits))
+
   /** Deflate(level 6) byte length of the UTF-8 text — the compression
     * quality signal's numerator. */
   def deflateLength(text: Column): Column =
@@ -859,6 +864,82 @@ case class KrBucket(child: Expression, mod: Long, buckets: Long) extends UnaryEx
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("krBucket", this, classOf[KrBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunk signatures — the storage-dedup primitive (LBFS:
+  * Muthitacharoen, Chen & Mazières, "A Low-Bandwidth Network File
+  * System", SOSP 2001; the backbone of every dedup store since): cut the
+  * byte stream wherever the Karp-Rabin hash of the trailing `w`-byte
+  * window has its low `maskBits` bits zero, then hash each chunk. Because
+  * boundaries depend only on LOCAL content, an insertion or trim
+  * re-synchronizes after at most one chunk — the property fixed-stride
+  * framing ([[graft.queries.Multimodal.frameSample]]) fundamentally
+  * lacks, and the reason CDC (not stride slicing) is what catches a
+  * re-muxed / trimmed copy of the same stream.
+  *
+  * Arithmetic is [[WinnowFingerprints]]'s exact-int64 discipline: both
+  * the window hash and the chunk hash are `h = (h·B + c) mod M` folds
+  * with B = 256, M = 1e9+7 (every intermediate < 2^46), so a DuckDB
+  * `list_reduce` over the same code points reproduces both bit-for-bit.
+  * Characters are UTF-16 code units == the oracle's code points on this
+  * ASCII corpus (winnow's documented divergence contract). Each element
+  * of the result packs one chunk as `len·2^31 + hash` (hash < M < 2^31;
+  * exact while len < 2^32): chunks stream out in order, index = array
+  * position. No boundary may fall after the last byte (the tail chunk is
+  * never empty); a stream shorter than one window is one chunk. One
+  * narrow O(n) pass per row, nothing leaves the row until the bounded
+  * chunk list explodes. */
+case class CdcChunks(child: Expression, w: Int, maskBits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"cdc_chunks expects string, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  import TextKernels.{WinnowBase => B, WinnowMod => M}
+
+  private val mask = (1L << maskBits) - 1L
+
+  /** B^(w-1) mod M — the drop-term multiplier of the rolling update. */
+  @transient private lazy val powW1: Long =
+    Iterator.iterate(1L)(p => p * B % M).drop(w - 1).next()
+
+  def compute(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L    // window hash over the trailing w chars
+    var acc = 0L  // running chunk hash
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      acc = (acc * B + c) % M
+      h = if (i < w) (h * B + c) % M
+          else ((h - str.charAt(i - w) * powW1 % M + M) % M * B + c) % M
+      if (i >= w - 1 && i < n - 1 && (h & mask) == 0L) {
+        out += (i - start + 1).toLong * 2147483648L + acc
+        acc = 0L
+        start = i + 1
+      }
+      i += 1
+    }
+    out += (n - start).toLong * 2147483648L + acc
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cdcExpr", this, classOf[CdcChunks].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
   }
 

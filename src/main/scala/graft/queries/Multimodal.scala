@@ -225,6 +225,89 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  // ---------------------------------------- video segment near-dup (CDC)
+
+  /** CDC dials for [[videoChunks]]: 8-byte rolling window, 6 mask bits
+    * (expected chunk ≈ 64 bytes — a handful of chunks per testdata
+    * asset; a real video pipeline would use KB–MB chunks, same math). */
+  val CdcWindow = 8
+  val CdcMaskBits = 6
+  /** Hot-chunk cap for [[videoNearDup]]'s candidate join — the LSH
+    * bucket-cap discipline: a chunk signature shared by more docs than
+    * this is boilerplate (a shared intro/outro segment at video scale),
+    * and its C(n,2) fan-out is cut rather than shuffled. */
+  val CdcMaxDocsPerChunk = 16L
+  /** Pair admission dials: at least this many shared chunk signatures
+    * AND containment ≥ 1/2 of the smaller asset's chunk set (decided by
+    * the exact int64 cross product `2·shared ≥ min`, never a float). */
+  val CdcMinShared = 2L
+
+  /** Content-defined chunk signatures over the video byte stream — the
+    * segment level where large-scale video dedup actually runs (no
+    * public cluster decodes every frame of every crawl video; they dedup
+    * CDC segment hashes of the stream, LBFS-style, which survives
+    * remuxing that shifts byte offsets). [[frameSample]] is the
+    * fixed-stride cousin; THIS op is the one that still matches after a
+    * trim or a prepended ad, because boundaries re-synchronize on local
+    * content ([[graft.functions.TextKernels.CdcChunks]]). Pixel-level
+    * perceptual hashing of video stays out of scope by the file's
+    * documented boundary (no codec in the JDK); the byte-segment level
+    * is real and is what this leg ships.
+    *
+    * The stream here is the doc's ASCII bytes under the text view (the
+    * [[frameSample]] oracle contract: ASCII testdata ⇒ the VARCHAR view
+    * hashes the identical bytes DuckDB cannot slice as BLOBs). Unpacking
+    * `len·2³¹ + hash` is exact integer arithmetic on both engines.
+    *
+    * Scale shape: one narrow codegen pass per row, then an explode of
+    * the bounded chunk list — nothing else. */
+  def videoChunks(s: SparkSession, d: String): DataFrame =
+    videoChunksOf(documents(s, d)).orderBy("doc_id", "chunk_idx")
+
+  private[graft] def videoChunksOf(docs: DataFrame): DataFrame = {
+    val packed = graft.functions.TextKernels.cdcChunks(col("text"), CdcWindow, CdcMaskBits)
+    docs.select(col("doc_id"), posexplode(packed).as(Seq("chunk_idx", "p")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        expr("p div 2147483648").as("n_bytes"),
+        pmod(col("p"), lit(2147483648L)).as("chunk_hash"))
+  }
+
+  /** Video near-dup pairs by CDC-segment containment: two assets pair
+    * when they share ≥ [[CdcMinShared]] chunk signatures covering at
+    * least half of the smaller one's distinct-chunk set — the trimmed /
+    * re-muxed / ad-prepended copy detector at the byte-segment level.
+    *
+    * Scale shape: the chunk-hash equality join is the LSH-bucket shape —
+    * only (doc_id, chunk_hash) int64 pairs cross every exchange, the
+    * [[CdcMaxDocsPerChunk]] cap bounds per-signature fan-out at C(16,2),
+    * and the per-doc chunk counts ride a doc_id-keyed skinny join. Never
+    * all-pairs; output-sized aggregation. */
+  def videoNearDup(s: SparkSession, d: String): DataFrame =
+    videoNearDupOf(documents(s, d))
+
+  private[graft] def videoNearDupOf(docs: DataFrame): DataFrame = {
+    val ch = videoChunksOf(docs).select(col("doc_id"), col("chunk_hash")).distinct()
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val shared = ch.groupBy("chunk_hash").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2L && col("n_docs") <= CdcMaxDocsPerChunk)
+      .select("chunk_hash")
+    val kept = ch.join(shared, "chunk_hash")
+    val pairs = kept.as("x").join(kept.as("y"), "chunk_hash")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_chunks").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_chunks").as("n_b")), "doc_b")
+      .filter(col("shared_chunks") >= CdcMinShared &&
+        col("shared_chunks") * lit(2L) >= least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("shared_chunks"),
+        (col("shared_chunks").cast("double") / least(col("n_a"), col("n_b")))
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------- perceptual image near-dup
 
   /** Deterministic smooth test pattern: grayscale
@@ -698,7 +781,48 @@ object Multimodal {
     "mm_image_quality" -> imageQuality _,
     "mm_audio_fingerprint" -> audioFingerprint _,
     "mm_audio_neardup" -> audioNearDup _,
+    "mm_video_chunks" -> videoChunks _,
+    "mm_video_neardup" -> videoNearDup _,
   )
+
+  /** The CDC chunking oracle body, shared verbatim by the
+    * mm_video_chunks and mm_video_neardup rows (the one-definition
+    * discipline: the pairer cannot drift from the chunker it rides).
+    * Both KR folds are DuckDB `list_reduce` over the code points of the
+    * same ASCII bytes — bit-identical to the kernel's rolling form (same
+    * residues, different association). Boundary positions are 1-based
+    * `j` with `w ≤ j < n` (a split after the last byte is forbidden on
+    * both sides); final CTE `chunks` = (doc_id, chunk_idx, n_bytes,
+    * chunk_hash). */
+  private[graft] lazy val videoChunksCteSql: String = {
+    val mask = (1L << CdcMaskBits) - 1
+    val B = graft.functions.TextKernels.WinnowBase
+    val M = graft.functions.TextKernels.WinnowMod
+    s"""cd AS (
+       |  SELECT doc_id, [ascii(c) for c in string_split_regex(text, '')] AS codes,
+       |    len(string_split_regex(text, '')) AS n
+       |  FROM documents
+       |), bp AS (
+       |  SELECT doc_id, codes, n,
+       |    [j for j in range($CdcWindow, n)
+       |       if (list_reduce(codes[j-${CdcWindow - 1}:j],
+       |             (a, b) -> (CAST(a AS BIGINT) * $B + b) % $M) & $mask) = 0] AS bpos
+       |  FROM cd
+       |), ce AS (
+       |  SELECT doc_id, codes,
+       |    unnest([{'ci': i,
+       |             'a': (list_prepend(1, [b + 1 for b in bpos]))[i],
+       |             'z': (list_append(bpos, n))[i]}
+       |            for i in range(1, 2 + len(bpos))], recursive := true)
+       |  FROM bp
+       |), chunks AS (
+       |  SELECT doc_id, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+       |    CAST(z - a + 1 AS BIGINT) AS n_bytes,
+       |    CAST(list_reduce(codes[a:z],
+       |      (x, y) -> (CAST(x AS BIGINT) * $B + y) % $M) AS BIGINT) AS chunk_hash
+       |  FROM ce
+       |)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // The magic-byte CASE replicated on the VARCHAR view of the same
@@ -783,5 +907,41 @@ object Multimodal {
         |       WHEN doc_id % 4 = 1 THEN CAST(n_chars * 1000 + doc_id AS BIGINT) * 1000
         |         // CAST(600 * (1 + doc_id % 4) AS BIGINT) END AS duration_ms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The shared CDC CTE verbatim; unpacking len·2^31 + hash on the
+    // Spark side vs computing (len, hash) directly here is the same
+    // exact integer arithmetic.
+    "mm_video_chunks" ->
+      s"""WITH $videoChunksCteSql
+         |SELECT doc_id, chunk_idx, n_bytes, chunk_hash
+         |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    // Rides the ENTIRE chunking oracle; the pair stage mirrors the
+    // Spark plan CTE for CTE — distinct signatures, the 2..cap bucket
+    // gate, the a<b equality join, and the exact 2·shared ≥ min
+    // containment cross product.
+    "mm_video_neardup" ->
+      s"""WITH $videoChunksCteSql, u AS (
+         |  SELECT DISTINCT doc_id, chunk_hash FROM chunks
+         |), cnt AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM u GROUP BY doc_id
+         |), ok AS (
+         |  SELECT chunk_hash FROM u GROUP BY chunk_hash
+         |  HAVING COUNT(*) BETWEEN 2 AND $CdcMaxDocsPerChunk
+         |), k AS (
+         |  SELECT u.doc_id, u.chunk_hash FROM u JOIN ok USING (chunk_hash)
+         |), p AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS shared_chunks
+         |  FROM k x JOIN k y ON x.chunk_hash = y.chunk_hash AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.doc_a, p.doc_b, ca.n_chunks AS n_a, cb.n_chunks AS n_b,
+         |  p.shared_chunks,
+         |  CAST(p.shared_chunks AS DOUBLE) / LEAST(ca.n_chunks, cb.n_chunks) AS containment
+         |FROM p
+         |JOIN cnt ca ON ca.doc_id = p.doc_a
+         |JOIN cnt cb ON cb.doc_id = p.doc_b
+         |WHERE p.shared_chunks >= $CdcMinShared
+         |  AND p.shared_chunks * 2 >= LEAST(ca.n_chunks, cb.n_chunks)
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -409,7 +409,7 @@ class PlanSpec extends SparkSpec {
     // driver-hash orderBy. A second exchange means the op grew a corpus
     // pass it must not need.
     for (q <- Seq("text_gopher_rules", "text_url_canon",
-        "text_blocklist_gate", "text_mix_epochs")) {
+        "text_blocklist_gate", "text_mix_epochs", "mm_video_chunks")) {
       val xs = shuffles(q)
       assert(xs.size == 1 && xs.head._1.contains("rangepartitioning"),
         s"$q: expected exactly the result-sort exchange, got $xs")

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engineered specs for the CDC video segment near-dup: the
+  * ad-prepended / front-trimmed copy of a stream is caught through
+  * re-synchronized chunk signatures, a distinct stream is not, and a
+  * boilerplate segment shared by more docs than the hot-chunk cap
+  * generates no candidate pairs. The full-strict DuckDB oracle covers
+  * the corpus; these pin the byte-stream transformations the corpus
+  * cannot plant.
+  */
+class VideoNearDupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rs(seed: Int, alpha: String, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+  }
+
+  test("ad-prepended copy is caught; distinct stream is not paired") {
+    val a = rs(3, "abcdefgh ", 400)
+    val docs = Seq(
+      (1L, a),
+      (2L, "THE-PREPENDED-AD-SEGMENT " * 3 + a), // same stream behind an ad
+      (3L, rs(9, "qrstuvwx ", 400))              // different stream
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.videoNearDupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(pairs.contains((1L, 2L)), s"prepended twin missed: $pairs")
+    val (nA, _, shared, cont) = pairs((1L, 2L))
+    // every chunk of A after its first boundary persists in B verbatim
+    assert(shared >= nA - 1, s"re-sync lost interior chunks: $pairs")
+    assert(cont >= 0.5, s"containment too low: $cont")
+    assert(pairs.keySet == Set((1L, 2L)), s"false pairs: ${pairs.keySet}")
+  }
+
+  test("front trim: suffix chunks re-sync and the pair survives") {
+    val a = rs(5, "abcdefgh ", 400)
+    val docs = Seq((1L, a), (2L, a.drop(37))).toDF("doc_id", "text")
+    val pairs = Multimodal.videoNearDupOf(docs).collect()
+    assert(pairs.length == 1, s"trim twin missed (${pairs.length} pairs)")
+    assert(pairs.head.getDouble(5) >= 0.5, s"containment ${pairs.head.getDouble(5)}")
+  }
+
+  test("hot-chunk cap: a segment shared by more docs than the cap generates no pairs") {
+    // 20 single-chunk docs with identical content: the one signature has
+    // 20 > cap(16) owners -> gated out -> zero pairs (vs C(20,2) = 190)
+    val docs = (1L to 20L).map(i => (i, "same tiny segment")).toDF("doc_id", "text")
+    assert(Multimodal.videoNearDupOf(docs).count() == 0)
+  }
+
+  test("chunk frame: lengths tile each doc, hashes under 2^31, rerun-deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Multimodal.videoChunks(spark, d).collect()
+    val again = Multimodal.videoChunks(spark, d).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    assert(rows.forall(r => r.getLong(3) >= 0L && r.getLong(3) < 2147483648L))
+    val lens = rows.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getLong(2)).sum }
+    val docLens = graft.tables.Testdata.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, s) <- lens) assert(s == docLens(id), s"doc $id: chunks tile ${s} != len ${docLens(id)}")
+  }
+}
