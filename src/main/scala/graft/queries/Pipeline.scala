@@ -157,7 +157,7 @@ object Pipeline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val packed = s6
       .withColumn("cum_start",
-        coalesce(element_at(typedLit(startByShard), col("shard")), lit(0L)) +
+        coalesce(try_element_at(typedLit(startByShard), col("shard")), lit(0L)) +
           coalesce(sum(col("n_tokens")).over(w7), lit(0L)))
       .withColumn("pack_id", expr(s"cum_start div ${TextAnalysis.PackBudget}"))
 

@@ -508,9 +508,14 @@ object TextAnalysis {
       sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._3).init)
         .map { case (pid, start) => s"$pid:$l" -> start }
     }.toMap
+    // try_element_at, not element_at: every (pid, lang) key exists by
+    // construction (the literals were collected from the same pinned
+    // frame), but under ANSI mode (default-on in upstream Spark 4.x) a
+    // map element_at THROWS on a miss before coalesce can see the null —
+    // the QualityClf.logitOf mode-independence discipline.
     val startCol = coalesce(
-      element_at(typedLit(startByKey), concat(col("pid"), lit(":"), col("lang"))), lit(0L))
-    val nCol = element_at(typedLit(nByLang), col("lang"))
+      try_element_at(typedLit(startByKey), concat(col("pid"), lit(":"), col("lang"))), lit(0L))
+    val nCol = try_element_at(typedLit(nByLang), col("lang"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid", "lang").orderBy("mean_bits", "doc_id")
     parts
@@ -1020,8 +1025,10 @@ object TextAnalysis {
     val starts = totals.scanLeft(0 -> 0L) { case ((_, acc), (pid, t)) => pid -> (acc + t) }
       .init.map { case (_, acc) => acc } // exclusive: slice i starts after slices < i
     val startsByPid = totals.map(_._1).zip(starts).toMap
+    // try_element_at: keys exist by construction; mode-independent null
+    // on a miss instead of the ANSI map-key throw
     val startCol = coalesce(
-      element_at(typedLit(startsByPid), col("pid")), lit(0L))
+      try_element_at(typedLit(startsByPid), col("pid")), lit(0L))
 
     // exclusive prefix within each slice, all slices in parallel
     val w = org.apache.spark.sql.expressions.Window

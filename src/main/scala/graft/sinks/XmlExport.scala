@@ -86,7 +86,9 @@ object XmlExport {
         col("timestamp"), col("msg_box"),
         when(col("msg_box") === 1, col("sender_address"))
           .otherwise(col("recipient_address")).as("address"),
-        decode(element_at(col("parts"), 1).getField("data"), "UTF-8").as("body"))
+        // try_element_at: a partless sms must yield a null body in ANSI mode
+        // too, not an INVALID_ARRAY_INDEX throw
+        decode(try_element_at(col("parts"), lit(1)).getField("data"), "UTF-8").as("body"))
       .orderBy("timestamp")
 
     // mms rows (sms-db.pl:255-304).

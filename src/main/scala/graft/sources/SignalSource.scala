@@ -93,7 +93,10 @@ object SignalSource {
     val base = t.sms.join(
       t.recipient.select(col("_id").as("address"), col("phone"),
         col("system_display_name")), Seq("address"))
-    val mapped = element_at(MessageTypes, col("type").cast("long"))
+    // try_element_at: a miss IS the normal path (unknown type -> null ->
+    // the skip side-channel); map element_at under ANSI mode (default-on
+    // in upstream Spark 4.x) would throw on it instead
+    val mapped = try_element_at(MessageTypes, col("type").cast("long"))
     val ignored = base.filter(mapped.isNull)
       .groupBy(skipReason(col("type").cast("long")).as("reason"))
       .agg(count(lit(1)).as("n"))
@@ -120,7 +123,7 @@ object SignalSource {
     val base = t.mms.join(
       t.recipient.select(col("_id").as("address"), col("phone"),
         col("system_display_name"), col("group_id")), Seq("address"))
-    val mapped = element_at(MessageTypes, col("msg_box").cast("long"))
+    val mapped = try_element_at(MessageTypes, col("msg_box").cast("long"))
     val ignored = base.filter(mapped.isNull)
       .groupBy(lit("unknown_msg_box").as("reason")) // sms-db.pl:174-176
       .agg(count(lit(1)).as("n"))

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Regression gate for the try_element_at mode-independence discipline
+  * (round-13 ADVICE: map `element_at` under ANSI mode — default-on in
+  * upstream Spark 4.x — throws MAP_KEY_DOES_NOT_EXIST on every miss, so
+  * any lookup whose miss is a NORMAL path, or merely possible, must ride
+  * `try_element_at`). Each op below previously carried a throwing
+  * lookup; this spec runs them end-to-end with ANSI ON so a regressed
+  * lookup fails here before it fails a user.
+  */
+class AnsiModeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withAnsi[A](body: => A): A = {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try body finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
+  test("ANSI on: signal ingest's unknown-type skip path is a null, not a throw") {
+    val out = withAnsi {
+      graft.sources.SignalSource.transform(graft.sources.ConnectorFixtures.signal(spark))
+    }
+    // the fixtures plant unknown types: the skip side-channel must count
+    // them (a throw here means the type-map lookup regressed to ANSI-fatal)
+    assert(withAnsi(out.ignoredCount) > 0L)
+    assert(withAnsi(out.raw.count()) > 0L)
+  }
+
+  test("ANSI on: classifier OOV buckets, ccnet rank literals, pack spans, export body lookup") {
+    withAnsi {
+      val sf = "/root/testdata/sf0.001"
+      for (q <- Seq("text_quality_clf", "text_ccnet_bucket", "text_pack_spans",
+          "store_export_roundtrip", "store_signal_ingest", "pipeline_corpus"))
+        assert(graft.SparkEntry.queries(q)(spark, sf).count() > 0L, s"$q empty under ANSI")
+    }
+  }
+}
