@@ -87,6 +87,8 @@ object GraftExtensions {
       a => graft.functions.DeflateLength(a(0))),
     fd("unicode_nfc", "unicode_nfc(text) - NFC-normalized text", 1)(
       a => graft.functions.UnicodeNormalize(a(0), "NFC")),
+    fd("parse_warc", "parse_warc(bytes) - array<struct<uri,rec_type,content_length,body>> of WARC records", 1)(
+      a => graft.functions.ParseWarc(a(0))),
   )
 
   /** Idempotently register the surface on a live session. */

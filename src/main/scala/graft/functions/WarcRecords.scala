@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500 / WARC-1.x — the Common Crawl container) record
+  * parsing as a codegen expression: the 100 TB web corpus does not
+  * arrive as parquet, it arrives as WARC, and the very first pipeline
+  * stage is splitting a member's bytes into (uri, type, body) records.
+  *
+  * Layout (warc-specification, IIPC): each record is a header block —
+  * a `WARC/1.x` version line then `Name: value` lines, CRLF-separated,
+  * terminated by an empty line — followed by exactly `Content-Length`
+  * BYTES of payload, then two CRLFs. Record walking is Content-Length
+  * arithmetic, NEVER delimiter search: the payload of a web capture
+  * routinely contains `\r\n\r\nWARC/1.0` as literal text (any page
+  * QUOTING a WARC file), so a split-on-separator parser mis-slices
+  * real crawls. That length-walk is intrinsically sequential per
+  * member, which is why the unit of parallelism at scale is the WARC
+  * FILE (Common Crawl ships ~90 k of ~1 GiB per snapshot — file-level
+  * fan-out saturates any cluster; the public cc-pyspark reference
+  * processes exactly this way), with each member parsed row-local by
+  * this expression: no exchange, codegen, never throws.
+  *
+  * Hostile-input contract ([[ImageDims]] discipline): Long cursor (a
+  * forged Content-Length must not wrap an Int), every slice
+  * bounds-checked, malformed/truncated input yields the records parsed
+  * so far — never an exception. Header names match case-insensitively
+  * (the spec's rule); an oversized or non-numeric Content-Length stops
+  * the walk.
+  *
+  * Output: `array<struct<uri, rec_type, content_length, body>>` with
+  * uri/rec_type null when the header is absent and body decoded as
+  * UTF-8 (the parse slices BYTES, so multi-byte payloads round-trip —
+  * spec-pinned). */
+object WarcRecords {
+
+  def warcRecords(data: Column): Column =
+    ColumnInterop.column(ParseWarc(ColumnInterop.expression(data)))
+
+  val RecordType: StructType = StructType(Seq(
+    StructField("uri", StringType, nullable = true),
+    StructField("rec_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+
+  /** Header-block bound: a real WARC record carries ~10 named fields;
+    * 256 tolerates extension headers while bounding a hostile
+    * never-ending header block. */
+  val MaxHeaderLines = 256
+
+  private def crlfAt(b: Array[Byte], i: Long): Boolean =
+    i + 1 < b.length && b(i.toInt) == '\r' && b(i.toInt + 1) == '\n'
+
+  /** End (exclusive) of the CRLF-terminated line starting at `i`, or -1
+    * when no CRLF arrives before EOF (truncated header). */
+  private def lineEnd(b: Array[Byte], i: Long): Long = {
+    var j = i
+    while (j + 1 < b.length) {
+      if (b(j.toInt) == '\r' && b(j.toInt + 1) == '\n') return j
+      j += 1
+    }
+    -1L
+  }
+
+  private def asciiLower(c: Byte): Byte =
+    if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+
+  /** Case-insensitive `name:` prefix match at [i, end). Returns the
+    * value start (past the colon and any spaces), or -1. */
+  private def headerValue(b: Array[Byte], i: Long, end: Long, name: String): Long = {
+    if (end - i < name.length + 1) return -1L
+    var k = 0
+    while (k < name.length) {
+      if (asciiLower(b((i + k).toInt)) != name.charAt(k)) return -1L
+      k += 1
+    }
+    if (b((i + name.length).toInt) != ':') return -1L
+    var v = i + name.length + 1
+    while (v < end && b(v.toInt) == ' ') v += 1
+    v
+  }
+
+  /** Parse one member's bytes; never throws. */
+  def parse(b: Array[Byte]): ArrayData = {
+    if (b == null) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[InternalRow]()
+    val n = b.length.toLong
+    var i = 0L
+    var ok = true
+    while (ok && i < n) {
+      // version line: "WARC/" opens every record (spec §4)
+      val vEnd = lineEnd(b, i)
+      if (vEnd < 0 || vEnd - i < 5 ||
+        b(i.toInt) != 'W' || b(i.toInt + 1) != 'A' || b(i.toInt + 2) != 'R' ||
+        b(i.toInt + 3) != 'C' || b(i.toInt + 4) != '/') { ok = false }
+      else {
+        var uri: UTF8String = null
+        var recType: UTF8String = null
+        var contentLength = -1L
+        var h = vEnd + 2
+        var lines = 0
+        var headerDone = false
+        var malformed = false
+        while (!headerDone && !malformed && lines < MaxHeaderLines) {
+          if (crlfAt(b, h)) { headerDone = true; h += 2 } // empty line: block ends
+          else {
+            val e = lineEnd(b, h)
+            if (e < 0) malformed = true // truncated header
+            else {
+              var v = headerValue(b, h, e, "warc-target-uri")
+              if (v >= 0) uri = UTF8String.fromBytes(b, v.toInt, (e - v).toInt)
+              v = headerValue(b, h, e, "warc-type")
+              if (v >= 0) recType = UTF8String.fromBytes(b, v.toInt, (e - v).toInt)
+              v = headerValue(b, h, e, "content-length")
+              if (v >= 0) {
+                var len = 0L
+                var p = v
+                var digits = true
+                while (digits && p < e) {
+                  val c = b(p.toInt)
+                  if (c >= '0' && c <= '9' && len < Long.MaxValue / 10 - 9)
+                    len = len * 10 + (c - '0')
+                  else digits = false
+                  p += 1
+                }
+                if (digits && p > v) contentLength = len
+              }
+              h = e + 2
+              lines += 1
+            }
+          }
+        }
+        // a record without an intact header + in-bounds body ends the walk
+        if (malformed || !headerDone || contentLength < 0 || h + contentLength > n) ok = false
+        else {
+          val body = UTF8String.fromBytes(b, h.toInt, contentLength.toInt)
+          out.add(new GenericInternalRow(Array[Any](uri, recType, contentLength, body)))
+          i = h + contentLength
+          // the two record-terminating CRLFs (spec §4); their absence
+          // still yields this record, then stops
+          if (crlfAt(b, i) && crlfAt(b, i + 2)) i += 4 else ok = false
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `array<struct>` of the member's WARC records — see [[WarcRecords]]. */
+case class ParseWarc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"parse_warc expects binary, got $other")
+  }
+  override def dataType: DataType = ArrayType(WarcRecords.RecordType, containsNull = false)
+  override def prettyName: String = "parse_warc"
+
+  override def nullSafeEval(a: Any): Any =
+    WarcRecords.parse(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WarcRecords.parse($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -322,6 +322,61 @@ object Provenance {
         count(lit(1)).as("n_dups"))
       .orderBy("canon")
 
+  // ------------------------------------------------------- WARC ingest
+
+  /** Synthesized WARC members per corpus — the file_id grouping dial.
+    * 32 members keeps every sf's member count cluster-shaped (each
+    * member carries many records, members outnumber nothing). */
+  val WarcMembers = 32L
+
+  /** Assemble the corpus into WARC members ([[graft.functions
+    * .WarcRecords]] layout): one `response` record per document — the
+    * version line, `WARC-Type` / `WARC-Target-URI` / `Content-Length`
+    * headers (length in BYTES via octet_length — the UTF-8-honest
+    * count), payload, double-CRLF terminator — concatenated in doc_id
+    * order per member and encoded to the member's bytes. The testdata
+    * ships parquet, so the members are synthesized; encoding is the
+    * fixture half of the round-trip, the PARSE is the operator. */
+  private[graft] def warcFilesOf(docs: DataFrame): DataFrame = {
+    val url = urlOf(col("doc_id"), col("source"), col("lang"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), url,
+      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
+      lit("\r\n\r\n"), col("text"), lit("\r\n\r\n"))
+    docs
+      .select(pmod(col("doc_id"), lit(WarcMembers)).as("file_id"),
+        struct(col("doc_id"), rec.as("rec")).as("sr"))
+      .groupBy("file_id")
+      .agg(array_join(transform(sort_array(collect_list(col("sr"))),
+        _.getField("rec")), "").as("warc_text"))
+      .select(col("file_id"), encode(col("warc_text"), "UTF-8").as("warc_bytes"))
+  }
+
+  /** WARC ingest round-trip — the crawl-side FIRST stage: members in,
+    * (uri, type, length, body) records out, through the REAL
+    * Content-Length byte walk ([[graft.functions.WarcRecords]] — a
+    * codegen expression, parallel per member, zero exchanges beyond
+    * the member assembly the fixture itself needs). Full-strict: the
+    * DuckDB twin reconstructs every field straight from `documents`
+    * (URI arithmetic, strlen, row_number), so one mis-sliced byte
+    * anywhere in the walk shows up as a body/length hash mismatch.
+    * At 100 TB the members arrive as files (binaryFile scan — S11's
+    * machinery) and the fan-out is per member, the cc-pyspark shape;
+    * here the same parse runs on synthesized members so the oracle
+    * can check it at full strictness. */
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame =
+    warcRoundtripOf(warcFilesOf(documents(s, d)))
+
+  private[graft] def warcRoundtripOf(files: DataFrame): DataFrame =
+    files
+      .select(col("file_id"),
+        posexplode(graft.functions.WarcRecords.warcRecords(col("warc_bytes")))
+          .as(Seq("rec_idx", "r")))
+      .select(col("file_id"), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.uri").as("uri"), col("r.rec_type").as("rec_type"),
+        col("r.content_length").as("content_length"), col("r.body").as("body"))
+      .orderBy("file_id", "rec_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
     "text_domain_entropy" -> domainEntropy _,
@@ -329,6 +384,7 @@ object Provenance {
     "text_snapshot_diff" -> snapshotDiff _,
     "text_url_canon" -> urlCanon _,
     "dedup_url" -> urlDedup _,
+    "prov_warc_roundtrip" -> warcRoundtrip _,
   )
 
   /** Shared oracle CTE — the identical URL synthesis + extraction in
@@ -354,6 +410,28 @@ object Provenance {
       |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The twin never parses WARC — every field is reconstructed straight
+    // from documents (identical URI arithmetic to UrlCte, strlen = byte
+    // length, row_number in doc_id order per member), so the Spark-side
+    // byte walk is what the hash checks.
+    "prov_warc_roundtrip" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, doc_id % $WarcMembers AS file_id, text,
+         |    concat(
+         |      CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END, '://',
+         |      CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END,
+         |      source, '.', ['com','org','net'][CAST(doc_id % 3 AS INT) + 1],
+         |      CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END,
+         |      '/', lang, '/doc-', doc_id, '.html',
+         |      CASE WHEN doc_id % 6 = 0 THEN '?ref=feed' ELSE '' END) AS uri,
+         |    CAST(strlen(text) AS BIGINT) AS content_length,
+         |    CAST(row_number() OVER (PARTITION BY doc_id % $WarcMembers
+         |                            ORDER BY doc_id) - 1 AS BIGINT) AS rec_idx
+         |  FROM documents
+         |)
+         |SELECT file_id, rec_idx, uri, 'response' AS rec_type,
+         |  content_length, text AS body
+         |FROM u ORDER BY file_id, rec_idx""".stripMargin,
     "text_domain_mix" ->
       s"""WITH $UrlCte
          |SELECT domain, COUNT(*) AS n_docs,

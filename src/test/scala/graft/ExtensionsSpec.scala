@@ -44,6 +44,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq == viaCol.map(_.toString).toSeq)
   }
 
+  test("parse_warc resolves in SQL and slices a two-record member") {
+    val member = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a/\r\n" +
+      "Content-Length: 5\r\n\r\nhello\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://b/\r\n" +
+      "Content-Length: 3\r\n\r\nbye\r\n\r\n"
+    Seq(Tuple1(member)).toDF("m").createOrReplaceTempView("ext_warc")
+    val rows = spark.sql(
+      """SELECT r.uri, r.rec_type, r.content_length, r.body
+        |FROM ext_warc
+        |LATERAL VIEW explode(parse_warc(encode(m, 'UTF-8'))) t AS r""".stripMargin)
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(rows == Seq(("https://a/", "response", 5L, "hello"),
+      ("https://b/", "request", 3L, "bye")))
+  }
+
   test("literal-parameter and arity contracts fail at analysis time") {
     spark.range(3).toDF("n").createOrReplaceTempView("ext_bad")
     // non-literal k for minhash_sig

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.functions.WarcRecords
+import org.apache.spark.sql.functions._
+
+/** Engineered-input specs for the WARC ingest leg: the oracle checks the
+  * synthesized-member round-trip at full strictness, these pin the
+  * adversarial byte shapes the synthetic corpus cannot produce — payload
+  * text QUOTING a WARC record (the delimiter-injection case the
+  * Content-Length walk exists for), multi-byte UTF-8 byte slicing,
+  * truncation, forged lengths, and case-twisted headers. */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rec(uri: String, body: String,
+                  recType: String = "response",
+                  lenOverride: Option[String] = None): String = {
+    val len = lenOverride.getOrElse(
+      body.getBytes("UTF-8").length.toString)
+    s"WARC/1.0\r\nWARC-Type: $recType\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $len\r\n\r\n$body\r\n\r\n"
+  }
+
+  private def parse(s: String): Seq[(String, String, Long, String)] = {
+    val arr = WarcRecords.parse(s.getBytes("UTF-8"))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 4)
+      (if (r.isNullAt(0)) null else r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) null else r.getUTF8String(1).toString,
+        r.getLong(2),
+        r.getUTF8String(3).toString)
+    }
+  }
+
+  test("warc: two records round-trip with uri, type, length and body intact") {
+    val out = parse(rec("https://a.example/x", "alpha body") +
+      rec("https://b.example/y", "beta", recType = "request"))
+    assert(out == Seq(
+      ("https://a.example/x", "response", 10L, "alpha body"),
+      ("https://b.example/y", "request", 4L, "beta")))
+  }
+
+  test("warc: payload quoting a WARC record is NOT split (Content-Length walk, not delimiter search)") {
+    val trap = "see \r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n quoted inline"
+    val out = parse(rec("https://q.example/", trap) + rec("https://z.example/", "tail"))
+    assert(out.map(_._4) == Seq(trap, "tail"))
+  }
+
+  test("warc: multi-byte UTF-8 body slices by BYTES and decodes intact") {
+    val body = "héllo é世界 😀 end" // 2-, 3- and 4-byte sequences
+    val out = parse(rec("https://u.example/", body))
+    assert(out.map(_._4) == Seq(body))
+    assert(out.head._3 == body.getBytes("UTF-8").length.toLong)
+  }
+
+  test("warc: header names match case-insensitively; unknown headers are ignored") {
+    val raw = "WARC/1.0\r\nwarc-TARGET-uri: https://c.example/\r\n" +
+      "X-Custom: noise\r\nWaRc-TyPe: metadata\r\nCONTENT-LENGTH: 2\r\n\r\nok\r\n\r\n"
+    assert(parse(raw) == Seq(("https://c.example/", "metadata", 2L, "ok")))
+  }
+
+  test("warc: truncated body / forged lengths yield the records parsed so far, never a throw") {
+    val good = rec("https://g.example/", "fine")
+    // body shorter than the declared length
+    assert(parse(good + rec("https://t.example/", "xy", lenOverride = Some("999")))
+      .map(_._1) == Seq("https://g.example/"))
+    // non-numeric and overflowing lengths stop the walk
+    assert(parse(good + rec("https://t.example/", "xy", lenOverride = Some("12a")))
+      .map(_._1) == Seq("https://g.example/"))
+    assert(parse(good + rec("https://t.example/", "xy",
+      lenOverride = Some("99999999999999999999"))).map(_._1) == Seq("https://g.example/"))
+    // garbage prefix: no version line, nothing parses
+    assert(parse("HTTP/1.1 200 OK\r\n\r\n" + good).isEmpty)
+    // empty and null inputs
+    assert(parse("").isEmpty)
+    assert(WarcRecords.parse(null).numElements() == 0)
+  }
+
+  test("warc: missing Content-Length or unterminated header stops cleanly") {
+    assert(parse("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody").isEmpty)
+    assert(parse("WARC/1.0\r\nWARC-Type: respon").isEmpty)
+  }
+
+  test("warcRoundtrip end-to-end: grouped members parse back to every document") {
+    val docs = Seq(
+      (0L, "plain ascii doc", "en", "src0", 15L),
+      (1L, "unicode 世界 doc", "en", "src1", 12L),
+      (32L, "same member as doc 0", "de", "src0", 20L),
+      (7L, "quoting \r\n\r\nWARC/1.0 inline", "en", "src2", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Provenance.warcRoundtripOf(Provenance.warcFilesOf(docs))
+      .select("file_id", "rec_idx", "body").as[(Long, Long, String)].collect().toSeq
+    assert(out.sorted == Seq(
+      (0L, 0L, "plain ascii doc"),
+      (0L, 1L, "same member as doc 0"),
+      (1L, 0L, "unicode 世界 doc"),
+      (7L, 0L, "quoting \r\n\r\nWARC/1.0 inline")).sorted)
+  }
+}
