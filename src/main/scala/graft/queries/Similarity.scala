@@ -596,7 +596,62 @@ object Similarity {
       .orderBy("label")
   }
 
+  // ------------------------------------------- semantic decontamination
+
+  /** Every 20th vec_id plays the held-out benchmark set for
+    * [[semanticDecon]] — a bounded dimension at any corpus scale (real
+    * eval suites are ~10⁵ items against a 10¹⁰-doc corpus). */
+  val DeconBenchMod = 20L
+
+  /** Flag bar: the corpus's near-dup cosine band ([[NearDupCos]] — the
+    * same separation argument: in-block cosines sit far above, cross-
+    * block diffuse sums σ ≈ 1/√d far below, so the compare is never
+    * decided in the last float bits). */
+  val DeconCos = NearDupCos
+
+  /** Embedding-space decontamination — the PARAPHRASE leg of benchmark
+    * decon ([[TextAnalysis.decontaminate]] is the exact n-gram leg; a
+    * reworded eval item sails through n-gram matching but not past its
+    * embedding). Every corpus vector scores against the full benchmark
+    * set and reports its nearest benchmark item, the hit count over the
+    * bar, and the flag verdict — the audit view; the drop is one filter
+    * on `flagged`.
+    *
+    * Scale shape: the benchmark is a broadcast dimension (bounded by
+    * construction), the corpus scans ONCE through the broadcast
+    * nested-loop score, and the per-vector argmax/count partials
+    * combine map-side before the one skinny exchange (vec_id is unique
+    * per input row, so the partial aggregate collapses each vector's
+    * |bench| scored rows to one before anything shuffles). Document
+    * embeddings never co-shuffle. Full-strict: the dot is the codegen
+    * [[graft.functions.VectorKernels]] double fold, bit-identical to
+    * the oracle's list comprehension; argmax ties break to the
+    * smallest bench_id on both sides. */
+  def semanticDecon(s: SparkSession, d: String): DataFrame =
+    semanticDeconOf(embeddings(s, d))
+
+  private[graft] def semanticDeconOf(e: DataFrame): DataFrame = {
+    val bench = e.filter(pmod(col("vec_id"), lit(DeconBenchMod)) === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bv"),
+        norm(col("embedding")).as("bn"))
+    val corpus = e.filter(pmod(col("vec_id"), lit(DeconBenchMod)) =!= 0)
+      .select(col("vec_id"), col("embedding").as("cv"),
+        norm(col("embedding")).as("cn"))
+    corpus.join(broadcast(bench), col("vec_id") =!= col("bench_id"))
+      .select(col("vec_id"), col("bench_id"),
+        (dotd(col("cv"), col("bv")) / (col("cn") * col("bn"))).as("cos"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("bench_id"), struct(col("cos"), negate(col("bench_id"))))
+          .as("bench_id"),
+        max(col("cos")).as("max_cos"),
+        sum(when(col("cos") >= lit(DeconCos), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("flagged", col("max_cos") >= lit(DeconCos))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_semantic_decon" -> semanticDecon _,
     "sim_corpus_diversity" -> corpusDiversity _,
     "sim_label_centroids" -> labelCentroids _,
     "sim_cosine_topk"   -> bruteTopK _,
@@ -609,6 +664,38 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same double fold as the kernel (list comprehension sums left to
+    // right), same bar, same max-cos-then-min-bench-id argmax rule: the
+    // exact-equality join on cos = max_cos selects the identical rows
+    // because both engines produce bit-identical doubles.
+    "sim_semantic_decon" ->
+      s"""WITH b AS (
+         |  SELECT vec_id AS bench_id, embedding AS bv FROM embeddings
+         |  WHERE vec_id % $DeconBenchMod = 0
+         |), c AS (
+         |  SELECT vec_id, embedding AS cv FROM embeddings
+         |  WHERE vec_id % $DeconBenchMod <> 0
+         |), s AS (
+         |  SELECT c.vec_id, b.bench_id,
+         |    list_sum([CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)
+         |              for i in range(1, len(cv) + 1)]) /
+         |    (sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)
+         |                    for i in range(1, len(cv) + 1)])) *
+         |     sqrt(list_sum([CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)
+         |                    for i in range(1, len(bv) + 1)]))) AS cos
+         |  FROM c CROSS JOIN b
+         |), m AS (
+         |  SELECT vec_id, max(cos) AS max_cos,
+         |    CAST(sum(CASE WHEN cos >= $DeconCos THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM s GROUP BY vec_id
+         |), a AS (
+         |  SELECT s.vec_id, min(s.bench_id) AS bench_id
+         |  FROM s JOIN m ON s.vec_id = m.vec_id AND s.cos = m.max_cos
+         |  GROUP BY s.vec_id
+         |)
+         |SELECT m.vec_id, a.bench_id, m.max_cos, m.n_hits,
+         |  (m.max_cos >= $DeconCos) AS flagged
+         |FROM m JOIN a USING (vec_id) ORDER BY m.vec_id""".stripMargin,
     // Quantize-then-integer-moments: the norm is the identical left fold
     // (list_reduce over a 0.0-prepended list == the codegen kernel's
     // sequential Σx² — the hashFeatures discipline), floor(x+0.5) matches

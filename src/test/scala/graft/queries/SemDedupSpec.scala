@@ -71,4 +71,23 @@ class SemDedupSpec extends SparkSpec {
         s"survivor ${kept.toSeq} != farthest-from-centroid $expected")
     }
   }
+
+  test("semanticDecon: paraphrase twin flags, orthogonal doc does not, argmax ties to min bench_id") {
+    import spark.implicits._
+    // vec_id % 20 == 0 → benchmark set: b0 = e_x, b20 = e_y (unit axes)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (20L, Array(0f, 1f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.1f, 0f, 0f), 1), // near-copy of b0 → flagged
+      (2L, Array(0f, 0f, 1f, 0f), 1),      // orthogonal to both → clean
+      (3L, Array(1f, 1f, 0f, 0f), 1))      // exact cos tie to b0 and b20
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDeconOf(rows)
+      .select("vec_id", "bench_id", "n_hits", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L, true),   // one bench over the bar, nearest is b0
+      (2L, 0L, 0L, false),  // cos 0 everywhere: argmax falls to min id, no flag
+      (3L, 0L, 2L, true)))  // tie at cos ≈ .707: min bench_id wins, both count
+  }
 }
