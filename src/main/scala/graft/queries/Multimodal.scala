@@ -317,22 +317,43 @@ object Multimodal {
     * be stable under. StrictMath keeps the render bit-reproducible
     * across JVMs. */
   private[graft] def renderPattern(fx: Double, fy: Double, p1: Double, p2: Double,
-                                   w: Int, h: Int): java.awt.image.BufferedImage = {
+                                   w: Int, h: Int,
+                                   theta: Double = 0.0, sx: Double = 1.0): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val tau = 2.0 * StrictMath.PI
+    val ct = StrictMath.cos(theta)
+    val st = StrictMath.sin(theta)
     var y = 0
     while (y < h) {
       val v = (y + 0.5) / h
       var x = 0
       while (x < w) {
         val u = (x + 0.5) / w
+        // rotation + anisotropic scale in RELATIVE coordinates: both
+        // survive a resize exactly (the same continuous field renders
+        // at any resolution), while giving the group lattice two more
+        // continuous separation channels — see [[patternParams]].
+        val du = u - 0.5; val dv = v - 0.5
+        val ru = (ct * du - st * dv) * sx + 0.5
+        val rv = st * du + ct * dv + 0.5
         // phase-modulated (NON-separable) field: a separable sin·sin
         // product makes whole grid rows borderline at once wherever the
         // row factor crosses zero — 8-bit row flips under re-encode
         // (measured); modulation keeps adjacent-cell luma differences
         // away from zero almost everywhere, like a real photograph.
-        val l = 128.0 + 100.0 * StrictMath.sin(
-          tau * fx * u + p1 + 1.7 * StrictMath.sin(tau * fy * v + p2))
+        // TWO components (the second on swapped axes at derived
+        // frequencies/phases): a single low-frequency sine concentrates
+        // the 64 gradient signs on a few block patterns — the dHash
+        // entropy was low enough that a 10× corpus aliased ~2× linear
+        // phantom pairs (measured); the richer texture restores
+        // hash-space spread without touching twin stability (all of a
+        // group's renders share the SAME continuous field).
+        val l = 128.0 +
+          72.0 * StrictMath.sin(
+            tau * fx * ru + p1 + 1.7 * StrictMath.sin(tau * fy * rv + p2)) +
+          48.0 * StrictMath.sin(
+            tau * (fx + 2.0) * rv + ((2.7 * p1 + 1.234) % tau) +
+              1.3 * StrictMath.sin(tau * (fy + 1.0) * ru + ((3.1 * p2 + 0.567) % tau)))
         val li = math.max(0, math.min(255, StrictMath.round(l).toInt))
         img.setRGB(x, y, (li << 16) | (li << 8) | li)
         x += 1
@@ -365,22 +386,32 @@ object Multimodal {
   }
 
   /** Pattern parameters per image GROUP: frequencies cycle small ints;
-    * phases advance by irrational (golden-ratio / plastic-number) steps
-    * so no two groups render the same field — near-dup pairs stay
-    * within their group instead of accumulating identical-pattern mass
-    * across the corpus. */
-  private[graft] def patternParams(gid: Long): (Double, Double, Double, Double) = {
+    * phases, rotation and anisotropic scale advance by irrational
+    * (golden-ratio / plastic-number / √2−1 / √3−1) steps so no two
+    * groups render the same field — near-dup pairs stay within their
+    * group instead of accumulating identical-pattern mass across the
+    * corpus. The 4-channel CONTINUOUS lattice (p1, p2, θ, sx) is
+    * load-bearing for scale smoke: with phases alone the group space is
+    * a 2-torus, nearest-group spacing shrinks ∝ 1/√N and a 10× corpus
+    * aliased thousands of cross-group dHash collisions (measured: 120×
+    * pair growth at 10× tiles); two more channels keep the nearest
+    * neighbor outside the [[ImgHammingK]] envelope deep into the
+    * 100×/1000× tiers — the realism contract a tiled corpus must hold
+    * (a real N× image crawl has N× the near-dup groups, not N²). */
+  private[graft] def patternParams(gid: Long): (Double, Double, Double, Double, Double, Double) = {
     val tau = 2.0 * StrictMath.PI
     (1.0 + (gid % 3).toDouble, 1.0 + ((gid / 3) % 3).toDouble,
-      tau * (gid * 0.6180339887498949 % 1.0), tau * (gid * 0.7548776662466927 % 1.0))
+      tau * (gid * 0.6180339887498949 % 1.0), tau * (gid * 0.7548776662466927 % 1.0),
+      tau * (gid * 0.41421356237309515 % 1.0),
+      0.85 + 0.3 * (gid * 0.7320508075688772 % 1.0))
   }
 
   /** A second, deliberately different field for the group's "distinct"
-    * member: different frequency lattice AND phase offsets. */
-  private[graft] def distinctParams(gid: Long): (Double, Double, Double, Double) = {
-    val (fx, fy, p1, p2) = patternParams(gid)
+    * member: different frequency lattice AND phase/rotation offsets. */
+  private[graft] def distinctParams(gid: Long): (Double, Double, Double, Double, Double, Double) = {
+    val (_, _, p1, p2, th, sx) = patternParams(gid)
     (1.0 + ((gid * 5 + 2) % 4).toDouble, 1.0 + ((gid * 7 + 3) % 4).toDouble,
-      p1 + 2.1, p2 + 1.3)
+      p1 + 2.1, p2 + 1.3, th + 0.9, 2.03 - sx)
   }
 
   /** Real encoded image bytes per doc_id — groups of four: the base PNG,
@@ -393,10 +424,10 @@ object Multimodal {
   private[graft] def syntheticImage(docId: Long): Array[Byte] = {
     val gid = docId / 4
     (docId % 4) match {
-      case 0 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
-      case 1 => val (fx, fy, p1, p2) = patternParams(gid); encodeJpeg(renderPattern(fx, fy, p1, p2, 64, 64), 0.7f)
-      case 2 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 96, 96))
-      case _ => val (fx, fy, p1, p2) = distinctParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
+      case 0 => val (fx, fy, p1, p2, th, sx) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64, th, sx))
+      case 1 => val (fx, fy, p1, p2, th, sx) = patternParams(gid); encodeJpeg(renderPattern(fx, fy, p1, p2, 64, 64, th, sx), 0.7f)
+      case 2 => val (fx, fy, p1, p2, th, sx) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 96, 96, th, sx))
+      case _ => val (fx, fy, p1, p2, th, sx) = distinctParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64, th, sx))
     }
   }
 
@@ -563,7 +594,7 @@ object Multimodal {
     * (base 12, span 12) into the shadow bin. */
   private[graft] def renderLeveled(gid: Long, base: Double, span: Double,
                                    w: Int, h: Int): java.awt.image.BufferedImage = {
-    val (fx, fy, p1, p2) = patternParams(gid)
+    val (fx, fy, p1, p2, _, _) = patternParams(gid)
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val tau = 2.0 * StrictMath.PI
     var y = 0
@@ -589,7 +620,7 @@ object Multimodal {
   private[graft] def syntheticImageQ(docId: Long): Array[Byte] = {
     val gid = docId / 5
     (docId % 5) match {
-      case 0 => val (fx, fy, p1, p2) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64))
+      case 0 => val (fx, fy, p1, p2, th, sx) = patternParams(gid); encodePng(renderPattern(fx, fy, p1, p2, 64, 64, th, sx))
       case 1 => encodePng(renderLeveled(gid, (100 + gid % 56).toDouble, 0.0, 64, 64))
       case 2 => encodePng(renderLeveled(gid, 242.0, 12.0, 64, 64))
       case 3 => encodePng(renderLeveled(gid, 12.0, 12.0, 64, 64))

@@ -1791,6 +1791,22 @@ object TextAnalysis {
         AssignSecretRe, "[SECRET]"),
       Hex40Re, "[HEX]")
 
+  /** Per-class hit counts, each on its own stage's input (a masked span
+    * never counts twice) — ONE definition consumed by [[secretsScan]]
+    * and the streaming monitor
+    * ([[graft.streaming.StreamingIngest.secretsRateStream]]), so batch
+    * and stream cannot disagree on what a hit is. */
+  private[graft] def secretCountCols(dirty: Column): Seq[(String, Column)] = {
+    val postPem = regexp_replace(dirty, PemKeyRe, "[PEMKEY]")
+    val postAws = regexp_replace(postPem, AwsKeyRe, "[AWSKEY]")
+    val postAssign = regexp_replace(postAws, AssignSecretRe, "[SECRET]")
+    Seq(
+      "n_pem" -> regexp_count(dirty, lit(PemKeyRe)).cast("long"),
+      "n_awskey" -> regexp_count(postPem, lit(AwsKeyRe)).cast("long"),
+      "n_assign" -> regexp_count(postAws, lit(AssignSecretRe)).cast("long"),
+      "n_hex40" -> regexp_count(postAssign, lit(Hex40Re)).cast("long"))
+  }
+
   /** Secrets scan + redaction — the leaked-credential gate every
     * code/web corpus runs before release (training on a leaked live key
     * both redistributes the secret and teaches the model to emit it).
@@ -1801,16 +1817,9 @@ object TextAnalysis {
     * policy the release pipelines apply), and the masked text. */
   def secretsScan(s: SparkSession, d: String): DataFrame = {
     val dirty = secretsDirtyCol
-    val postPem = regexp_replace(dirty, PemKeyRe, "[PEMKEY]")
-    val postAws = regexp_replace(postPem, AwsKeyRe, "[AWSKEY]")
-    val postAssign = regexp_replace(postAws, AssignSecretRe, "[SECRET]")
+    val counts = secretCountCols(dirty).map { case (n, c) => c.as(n) }
     documents(s, d).select(
-      col("doc_id"),
-      regexp_count(dirty, lit(PemKeyRe)).cast("long").as("n_pem"),
-      regexp_count(postPem, lit(AwsKeyRe)).cast("long").as("n_awskey"),
-      regexp_count(postAws, lit(AssignSecretRe)).cast("long").as("n_assign"),
-      regexp_count(postAssign, lit(Hex40Re)).cast("long").as("n_hex40"),
-      redactSecretsCol(dirty).as("text_redacted"))
+      (col("doc_id") +: counts :+ redactSecretsCol(dirty).as("text_redacted")): _*)
       .withColumn("n_secrets",
         col("n_pem") + col("n_awskey") + col("n_assign") + col("n_hex40"))
       .withColumn("flagged", col("n_secrets") > 0L)

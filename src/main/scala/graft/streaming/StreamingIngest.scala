@@ -156,6 +156,40 @@ object StreamingIngest {
         (col("kill_any").cast("double") / col("n_docs")).as("kill_rate"))
   }
 
+  /** Windowed leaked-credential monitoring — the streaming twin of
+    * [[graft.queries.TextAnalysis.secretsScan]]: per event-time window,
+    * arriving-doc count, per-class secret hits, flagged-doc count and
+    * rate. The live leak alarm a code-corpus intake runs: a window
+    * whose flag rate jumps means a source started shipping credential
+    * dumps (a pastebin scrape, a misconfigured mirror), caught at
+    * arrival rather than at the pre-release batch scrub. Counts are
+    * [[graft.queries.TextAnalysis.secretCountCols]] on the RAW arriving
+    * text — the identical staged regex definitions the batch scan runs
+    * (one definition, stream and batch cannot disagree); a stateless
+    * narrow projection, state = one counter row per open window,
+    * watermark-evicted. */
+  def secretsRateStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                        win: String = "10 minutes",
+                        watermark: String = "20 minutes"): DataFrame = {
+    val counts = graft.queries.TextAnalysis.secretCountCols(col("text"))
+    val scored = docs.select(
+      col(eventTimeCol) +: counts.map { case (n, c) => c.as(n) }: _*)
+    scored
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_pem")).as("n_pem"),
+        sum(col("n_awskey")).as("n_awskey"),
+        sum(col("n_assign")).as("n_assign"),
+        sum(col("n_hex40")).as("n_hex40"),
+        sum(when(col("n_pem") + col("n_awskey") + col("n_assign") +
+          col("n_hex40") > 0L, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_pem"), col("n_awskey"), col("n_assign"), col("n_hex40"),
+        col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"))
+  }
+
   /** Windowed learned-quality monitoring — the streaming twin of
     * [[graft.queries.QualityClf]]: per event-time window, arriving-doc
     * count, classifier pass count/rate and mean logit. The

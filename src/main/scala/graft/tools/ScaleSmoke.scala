@@ -69,10 +69,23 @@ object ScaleSmoke {
     * index build amortized out in the warmup exactly as a store would).
     * The uniform per-tile word rename leaves NO shared gram of any width
     * across tiles, so every dedup family's candidate volume — and its
-    * output — scales linearly with the tile count. */
+    * output — scales linearly with the tile count.
+    *
+    * The r14 perceptual near-dup families ride the SAME tiling with no
+    * media-specific perturbation needed: their assets are synthesized
+    * from doc_id (irrational phase / splitmix-seed stepping —
+    * [[graft.queries.Multimodal.patternParams]]), so re-keyed tile ids
+    * yield FRESH asset groups while each group's within-group twin
+    * structure (re-encode/resize/re-master) is preserved exactly; the
+    * decode+hash sketch pass is row-local (embarrassingly parallel, cost
+    * transparently linear), so what the tiers actually probe is the
+    * Hamming-banding pair stage — the only part with a growth law worth
+    * falsifying — with cross-tile phantom pairs visible in the rows
+    * telemetry if the phase lattice ever aliases. */
   val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
     "dedup_containment", "sim_embed_neardup", "text_source_overlap",
-    "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near")
+    "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near",
+    "mm_phash_neardup", "mm_audio_neardup", "mm_video_neardup")
 
   /** Queries with a KNOWN single-node resource ceiling past this tile
     * count, skipped (with the reason recorded in the artifact) instead
