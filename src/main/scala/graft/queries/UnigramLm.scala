@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+import graft.tables.FrameCache
+
+/** Unigram-LM subword tokenizer training and encoding — the OTHER major
+  * tokenizer family next to [[Bpe]] (Kudo, "Subword Regularization:
+  * Improving Neural Network Translation Models with Multiple Subword
+  * Candidates", ACL 2018 — the algorithm behind SentencePiece's default
+  * model, used by T5/ALBERT/XLNet/Llama-SP vocabularies). Where BPE
+  * GROWS a vocabulary bottom-up by merging, unigram-LM SHRINKS one
+  * top-down: seed with frequent substrings, fit piece probabilities by
+  * EM under the independent-piece likelihood, prune to the target size,
+  * segment by Viterbi.
+  *
+  * THE SCALE SHAPE IS [[Bpe]]'s: the corpus is scanned ONCE into the
+  * Heaps-small (word, count) table; every EM round is one distributed
+  * pass over THAT table (Viterbi per distinct word against a broadcast
+  * piece map — row-local DP, no exchange beyond the vocab-sized count
+  * aggregate), and the driver holds only vocab-sized state. Encoding is
+  * one broadcast join of the corpus against the trained
+  * word→segmentation table — the corpus is touched exactly twice end to
+  * end.
+  *
+  * Determinism contract (the [[Bpe]] tie-break discipline): counts are
+  * exact int64; log-probabilities are `StrictMath.log` doubles of exact
+  * count ratios (bit-reproducible across JVMs); Viterbi ties break to
+  * the LONGEST last piece; seed/prune ties break lexicographically.
+  * Hard (Viterbi-) EM rather than lattice EM keeps every E-step count
+  * an exact integer — the variant's convergence is weaker in theory but
+  * the training artifact is reproducible to the bit, which is what a
+  * shipped vocab file must be.
+  *
+  * ROWS-ONLY at the driver gate BY DESIGN (the [[Bpe]] category): the
+  * vocabulary is an iterative runtime artifact no static SQL can
+  * express; UnigramLmSpec carries the correctness burden with
+  * hand-checkable Viterbi fixtures and an independent plain-Scala
+  * segmenter. */
+object UnigramLm {
+
+  /** Longest candidate piece, in characters. */
+  val MaxPieceLen = 6
+  /** Multi-character seed pieces kept after the substring count. */
+  val SeedSize = 512
+  /** Final vocabulary target (single chars always retained — coverage
+    * is a guarantee, not a statistic: every trainable word segments). */
+  val VocabSize = 256
+  /** Fixed EM round count — a convergence test on doubles would make
+    * training nondeterministic at the margin; 3 rounds reaches the
+    * fixture fixpoints and real SentencePiece runs O(few) sub-EM
+    * iterations per prune round too. */
+  val EmRounds = 3
+
+  private[graft] case class WordCount(w: String, cnt: Long)
+
+  /** The one corpus pass: distinct words with frequencies. */
+  private[graft] def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** All substring occurrences (len ≤ [[MaxPieceLen]]) of one word. */
+  private def substrings(w: String): Iterator[String] =
+    for {
+      i <- (0 until w.length).iterator
+      l <- (1 to math.min(MaxPieceLen, w.length - i)).iterator
+    } yield w.substring(i, i + l)
+
+  /** Seed vocabulary: every single character (coverage floor) plus the
+    * [[SeedSize]] most frequent longer substrings, occurrence counts
+    * weighted by word frequency; ties lexicographic. One distributed
+    * pass over the word table. */
+  private[graft] def seedVocab(words: DataFrame): Map[String, Long] = {
+    import words.sparkSession.implicits._
+    val subCounts = words.as[WordCount]
+      .flatMap(wc => substrings(wc.w).map(_ -> wc.cnt))
+      .toDF("piece", "n")
+      .groupBy("piece").agg(sum("n").as("n"))
+    val all = subCounts.collect().map(r => r.getString(0) -> r.getLong(1))
+    val (chars, multi) = all.partition(_._1.length == 1)
+    val kept = multi.sortBy { case (p, n) => (-n, p) }.take(SeedSize)
+    (chars ++ kept).toMap
+  }
+
+  /** Viterbi segmentation of `w` under `logp` — max total log-prob,
+    * ties to the longest last piece (checked from the longest candidate
+    * down, strict improvement required thereafter). Single-char
+    * coverage makes a full path always exist for trainable words; a
+    * character outside the vocab (encode-time drift) falls back to one
+    * piece per uncovered char with [[OovLogp]]. */
+  val OovLogp: Double = -25.0
+
+  private[graft] def viterbi(w: String, logp: collection.Map[String, Double]): Seq[String] = {
+    val n = w.length
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1) // start index of the last piece
+    var i = 1
+    while (i <= n) {
+      var bs = Double.NegativeInfinity
+      var bj = -1
+      // longest candidate first + strict > : equal-score ties keep the
+      // LONGEST last piece (deterministic at any float coincidence)
+      var l = math.min(MaxPieceLen, i)
+      while (l >= 1) {
+        val j = i - l
+        val piece = w.substring(j, i)
+        val lp = logp.getOrElse(piece, if (l == 1) OovLogp else Double.NegativeInfinity)
+        val s = best(j) + lp
+        if (s > bs) { bs = s; bj = j }
+        l -= 1
+      }
+      best(i) = bs; back(i) = bj
+      i += 1
+    }
+    // walk back
+    var at = n
+    var spans = List.empty[(Int, Int)]
+    while (at > 0) { val j = back(at); spans = (j, at) :: spans; at = j }
+    spans.map { case (a, b) => w.substring(a, b) }
+  }
+
+  /** One hard-EM round: Viterbi-segment every distinct word under the
+    * current probabilities (distributed, broadcast piece map), sum
+    * exact piece counts weighted by word frequency (vocab-sized
+    * aggregate), drop multi-char pieces that won no count. */
+  private[graft] def emRound(words: DataFrame,
+                             vocab: Map[String, Long]): Map[String, Long] = {
+    val s = words.sparkSession
+    import s.implicits._
+    val lp = logProbs(vocab)
+    val bc = s.sparkContext.broadcast(lp)
+    val counts = words.as[WordCount]
+      .flatMap(wc => viterbi(wc.w, bc.value).map(_ -> wc.cnt))
+      .toDF("piece", "n")
+      .groupBy("piece").agg(sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // coverage floor: single chars survive at count ≥ 1 even when every
+    // occurrence was claimed by a longer piece
+    val chars = vocab.keysIterator.filter(_.length == 1)
+      .map(c => c -> math.max(counts.getOrElse(c, 0L), 1L))
+    (counts.filter { case (p, _) => p.length > 1 } ++ chars).toMap
+  }
+
+  private[graft] def logProbs(vocab: Map[String, Long]): Map[String, Double] = {
+    val total = vocab.valuesIterator.sum.toDouble
+    vocab.map { case (p, c) => p -> StrictMath.log(c.toDouble / total) }
+  }
+
+  /** Prune to [[VocabSize]]: all single chars (coverage) + the top
+    * multi-char pieces by final EM count, ties lexicographic. */
+  private[graft] def prune(vocab: Map[String, Long]): Map[String, Long] = {
+    val (chars, multi) = vocab.partition(_._1.length == 1)
+    val room = math.max(VocabSize - chars.size, 0)
+    chars ++ multi.toSeq.sortBy { case (p, n) => (-n, p) }.take(room)
+  }
+
+  /** Train: seed → [[EmRounds]]× hard EM → prune → one re-fit EM round
+    * on the pruned set (probabilities must describe the vocabulary that
+    * ships). Memoized per (session, dir) — the vocab-file analogue. */
+  private[graft] def trained(s: SparkSession, d: String): Map[String, Long] =
+    FrameCache.cachedValue(s, s"unigram-vocab:${graft.tables.FrameCache.dirKey(d)}") {
+      val words = wordCounts(documents(s, d)).localCheckpoint()
+      var vocab = seedVocab(words)
+      var r = 0
+      while (r < EmRounds) { vocab = emRound(words, vocab); r += 1 }
+      val out = emRound(words, prune(vocab))
+      org.apache.spark.sql.graft.ColumnInterop.unpersistCheckpoint(words)
+      out
+    }
+
+  /** The learned vocabulary — rank (by count desc, piece asc), piece,
+    * its exact EM count, length, and log-probability. */
+  def unigramVocab(s: SparkSession, d: String): DataFrame = {
+    val vocab = trained(s, d)
+    val lp = logProbs(vocab)
+    import s.implicits._
+    vocab.toSeq.sortBy { case (p, n) => (-n, p) }.zipWithIndex
+      .map { case ((p, n), i) =>
+        (i + 1L, p, n, p.length.toLong, lp(p)) }
+      .toDF("rank", "piece", "em_count", "piece_len", "logp")
+      .orderBy("rank")
+  }
+
+  /** Encode the corpus with the trained vocabulary: Viterbi-segment the
+    * DISTINCT words once (distributed, broadcast piece map), then one
+    * broadcast join against the corpus — [[Bpe.bpeEncodeOf]]'s shape,
+    * with `chars_per_token` the compression the vocab bought. */
+  def unigramEncode(s: SparkSession, d: String): DataFrame = {
+    val vocab = trained(s, d)
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(logProbs(vocab))
+    val segmented = wordCounts(documents(s, d)).as[WordCount]
+      .map(wc => (wc.w, viterbi(wc.w, bc.value).length.toLong))
+      .toDF("w", "word_tokens")
+    documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), "w")
+      .groupBy("doc_id", "n_chars")
+      .agg(sum(col("word_tokens")).cast("long").as("n_unigram_tokens"))
+      .select(col("doc_id"), col("n_chars"), col("n_unigram_tokens"),
+        (col("n_chars").cast("double") / col("n_unigram_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_vocab" -> unigramVocab _,
+    "text_unigram_encode" -> unigramEncode _,
+  )
+
+  /** No SQL twins (see the object scaladoc) — the [[Bpe]] category. */
+  val oracleSql: Map[String, String] = Map.empty
+}

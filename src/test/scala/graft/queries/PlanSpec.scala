@@ -66,7 +66,11 @@ class PlanSpec extends SparkSpec {
     "text_lm_score", "text_dsir_weight", "text_dsir_sample",
     // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)
     // inside its cached parts frame
-    "text_ccnet_bucket")
+    "text_ccnet_bucket",
+    // broadcast bounded benchmark dimension vs the corpus — the
+    // sim_cosine_topk query-set shape (the `=!=` guard is not an equi
+    // key, so BNLJ against the broadcast bench set is the right plan)
+    "sim_semantic_decon")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer contract: hand-checkable Viterbi fixtures, the
+  * documented tie/OOV rules, score-optimality vs an independent
+  * exhaustive segmenter, trainer determinism, and the acquired-piece /
+  * compression behavior on an engineered corpus. */
+class UnigramLmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("viterbi picks the max-likelihood segmentation") {
+    val lp = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
+    // ab|ab = -5.0 beats a|b|a|b = -6.0 and ab|a|b = -5.5
+    assert(UnigramLm.viterbi("abab", lp) == Seq("ab", "ab"))
+    assert(UnigramLm.viterbi("aab", lp) == Seq("a", "ab")) // -3.5 beats a|a|b -4
+  }
+
+  test("exact score ties keep the longest last piece") {
+    val lp = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(UnigramLm.viterbi("ab", lp) == Seq("ab"))
+  }
+
+  test("a character outside the vocabulary falls back to a single OOV piece") {
+    val lp = Map("a" -> -1.0)
+    assert(UnigramLm.viterbi("axa", lp) == Seq("a", "x", "a"))
+  }
+
+  test("viterbi score equals the exhaustive best over all segmentations") {
+    val lp = Map("a" -> -1.3, "b" -> -2.1, "c" -> -2.4, "ab" -> -2.2,
+      "bc" -> -2.0, "abc" -> -3.9, "ca" -> -2.6)
+    def score(seg: Seq[String]): Double =
+      seg.map(p => lp.getOrElse(p, if (p.length == 1) UnigramLm.OovLogp
+      else Double.NegativeInfinity)).sum
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(UnigramLm.MaxPieceLen, w.length)).flatMap(l =>
+        allSegs(w.drop(l)).map(w.take(l) +: _))
+    for (w <- Seq("abcab", "cabc", "aabbcc", "abcabc", "bca")) {
+      val got = score(UnigramLm.viterbi(w, lp))
+      val best = allSegs(w).map(score).max
+      assert(got == best, s"$w: viterbi $got != exhaustive $best")
+    }
+  }
+
+  test("training acquires the planted frequent subword and compresses the encoding") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, "running jumping walking talking singing reading")).toDF("doc_id", "text")
+    val words = UnigramLm.wordCounts(docs)
+    var vocab = UnigramLm.seedVocab(words)
+    (1 to UnigramLm.EmRounds).foreach(_ => vocab = UnigramLm.emRound(words, vocab))
+    val fin = UnigramLm.emRound(words, UnigramLm.prune(vocab))
+    assert(fin.contains("ing"), s"'ing' not acquired: ${fin.keys.filter(_.length > 2).take(20)}")
+    // every word viterbi-segments to fewer pieces than characters
+    val lp = UnigramLm.logProbs(fin)
+    for (w <- Seq("running", "jumping", "singing"))
+      assert(UnigramLm.viterbi(w, lp).length < w.length)
+  }
+
+  test("training is deterministic: two independent runs produce the identical vocabulary") {
+    val docs = Seq.tabulate(12)(i =>
+      (i.toLong, "alpha beta alphabet betamax alpine")).toDF("doc_id", "text")
+    def run(): Map[String, Long] = {
+      val words = UnigramLm.wordCounts(docs)
+      var v = UnigramLm.seedVocab(words)
+      (1 to UnigramLm.EmRounds).foreach(_ => v = UnigramLm.emRound(words, v))
+      UnigramLm.emRound(words, UnigramLm.prune(v))
+    }
+    assert(run() == run())
+  }
+
+  test("corpus encode: coverage is total and the compression ratio is > 1") {
+    val out = UnigramLm.unigramEncode(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars", "n_unigram_tokens", "chars_per_token").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(2) > 0), "a document failed to tokenize")
+    assert(out.forall(r => r.getDouble(3) > 1.0),
+      "subword vocab bought no compression over characters")
+    // vocab report shape: ranked, capped, single-char floor present
+    val vocab = UnigramLm.unigramVocab(spark, "/root/testdata/sf0.001").collect()
+    assert(vocab.length <= UnigramLm.VocabSize + 64) // chars beyond target never dropped
+    assert(vocab.exists(_.getLong(3) == 1L), "single-char coverage floor missing")
+    assert(vocab.map(_.getLong(0)).toSeq == (1L to vocab.length).toSeq, "ranks not dense")
+  }
+}
