@@ -400,7 +400,12 @@ object Multimodal {
     * (a real N× image crawl has N× the near-dup groups, not N²). */
   private[graft] def patternParams(gid: Long): (Double, Double, Double, Double, Double, Double) = {
     val tau = 2.0 * StrictMath.PI
-    (1.0 + (gid % 3).toDouble, 1.0 + ((gid / 3) % 3).toDouble,
+    // half-integer frequencies, 7×7 combos: a non-tiling field needs no
+    // integer period, and 49 lattice cells instead of 9 divide the
+    // cross-group collision density by ~5 — the cheap discrete channel
+    // that does NOT touch the twin envelope (frequency structure is
+    // scale-stable; a luma overlay, tried first, traded twin bits)
+    (1.0 + (gid % 7).toDouble / 3.0, 1.0 + ((gid / 7) % 7).toDouble / 3.0,
       tau * (gid * 0.6180339887498949 % 1.0), tau * (gid * 0.7548776662466927 % 1.0),
       tau * (gid * 0.41421356237309515 % 1.0),
       0.85 + 0.3 * (gid * 0.7320508075688772 % 1.0))
@@ -410,7 +415,7 @@ object Multimodal {
     * member: different frequency lattice AND phase/rotation offsets. */
   private[graft] def distinctParams(gid: Long): (Double, Double, Double, Double, Double, Double) = {
     val (_, _, p1, p2, th, sx) = patternParams(gid)
-    (1.0 + ((gid * 5 + 2) % 4).toDouble, 1.0 + ((gid * 7 + 3) % 4).toDouble,
+    (1.0 + ((gid * 5 + 2) % 8).toDouble / 3.0, 1.0 + ((gid * 7 + 3) % 8).toDouble / 3.0,
       p1 + 2.1, p2 + 1.3, th + 0.9, 2.03 - sx)
   }
 

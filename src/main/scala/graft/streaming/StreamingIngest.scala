@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.store.MessageHash
@@ -47,6 +47,41 @@ object StreamingIngest {
       .withColumn("hash", org.apache.spark.sql.functions.md5(col("text")))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("hash")
+
+  /** File-arrival WARC ingest — the crawl-side continuous intake: a
+    * watched directory receives WARC members (the Common Crawl delivery
+    * unit), each arriving FILE parses row-local through the
+    * Content-Length byte walk ([[graft.functions.WarcRecords]] — the
+    * identical codegen expression the batch round-trip runs), explodes
+    * to (member, rec_idx, uri, rec_type, content_length, body) records,
+    * and deduplicates on the body's content hash within the watermark
+    * horizon — re-crawled / re-delivered captures are the WARC analog of
+    * the scraper-shard re-delivery [[dedupDocStream]] handles, and the
+    * same lambda split applies (exact cross-horizon dedup belongs to
+    * the batch family at compaction). File-level parallelism is the
+    * scale unit exactly as in batch (cc-pyspark shape); per retained
+    * record the state is one 32-char key, never the payload. */
+  def warcStream(spark: SparkSession, dir: String,
+                 watermark: String = "1 hour"): DataFrame = {
+    val files = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .load(dir)
+    files
+      .select(col("path").as("member"), col("modificationTime").as("event_time"),
+        posexplode(graft.functions.WarcRecords.warcRecords(col("content")))
+          .as(Seq("rec_idx", "r")))
+      .select(col("member"), col("event_time"), col("rec_idx").cast("long").as("rec_idx"),
+        col("r.uri").as("uri"), col("r.rec_type").as("rec_type"),
+        col("r.content_length").as("content_length"), col("r.body").as("body"))
+      .withColumn("hash", org.apache.spark.sql.functions.md5(col("body")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("hash")
+  }
 
   /** Windowed throughput/volume aggregation over an event stream
     * (watermark + tumbling window — the standard late-data-tolerant

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.queries.Multimodal
+import graft.functions.ImageHash
+
+/** Twin-envelope calibration for the perceptual image fixture family:
+  * prints the Hamming-distance distribution of the JPEG-re-encode and
+  * resize twins plus the nearest cross-group distance over a gid sweep —
+  * the measured basis for [[Multimodal.ImgHammingK]] and the pattern
+  * generator's amplitude dials (the measured-envelope discipline: the
+  * spec asserts what this tool measures, never a guessed constant).
+  * `sbt "runMain graft.tools.PhashCalibrate [nGroups]"`. */
+object PhashCalibrate {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    def h(id: Long): Long = ImageHash.hashBytes(Multimodal.syntheticImage(id)).longValue()
+    val jpegD = new Array[Int](65); val resD = new Array[Int](65); val distD = new Array[Int](65)
+    var worstJ = (-1L, -1); var worstR = (-1L, -1)
+    val bases = new Array[Long](n)
+    for (g <- 0 until n) {
+      val base = h(g * 4L); bases(g) = base
+      val dj = ham(base, h(g * 4L + 1)); val dr = ham(base, h(g * 4L + 2))
+      val dd = ham(base, h(g * 4L + 3))
+      jpegD(dj) += 1; resD(dr) += 1; distD(dd) += 1
+      if (dj > worstJ._2) worstJ = (g.toLong, dj)
+      if (dr > worstR._2) worstR = (g.toLong, dr)
+    }
+    var minCross = 64
+    var crossUnderK = 0
+    for (a <- 0 until n; b <- (a + 1) until n) {
+      val d = ham(bases(a), bases(b))
+      if (d < minCross) minCross = d
+      if (d <= Multimodal.ImgHammingK) crossUnderK += 1
+    }
+    def top(d: Array[Int]) = d.zipWithIndex.filter(_._1 > 0).map { case (c, i) => s"$i:$c" }.mkString(" ")
+    println(s"jpeg twin bits   -> ${top(jpegD)}   worst gid=${worstJ._1} at ${worstJ._2}")
+    println(s"resize twin bits -> ${top(resD)}   worst gid=${worstR._1} at ${worstR._2}")
+    println(s"distinct member  -> ${top(distD)}")
+    println(s"cross-group base pairs: min=$minCross underK=$crossUnderK of ${n.toLong * (n - 1) / 2}")
+  }
+}

@@ -84,6 +84,41 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("warc file-arrival e2e: members land in a dir, records parse, content dedup holds across files") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.Files
+
+    def rec(uri: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body\r\n\r\n"
+
+    val dir = Files.createTempDirectory("graft-warc-in")
+    // member 1: two captures + an intra-member re-capture of the first
+    // page under a different URI (mirror case — identity is the content)
+    Files.write(dir.resolve("seg1.warc"),
+      (rec("https://a.example/p1", "alpha page") +
+        rec("https://b.example/p2", "beta page") +
+        rec("https://mirror.example/p1", "alpha page")).getBytes(StandardCharsets.UTF_8))
+
+    val q = StreamingIngest.warcStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("warc_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      def bodies = spark.sql("SELECT body FROM warc_dedup_out").collect().map(_.getString(0))
+      assert(bodies.length == 2, "intra-member content duplicate must be dropped")
+      assert(bodies.toSet == Set("alpha page", "beta page"))
+
+      // member 2 arrives later: a cross-member re-crawl + one new page
+      Files.write(dir.resolve("seg2.warc"),
+        (rec("https://a.example/p1", "alpha page") +
+          rec("https://c.example/p3", "gamma page")).getBytes(StandardCharsets.UTF_8))
+      q.processAllAvailable()
+      assert(bodies.length == 3, "cross-member duplicate dropped, new capture kept")
+      assert(bodies.toSet == Set("alpha page", "beta page", "gamma page"))
+    } finally q.stop()
+  }
+
   test("jsonl file-arrival e2e: scraper shards land in a dir, content dedup holds across files") {
     import java.nio.charset.StandardCharsets
     import java.nio.file.Files
