@@ -377,6 +377,109 @@ object Provenance {
         col("r.content_length").as("content_length"), col("r.body").as("body"))
       .orderBy("file_id", "rec_idx")
 
+  // ---------------------------------------------------------------- pagerank
+
+  /** Fixed-point mass for [[domainPagerank]]: total rank mass is 10^12,
+    * so per-domain ranks are exact int64 micromillionths of the corpus. */
+  val PrScale = 1000000000000L
+
+  /** Per-source-domain edge shares are floored to millionths BEFORE the
+    * iteration multiplies them by ranks — keeps every product below
+    * 10^12 · 10^6 = 10^18 < Long.MaxValue at ANY corpus size (raw
+    * `rank * edge_weight` would overflow at web scale, where a single
+    * domain pair can carry ~10^11 links). */
+  val PrShareScale = 1000000L
+
+  /** Damping factor, in percent (the classic 0.85). */
+  val PrDampPct = 85L
+
+  /** Fixed iteration count — rank ordering stabilizes well before 5
+    * rounds on power-law graphs this size; a production run dials this
+    * up and adds an L1-delta stop, same plan per round. */
+  val PrIters = 5
+
+  /** Outlinks synthesized per document (see [[domainPagerank]]). */
+  val PrCites = 3L
+
+  /** Domain-authority PageRank over the corpus link graph — the crawl
+    * quality prior CommonCrawl-derived pipelines rank hosts with
+    * (harmonic/PageRank centrality as a quality signal next to the
+    * learned classifier and the LM score; cf. the CC host-level graph
+    * releases). The testdata carries no outlinks, so each document
+    * deterministically "cites" [[PrCites]] pseudo-random documents —
+    * `(doc_id·31 + c·7919) mod n_docs`, both multipliers coprime to the
+    * corpus sizes — and an edge is the citing doc's registered domain →
+    * the cited doc's domain ([[UrlCte]] arithmetic). Self-loops are KEPT:
+    * they are the intra-domain links a real crawl graph has, and they
+    * guarantee every domain has out-mass (no dangling-node redistribution
+    * step, which would break exact-integer reproducibility).
+    *
+    * Exact-integer discipline (the [[domainEntropy]] contract): ranks are
+    * int64 fixed-point ([[PrScale]] total mass), edge weights collapse to
+    * floored millionth shares ([[PrShareScale]]) once, and one iteration
+    * is `r' = (15·(S div n)) div 100 + (85·Σ_src (r_src·share) div 10^6)
+    * div 100` — every operand order identical in the DuckDB twin, so 5
+    * chained-CTE rounds hash-match at full strictness. Floor loss is
+    * bounded (≤ n_edges·10^-6 of the mass per round) and identical in
+    * both engines.
+    *
+    * Scale shape: the corpus is touched ONCE — cite fan-out is a narrow
+    * ×3 projection, the edge aggregate is one map-side-combinable
+    * (src,dst) exchange, and from there the iteration runs over the
+    * DOMAIN graph (|edges| ≪ corpus; web scale ~10^9 edges for ~10^8
+    * domains). Each round is one shuffle join rank⋈share on src + one
+    * hash aggregate on dst — AQE broadcasts the rank side while it fits;
+    * the share frame is localCheckpoint-pinned so the 5 rounds reuse one
+    * materialization instead of re-deriving the corpus scan per round
+    * (and a production run would swap the pin for a reliable checkpoint
+    * every ~10 rounds to truncate lineage). Two bounded driver scalars
+    * (n_docs, n_domains) follow the packSpans prefix-total precedent. */
+  def domainPagerank(s: SparkSession, d: String): DataFrame =
+    domainPagerankOf(documents(s, d))
+
+  private[graft] def domainPagerankOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count() // bounded driver scalar (1 value)
+    val dom = docs.select(col("doc_id"),
+      concat(col("source"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("domain"))
+    val cites = docs.select(col("doc_id"))
+      .crossJoin(broadcast(spark.range(1, PrCites + 1).toDF("c")))
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 31 + col("c") * 7919, lit(nDocs)).as("tgt"))
+    val edges = cites
+      .join(dom.withColumnRenamed("domain", "src"), "doc_id")
+      .join(dom.select(col("doc_id").as("tgt"), col("domain").as("dst")), "tgt")
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val shares = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * $PrShareScale) div ow").as("share"))
+      .localCheckpoint() // one materialization feeds all PrIters rounds
+    val nodes = dom.select("domain").distinct().localCheckpoint()
+    val nDomains = nodes.count() // bounded driver scalar (1 value)
+    val r0 = PrScale / nDomains
+    val base = ((100L - PrDampPct) * r0) / 100L
+    var ranks = nodes.select(col("domain"), lit(r0).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks.join(shares, col("domain") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr(s"(r * share) div $PrShareScale")).as("s"))
+      ranks = nodes
+        .join(contrib, col("domain") === col("node"), "left")
+        .select(col("domain"),
+          (lit(base) + expr(s"($PrDampPct * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    ranks
+      .join(outw.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .join(edges.groupBy(col("dst").as("domain"))
+        .agg(count(lit(1)).as("n_in")), Seq("domain"), "left")
+      .select(col("domain"), coalesce(col("ow"), lit(0L)).as("out_links"),
+        coalesce(col("n_in"), lit(0L)).as("in_domains"), col("r").as("pr_fp"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_domain_mix" -> domainMix _,
     "text_domain_entropy" -> domainEntropy _,
@@ -385,6 +488,7 @@ object Provenance {
     "text_url_canon" -> urlCanon _,
     "dedup_url" -> urlDedup _,
     "prov_warc_roundtrip" -> warcRoundtrip _,
+    "prov_domain_pagerank" -> domainPagerank _,
   )
 
   /** Shared oracle CTE — the identical URL synthesis + extraction in
@@ -432,6 +536,61 @@ object Provenance {
          |SELECT file_id, rec_idx, uri, 'response' AS rec_type,
          |  content_length, text AS body
          |FROM u ORDER BY file_id, rec_idx""".stripMargin,
+    // The twin replays ALL five iterations as chained CTEs — identical
+    // operand order (floored shares first, then base + damped contrib
+    // per round), so the hash checks the whole fixed-point recurrence,
+    // not just the converged ordering. DuckDB widens SUM to HUGEINT;
+    // no intermediate overflows int64 by construction (shares ≤ 10^6,
+    // ranks ≤ 10^12), so the final BIGINT casts are lossless.
+    "prov_domain_pagerank" -> {
+      val cs = (1L to PrCites).mkString(", ")
+      val iters = (1 to PrIters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.domain,
+           |    (${100L - PrDampPct} * (SELECT $PrScale // nd FROM nd)) // 100
+           |      + ($PrDampPct * COALESCE(c.s, 0)) // 100 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT sh.dst AS domain,
+           |      SUM((p.r * sh.share) // $PrShareScale) AS s
+           |    FROM r${k - 1} p JOIN sh ON sh.src = p.domain
+           |    GROUP BY sh.dst) c
+           |  ON n.domain = c.domain)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         |dom AS (
+         |  SELECT doc_id,
+         |    source || '.' || ['com','org','net'][CAST(doc_id % 3 AS INT) + 1] AS domain
+         |  FROM documents),
+         |cite AS (
+         |  SELECT d.doc_id,
+         |    (d.doc_id * 31 + c.c * 7919) % (SELECT n FROM nn) AS tgt
+         |  FROM documents d CROSS JOIN (SELECT UNNEST([$cs]) AS c) c),
+         |e AS (
+         |  SELECT s.domain AS src, t.domain AS dst, COUNT(*) AS w
+         |  FROM cite
+         |  JOIN dom s ON s.doc_id = cite.doc_id
+         |  JOIN dom t ON t.doc_id = cite.tgt
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+         |sh AS (
+         |  SELECT e.src, e.dst, (e.w * $PrShareScale) // outw.ow AS share
+         |  FROM e JOIN outw ON e.src = outw.src),
+         |nodes AS (SELECT DISTINCT domain FROM dom),
+         |nd AS (SELECT COUNT(*) AS nd FROM nodes),
+         |r0 AS (
+         |  SELECT domain, (SELECT $PrScale // nd FROM nd) AS r FROM nodes),
+         |$iters
+         |SELECT n.domain,
+         |  CAST(COALESCE(outw.ow, 0) AS BIGINT) AS out_links,
+         |  CAST(COALESCE(ie.n_in, 0) AS BIGINT) AS in_domains,
+         |  CAST(rf.r AS BIGINT) AS pr_fp
+         |FROM nodes n
+         |JOIN r$PrIters rf ON n.domain = rf.domain
+         |LEFT JOIN outw ON outw.src = n.domain
+         |LEFT JOIN (SELECT dst, COUNT(*) AS n_in FROM e GROUP BY dst) ie
+         |  ON ie.dst = n.domain
+         |ORDER BY n.domain""".stripMargin
+    },
     "text_domain_mix" ->
       s"""WITH $UrlCte
          |SELECT domain, COUNT(*) AS n_docs,
