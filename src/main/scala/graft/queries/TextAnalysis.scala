@@ -2426,9 +2426,106 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------ homoglyph folding
+
+  /** Script-confusable (homoglyph) folding map — the spam-evasion
+    * counterpart of [[unicodeNorm]]: NFC cannot see a Cyrillic `о`
+    * (U+043E) standing in for Latin `o`, so a spammer re-encodes a banned
+    * or already-deduped document with lookalike substitutions and every
+    * hash-keyed gate in the pipeline treats it as fresh text. The fold
+    * maps the UTS #39 confusables that are byte-for-byte render-identical
+    * to Latin in common fonts — Cyrillic + Greek lookalikes, both cases —
+    * onto their Latin skeletons, and DELETES the zero-width characters
+    * (ZWSP/ZWNJ/ZWJ/BOM, the other classic hash-splitting injection):
+    * `translate` drops `from` characters with no `to` counterpart, in
+    * Spark and DuckDB alike. A production deployment extends the pair of
+    * literals to the full UTS #39 table (same one-projection plan); the
+    * subset here is the attack surface the spec plants.
+    *
+    * Scale shape: one codegen `StringTranslate` projection per row —
+    * no exchange, no UDF; the fold feeds the SAME sha-keyed dedup
+    * machinery the corpus already runs. */
+  private[graft] val HomoglyphFrom: String =
+    "аеорсухіѕ" + // а е о р с у х і ѕ
+      "АВЕКМНОРСТУХ" + // АВЕКМНОРСТУХ
+      "ονΑΒΕΖΗΙΚΜΝΟΡΤΧ" + // ον ΑΒΕΖΗΙΚΜΝΟΡΤΧ
+      "\u200b\u200c\u200d\ufeff" // ZWSP ZWNJ ZWJ BOM: deleted, no counterpart
+  private[graft] val HomoglyphTo: String =
+    "aeopcyxis" + "ABEKMHOPCTYX" + "ov" + "ABEZHIKMNOPTX"
+
+  /** Forward (attack-direction) map the fixtures plant with — a strict
+    * subset of [[HomoglyphFrom]]'s inverse, so folding provably recovers
+    * the original byte-exactly. */
+  private[graft] val SpoofFrom: String = "aeopcxyABCEHKMOPTX"
+  private[graft] val SpoofTo: String =
+    "аеорсху" + // а е о р с х у
+      "АВСЕНКМОРТХ" // АВСЕНКМОРТХ
+
+  /** Spoof-twin doc_id offset — keeps planted variants disjoint from any
+    * real doc_id at every sf. */
+  private[graft] val SpoofIdOffset = 1000000000L
+
+  /** The corpus is pure ASCII, so the spoofed variants are PLANTED, the
+    * [[graft.queries.Provenance.snapshotDiff]] discipline: every doc with
+    * `doc_id % 11 = 3` gains a twin under [[SpoofFrom]]→[[SpoofTo]], and
+    * the even half of those additionally get a zero-width space injected
+    * after every blank — both synthesized identically in the oracle, so
+    * the driver hash checks the fold itself, not a lucky fixture. */
+  private[graft] def spoofedUnionOf(docs: DataFrame): DataFrame = {
+    val folded = translate(col("text"), SpoofFrom, SpoofTo)
+    val spoofed = docs.filter(pmod(col("doc_id"), lit(11)) === 3)
+      .select((col("doc_id") + lit(SpoofIdOffset)).as("doc_id"),
+        lit("spoof").as("variant"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          replace(folded, lit(" "), lit(" \u200b")))
+          .otherwise(folded).as("text"))
+    docs.select(col("doc_id"), lit("orig").as("variant"), col("text"))
+      .unionByName(spoofed)
+  }
+
+  /** Per-document fold report over the planted union: raw vs folded
+    * length (zero-width deletions shrink, confusable swaps don't) and
+    * whether the fold changed anything — the flag a cleaning pipeline
+    * routes to review. Narrow one-projection plan; full-strict. */
+  def homoglyphNorm(s: SparkSession, d: String): DataFrame =
+    spoofedUnionOf(documents(s, d))
+      .withColumn("norm", translate(col("text"), HomoglyphFrom, HomoglyphTo))
+      .select(col("doc_id"), col("variant"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(col("norm")).cast("long").as("n_norm"),
+        (col("text") =!= col("norm")).as("changed"),
+        col("norm"))
+      .orderBy("doc_id")
+
+  /** Spoof-hidden duplicate groups: documents whose FOLDED text collides
+    * while their raw bytes differ — exactly the dups [[HomoglyphFrom]]
+    * exists to catch, and exactly the rows `rel_dedup_exact` misses.
+    * One sha-keyed exchange over 64-char keys (the dedup_exact shape);
+    * members surface as an ordered csv, the A2 ordered-string-agg
+    * contract. */
+  def homoglyphDedup(s: SparkSession, d: String): DataFrame =
+    homoglyphDedupOf(documents(s, d))
+
+  private[graft] def homoglyphDedupOf(docs: DataFrame): DataFrame =
+    spoofedUnionOf(docs)
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_sha"),
+        sha2(translate(col("text"), HomoglyphFrom, HomoglyphTo), 256)
+          .as("norm_sha"))
+      .groupBy("norm_sha")
+      .agg(count(lit(1)).as("n_variants"),
+        count_distinct(col("raw_sha")).as("n_raw_forms"),
+        min("doc_id").as("keep_id"),
+        concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+          .as("member_ids"))
+      .filter(col("n_variants") > 1 && col("n_raw_forms") > 1)
+      .orderBy("keep_id")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_homoglyph_norm" -> homoglyphNorm _,
+    "dedup_homoglyph" -> homoglyphDedup _,
     "text_unicode_norm" -> unicodeNorm _,
     "text_char_diversity" -> charDiversity _,
     "text_script_mix" -> scriptMix _,
@@ -2641,6 +2738,52 @@ object TextAnalysis {
         |FROM a ORDER BY doc_id""".stripMargin,
     // Same decomposed synthesis via chr(): 769 = U+0301 combining acute,
     // 776 = U+0308 combining diaeresis; nfc_normalize == NFC (UAX #15).
+    // Fold checked end-to-end: the twin re-plants the identical spoofed
+    // union (forward translate + chr(8203) injection), re-folds it with
+    // the same literal tables, and the driver hash covers the folded
+    // TEXT itself, not just flags. DuckDB translate shares the
+    // delete-on-missing-counterpart semantics the fold relies on.
+    "text_homoglyph_norm" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, translate(text, '$SpoofFrom', '$SpoofTo') AS t
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |u AS (
+         |  SELECT doc_id, 'orig' AS variant, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $SpoofIdOffset, 'spoof',
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN replace(t, ' ', ' ' || chr(8203)) ELSE t END
+         |  FROM sp),
+         |f AS (
+         |  SELECT doc_id, variant, text,
+         |    translate(text, '$HomoglyphFrom', '$HomoglyphTo') AS norm
+         |  FROM u)
+         |SELECT doc_id, variant, CAST(length(text) AS BIGINT) AS n_raw,
+         |  CAST(length(norm) AS BIGINT) AS n_norm,
+         |  text <> norm AS changed, norm
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_homoglyph" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, translate(text, '$SpoofFrom', '$SpoofTo') AS t
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |u AS (
+         |  SELECT doc_id, 'orig' AS variant, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $SpoofIdOffset, 'spoof',
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN replace(t, ' ', ' ' || chr(8203)) ELSE t END
+         |  FROM sp),
+         |k AS (
+         |  SELECT doc_id, sha256(text) AS raw_sha,
+         |    sha256(translate(text, '$HomoglyphFrom', '$HomoglyphTo')) AS norm_sha
+         |  FROM u)
+         |SELECT norm_sha, COUNT(*) AS n_variants,
+         |  CAST(COUNT(DISTINCT raw_sha) AS BIGINT) AS n_raw_forms,
+         |  MIN(doc_id) AS keep_id,
+         |  array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+         |FROM k GROUP BY norm_sha
+         |HAVING COUNT(*) > 1 AND COUNT(DISTINCT raw_sha) > 1
+         |ORDER BY keep_id""".stripMargin,
     "text_unicode_norm" ->
       """WITH r AS (
         |  SELECT doc_id,

@@ -678,4 +678,54 @@ class CleanOpsSpec extends SparkSpec {
     // doc 5 loses BOTH e-copies (union of two ranges), keeps the filler
     assert(out(5L) == ((20L, 16L, "f1 f2 f3 f4")))
   }
+  // ------------------------------------------------- homoglyph folding
+
+  private def fold(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("t")
+    df.select(translate(col("t"),
+      TextAnalysis.HomoglyphFrom, TextAnalysis.HomoglyphTo).as("c"))
+      .head().getString(0)
+  }
+
+  test("homoglyph fold maps every confusable to its Latin skeleton and deletes zero-widths") {
+    // every spoofable char, both cases, plus Greek-only and Cyrillic-only
+    // extras the plant never uses but a real corpus would carry
+    val spoofed = new String(TextAnalysis.SpoofTo.toCharArray)
+    val folded = fold(spoofed)
+    assert(folded == TextAnalysis.SpoofFrom,
+      s"fold(SpoofTo) = $folded, want ${TextAnalysis.SpoofFrom}")
+    assert(fold("\u0456\u0455\u03bd\u0396") == "isvZ") // і ѕ ν Ζ — beyond the plant
+    assert(fold("a\u200bb\u200cc\u200dd\ufeffe") == "abcde", "zero-widths must delete")
+    assert(fold("plain ASCII text 123") == "plain ASCII text 123", "ASCII is a no-op")
+  }
+
+  test("homoglyph fold recovers the planted spoof byte-exactly, including injected ZWSP") {
+    val docs = Seq(
+      (3L, "The cat sat on the map TOP HAT"),   // 3 % 11 == 3 -> spoofed
+      (14L, "Another payload entirely distinct") // 14 % 11 == 3 -> spoofed (even: +ZWSP)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.spoofedUnionOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val spoof3 = rows(3L + TextAnalysis.SpoofIdOffset)._2
+    val spoof14 = rows(14L + TextAnalysis.SpoofIdOffset)._2
+    assert(spoof3 != "The cat sat on the map TOP HAT" && !spoof3.contains('\u200b'))
+    assert(spoof14.contains('\u200b'), "even-id spoof must carry injected ZWSP")
+    assert(fold(spoof3) == "The cat sat on the map TOP HAT")
+    assert(fold(spoof14) == "Another payload entirely distinct")
+  }
+
+  test("homoglyphDedup: spoof-hidden groups surface; raw-identical and distinct docs do not") {
+    val docs = Seq(
+      (3L, "shared spam payload one"),      // spoofed -> a catchable pair
+      (1L, "verbatim duplicate text"),      // raw-identical pair: NOT a
+      (2L, "verbatim duplicate text"),      //   homoglyph finding
+      (5L, "unrelated innocent document")   // singleton
+    ).toDF("doc_id", "text")
+    val groups = TextAnalysis.homoglyphDedupOf(docs).collect()
+    assert(groups.length == 1, s"want exactly the spoofed group, got ${groups.toSeq}")
+    val g = groups.head
+    assert(g.getAs[Long]("keep_id") == 3L)
+    assert(g.getAs[Long]("n_variants") == 2L)
+    assert(g.getAs[String]("member_ids") == s"3,${3L + TextAnalysis.SpoofIdOffset}")
+  }
 }
