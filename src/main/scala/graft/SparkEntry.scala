@@ -22,12 +22,12 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ IvfAnn.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Bpe.queries ++ PqAnn.queries ++
       Provenance.queries ++ SemDedup.queries ++ Pca.queries ++ Pipeline.queries ++
-      QualityClf.queries ++ Dsir.queries ++ UnigramLm.queries
+      QualityClf.queries ++ Dsir.queries ++ UnigramLm.queries ++ WordPiece.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Scalars.oracleSql ++ StoreQueries.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ IvfAnn.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Bpe.oracleSql ++ PqAnn.oracleSql ++
       Provenance.oracleSql ++ SemDedup.oracleSql ++ Pca.oracleSql ++ Pipeline.oracleSql ++
-      QualityClf.oracleSql ++ Dsir.oracleSql ++ UnigramLm.oracleSql
+      QualityClf.oracleSql ++ Dsir.oracleSql ++ UnigramLm.oracleSql ++ WordPiece.oracleSql
 }

@@ -55,8 +55,8 @@ object Bpe {
     * implementations apply. Lookaround (bounded-width) keeps a symbol
     * from matching inside a longer neighbor; symbols are regex-quoted
     * because merged symbols may contain any corpus character. */
-  private def mergeExpr(sym: org.apache.spark.sql.Column,
-                        left: String, right: String): org.apache.spark.sql.Column = {
+  private[graft] def mergeExpr(sym: org.apache.spark.sql.Column,
+                               left: String, right: String): org.apache.spark.sql.Column = {
     val l = java.util.regex.Pattern.quote(left)
     val r = java.util.regex.Pattern.quote(right)
     val replacement = java.util.regex.Matcher.quoteReplacement(left + right)

@@ -444,12 +444,14 @@ object Provenance {
       concat(col("source"), lit("."),
         element_at(array(lit("com"), lit("org"), lit("net")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int"))).as("domain"))
-    val cites = docs.select(col("doc_id"))
+    // The citing side's domain rides the SAME row as the cite fan-out —
+    // only the cited side needs a join, so the corpus crosses one
+    // exchange (on tgt), not two.
+    val cites = dom
       .crossJoin(broadcast(spark.range(1, PrCites + 1).toDF("c")))
-      .select(col("doc_id"),
+      .select(col("domain").as("src"),
         pmod(col("doc_id") * 31 + col("c") * 7919, lit(nDocs)).as("tgt"))
     val edges = cites
-      .join(dom.withColumnRenamed("domain", "src"), "doc_id")
       .join(dom.select(col("doc_id").as("tgt"), col("domain").as("dst")), "tgt")
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))

@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Testdata._
+import graft.tables.FrameCache
+
+/** WordPiece tokenizer training and encoding — the THIRD major subword
+  * family next to [[Bpe]] (frequency merges) and [[UnigramLm]] (prune +
+  * Viterbi): likelihood-ratio merges at train time, greedy
+  * longest-match-first at encode time (Schuster & Nakajima, "Japanese
+  * and Korean Voice Search", ICASSP 2012; the algorithm behind the
+  * BERT-family vocabularies and the `##`-continuation convention).
+  *
+  * Where BPE fuses the most FREQUENT adjacent pair, WordPiece fuses the
+  * pair maximizing corpus-likelihood gain — under the unigram
+  * approximation, `count(ab) / (count(a)·count(b))`: a rare pair of
+  * even-rarer constituents beats a frequent pair of ubiquitous ones
+  * (the spec pins a fixture where the two argmaxes genuinely differ).
+  * Scores are compared by exact BigInt CROSS-MULTIPLICATION — never a
+  * floating division, whose ulp ties would make training
+  * partitioning-dependent; residual exact ties break to the larger pair
+  * count, then the lexicographically smaller pair (the [[Bpe]]
+  * determinism contract).
+  *
+  * THE SCALE SHAPE IS [[Bpe]]'s: one corpus scan into the Heaps-small
+  * (word, count) table; each round aggregates pair and symbol counts
+  * over THAT table and ships the two Heaps-bounded count frames to the
+  * driver for the exact-fraction argmax (the [[UnigramLm.seedVocab]]
+  * bounded-collect precedent — both frames are vocabulary-sized, never
+  * corpus-sized); the winning merge applies as one narrow regex
+  * projection. Encoding segments the DISTINCT words once (plain-Scala
+  * greedy scan against a broadcast vocab set) and broadcast-joins the
+  * corpus — the corpus is touched exactly twice end to end.
+  *
+  * Encode is the REAL WordPiece inference rule, not merge replay:
+  * longest vocab piece prefixing the remainder wins at every position
+  * (bare at word start, `##`-prefixed after), and a word with ANY
+  * uncoverable position collapses to one [[Unk]] token whole — the
+  * BERT behavior, reproduced so downstream `n_unk` is the same number a
+  * production tokenizer would report. Single-character coverage comes
+  * from the seed symbols, so [[Unk]] only fires on encode-time drift
+  * (a character the training corpus never saw).
+  *
+  * ROWS-ONLY at the driver gate BY DESIGN (the [[Bpe]] category): the
+  * merge list is an iterative runtime artifact no static SQL expresses;
+  * WordPieceSpec carries the correctness burden — hand-derived
+  * likelihood merges (incl. the BPE-divergence fixture), greedy
+  * longest-match fixtures, the whole-word-UNK rule, detokenization
+  * round-trip, and bit-identical rerun determinism. */
+object WordPiece {
+
+  /** Merge rounds learned by [[wordpieceVocab]] — [[Bpe.MergeRounds]]'s
+    * dial, same Heaps-table cost model. */
+  val MergeRounds = 10
+
+  /** Whole-word out-of-vocabulary token (the BERT convention). */
+  val Unk = "[UNK]"
+
+  /** Continuation prefix (the BERT convention). */
+  val Cont = "##"
+
+  /** The (word, cnt, sym) training table: [[Bpe.wordTable]]'s shape
+    * under the WordPiece symbol convention — first character bare,
+    * every later character `##`-prefixed, no end marker ("low" →
+    * "l ##o ##w"). One corpus scan. */
+  private[graft] def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym",
+        concat_ws(" ", transform(
+          filter(split(col("w"), ""), c => length(c) > 0),
+          (c, i) => when(i === 0, c).otherwise(concat(lit(Cont), c)))))
+
+  /** One merge round's winner: (left, right, pairCount, leftCount,
+    * rightCount), or None when no adjacent pair remains. Exact
+    * likelihood argmax over the two collected Heaps-bounded frames. */
+  private[graft] def bestPair(syms: DataFrame): Option[(String, String, Long, Long, Long)] = {
+    val pairs = syms
+      .select(col("cnt"), explode(
+        graft.functions.TextKernels.wordBigrams(split(col("sym"), " "), distinct = false))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (pairs.isEmpty) return None
+    val symCounts = syms
+      .select(col("cnt"), explode(split(col("sym"), " ")).as("s"))
+      .groupBy("s").agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // maximize c_ab/(c_a·c_b): cross-multiplied BigInt compare, ties to
+    // larger pair count then lexicographically smaller pair
+    val scored = pairs.map { case (pair, cab) =>
+      val Array(l, r) = pair.split(" ", 2)
+      (pair, l, r, cab, symCounts(l), symCounts(r))
+    }
+    val best = scored.reduceLeft { (x, y) =>
+      val lhs = BigInt(x._4) * BigInt(y._5) * BigInt(y._6)
+      val rhs = BigInt(y._4) * BigInt(x._5) * BigInt(x._6)
+      val c = lhs.compare(rhs)
+      if (c > 0) x else if (c < 0) y
+      else if (x._4 != y._4) { if (x._4 > y._4) x else y }
+      else { if (x._1 <= y._1) x else y }
+    }
+    Some((best._2, best._3, best._4, best._5, best._6))
+  }
+
+  /** `left + right` under the continuation convention: the right
+    * symbol's `##` is absorbed, the left's is kept ("l" + "##o" →
+    * "lo"; "##o" + "##w" → "##ow"). */
+  private[graft] def fuse(left: String, right: String): String =
+    left + right.stripPrefix(Cont)
+
+  /** Learned merge list (rank, left, right, merged, pair/left/right
+    * counts) — [[Bpe.learnMerges]]'s loop with the likelihood argmax
+    * and the same localCheckpoint flat-plan hygiene. */
+  private[graft] def learnMerges(
+      words: DataFrame, rounds: Int): Seq[(Int, String, String, Long, Long, Long)] = {
+    val interop = org.apache.spark.sql.graft.ColumnInterop
+    var syms = words.localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long, Long, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      bestPair(syms) match {
+        case None => exhausted = true
+        case Some((l, r, cab, ca, cb)) =>
+          merges += ((round + 1, l, r, cab, ca, cb))
+          val prev = syms
+          // the regex fuses "l ##o" to "l##o"; strip the interior "##"
+          // to land on the convention's fused form in one more pass
+          syms = syms.withColumn("sym",
+            regexp_replace(Bpe.mergeExpr(col("sym"), l, r),
+              java.util.regex.Pattern.quote(l + r),
+              java.util.regex.Matcher.quoteReplacement(fuse(l, r))))
+            .localCheckpoint()
+          interop.unpersistCheckpoint(prev)
+          round += 1
+      }
+    }
+    interop.unpersistCheckpoint(syms)
+    merges.result()
+  }
+
+  /** Trained artifact, memoized per (session, dir): the merge list plus
+    * the full encode vocabulary (seed chars + `##`-chars observed in
+    * the corpus, plus each round's fused symbol). */
+  private[graft] def trained(
+      s: SparkSession, d: String): (Seq[(Int, String, String, Long, Long, Long)], Set[String]) =
+    FrameCache.cachedValue(s, s"wordpiece:${graft.tables.FrameCache.dirKey(d)}") {
+      val words = wordTable(documents(s, d)).localCheckpoint()
+      val seed = words
+        .select(explode(split(col("sym"), " ")).as("s"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val merges = learnMerges(words, MergeRounds)
+      org.apache.spark.sql.graft.ColumnInterop.unpersistCheckpoint(words)
+      (merges, seed ++ merges.map { case (_, l, r, _, _, _) => fuse(l, r) })
+    }
+
+  /** The learned merge table — rank, both symbols, the fused piece, and
+    * the three exact counts behind the round's likelihood argmax (the
+    * score is `pair_count/(left_count·right_count)`; shipping the
+    * operands keeps every output column an exact int64). */
+  def wordpieceVocab(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = trained(s, d)
+    import s.implicits._
+    merges.map { case (rank, l, r, cab, ca, cb) =>
+      (rank.toLong, l, r, fuse(l, r), cab, ca, cb) }
+      .toDF("rank", "left", "right", "merged", "pair_count", "left_count", "right_count")
+      .orderBy("rank")
+  }
+
+  /** Greedy longest-match-first segmentation (the WordPiece inference
+    * algorithm): longest vocab piece prefixing the remainder at every
+    * position, bare at word start and `##`-prefixed after; ANY
+    * uncoverable position collapses the whole word to [[Unk]]. */
+  private[graft] def greedyEncode(w: String, vocab: Set[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var len = w.length - pos
+      var found: String = null
+      while (len >= 1 && (found eq null)) {
+        val cand = (if (pos == 0) "" else Cont) + w.substring(pos, pos + len)
+        if (vocab.contains(cand)) found = cand else len -= 1
+      }
+      if (found eq null) return Seq(Unk) // whole-word UNK, the BERT rule
+      out += found
+      pos += len
+    }
+    out.result()
+  }
+
+  /** Encode the corpus: greedy-segment the DISTINCT words once against
+    * the broadcast vocab, then one broadcast join — [[Bpe.bpeEncodeOf]]'s
+    * two-corpus-touch shape. `n_unk_words` is the coverage debt a
+    * production run alarms on. */
+  def wordpieceEncode(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = trained(s, d)
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(vocab)
+    val segmented = wordTable(documents(s, d))
+      .select(col("w")).as[String]
+      .map { w =>
+        val toks = greedyEncode(w, bc.value)
+        (w, toks.length.toLong, if (toks == Seq(Unk)) 1L else 0L)
+      }
+      .toDF("w", "word_tokens", "is_unk")
+    documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), "w")
+      .groupBy("doc_id", "n_chars")
+      .agg(sum(col("word_tokens")).cast("long").as("n_wp_tokens"),
+        sum(col("is_unk")).cast("long").as("n_unk_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_wp_tokens"), col("n_unk_words"),
+        (col("n_chars").cast("double") / col("n_wp_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_wordpiece_vocab" -> wordpieceVocab _,
+    "text_wordpiece_encode" -> wordpieceEncode _,
+  )
+
+  /** No SQL twins (see the object scaladoc) — the [[Bpe]] category. */
+  val oracleSql: Map[String, String] = Map.empty
+}

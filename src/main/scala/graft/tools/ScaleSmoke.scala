@@ -85,7 +85,8 @@ object ScaleSmoke {
   val Queries = Seq("dedup_lines", "sim_srp_neardup", "text_redact_pii",
     "dedup_containment", "sim_embed_neardup", "text_source_overlap",
     "dedup_substring_spans", "text_gram_novelty", "dedup_incremental_near",
-    "mm_phash_neardup", "mm_audio_neardup", "mm_video_neardup")
+    "mm_phash_neardup", "mm_audio_neardup", "mm_video_neardup",
+    "prov_domain_pagerank")
 
   /** Queries with a KNOWN single-node resource ceiling past this tile
     * count, skipped (with the reason recorded in the artifact) instead

@@ -70,7 +70,11 @@ class PlanSpec extends SparkSpec {
     // broadcast bounded benchmark dimension vs the corpus — the
     // sim_cosine_topk query-set shape (the `=!=` guard is not an equi
     // key, so BNLJ against the broadcast bench set is the right plan)
-    "sim_semantic_decon")
+    "sim_semantic_decon",
+    // the PrCites-row (3-row) broadcast cite fan-out crossed against
+    // the corpus — a bounded broadcast dimension with no join key by
+    // construction (Provenance.domainPagerankOf)
+    "prov_domain_pagerank")
 
   test("no BroadcastNestedLoopJoin outside the documented allowlist, no CartesianProduct ever") {
     for ((name, _) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {

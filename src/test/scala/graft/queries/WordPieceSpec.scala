@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** WordPiece training + greedy encode: hand-derived likelihood merges
+  * (including the fixture where the likelihood argmax DIVERGES from
+  * BPE's frequency argmax — the property that makes this a third
+  * family, not a re-skin), the longest-match-first/whole-word-UNK
+  * encode rules, detokenization round-trip, and corpus-level
+  * self-coverage + determinism. Rows-only at the driver gate, so this
+  * spec carries the correctness burden (the Bpe/UnigramLm category). */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("likelihood argmax picks the rare-constituent pair where BPE's frequency argmax differs") {
+    // "aa"x10: pair (a,##a) count 10, constituents 10·10 -> score 0.100
+    // "bc"x3 : pair (b,##c) count 3,  constituents 3·3   -> score 0.333
+    // frequency (BPE) picks (a,##a); likelihood must pick (b,##c).
+    val docs = docsOf((Seq.fill(10)("aa") ++ Seq.fill(3)("bc")).mkString(" "))
+    val merges = WordPiece.learnMerges(WordPiece.wordTable(docs), rounds = 1)
+    assert(merges.length == 1)
+    val (_, l, r, cab, ca, cb) = merges.head
+    assert((l, r) == ("b", "##c"), s"picked ($l,$r) — the frequency argmax, not likelihood")
+    assert((cab, ca, cb) == ((3L, 3L, 3L)))
+  }
+
+  test("continuation convention: ##-pairs fuse keeping one prefix; ties break lexicographically") {
+    // "xyz"x5: pairs (x,##y) and (##y,##z) both score 5/25; pair counts
+    // equal too -> lexicographic tie-break picks "##y ##z" (< "x ##y"),
+    // fused as "##yz"; round 2 must then fuse (x,##yz) into "xyz".
+    val docs = docsOf(Seq.fill(5)("xyz").mkString(" "))
+    val merges = WordPiece.learnMerges(WordPiece.wordTable(docs), rounds = 3)
+    assert(merges.map { case (_, l, r, _, _, _) => (l, r) } ==
+      Seq(("##y", "##z"), ("x", "##yz")), s"got $merges")
+    assert(WordPiece.fuse("##y", "##z") == "##yz")
+    assert(WordPiece.fuse("x", "##yz") == "xyz")
+  }
+
+  test("greedy encode: longest match wins per position; bare head, ##-continuations") {
+    val vocab = Set("un", "##able", "##a", "##b", "##l", "##e", "u", "n", "a", "##n")
+    assert(WordPiece.greedyEncode("unable", vocab) == Seq("un", "##able"))
+    // longest-first even when a shorter greedy path also exists
+    assert(WordPiece.greedyEncode("un", vocab) == Seq("un"))
+    assert(WordPiece.greedyEncode("nab", vocab) == Seq("n", "##a", "##b"))
+  }
+
+  test("greedy encode: any uncoverable position collapses the WHOLE word to [UNK]") {
+    val vocab = Set("a", "##b", "##c")
+    assert(WordPiece.greedyEncode("abc", vocab) == Seq("a", "##b", "##c"))
+    assert(WordPiece.greedyEncode("abq", vocab) == Seq(WordPiece.Unk),
+      "a mid-word miss must not emit the covered prefix")
+    assert(WordPiece.greedyEncode("qbc", vocab) == Seq(WordPiece.Unk))
+  }
+
+  test("detokenization round-trip: stripping ## and concatenating recovers the word") {
+    val docs = docsOf("the theme thesis other", "the other theme mother")
+    val words = WordPiece.wordTable(docs).select("w").as[String].collect()
+    val merges = WordPiece.learnMerges(WordPiece.wordTable(docs), rounds = 6)
+    val vocab = words.flatMap(w =>
+      w.zipWithIndex.map { case (c, i) => if (i == 0) c.toString else WordPiece.Cont + c })
+      .toSet ++ merges.map { case (_, l, r, _, _, _) => WordPiece.fuse(l, r) }
+    for (w <- words) {
+      val toks = WordPiece.greedyEncode(w, vocab)
+      assert(toks != Seq(WordPiece.Unk), s"$w fell to UNK under its own training vocab")
+      assert(toks.map(_.stripPrefix(WordPiece.Cont)).mkString == w,
+        s"$w round-trip: $toks")
+      assert(toks.tail.forall(_.startsWith(WordPiece.Cont)), s"$w continuations: $toks")
+      assert(!toks.head.startsWith(WordPiece.Cont), s"$w head: $toks")
+    }
+  }
+
+  test("corpus self-coverage at sf0.001: zero UNKs, compression > 1, rerun bit-identical") {
+    val d = "/root/testdata/sf0.001"
+    val enc = WordPiece.wordpieceEncode(spark, d).collect()
+    assert(enc.nonEmpty)
+    assert(enc.map(_.getAs[Long]("n_unk_words")).sum == 0L,
+      "training corpus must cover itself (single-char seed floor)")
+    val chars = enc.map(_.getAs[Long]("n_chars")).sum.toDouble
+    val toks = enc.map(_.getAs[Long]("n_wp_tokens")).sum.toDouble
+    assert(chars / toks > 1.0, s"no compression: $chars chars / $toks tokens")
+    val v1 = WordPiece.wordpieceVocab(spark, d).collect().toSeq
+    graft.tables.FrameCache.clear(spark)
+    val v2 = WordPiece.wordpieceVocab(spark, d).collect().toSeq
+    assert(v1 == v2, "training is not rerun-deterministic")
+    assert(v1.length == WordPiece.MergeRounds)
+  }
+}
