@@ -650,7 +650,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Anchor-set size for [[hardNegatives]]. */
+  val HardNegAnchors = 8
+
+  /** Hard-negative mining for contrastive embedding training — for each
+    * anchor, the top-K most-SIMILAR vectors carrying a DIFFERENT label:
+    * the near-miss negatives that dominate the InfoNCE gradient (random
+    * negatives are trivially separable; the informative ones live at the
+    * decision boundary — Robinson et al., "Contrastive Learning with
+    * Hard Negative Samples", ICLR 2021). The label-mismatch predicate
+    * also excludes self-pairs for free (equal ids ⇒ equal labels).
+    *
+    * Shape is [[bruteTopK]]'s exact baseline: the bounded anchor set
+    * broadcasts against one corpus scan (label filter applied IN the
+    * broadcast join, so disqualified pairs never score), then the
+    * two-level bounded top-K — per-partition candidate heaps, global
+    * K-merge — replaces any per-anchor corpus sort. At 100 TB the
+    * blocked ANN indexes (SRP/IVF/PQ) shortlist first and this exact
+    * scorer re-ranks the shortlist; the operator is the re-rank
+    * contract. Labels ride the candidate struct (ids are unique, so the
+    * lexicographic struct sort never reaches the label field and the
+    * cosine-desc/id-asc order is [[bruteTopK]]'s exactly). */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < HardNegAnchors)
+      .select(col("vec_id").as("query_id"), col("label").as("anchor_label"),
+        col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scoredPairs = corpus
+      .join(broadcast(anchors), col("anchor_label") =!= col("neg_label"))
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neg_label"),
+        (dotd(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val cand = struct(negate(col("cos")).as("negcos"),
+      col("neighbor_id").as("neighbor_id"), col("neg_label").as("neg_label"))
+    val local = scoredPairs
+      .groupBy(col("query_id"), col("anchor_label"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, K).as("cands"))
+    local.select(col("query_id"), col("anchor_label"), explode(col("cands")).as("c"))
+      .groupBy("query_id", "anchor_label")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, K).as("cands"))
+      .select(col("query_id"), col("anchor_label"),
+        posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("anchor_label"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("c.neighbor_id").as("neighbor_id"), col("c.neg_label").as("neg_label"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_hard_negatives" -> hardNegatives _,
     "sim_semantic_decon" -> semanticDecon _,
     "sim_corpus_diversity" -> corpusDiversity _,
     "sim_label_centroids" -> labelCentroids _,
@@ -809,6 +860,31 @@ object Similarity {
          |  CAST(q.true_label AS BIGINT) = b.predicted_label AS correct
          |FROM q JOIN b ON q.query_id = b.query_id
          |ORDER BY q.query_id""".stripMargin,
+    // sim_cosine_topk's twin with the label-mismatch predicate in the
+    // pair join and labels carried through — same bit-identical double
+    // fold, same cos-desc/id-asc rank rule.
+    "sim_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label AS anchor_label, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $HardNegAnchors
+         |), s AS (
+         |  SELECT q.query_id, q.anchor_label, e.vec_id AS neighbor_id,
+         |    e.label AS neg_label,
+         |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |              for i in range(1, len(qv) + 1)]) /
+         |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+         |                    for i in range(1, len(qv) + 1)])) *
+         |     sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |                    for i in range(1, len(e.embedding) + 1)]))) AS cos
+         |  FROM q JOIN embeddings e ON e.label <> q.anchor_label
+         |), r AS (
+         |  SELECT query_id, anchor_label, neighbor_id, neg_label,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, anchor_label, CAST(rank AS BIGINT) AS rank,
+         |  neighbor_id, neg_label FROM r
+         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

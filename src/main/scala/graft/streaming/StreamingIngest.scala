@@ -225,6 +225,38 @@ object StreamingIngest {
         (col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"))
   }
 
+  /** Windowed homoglyph-spoof monitoring — the streaming twin of
+    * [[graft.queries.TextAnalysis.homoglyphNorm]]: per event-time
+    * window, arriving-doc count, docs whose confusable fold changed
+    * anything, zero-width characters deleted, and the spoof rate. The
+    * live evasion alarm an intake runs: a window whose spoof rate jumps
+    * means a source started shipping confusable-laundered text (a spam
+    * feed re-encoding banned content), caught at arrival. The fold is
+    * `translate` over the SAME [[graft.queries.TextAnalysis.HomoglyphFrom]]/
+    * [[graft.queries.TextAnalysis.HomoglyphTo]] literal tables the batch
+    * op and its DuckDB twin use (one definition, stream and batch cannot
+    * disagree); stateless narrow projection, one counter row per open
+    * window, watermark-evicted. */
+  def homoglyphRateStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                          win: String = "10 minutes",
+                          watermark: String = "20 minutes"): DataFrame = {
+    val norm = translate(col("text"),
+      graft.queries.TextAnalysis.HomoglyphFrom,
+      graft.queries.TextAnalysis.HomoglyphTo)
+    val scored = docs.select(col(eventTimeCol),
+      (col("text") =!= norm).as("spoofed"),
+      (length(col("text")) - length(norm)).cast("long").as("n_zw"))
+    scored
+      .withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("spoofed"), 1L).otherwise(0L)).as("n_spoofed"),
+        sum(col("n_zw")).as("n_zw_chars"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_spoofed"), col("n_zw_chars"),
+        (col("n_spoofed").cast("double") / col("n_docs")).as("spoof_rate"))
+  }
+
   /** Windowed learned-quality monitoring — the streaming twin of
     * [[graft.queries.QualityClf]]: per event-time window, arriving-doc
     * count, classifier pass count/rate and mean logit. The

@@ -167,6 +167,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: K cross-label ranks per anchor, and they ARE the best cross-label cosines") {
+    // output: (query_id, anchor_label, rank, neighbor_id, neg_label)
+    val rows = Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val byAnchor = rows.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until Similarity.HardNegAnchors.toLong).toSet)
+    byAnchor.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to Similarity.K))
+      // every returned negative carries a label != the anchor's (so no
+      // self-pairs either: equal ids would mean equal labels)
+      assert(rs.forall { case (q, al, _, n, nl) => nl != al && n != q })
+    }
+    // driver-side brute force: the rank-1 negative must be the true
+    // cross-label cosine argmax (ids break exact-cosine ties ascending)
+    val all = graft.tables.Testdata.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((q, qv, ql) <- all if q < Similarity.HardNegAnchors) {
+      val best = all.filter(_._3 != ql)
+        .map { case (n, nv, _) => (n, cos(qv, nv)) }
+        .minBy { case (n, c) => (-c, n) }._1
+      val got = rows.find(r => r._1 == q && r._3 == 1L).get._4
+      assert(got == best, s"anchor $q: rank-1 negative $got != brute-force $best")
+    }
+  }
+
   /** Recall vs the exact brute-force ground truth. 8 tables × radius-2
     * multi-probe measures 0.96 (sf0.001) / 0.98 (sf0.1); the bar at 0.8
     * leaves head-room for hash-distribution noise but would catch any

@@ -62,6 +62,9 @@ class PlanSpec extends SparkSpec {
     * hash/merge-joined — a BNLJ appearing anywhere else is a join-key
     * regression that would never survive 100 TB. */
   private val bnljAllowed = Set("sim_cosine_topk", "sim_knn_label", "sim_ann_ivf",
+    // the bounded broadcast ANCHOR set vs the corpus under the
+    // label-mismatch (non-equi) predicate — sim_cosine_topk's shape
+    "sim_hard_negatives",
     "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
     "text_lm_score", "text_dsir_weight", "text_dsir_sample",
     // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)

@@ -603,6 +603,40 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("homoglyph stream: spoofed docs and deleted zero-widths count per window, ASCII is clean") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val clean = "plain ascii prose"
+    // Cyrillic а/о stand-ins + one ZWSP: fold changes text AND shrinks it by 1
+    val spoofCyr = "sp\u0430m p\u043est\u200b here"
+    val spoofZwOnly = "looks\u200bclean\u200bbut\u200bsplit" // 3 ZWSP deletions
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("event_time", "text")
+    val agg = StreamingIngest.homoglyphRateStream(docs, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("homoglyph_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData(
+        (new Timestamp(t0), clean), (new Timestamp(t0 + 1000), spoofCyr),
+        (new Timestamp(t0 + 2000), spoofZwOnly),
+        (new Timestamp(w2), clean))
+      q.processAllAvailable()
+      input.addData((new Timestamp(w2 + 60 * 60000), clean)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT n_docs, n_spoofed, n_zw_chars, spoof_rate " +
+          "FROM homoglyph_out ORDER BY window_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.length == 2)
+      assert(rows(0) == ((3L, 2L, 4L, 2.0 / 3.0)), s"w1 ${rows(0)}")
+      assert(rows(1) == ((1L, 0L, 0L, 0.0)), s"w2 ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("quality-clf stream: per-window pass counts and mean score equal the batch scorer") {
     val sql = spark.sqlContext
     import sql.implicits._
