@@ -168,6 +168,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("hard negatives: K cross-label ranks per anchor, and they ARE the best cross-label cosines") {
+    assert(graft.SparkEntry.queries.contains("sim_hard_negatives"))
     // output: (query_id, anchor_label, rank, neighbor_id, neg_label)
     val rows = Similarity.hardNegatives(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
