@@ -700,7 +700,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Truncation ladder for [[mrlOverlap]] — prefix dims of the 64-wide
+    * testdata embeddings; 64 is the full vector, so its row is a
+    * built-in identity check (overlap 1.0 by construction). */
+  val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation ablation (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): for each prefix dimension
+    * d, the fraction of the FULL-dimension cosine top-K that the
+    * d-truncated cosine top-K recovers, per query. This is the knob a
+    * 100 TB ANN deployment tunes before building an index: if 16 of 64
+    * dims already recover ~all of the true neighbors, the IVF/PQ/SRP
+    * stages ([[IvfAnn]], [[PqAnn]], [[lshBucketTopK]]) index 4× fewer
+    * bytes and every distance costs 4× fewer FLOPs — the overlap curve
+    * is the evidence for that trade, measured on the corpus itself.
+    *
+    * Shape is [[bruteTopK]]'s: bounded query set broadcasts against one
+    * corpus scan; each pair then scores ALL ladder dims in one narrow
+    * projection (prefix dots via [[dotd]] on `slice` — the corpus scan
+    * and the exchange are paid once, not per dim). Top-K per (dim,
+    * query) is the same two-level bounded merge keyed by the extra dim
+    * column, and the final overlap join probes the K·|queries|-row
+    * full-dim set — broadcast-sized by construction. Ties in truncated
+    * cosine break to the smaller neighbor id (the struct sort), exactly
+    * as the oracle's ORDER BY cos DESC, neighbor_id. */
+  def mrlOverlap(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val perDim = array(MrlDims.map { dd =>
+      val qs = slice(col("qv"), 1, dd)
+      val cs = slice(col("cv"), 1, dd)
+      struct(lit(dd).as("dim"),
+        (dotd(qs, cs) / (sqrt(dotd(qs, qs)) * sqrt(dotd(cs, cs)))).as("cos"))
+    }: _*)
+    val scoredByDim = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), explode(perDim).as("dc"))
+      .select(col("query_id"), col("dc.dim").as("dim"),
+        col("neighbor_id"), col("dc.cos").as("cos"))
+    val cand = struct(negate(col("cos")).as("negcos"),
+      col("neighbor_id").as("neighbor_id"))
+    val top = scoredByDim
+      .groupBy(col("dim"), col("query_id"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, K).as("cands"))
+      .select(col("dim"), col("query_id"), explode(col("cands")).as("c"))
+      .groupBy("dim", "query_id")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, K).as("cands"))
+      .select(col("dim"), col("query_id"), explode(col("cands")).as("c"))
+      .select(col("dim"), col("query_id"), col("c.neighbor_id").as("neighbor_id"))
+    val fullSet = top.filter(col("dim") === lit(MrlDims.max))
+      .select(col("query_id").as("fq"), col("neighbor_id").as("fn"))
+    top.join(broadcast(fullSet),
+        col("query_id") === col("fq") && col("neighbor_id") === col("fn"), "left")
+      .groupBy("dim", "query_id")
+      .agg(sum(when(col("fn").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("dim").cast("long").as("dim"), col("query_id"),
+        col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(K)).as("overlap_frac"))
+      .orderBy("dim", "query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_mrl_overlap" -> mrlOverlap _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_semantic_decon" -> semanticDecon _,
     "sim_corpus_diversity" -> corpusDiversity _,
@@ -860,6 +923,40 @@ object Similarity {
          |  CAST(q.true_label AS BIGINT) = b.predicted_label AS correct
          |FROM q JOIN b ON q.query_id = b.query_id
          |ORDER BY q.query_id""".stripMargin,
+    // sim_cosine_topk's twin replayed once per ladder dim: the same
+    // bit-identical sequential double fold over the d-PREFIX of each
+    // vector, the same cos-desc/id-asc rank rule, then a left-join count
+    // against the dim=64 (full) top-K set.
+    "sim_mrl_overlap" ->
+      s"""WITH dims AS (SELECT * FROM (VALUES ${MrlDims.map("(" + _ + ")").mkString(", ")}) v(dim)),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < $NumQueries
+         |), s AS (
+         |  SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
+         |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |              for i in range(1, d.dim + 1)]) /
+         |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)
+         |                    for i in range(1, d.dim + 1)])) *
+         |     sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+         |                    for i in range(1, d.dim + 1)]))) AS cos
+         |  FROM dims d, q, embeddings e WHERE e.vec_id <> q.query_id
+         |), r AS (
+         |  SELECT dim, query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY dim, query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM s
+         |), t AS (
+         |  SELECT dim, query_id, neighbor_id FROM r WHERE rank <= $K
+         |), f AS (
+         |  SELECT query_id, neighbor_id FROM t WHERE dim = ${MrlDims.max}
+         |)
+         |SELECT CAST(t.dim AS BIGINT) AS dim, t.query_id,
+         |  count(f.neighbor_id) AS n_overlap,
+         |  CAST(count(f.neighbor_id) AS DOUBLE) / $K AS overlap_frac
+         |FROM t LEFT JOIN f
+         |  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // sim_cosine_topk's twin with the label-mismatch predicate in the
     // pair join and labels carried through — same bit-identical double
     // fold, same cos-desc/id-asc rank rule.

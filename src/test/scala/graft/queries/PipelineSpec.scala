@@ -167,6 +167,39 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mrl overlap: full dim recovers itself exactly, truncated dims match a brute force") {
+    assert(graft.SparkEntry.queries.contains("sim_mrl_overlap"))
+    // output: (dim, query_id, n_overlap, overlap_frac)
+    val rows = Similarity.mrlOverlap(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.keySet == (for {
+      d <- Similarity.MrlDims; q <- 0L until Similarity.NumQueries
+    } yield (d.toLong, q)).toSet)
+    assert(rows.forall { case (_, n) => n >= 0L && n <= Similarity.K })
+    // the full-dim ladder rung IS the reference set: overlap K by identity
+    assert(rows.collect { case ((d, _), n) if d == Similarity.MrlDims.max => n }
+      .forall(_ == Similarity.K.toLong))
+    // driver-side brute force at every rung (500 vectors — feasible)
+    val all = graft.tables.Testdata.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def topIds(qv: Array[Float], q: Long, d: Int): Set[Long] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < d) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      all.filter(_._1 != q).map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(Similarity.K).map(_._1).toSet
+    }
+    for ((q, qv) <- all if q < Similarity.NumQueries; d <- Similarity.MrlDims) {
+      val expect = (topIds(qv, q, d) & topIds(qv, q, Similarity.MrlDims.max)).size.toLong
+      assert(rows((d.toLong, q)) == expect, s"dim $d query $q")
+    }
+  }
+
   test("hard negatives: K cross-label ranks per anchor, and they ARE the best cross-label cosines") {
     assert(graft.SparkEntry.queries.contains("sim_hard_negatives"))
     // output: (query_id, anchor_label, rank, neighbor_id, neg_label)

@@ -65,6 +65,9 @@ class PlanSpec extends SparkSpec {
     // the bounded broadcast ANCHOR set vs the corpus under the
     // label-mismatch (non-equi) predicate — sim_cosine_topk's shape
     "sim_hard_negatives",
+    // the same bounded broadcast query-set join, scored once per
+    // Matryoshka ladder dim
+    "sim_mrl_overlap",
     "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
     "text_lm_score", "text_dsir_weight", "text_dsir_sample",
     // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)
