@@ -49,7 +49,7 @@ object Dsir {
     * dials as [[TextAnalysis.gopherRules]] — absolute, no corpus pass). */
   private[graft] def profileFeatureFrame(docs: DataFrame): DataFrame = featureFrame(docs)
 
-  private def featureFrame(docs: DataFrame): DataFrame = {
+  private def featureFrame(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val words = split(col("text"), " ")
     val nWords = size(words)
     val charTotal = aggregate(transform(words, w => length(w)), lit(0), (a, v) => a + v)
@@ -68,11 +68,12 @@ object Dsir {
     val M = graft.functions.TextKernels.WinnowMod
     def bucket(f: Column): Column =
       graft.functions.TextKernels.krBucket(f, M, Buckets)
+    val kept = keep.map(col)
     docs
-      .select(col("doc_id"), pass.as("pass"),
+      .select(kept ++ Seq(col("doc_id"), pass.as("pass"),
         explode(concat(words,
-          graft.functions.TextKernels.wordBigrams(words, distinct = false))).as("f"))
-      .select(col("doc_id"), col("pass"), bucket(col("f")).as("idx"))
+          graft.functions.TextKernels.wordBigrams(words, distinct = false))).as("f")): _*)
+      .select(kept ++ Seq(col("doc_id"), col("pass"), bucket(col("f")).as("idx")): _*)
   }
 
   /** The hashed-feature frame is a reusable STORE ARTIFACT (the
@@ -91,7 +92,19 @@ object Dsir {
   private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame =
     scoreFeatures(featureFrame(docs).localCheckpoint())
 
-  private def scoreFeatures(feats: DataFrame): DataFrame = {
+  private def scoreFeatures(feats: DataFrame): DataFrame =
+    feats.join(broadcast(weightFrame(feats)), "idx")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("dsir_bits"))
+      .withColumn("mean_bits", col("dsir_bits").cast("double") / col("n_feats"))
+      .orderBy("doc_id")
+
+  /** The ≤[[Buckets]]-row (idx, w) weight table off a feature frame —
+    * the broadcast half of [[scoreFeatures]], extracted so the
+    * streaming twin ([[graft.streaming.StreamingIngest.dsirScoreStream]])
+    * scores arriving docs against the SAME table definition the batch
+    * op builds (one definition, stream and batch cannot disagree). */
+  private def weightFrame(feats: DataFrame): DataFrame = {
     // raw + target bucket counts in ONE aggregate (≤ Buckets rows out)
     val counts = feats.groupBy("idx").agg(
       count(lit(1)).as("c_raw"),
@@ -106,16 +119,35 @@ object Dsir {
     // full-strict hash contract near the documented F ≈ 3×10⁹ envelope.
     val w = when(col("num") >= col("den"), bits(expr("num div den")))
       .otherwise(-bits(expr("den div num")))
-    val weights = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("num", (col("c_t") + 1L) * (col("n_raw") + lit(Buckets)))
       .withColumn("den", (col("c_raw") + 1L) * (col("n_t") + lit(Buckets)))
       .select(col("idx"), w.as("w"))
-    feats.join(broadcast(weights), "idx")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("w").as("dsir_bits"))
-      .withColumn("mean_bits", col("dsir_bits").cast("double") / col("n_feats"))
-      .orderBy("doc_id")
   }
+
+  /** Static-model artifacts for stream-static DSIR scoring: the weight
+    * table over a REFERENCE corpus plus the weight an UNSEEN bucket
+    * takes — the c_raw = c_t = 0 case of the same smoothed rational,
+    * signed floor-log₂ of (Nʳ+B)/(Nᵗ+B) — so novel stream vocabulary
+    * scores by the model's own smoothing instead of erroring or
+    * silently dropping features. The table rides a broadcast; the OOV
+    * weight is one driver scalar off the 1-row totals frame. */
+  private[graft] def modelOf(docs: DataFrame): (DataFrame, Long) = {
+    val feats = featureFrame(docs).localCheckpoint()
+    val t = feats.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_t")).head()
+    val (nRaw, nT) = (t.getLong(0), t.getLong(1))
+    def floorLog2(q: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(q)
+    val (num, den) = (nRaw + Buckets, nT + Buckets)
+    val wOov = if (num >= den) floorLog2(num / den) else -floorLog2(den / num)
+    (weightFrame(feats), wOov)
+  }
+
+  /** [[featureFrame]] with caller-kept columns (the streaming twin
+    * needs the event-time column to survive the feature explode). */
+  private[graft] def featureFrameKeeping(docs: DataFrame, keep: Seq[String]): DataFrame =
+    featureFrame(docs, keep)
 
   /** DSIR selection — the RESAMPLING half of the paper (its Gumbel
     * top-k, integerized): thin the raw corpus toward the target by

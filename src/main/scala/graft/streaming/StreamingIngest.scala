@@ -338,6 +338,41 @@ object StreamingIngest {
         (col("lm_bits").cast("double") / col("n_tokens")).as("mean_bits"))
   }
 
+  /** Streaming DSIR importance scoring — per arriving document, the
+    * SAME (n_feats, dsir_bits, mean_bits) the batch op
+    * ([[graft.queries.Dsir.dsirWeights]]) computes, against a weight
+    * table built from a STATIC reference corpus through the shared
+    * [[graft.queries.Dsir]] definitions (one weight-table builder —
+    * stream and batch cannot disagree): the live mixture-drift alarm.
+    * A falling stream of `dsir_bits` means the arriving mix is moving
+    * AWAY from the target distribution the model corpus encodes — the
+    * "crawler drifted into a spam pocket" signal, caught at arrival
+    * instead of at the next batch rescoring pass. Buckets the model
+    * corpus never observed take the model's own smoothed c = 0 weight
+    * ([[graft.queries.Dsir.modelOf]]'s OOV scalar — the lmScoreStream
+    * OOV discipline), so novel stream vocabulary scores conservatively
+    * instead of dropping features.
+    *
+    * Shape: the shared feature explode keeps the event-time column, one
+    * STREAM-STATIC left join against the ≤1024-row weight table (static
+    * side re-planned per micro-batch like [[enrichStream]]), one
+    * watermark-evicted (window, doc) aggregate. */
+  def dsirScoreStream(docs: DataFrame, modelCorpus: DataFrame,
+                      eventTimeCol: String = "event_time",
+                      win: String = "10 minutes",
+                      watermark: String = "20 minutes"): DataFrame = {
+    val (wtab, wOov) = graft.queries.Dsir.modelOf(modelCorpus)
+    val feats = graft.queries.Dsir.featureFrameKeeping(
+      docs.withWatermark(eventTimeCol, watermark), Seq(eventTimeCol))
+    feats.join(wtab, Seq("idx"), "left")
+      .groupBy(window(col(eventTimeCol), win), col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(wOov))).as("dsir_bits"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_feats"), col("dsir_bits"),
+        (col("dsir_bits").cast("double") / col("n_feats")).as("mean_bits"))
+  }
+
   /** Windowed source-mix drift — per event-time window, each source's
     * share of arriving documents next to its BASELINE share (the static
     * corpus mix passed in — at 100 TB, the persisted

@@ -737,6 +737,68 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSIR stream: per-doc importance equals the batch scorer against the same static model") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val corpus = graft.tables.Testdata.documents(spark, "/root/testdata/sf0.001")
+    val sample = corpus.select("doc_id", "text").limit(8).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.dsirScoreStream(docs, corpus,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(sample.map { case (id, t) => (new Timestamp(t0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), sample.head._1, sample.head._2))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_feats, dsir_bits FROM dsir_out")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.queries.Dsir.dsirWeights(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == sample.map(_._1).toSet)
+      for ((id, v) <- got)
+        assert(v == batch(id), s"doc $id: stream $v != batch ${batch(id)}")
+    } finally q.stop()
+  }
+
+  test("DSIR stream: novel vocabulary takes the model's smoothed OOV weight, never drops features") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val corpus = graft.tables.Testdata.documents(spark, "/root/testdata/sf0.001")
+    // expected score, assembled from the SAME shared definitions the
+    // stream uses: per feature, the table weight or the OOV scalar
+    val (wtab, wOov) = graft.queries.Dsir.modelOf(corpus)
+    val wmap = wtab.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val novel = "zzqx wvrk zzqx"
+    val featIdx = graft.queries.Dsir.featureFrameKeeping(
+        Seq((9001L, novel)).toDF("doc_id", "text"), Nil)
+      .select("idx").collect().map(_.getLong(0))
+    assert(featIdx.length == 5) // 3 unigrams + 2 bigrams
+    val expect = featIdx.map(i => wmap.getOrElse(i, wOov)).sum
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.dsirScoreStream(docs, corpus,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("dsir_oov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1800000000000L
+      input.addData((new Timestamp(t0), 9001L, novel))
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), 9002L, "flush"))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n_feats, dsir_bits FROM dsir_oov WHERE doc_id = 9001").head()
+      assert(r.getLong(0) == 5L)
+      assert(r.getLong(1) == expect, s"OOV score ${r.getLong(1)} != $expect")
+    } finally q.stop()
+  }
+
   test("diversity stream: chained windowed moments equal the batch diversity per window") {
     val sql = spark.sqlContext
     import sql.implicits._
