@@ -802,15 +802,27 @@ object TextAnalysis {
   def decontaminate(s: SparkSession, d: String): DataFrame =
     decontaminateOf(documents(s, d))
 
-  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+  /** The benchmark set's distinct [[ContamN]]-gram footprint — the
+    * static side shared by [[decontaminateOf]] and the streaming probe
+    * ([[graft.streaming.StreamingIngest.decontamProbeStream]]): one
+    * shingle definition, batch and stream cannot disagree on what
+    * counts as contamination. */
+  private[graft] def contamFootprintOf(benchmark: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     // codegen'd shingle kernel — bit-identical to array_distinct(
     // transform(sequence(...), concat_ws(slice))); spec-pinned
+    benchmark.filter(size(words) >= ContamN)
+      .select(explode(
+        graft.functions.TextKernels.wordShingles(words, ContamN, distinct = true))
+        .as("gram"))
+      .distinct()
+  }
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
     val grams = graft.functions.TextKernels.wordShingles(words, ContamN, distinct = true)
-    val withGrams = docs.filter(size(words) >= ContamN)
-    val eval = withGrams.filter(col("doc_id") < ContamEvalDocs)
-      .select(explode(grams).as("gram")).distinct()
-    val corpus = withGrams.filter(col("doc_id") >= ContamEvalDocs)
+    val eval = contamFootprintOf(docs.filter(col("doc_id") < ContamEvalDocs))
+    val corpus = docs.filter(col("doc_id") >= ContamEvalDocs && size(words) >= ContamN)
       .select(col("doc_id"), explode(grams).as("gram"))
     // grams are per-doc distinct, so count(*) = distinct shared shingles
     corpus.join(broadcast(eval), "gram")

@@ -373,6 +373,42 @@ object StreamingIngest {
         (col("dsir_bits").cast("double") / col("n_feats")).as("mean_bits"))
   }
 
+  /** Streaming benchmark-decontamination probe — per arriving document
+    * sharing ≥1 word-[[graft.queries.TextAnalysis.ContamN]]-gram with
+    * the STATIC benchmark set, the distinct-shared-shingle count the
+    * batch op ([[graft.queries.TextAnalysis.decontaminate]]) reports:
+    * eval-set leakage caught AT INGEST, before a contaminated document
+    * reaches the training mix, instead of at the next batch
+    * decontamination sweep. The footprint is the one
+    * [[graft.queries.TextAnalysis.contamFootprintOf]] definition both
+    * sides use (same codegen shingle kernel, same distinct) — stream
+    * and batch cannot disagree on what counts as contamination. Clean
+    * documents emit nothing (the batch op's exact output contract);
+    * volume alarms compose this with a windowed count.
+    *
+    * Shape: stateless shingle explode (event time rides the row), one
+    * STREAM-STATIC broadcast join against the benchmark footprint
+    * (static side re-planned per micro-batch like [[enrichStream]], so
+    * a refreshed benchmark lands without a restart), one
+    * watermark-evicted (window, doc) counter. */
+  def decontamProbeStream(docs: DataFrame, benchmark: DataFrame,
+                          eventTimeCol: String = "event_time",
+                          win: String = "10 minutes",
+                          watermark: String = "20 minutes"): DataFrame = {
+    val eval = graft.queries.TextAnalysis.contamFootprintOf(benchmark)
+    val words = split(col("text"), " ")
+    docs.withWatermark(eventTimeCol, watermark)
+      .filter(size(words) >= graft.queries.TextAnalysis.ContamN)
+      .select(col(eventTimeCol), col("doc_id"),
+        explode(graft.functions.TextKernels.wordShingles(words,
+          graft.queries.TextAnalysis.ContamN, distinct = true)).as("gram"))
+      .join(broadcast(eval), "gram")
+      .groupBy(window(col(eventTimeCol), win), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_hits"))
+  }
+
   /** Windowed source-mix drift — per event-time window, each source's
     * share of arriving documents next to its BASELINE share (the static
     * corpus mix passed in — at 100 TB, the persisted

@@ -799,6 +799,48 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontam probe stream: leaked docs carry the batch hit counts, clean docs emit nothing") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.tables.Testdata.documents(spark, sf)
+    val evalDocs = graft.queries.TextAnalysis.ContamEvalDocs
+    val benchmark = corpus.filter(col("doc_id") < evalDocs)
+    // batch ground truth: only docs with >= 1 shared shingle appear
+    val batch = graft.queries.TextAnalysis.decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batch.nonEmpty, "testdata should contain engineered contamination")
+    // stream sample: every leaked doc plus as many clean ones
+    val leakedIds = batch.keySet
+    val sample = corpus.filter(col("doc_id") >= evalDocs)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .partition(d => leakedIds(d._1)) match {
+        case (hit, clean) => hit ++ clean.take(hit.length.max(3))
+      }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.decontamProbeStream(docs, benchmark,
+      win = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(sample.map { case (id, t) => (new Timestamp(t0), id, t) }.toSeq: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), sample.head._1, sample.head._2))
+      q.processAllAvailable()
+      val got = spark.sql(
+        s"SELECT doc_id, n_hits FROM decon_out WHERE window_start = " +
+          s"timestamp_millis(${t0 / 600000 * 600000})")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // exactly the batch-leaked docs, with exactly the batch counts
+      assert(got.keySet == (leakedIds & sample.map(_._1).toSet))
+      for ((id, n) <- got) assert(n == batch(id), s"doc $id: stream $n != batch ${batch(id)}")
+    } finally q.stop()
+  }
+
   test("diversity stream: chained windowed moments equal the batch diversity per window") {
     val sql = spark.sqlContext
     import sql.implicits._
