@@ -1540,19 +1540,26 @@ object TextAnalysis {
   def blocklistGate(s: SparkSession, d: String): DataFrame =
     blocklistGateOf(documents(s, d))
 
-  private[graft] def blocklistGateOf(docs: DataFrame): DataFrame = {
+  private[graft] def blocklistGateOf(docs: DataFrame): DataFrame =
+    blocklistStats(docs).orderBy("doc_id")
+
+  /** The per-doc verdict columns of [[blocklistGateOf]] without the
+    * batch sort, with caller-kept columns — the definition the
+    * streaming twin
+    * ([[graft.streaming.StreamingIngest.blocklistRateStream]]) shares
+    * (one rule, batch and stream cannot disagree on a verdict). */
+  private[graft] def blocklistStats(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val words = split(col("text"), " ")
     val banned = size(filter(words, w => w.isin(BlocklistWords: _*)))
-    docs.select(col("doc_id"),
-      size(words).cast("long").as("n_tokens"),
-      banned.cast("long").as("n_banned"))
+    docs.select(keep.map(col) ++ Seq(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        banned.cast("long").as("n_banned")): _*)
       .withColumn("banned_frac",
         col("n_banned").cast("double") / col("n_tokens"))
       .withColumn("any_hit", col("n_banned") > lit(0L))
       .withColumn("gate",
         when(col("n_banned") * lit(100L) > lit(BlocklistMaxPct) * col("n_tokens"),
           lit("drop")).otherwise(lit("keep")))
-      .orderBy("doc_id")
   }
 
   def qualityGate(s: SparkSession, d: String): DataFrame =
@@ -2373,12 +2380,25 @@ object TextAnalysis {
       .when(variant === 2, concat(col("text"), lit(" "), cjk))
       .when(variant === 3, concat(col("text"), lit(" "), mixed))
       .otherwise(col("text"))
-    documents(s, d)
-      .select(col("doc_id"), TextKernels.scriptCounts(dirty).as("st"))
-      .select(col("doc_id"), col("st").getItem(0).as("n_cp"),
+    scriptMixStats(documents(s, d).select(col("doc_id"), dirty.as("text")))
+      .orderBy("doc_id")
+  }
+
+  /** The per-doc script-vote columns of [[scriptMix]] off a plain
+    * `text` column (no fixture synthesis, no batch sort), with
+    * caller-kept columns — the definition the streaming twin
+    * ([[graft.streaming.StreamingIngest.scriptMixRateStream]]) shares
+    * (one range table, one vote rule, batch and stream cannot
+    * disagree on a flag). */
+  private[graft] def scriptMixStats(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    import graft.functions.TextKernels
+    docs
+      .select(keep.map(col) ++ Seq(col("doc_id"),
+        TextKernels.scriptCounts(col("text")).as("st")): _*)
+      .select(keep.map(col) ++ Seq(col("doc_id"), col("st").getItem(0).as("n_cp"),
         col("st").getItem(1).as("n_latin"), col("st").getItem(2).as("n_cyrillic"),
         col("st").getItem(3).as("n_cjk"), col("st").getItem(4).as("n_arabic"),
-        col("st").getItem(5).as("n_devanagari"))
+        col("st").getItem(5).as("n_devanagari")): _*)
       .withColumn("n_scripted", col("n_latin") + col("n_cyrillic") + col("n_cjk") +
         col("n_arabic") + col("n_devanagari"))
       .withColumn("n_top", greatest(col("n_latin"), col("n_cyrillic"), col("n_cjk"),
@@ -2396,7 +2416,6 @@ object TextAnalysis {
       .withColumn("is_mixed",
         col("n_scripted") >= ScriptMixMinChars && col("mix_frac") >= ScriptMixFracMin)
       .drop("n_top")
-      .orderBy("doc_id")
   }
 
   /** `[^\x{lo}-\x{hi}…]` negated-class body for one [[TextKernels.ScriptRanges]]

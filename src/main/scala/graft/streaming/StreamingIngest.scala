@@ -373,6 +373,52 @@ object StreamingIngest {
         (col("dsir_bits").cast("double") / col("n_feats")).as("mean_bits"))
   }
 
+  /** Windowed mixed-script monitoring — the streaming twin of
+    * [[graft.queries.TextAnalysis.scriptMix]] through the shared
+    * [[graft.queries.TextAnalysis.scriptMixStats]] columns (one range
+    * table, one vote rule): per event-time window, arriving-doc count,
+    * mixed-script flags, non-Latin-dominant docs, and the mixed rate —
+    * the Cyrillic-substitution / CJK-stuffing spike alarm the Latin
+    * stopword language-id model is structurally blind to, caught at
+    * arrival. Stateless kernel projection, one counter row per open
+    * window, watermark-evicted. */
+  def scriptMixRateStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                          win: String = "10 minutes",
+                          watermark: String = "20 minutes"): DataFrame =
+    graft.queries.TextAnalysis.scriptMixStats(
+        docs.withWatermark(eventTimeCol, watermark), keep = Seq(eventTimeCol))
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_mixed"), 1L).otherwise(0L)).as("n_mixed"),
+        sum(when(col("dominant") =!= "latin" && col("dominant") =!= "none", 1L)
+          .otherwise(0L)).as("n_nonlatin"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_mixed"), col("n_nonlatin"),
+        (col("n_mixed").cast("double") / col("n_docs")).as("mixed_rate"))
+
+  /** Windowed banned-word monitoring — the streaming twin of
+    * [[graft.queries.TextAnalysis.blocklistGate]] through the shared
+    * [[graft.queries.TextAnalysis.blocklistStats]] verdicts (one rule
+    * set — the strict C4 any-hit and the Dolma fraction gate — batch
+    * and stream cannot disagree): per event-time window, arriving-doc
+    * count, any-hit count, fraction-rule drops, and the drop rate.
+    * A window whose drop rate jumps means a source started shipping
+    * blocklisted content — caught at arrival, not at the next batch
+    * sweep. Stateless narrow projection, one counter row per open
+    * window, watermark-evicted. */
+  def blocklistRateStream(docs: DataFrame, eventTimeCol: String = "event_time",
+                          win: String = "10 minutes",
+                          watermark: String = "20 minutes"): DataFrame =
+    graft.queries.TextAnalysis.blocklistStats(
+        docs.withWatermark(eventTimeCol, watermark), keep = Seq(eventTimeCol))
+      .groupBy(window(col(eventTimeCol), win))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("any_hit"), 1L).otherwise(0L)).as("n_any_hit"),
+        sum(when(col("gate") === "drop", 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_any_hit"), col("n_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs")).as("drop_rate"))
+
   /** Streaming benchmark-decontamination probe — per arriving document
     * sharing ≥1 word-[[graft.queries.TextAnalysis.ContamN]]-gram with
     * the STATIC benchmark set, the distinct-shared-shingle count the

@@ -799,6 +799,73 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("script-mix stream: planted Cyrillic spoof and CJK doc count per window, flags equal batch") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val ascii = "plain ascii prose here"
+    // 18 Latin + 3 Cyrillic = 21 scripted, minority 3/21 >= 0.05 -> mixed
+    val spoof = "abcdefghijklmnopqr Дом"
+    val cyr = "Дом" * 8 // pure Cyrillic, 24 cps: non-Latin dominant, not mixed
+    val fixtures = Seq(1L -> ascii, 2L -> spoof, 3L -> cyr)
+    // expected counters from the SHARED batch definition on the same rows
+    val batch = graft.queries.TextAnalysis.scriptMixStats(
+        fixtures.toDF("doc_id", "text")).collect()
+    val expMixed = batch.count(r => r.getAs[Boolean]("is_mixed")).toLong
+    val expNonlatin = batch.count { r =>
+      val d = r.getAs[String]("dominant"); d != "latin" && d != "none"
+    }.toLong
+    assert(expMixed == 1L && expNonlatin == 1L) // the fixtures genuinely differ
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.scriptMixRateStream(docs, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("script_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      input.addData(fixtures.map { case (id, t) => (new Timestamp(t0), id, t) }: _*)
+      q.processAllAvailable()
+      input.addData((new Timestamp(t0 + 2 * 60 * 60000), 9L, ascii))
+      q.processAllAvailable()
+      val r = spark.sql("SELECT n_docs, n_mixed, n_nonlatin, mixed_rate " +
+        "FROM script_out ORDER BY window_start").head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+        ((3L, expMixed, expNonlatin, expMixed.toDouble / 3)))
+    } finally q.stop()
+  }
+
+  test("blocklist stream: any-hit and fraction-rule drops count per window, clean docs pass") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val dropDoc = "slow dup stale slow" // 4/4 banned: any_hit + drop
+    val hitDoc = ("word " * 19) + "dup" // 1/20 = 5% <= 10%: any_hit, keep
+    val clean = "perfectly ordinary text"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("event_time", "doc_id", "text")
+    val agg = StreamingIngest.blocklistRateStream(docs, win = "10 minutes",
+      watermark = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("block_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000L
+      val w2 = t0 + 11 * 60000
+      input.addData((new Timestamp(t0), 1L, dropDoc),
+        (new Timestamp(t0 + 1000), 2L, hitDoc), (new Timestamp(t0 + 2000), 3L, clean),
+        (new Timestamp(w2), 4L, clean))
+      q.processAllAvailable()
+      input.addData((new Timestamp(w2 + 60 * 60000), 9L, clean))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_docs, n_any_hit, n_dropped, drop_rate " +
+          "FROM block_out ORDER BY window_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.length == 2)
+      assert(rows(0) == ((3L, 2L, 1L, 1.0 / 3.0)), s"w1 ${rows(0)}")
+      assert(rows(1) == ((1L, 0L, 0L, 0.0)), s"w2 ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("decontam probe stream: leaked docs carry the batch hit counts, clean docs emit nothing") {
     val sql = spark.sqlContext
     import sql.implicits._
