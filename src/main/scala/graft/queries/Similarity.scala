@@ -742,23 +742,29 @@ object Similarity {
         col("neighbor_id"), col("dc.cos").as("cos"))
     val cand = struct(negate(col("cos")).as("negcos"),
       col("neighbor_id").as("neighbor_id"))
+    // top-K id ARRAYS per (dim, query), then all rungs of a query on one
+    // row — the overlap is an array_intersect against the full-dim rung,
+    // never a self-join (a second reference to the top-K frame would
+    // recompute the whole corpus scan + score for the probe side; the
+    // regrouped frame is |queries| rows of ladder-sized arrays).
     val top = scoredByDim
       .groupBy(col("dim"), col("query_id"), spark_partition_id().as("p"))
       .agg(slice(array_sort(collect_list(cand)), 1, K).as("cands"))
       .select(col("dim"), col("query_id"), explode(col("cands")).as("c"))
       .groupBy("dim", "query_id")
       .agg(slice(array_sort(collect_list(col("c"))), 1, K).as("cands"))
-      .select(col("dim"), col("query_id"), explode(col("cands")).as("c"))
-      .select(col("dim"), col("query_id"), col("c.neighbor_id").as("neighbor_id"))
-    val fullSet = top.filter(col("dim") === lit(MrlDims.max))
-      .select(col("query_id").as("fq"), col("neighbor_id").as("fn"))
-    top.join(broadcast(fullSet),
-        col("query_id") === col("fq") && col("neighbor_id") === col("fn"), "left")
-      .groupBy("dim", "query_id")
-      .agg(sum(when(col("fn").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
-      .select(col("dim").cast("long").as("dim"), col("query_id"),
-        col("n_overlap"),
-        (col("n_overlap").cast("double") / lit(K)).as("overlap_frac"))
+      .select(col("dim"), col("query_id"),
+        transform(col("cands"), c => c.getField("neighbor_id")).as("ids"))
+    top.groupBy("query_id")
+      .agg(collect_list(struct(col("dim"), col("ids"))).as("rungs"))
+      // the dim = max rung always exists (every pair scores every ladder
+      // dim), so the index-1 lookup cannot miss
+      .withColumn("full_ids", element_at(filter(col("rungs"),
+        r => r.getField("dim") === lit(MrlDims.max)), 1).getField("ids"))
+      .select(col("query_id"), col("full_ids"), explode(col("rungs")).as("r"))
+      .select(col("r.dim").cast("long").as("dim"), col("query_id"),
+        size(array_intersect(col("r.ids"), col("full_ids"))).cast("long").as("n_overlap"))
+      .withColumn("overlap_frac", col("n_overlap").cast("double") / lit(K))
       .orderBy("dim", "query_id")
   }
 
