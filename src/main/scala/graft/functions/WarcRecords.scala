@@ -103,9 +103,15 @@ object WarcRecords {
         b(i.toInt) != 'W' || b(i.toInt + 1) != 'A' || b(i.toInt + 2) != 'R' ||
         b(i.toInt + 3) != 'C' || b(i.toInt + 4) != '/') { ok = false }
       else {
-        var uri: UTF8String = null
-        var recType: UTF8String = null
-        var contentLength = -1L
+        // values accumulate as strings so folded continuation lines
+        // (ISO 28500 §4: a header line led by SP/HT extends the
+        // previous field's value) can append; content-length parses
+        // after the block closes. lastField tracks where a fold lands:
+        // 1=uri 2=type 3=length 4=an untracked field (fold dropped).
+        var uriS: String = null
+        var typeS: String = null
+        var lenS: String = null
+        var lastField = 0
         var h = vEnd + 2
         var lines = 0
         var headerDone = false
@@ -116,29 +122,71 @@ object WarcRecords {
             val e = lineEnd(b, h)
             if (e < 0) malformed = true // truncated header
             else {
-              var v = headerValue(b, h, e, "warc-target-uri")
-              if (v >= 0) uri = UTF8String.fromBytes(b, v.toInt, (e - v).toInt)
-              v = headerValue(b, h, e, "warc-type")
-              if (v >= 0) recType = UTF8String.fromBytes(b, v.toInt, (e - v).toInt)
-              v = headerValue(b, h, e, "content-length")
-              if (v >= 0) {
-                var len = 0L
-                var p = v
-                var digits = true
-                while (digits && p < e) {
-                  val c = b(p.toInt)
-                  if (c >= '0' && c <= '9' && len < Long.MaxValue / 10 - 9)
-                    len = len * 10 + (c - '0')
-                  else digits = false
-                  p += 1
+              val first = b(h.toInt)
+              if (first == ' ' || first == '\t') {
+                // folded line: trim the leading LWS, append verbatim
+                // (no separator — a folded URI must rejoin seamless;
+                // a fold before any field is malformed per spec)
+                if (lastField == 0) malformed = true
+                else {
+                  var v = h
+                  while (v < e && (b(v.toInt) == ' ' || b(v.toInt) == '\t')) v += 1
+                  if (v < e) {
+                    val frag = new String(b, v.toInt, (e - v).toInt,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    lastField match {
+                      case 1 => uriS = if (uriS == null) frag else uriS + frag
+                      case 2 => typeS = if (typeS == null) frag else typeS + frag
+                      case 3 => lenS = if (lenS == null) frag else lenS + frag
+                      case _ => ()
+                    }
+                  }
                 }
-                if (digits && p > v) contentLength = len
+              } else {
+                var v = headerValue(b, h, e, "warc-target-uri")
+                if (v >= 0) {
+                  uriS = new String(b, v.toInt, (e - v).toInt,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  lastField = 1
+                } else {
+                  v = headerValue(b, h, e, "warc-type")
+                  if (v >= 0) {
+                    typeS = new String(b, v.toInt, (e - v).toInt,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    lastField = 2
+                  } else {
+                    v = headerValue(b, h, e, "content-length")
+                    if (v >= 0) {
+                      lenS = new String(b, v.toInt, (e - v).toInt,
+                        java.nio.charset.StandardCharsets.UTF_8)
+                      lastField = 3
+                    } else lastField = 4
+                  }
+                }
               }
               h = e + 2
               lines += 1
             }
           }
         }
+        // content-length: all-digits after the folds rejoin, overflow-
+        // guarded exactly as the in-line parse was
+        var contentLength = -1L
+        if (lenS != null && lenS.nonEmpty) {
+          var len = 0L
+          var p = 0
+          var digits = true
+          while (digits && p < lenS.length) {
+            val c = lenS.charAt(p)
+            if (c >= '0' && c <= '9' && len < Long.MaxValue / 10 - 9)
+              len = len * 10 + (c - '0')
+            else digits = false
+            p += 1
+          }
+          if (digits) contentLength = len
+        }
+        val uri = if (uriS == null) null else UTF8String.fromString(uriS)
+        val recType = if (typeS == null) null else UTF8String.fromString(typeS)
         // a record without an intact header + in-bounds body ends the walk
         if (malformed || !headerDone || contentLength < 0 || h + contentLength > n) ok = false
         else {

@@ -137,14 +137,18 @@ object Bpe {
     }.select(col("w"),
       size(filter(split(col("sym"), " "), x => x =!= lit(EndMark))).cast("long")
         .as("word_tokens"))
+    // left join + coalesce: a doc with no non-empty words (the word
+    // table holds none of its "words") still emits a row, at 0 tokens
+    // with a null ratio — every per-doc op covers every doc_id
     docs
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(segmented), "w")
+        explode_outer(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), Seq("w"), "left")
       .groupBy("doc_id", "n_chars")
-      .agg(sum(col("word_tokens")).cast("long").as("n_bpe_tokens"))
+      .agg(coalesce(sum(col("word_tokens")), lit(0L)).cast("long").as("n_bpe_tokens"))
       .select(col("doc_id"), col("n_chars"), col("n_bpe_tokens"),
-        (col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("n_bpe_tokens")).as("chars_per_token"))
       .orderBy("doc_id")
   }
 

@@ -136,6 +136,9 @@ object UnigramLm {
       .toDF("piece", "n")
       .groupBy("piece").agg(sum("n").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the round's aggregate is collected — release the piece-map blocks
+    // now rather than waiting on ContextCleaner GC (EmRounds× per train)
+    bc.destroy()
     // coverage floor: single chars survive at count ≥ 1 even when every
     // occurrence was claimed by a longer piece
     val chars = vocab.keysIterator.filter(_.length == 1)
@@ -191,17 +194,23 @@ object UnigramLm {
     val vocab = trained(s, d)
     import s.implicits._
     val bc = s.sparkContext.broadcast(logProbs(vocab))
+    // eager localCheckpoint materializes the segmentation, so the piece
+    // broadcast can be destroyed before the lazy plan ships
     val segmented = wordCounts(documents(s, d)).as[WordCount]
       .map(wc => (wc.w, viterbi(wc.w, bc.value).length.toLong))
-      .toDF("w", "word_tokens")
+      .toDF("w", "word_tokens").localCheckpoint()
+    bc.destroy()
+    // left join + coalesce: a doc with no non-empty words still emits a
+    // row, at 0 tokens with a null ratio — per-doc ops cover every doc
     documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(segmented), "w")
+        explode_outer(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), Seq("w"), "left")
       .groupBy("doc_id", "n_chars")
-      .agg(sum(col("word_tokens")).cast("long").as("n_unigram_tokens"))
+      .agg(coalesce(sum(col("word_tokens")), lit(0L)).cast("long").as("n_unigram_tokens"))
       .select(col("doc_id"), col("n_chars"), col("n_unigram_tokens"),
-        (col("n_chars").cast("double") / col("n_unigram_tokens")).as("chars_per_token"))
+        when(col("n_unigram_tokens") > 0,
+          col("n_chars").cast("double") / col("n_unigram_tokens")).as("chars_per_token"))
       .orderBy("doc_id")
   }
 

@@ -111,6 +111,19 @@ object WordPiece {
   private[graft] def fuse(left: String, right: String): String =
     left + right.stripPrefix(Cont)
 
+  /** One anchored pass lands "l ##o" directly on the fused form "lo";
+    * anchoring (the same lookarounds as [[Bpe.mergeExpr]]) keeps the
+    * rewrite from firing inside an unrelated token when a corpus word
+    * carries a literal interior '#' (which makes fused symbols like
+    * "a#" whose concatenations can recur inside longer tokens). */
+  private[graft] def mergeFuseExpr(sym: org.apache.spark.sql.Column,
+                                   left: String, right: String): org.apache.spark.sql.Column = {
+    val ql = java.util.regex.Pattern.quote(left)
+    val qr = java.util.regex.Pattern.quote(right)
+    regexp_replace(sym, s"(?<=^|\\s)$ql $qr(?=$$|\\s)",
+      java.util.regex.Matcher.quoteReplacement(fuse(left, right)))
+  }
+
   /** Learned merge list (rank, left, right, merged, pair/left/right
     * counts) — [[Bpe.learnMerges]]'s loop with the likelihood argmax
     * and the same localCheckpoint flat-plan hygiene. */
@@ -127,12 +140,7 @@ object WordPiece {
         case Some((l, r, cab, ca, cb)) =>
           merges += ((round + 1, l, r, cab, ca, cb))
           val prev = syms
-          // the regex fuses "l ##o" to "l##o"; strip the interior "##"
-          // to land on the convention's fused form in one more pass
-          syms = syms.withColumn("sym",
-            regexp_replace(Bpe.mergeExpr(col("sym"), l, r),
-              java.util.regex.Pattern.quote(l + r),
-              java.util.regex.Matcher.quoteReplacement(fuse(l, r))))
+          syms = syms.withColumn("sym", mergeFuseExpr(col("sym"), l, r))
             .localCheckpoint()
           interop.unpersistCheckpoint(prev)
           round += 1
@@ -199,22 +207,28 @@ object WordPiece {
     val (_, vocab) = trained(s, d)
     import s.implicits._
     val bc = s.sparkContext.broadcast(vocab)
+    // eager localCheckpoint materializes the segmentation, so the vocab
+    // broadcast can be destroyed before the lazy plan ships
     val segmented = wordTable(documents(s, d))
       .select(col("w")).as[String]
       .map { w =>
         val toks = greedyEncode(w, bc.value)
         (w, toks.length.toLong, if (toks == Seq(Unk)) 1L else 0L)
       }
-      .toDF("w", "word_tokens", "is_unk")
+      .toDF("w", "word_tokens", "is_unk").localCheckpoint()
+    bc.destroy()
+    // left join + coalesce: a doc with no non-empty words still emits a
+    // row, at 0 tokens with a null ratio — per-doc ops cover every doc
     documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(segmented), "w")
+        explode_outer(split(col("text"), " ")).as("w"))
+      .join(broadcast(segmented), Seq("w"), "left")
       .groupBy("doc_id", "n_chars")
-      .agg(sum(col("word_tokens")).cast("long").as("n_wp_tokens"),
-        sum(col("is_unk")).cast("long").as("n_unk_words"))
+      .agg(coalesce(sum(col("word_tokens")), lit(0L)).cast("long").as("n_wp_tokens"),
+        coalesce(sum(col("is_unk")), lit(0L)).cast("long").as("n_unk_words"))
       .select(col("doc_id"), col("n_chars"), col("n_wp_tokens"), col("n_unk_words"),
-        (col("n_chars").cast("double") / col("n_wp_tokens")).as("chars_per_token"))
+        when(col("n_wp_tokens") > 0,
+          col("n_chars").cast("double") / col("n_wp_tokens")).as("chars_per_token"))
       .orderBy("doc_id")
   }
 

@@ -78,6 +78,27 @@ class WarcSpec extends SparkSpec {
     assert(WarcRecords.parse(null).numElements() == 0)
   }
 
+  test("warc: folded header lines (ISO 28500 §4) rejoin the previous field's value") {
+    // Content-Length folded onto its own continuation line
+    val foldedLen = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://f.example/\r\nContent-Length:\r\n 4\r\n\r\nbody\r\n\r\n"
+    assert(parse(foldedLen) == Seq(("https://f.example/", "response", 4L, "body")))
+    // URI split mid-path rejoins seamlessly (no inserted separator)
+    val foldedUri = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://f.example/very\r\n\t/long/path\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n"
+    assert(parse(foldedUri) ==
+      Seq(("https://f.example/very/long/path", "response", 2L, "ok")))
+    // a fold onto an UNTRACKED header must not leak into a tracked one
+    val foldedOther = "WARC/1.0\r\nWARC-Target-URI: https://o.example/\r\n" +
+      "X-Custom: part\r\n one\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    assert(parse(foldedOther) == Seq(("https://o.example/", "resource", 2L, "ok")))
+    // a fold BEFORE any header line is malformed: walk stops, prior records kept
+    val leadingFold = rec("https://g.example/", "fine") +
+      "WARC/1.0\r\n orphan continuation\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    assert(parse(leadingFold).map(_._1) == Seq("https://g.example/"))
+  }
+
   test("warc: missing Content-Length or unterminated header stops cleanly") {
     assert(parse("WARC/1.0\r\nWARC-Type: response\r\n\r\nbody").isEmpty)
     assert(parse("WARC/1.0\r\nWARC-Type: respon").isEmpty)

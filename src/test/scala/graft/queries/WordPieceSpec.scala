@@ -72,6 +72,51 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("merge rewrite is anchored: the fused literal never rewrites inside an unrelated token") {
+    import org.apache.spark.sql.functions.col
+    // corpus words carrying a literal '#' make fused symbols like "a#",
+    // whose concatenation with the right symbol ("a#"+"##b" = "a###b")
+    // can recur INSIDE longer unrelated tokens; the round rewrite must
+    // fire only on the exact space-separated pair
+    val out = Seq("a# ##b", "qa###b x", "a###b", "a# ##bz")
+      .toDF("sym")
+      .select(WordPiece.mergeFuseExpr(col("sym"), "a#", "##b").as("sym"))
+      .as[String].collect().toSeq
+    assert(out == Seq("a#b", "qa###b x", "a###b", "a# ##bz"))
+  }
+
+  test("encode keeps every doc: no-word docs emit 0 tokens with a null ratio (all 3 tokenizers)") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-emptydoc").toFile
+    try {
+      Seq((0L, "hello world hello", "en", "s0", 17L),
+          (1L, "", "en", "s0", 0L),
+          (2L, "   ", "en", "s0", 3L),
+          (3L, "world", "en", "s0", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val encodes = Seq(
+        ("bpe", Bpe.bpeEncode(spark, dir.getPath), "n_bpe_tokens"),
+        ("unigram", UnigramLm.unigramEncode(spark, dir.getPath), "n_unigram_tokens"),
+        ("wordpiece", WordPiece.wordpieceEncode(spark, dir.getPath), "n_wp_tokens"))
+      for ((name, enc, tokCol) <- encodes) {
+        val rows = enc.collect()
+        assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 2L, 3L),
+          s"$name dropped a doc: ${rows.map(_.getAs[Long]("doc_id")).mkString(",")}")
+        val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+        for (id <- Seq(1L, 2L)) {
+          assert(byId(id).getAs[Long](tokCol) == 0L, s"$name doc $id tokens")
+          assert(byId(id).isNullAt(byId(id).fieldIndex("chars_per_token")),
+            s"$name doc $id ratio must be null, not a division artifact")
+        }
+        assert(byId(0L).getAs[Long](tokCol) > 0L, s"$name doc 0 tokenized")
+        assert(!byId(3L).isNullAt(byId(3L).fieldIndex("chars_per_token")), s"$name doc 3 ratio")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("corpus self-coverage at sf0.001: zero UNKs, compression > 1, rerun bit-identical") {
     val d = "/root/testdata/sf0.001"
     val enc = WordPiece.wordpieceEncode(spark, d).collect()
