@@ -199,21 +199,29 @@ case class DotProductDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** sorted array<long> ⨯ sorted array<long> → intersection size (long);
-  * null iff either input is null. Inputs MUST be ascending and duplicate
-  * free (`sort_array` over a distinct set — the producers in
-  * [[graft.queries.Dedup]] guarantee it). */
+/** sorted array<long|int> ⨯ sorted array (same element type) →
+  * intersection size (long); null iff either input is null. Inputs MUST
+  * be ascending and duplicate free (`sort_array` over a distinct set —
+  * the producers in [[graft.queries.Dedup]] guarantee it). The int form
+  * exists for the containment verify's 32-bit folded gram ids, where
+  * packed 4-byte elements halve a candidate-volume shuffle. */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects (array<bigint>, array<bigint>), got ($l, $r)")
+        s"sorted_intersect_count expects two array<bigint> or two array<int>, got ($l, $r)")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
+
+  private lazy val intElems = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -221,7 +229,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
-      val vx = x.getLong(i); val vy = y.getLong(j)
+      val vx = if (intElems) x.getInt(i).toLong else x.getLong(i)
+      val vy = if (intElems) y.getInt(j).toLong else y.getLong(j)
       if (vx == vy) { c += 1; i += 1; j += 1 }
       else if (vx < vy) i += 1
       else j += 1
@@ -234,13 +243,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      val get = if (intElems) "getInt" else "getLong"
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  final long $vx = $a.getLong($i);
-         |  final long $vy = $b.getLong($j);
+         |  final long $vx = $a.$get($i);
+         |  final long $vy = $b.$get($j);
          |  if ($vx == $vy) { $c++; $i++; $j++; }
          |  else if ($vx < $vy) { $i++; }
          |  else { $j++; }

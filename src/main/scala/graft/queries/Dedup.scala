@@ -335,15 +335,34 @@ object Dedup {
 
   /** Width-[[ContainN]] analog of [[gramSetsOf]] (docs with < ContainN
     * words can't shingle): distinct shingles + sorted 64-bit gram ids
-    * for the merge-intersect verify. */
+    * for the merge-intersect verify, plus their sorted distinct 31-bit
+    * folds ([[foldedIds]]) — the half-width arrays the verify's FIRST
+    * pass ships so the candidate-volume shuffle moves 4-byte packed
+    * elements instead of 8 (the r14 deep-tier disk blocker). */
   private[graft] def containGramSetsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val grams = graft.functions.TextKernels.wordShingles(words, ContainN, distinct = true)
+    // ids only — no consumer reads the shingle STRINGS, and this frame
+    // is what FrameCache pins for the whole containment family, so the
+    // ~1 KB/doc of gram text would sit in the cache for nothing
     docs
       .filter(size(words) >= ContainN)
-      .select(col("doc_id"), grams.as("grams"),
+      .select(col("doc_id"),
         graft.functions.TextKernels.hashedSortedIds(grams).as("gram_ids"))
+      .withColumn("gram_ids32", foldedIds(col("gram_ids")))
   }
+
+  /** Sorted distinct 31-bit folds of a sorted array<long> of gram ids:
+    * `(x ⊕ (x >> 32)) & 0x7fffffff` per element (mask BEFORE the int
+    * cast so the cast is range-safe under ANSI mode), de-duplicated —
+    * two ids of one doc can fold together — and re-sorted for the
+    * merge-intersect. At ~50 grams/doc in a 2³¹ space a within-doc
+    * collision is ~1e-6, so the folded set is almost always the same
+    * size as the true set; the verify's slack term makes the rare
+    * collision exact-safe rather than assumed away. */
+  private[graft] def foldedIds(ids: Column): Column =
+    array_sort(array_distinct(transform(ids,
+      x => x.bitwiseXOR(shiftright(x, 32)).bitwiseAND(lit(0x7fffffffL)).cast("int"))))
 
   /** The raw collision rows of the containment prefix-filter join —
     * (doc_a, doc_b) once per qualifying shared probe gram, BEFORE the
@@ -371,9 +390,19 @@ object Dedup {
     // (pos < probe_len) instead of a second explosion.
     val exploded = grams.select(col("doc_id"),
       size(col("gram_ids")).as("n_grams"), explode(col("gram_ids")).as("gram"))
-    val freq = exploded.select("gram").groupBy("gram").agg(count(lit(1)).as("freq"))
+    // gram frequency as a whole-partition window COUNT, not an aggregate
+    // joined back: the r14 shape shuffled the postings by gram twice
+    // (once into the freq aggregate, once into the join) before the
+    // doc_id exchange — one full posting exchange more than the work
+    // needs. The window form pays gram-exchange ONCE; at the 1000×
+    // smoke tier (240 M postings) that removed exchange is what kept
+    // the candidate stage under the single-node disk ceiling. Gram
+    // groups are tiny (shingles are mostly unique), so the window
+    // buffers a handful of rows per key.
+    val wf = Window.partitionBy("gram")
     val w = Window.partitionBy("doc_id").orderBy(col("freq"), col("gram"))
-    val index = exploded.join(freq, "gram")
+    val index = exploded
+      .withColumn("freq", count(lit(1)).over(wf))
       .withColumn("pos", row_number().over(w) - 1)
       .select(col("doc_id"), col("n_grams"), col("pos"), col("gram"))
     val probeLen = (col("n_grams") -
@@ -406,17 +435,40 @@ object Dedup {
     // almost entirely (measured multiplicity 1.037 at the 100×-tile
     // smoke: 20.80 M collisions → 20.06 M distinct pairs), so a
     // candidate-sized distinct exchange+sort buys a 3.5 % verify saving
-    // — the srpNearDup r12 pathology. Verify per collision instead and
-    // dedup the OUTPUT-sized frame after the containment filter.
+    // — the srpNearDup r12 pathology. Verify per collision instead.
+    //
+    // TWO-PASS verify (r14 deep-tier blocker): the candidate-volume
+    // join necessarily ships one gram-id array per collision row — at
+    // the 1000× smoke that was ~0.4 KB × 208 M candidates of int64
+    // arrays, past the box's disk. Pass 1 ships the 31-bit FOLDED
+    // arrays (packed 4-byte elements — half the bytes) and filters on
+    // an upper bound of the true intersect: |A₃₂∩B₃₂| can undercount
+    // |A∩B| only when two grams of A∩B fold together, and every such
+    // collision is a collision inside A, so
+    //   |A∩B| ≤ |A₃₂∩B₃₂| + (|A| − |A₃₂|)
+    // and filtering on the right side keeps a strict SUPERSET of the
+    // true pairs (cross-doc fold collisions only ever inflate it).
+    // Pass 2 re-verifies the output-sized survivor set on the full
+    // 64-bit ids — the reported containment is exact, bit-for-bit the
+    // single-pass value.
     val candidates = containmentCandidatesOf(grams)
+    val ga32 = grams.select(col("doc_id").as("doc_a"),
+      size(col("gram_ids")).as("n_a"), col("gram_ids32").as("ids_a32"))
+    val gb32 = grams.select(col("doc_id").as("doc_b"), col("gram_ids32").as("ids_b32"))
+    val inter32 = graft.functions.VectorKernels.sortedIntersectCount(
+      col("ids_a32"), col("ids_b32"))
+    val slack = col("n_a") - size(col("ids_a32"))
+    val survivors = candidates.join(ga32, "doc_a").join(gb32, "doc_b")
+      .filter((inter32 + slack) * JaccardQ >= col("n_a").cast("long") * JaccardP)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
     val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))
     val gb = grams.select(col("doc_id").as("doc_b"), col("gram_ids").as("ids_b"))
     val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
+    survivors.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / size(col("ids_a"))).as("containment"))
       .filter(col("containment") >= JaccardT)
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -101,8 +101,11 @@ object Scalars {
     * on the anti side like the reference's warn+skip. */
   def enumMap(s: SparkSession, d: String): DataFrame = {
     val codes = typedLit(Map("purchase" -> 2, "signup" -> 1, "click" -> 0, "view" -> 0))
+    // try_element_at: unknown codes MISS by design, and under ANSI mode a
+    // map element_at throws on the miss instead of yielding the NULL this
+    // op's warn+skip semantics are built on
     events(s, d)
-      .select(col("event_type"), element_at(codes, col("event_type")).as("code"))
+      .select(col("event_type"), try_element_at(codes, col("event_type")).as("code"))
       .groupBy("event_type", "code")
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")

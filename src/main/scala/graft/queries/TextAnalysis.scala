@@ -1149,7 +1149,9 @@ object TextAnalysis {
     val starts = totals.scanLeft(0 -> 0L) { case ((_, acc), (pid, t)) => pid -> (acc + t) }
       .init.map { case (_, acc) => acc }
     val startsByPid = totals.map(_._1).zip(starts).toMap
-    val startCol = coalesce(element_at(typedLit(startsByPid), col("pid")), lit(0L))
+    // try_element_at: keys exist by construction; mode-independent null
+    val startCol = coalesce(
+      try_element_at(typedLit(startsByPid), col("pid")), lit(0L))
     val w = Window.partitionBy("pid").orderBy(col("qrank").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     parts.select(col("doc_id"), col("qrank"), col("n_tokens"),
@@ -1198,7 +1200,9 @@ object TextAnalysis {
     val offs = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, c)) => pid -> (acc + c) }
       .init.map { case (_, acc) => acc }
     val offByPid = counts.map(_._1).zip(offs).toMap
-    val offCol = coalesce(element_at(typedLit(offByPid), col("pid")), lit(0L))
+    // try_element_at: keys exist by construction; mode-independent null
+    val offCol = coalesce(
+      try_element_at(typedLit(offByPid), col("pid")), lit(0L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("pid").orderBy(col("n_tokens").desc, col("doc_id"))
     sized

@@ -90,27 +90,16 @@ object ScaleSmoke {
 
   /** Queries with a KNOWN single-node resource ceiling past this tile
     * count, skipped (with the reason recorded in the artifact) instead
-    * of filling the box's disk. EMPTY since r13: srpNearDup's 100× skip
-    * (~40 GB dedup-sort spill) fell to the verify-in-the-join rewrite —
-    * the candidate volume is never sorted or re-shuffled anymore (only
-    * the output-sized distinct of true pairs is), so the tier is
-    * measured, not asserted. One r14 entry: containment's exact-verify
-    * join intrinsically moves Σ(|A|+|B|) gram-id arrays per candidate —
-    * ~0.5 KB × ~208 M candidates ≈ 100+ GB of shuffle at 5 M docs,
-    * past this box's ~78 GB free (measured: the x1000 tier died on
-    * ENOSPC mid-verify). The volume is LINEAR in candidates — a
-    * cluster's aggregate disk absorbs it — and the stage whose growth
-    * law was actually in question (candidate generation) carries exact
-    * 10×-per-decade telemetry at 1×/10×/100× via [[CandidateProbes]];
-    * a 1000× probe-only attempt hit the same ceiling (even the count's
-    * ~50 GB cumulative shuffle over 300 M posting rows), so probes are
-    * bounded below the deep tier too. */
-  val SkipAtTiles: Map[String, (Int, String)] = Map(
-    "dedup_containment" -> (500,
-      "single-node disk ceiling: exact-verify join shuffles ~0.5KB of gram ids " +
-        "per candidate (~100+ GB at 5M docs) past this box's ~78 GB free; " +
-        "linear in candidates (cluster-fine) — candidate linearity measured " +
-        "10x-per-decade at 1x/10x/100x (cand_base/cand_tiled telemetry)"))
+    * of filling the box's disk. EMPTY again since r15: the r14 entry —
+    * containment's exact-verify join at 100+ GB of per-candidate int64
+    * gram-id arrays — fell to the two-pass fold verify (pass 1 ships
+    * packed 4-byte folded arrays, pass 2 re-verifies the output-sized
+    * survivors exactly) plus the window-form frequency pass that
+    * removed one full posting exchange from the candidate stage; the
+    * deep tier also runs single-execution (no warmup rep) with a
+    * shuffle-drain GC between runs, and the smoke session shuffles
+    * zstd-compressed. */
+  val SkipAtTiles: Map[String, (Int, String)] = Map.empty
 
   /** Tile counts at or past this run only [[DeepTrendQueries]] (VERDICT
     * r13 item 7): the point of a 1000× tier is a measured trend point
@@ -138,15 +127,28 @@ object ScaleSmoke {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
-  /** Warmup + median-of-`reps` wall time of a noop-sink write. */
-  private def timeQuery(df: => DataFrame, reps: Int): Double = {
+  /** Warmup + median-of-`reps` wall time of a noop-sink write. At the
+    * deep tier (`warm = false`) the warmup rep is skipped: a second
+    * back-to-back execution of a ~50 GB-shuffle query doubles the disk
+    * footprint before the ContextCleaner can reclaim the first run's
+    * files, and a cold single run is exactly what a trend point needs. */
+  private def timeQuery(df: => DataFrame, reps: Int, warm: Boolean = true): Double = {
     def once: Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once // warmup
+    if (warm) once
     median(Seq.fill(reps)(once))
+  }
+
+  /** Deep-tier shuffle drain: drop references to finished jobs' RDDs and
+    * give the async ContextCleaner a moment to delete their shuffle
+    * files before the next full-corpus execution starts stacking new
+    * ones on the same disk. */
+  private def drainShuffle(deep: Boolean): Unit = if (deep) {
+    System.gc()
+    Thread.sleep(3000)
   }
 
   private def tileTables(s: SparkSession, base: String, out: String, tiles: Int): Unit = {
@@ -215,6 +217,9 @@ object ScaleSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // zstd over the default lz4: ~1.4× smaller shuffle/spill files —
+      // the deep tier is disk-bound, not CPU-bound, on this box
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def r3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -240,14 +245,8 @@ object ScaleSmoke {
             case Some(reason) =>
               System.err.println(s"[scale-smoke] x$tiles $q SKIPPED: $reason")
               // the skinny candidate stage can still run where the full
-              // query cannot — but only BELOW the deep tier: at x1000
-              // even the count's cumulative shuffle (~50 GB of window
-              // sort + gram join over 300 M posting rows) hit the same
-              // disk ceiling and took the whole context down with it
-              // (measured — the cascade failed the two queries after
-              // it). The candidate growth law is already pinned by the
-              // exact 10×-per-decade telemetry at 1×/10×/100×.
-              if (tiles < DeepTierMin) CandidateProbes.get(q).foreach { probe =>
+              // query cannot
+              CandidateProbes.get(q).foreach { probe =>
                 try {
                   val cb = probe(spark, base); val ct = probe(spark, out)
                   candCounts(q) = (cb, ct)
@@ -265,18 +264,21 @@ object ScaleSmoke {
                 val fn = graft.SparkEntry.queries(q)
                 val tBase = timeQuery(fn(spark, base), reps)
                 System.gc()
-                val tTiled = timeQuery(fn(spark, out), reps)
+                val tTiled = timeQuery(fn(spark, out), reps, warm = !deepTier)
                 System.gc()
+                drainShuffle(deepTier)
                 // output-volume sanity ride-along: a time ratio can hide an
                 // output explosion behind idle cores — record both
                 val rBase = fn(spark, base).count()
                 val rTiled = fn(spark, out).count()
+                drainShuffle(deepTier)
                 // candidate telemetry (pre-distinct collision rows) for
                 // the probed filter-verify operators
                 CandidateProbes.get(q).foreach { probe =>
                   val cb = probe(spark, base); val ct = probe(spark, out)
                   candCounts(q) = (cb, ct)
                   System.err.println(s"[scale-smoke] x$tiles $q candidates $cb -> $ct")
+                  drainShuffle(deepTier)
                 }
                 val ratio = if (tBase > 0) tTiled / tBase else -1.0
                 System.err.println(f"[scale-smoke] x$tiles $q%-22s 1x=${tBase}%.2fs ${tiles}x=${tTiled}%.2fs ratio=${ratio}%.1f rows ${rBase}->${rTiled}")

@@ -38,4 +38,21 @@ class AnsiModeSpec extends SparkSpec {
         assert(graft.SparkEntry.queries(q)(spark, sf).count() > 0L, s"$q empty under ANSI")
     }
   }
+
+  test("ANSI on: EVERY registry entry executes (full mode-independence sweep)") {
+    // the curated cases above localize known-fragile lookups; this sweep
+    // is the completeness gate — a new op with an ANSI-fatal cast or map
+    // lookup fails here on its first round, not in a user's session
+    withAnsi {
+      val sf = "/root/testdata/sf0.001"
+      val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, q) =>
+          try { q(spark, sf).count(); None }
+          catch { case e: Exception =>
+            Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(200)}") }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} registry entries throw under ANSI:\n${failures.mkString("\n")}")
+    }
+  }
 }

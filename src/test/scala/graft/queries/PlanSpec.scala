@@ -534,6 +534,22 @@ class PlanSpec extends SparkSpec {
       "sim_corpus_diversity: the two moment readers no longer share the (label, dim) exchange")
   }
 
+  test("mrlOverlap: one corpus scan+score — overlap via array_intersect, not a top-K self-join") {
+    val plan = formatted("sim_mrl_overlap")
+    // 2 embeddings scans = the corpus side + the broadcast query side; a
+    // third means the top-K frame self-joined for the overlap probe and
+    // the whole corpus pairing is scored twice (the pre-f31e shape)
+    val scans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"sim_mrl_overlap: $scans embeddings scans in plan (want 2)")
+    // exactly one BNLJ: the bounded query×corpus pairing; a second is the
+    // probe-side recompute (match tree lines only — FormattedMode repeats
+    // each operator once more in the details section)
+    val bnlj = "BroadcastNestedLoopJoin \\w+ Build".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"sim_mrl_overlap: $bnlj BNLJ subtrees in plan (want 1)")
+    assert(plan.contains("array_intersect"),
+      "sim_mrl_overlap: overlap no longer computed via array_intersect on regrouped rungs")
+  }
+
   test("joinBloom: bloom probe rides the fact scan and the plan builds broadcast-free") {
     val plan = formatted("rel_join_bloom")
     assert(plan.contains("might_contain"), "rel_join_bloom: Bloom probe missing from the plan")
