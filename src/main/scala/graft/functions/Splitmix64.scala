@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnInterop
+import org.apache.spark.sql.types._
+
+/** The splitmix64 finalizer over `seed · φ64` — the deterministic 64-bit
+  * mixer behind the synthetic-fixture lattices
+  * ([[graft.queries.Multimodal]] `melodyNotes` uses the identical
+  * finalizer chain), exposed as an expression so doc-arithmetic sketches
+  * can be built COLUMN-SIDE with Java wrapping semantics: a plain
+  * `seed * A` Column under ANSI mode throws on the (intended) int64
+  * overflow, while this kernel wraps exactly like the DuckDB oracle's
+  * split-multiply mod-2⁶⁴ CTE (Steele et al., "Fast Splittable
+  * Pseudorandom Number Generators", OOPSLA'14 — public constants). */
+object Splitmix64 {
+  val Phi64 = 0x9E3779B97F4A7C15L
+  val MixB = 0xBF58476D1CE4E5B9L
+  val MixD = 0x94D049BB133111EBL
+
+  /** Finalizer over `seed·φ + w·B` — the (seed, window) form the melody
+    * lattice samples; `compute` is the w = 0 point. */
+  def computeAt(seed: Long, w: Long): Long = {
+    var z = seed * Phi64 + w * MixB
+    z ^= z >>> 30; z *= MixB
+    z ^= z >>> 27; z *= MixD
+    z ^ (z >>> 31)
+  }
+
+  def compute(seed: Long): Long = computeAt(seed, 0L)
+
+  def sm64(seed: Column): Column =
+    ColumnInterop.column(Splitmix64Expr(ColumnInterop.expression(seed)))
+}
+
+/** bigint → bigint, null-propagating — see [[Splitmix64]]. */
+case class Splitmix64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"sm64 expects bigint, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sm64"
+
+  override def nullSafeEval(input: Any): Any =
+    Splitmix64.compute(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Splitmix64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -560,25 +560,37 @@ object Dedup {
         val key = combo.foldLeft(lit(0L))((acc, b) => acc * lit(mask + 1L) + chunk(b))
         struct(lit(ci).as("band"), key.as("chunk"))
     }
-    val bandRows = withBits.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val sizes = bandRows.groupBy("band", "chunk").agg(count(lit(1)).as("bucket_n"))
-    val kept = bandRows.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "chunk"))
-      .select("doc_id", "band", "chunk")
+    // band rows carry the 8-byte sketch so the VERIFY (xor+popcount)
+    // runs INSIDE the band self-join — the srpNearDup r13 rewrite: the
+    // r14 shape materialized the candidate pairs, distinct'ed them and
+    // joined the bits back on, three candidate-volume exchanges that
+    // dominated the 100×-tile smoke (measured: 195 M candidates from
+    // 500 K images, 48× time). Inline, candidates are iterated within
+    // the sort-merge group and only TRUE pairs (output-sized) ever
+    // leave the join.
+    val bandRows = withBits
+      .select(col("doc_id"), col("bits"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bits"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    // bucket sizes as a whole-partition window COUNT (the containment
+    // candidate-stage shape), not an aggregate joined back: the window's
+    // (band, chunk) hash partitioning and sort are EXACTLY what the band
+    // self-join requires, so the join below plans zero additional
+    // exchanges — the whole pair stage pays ONE shuffle of the band
+    // rows, total
+    val wB = Window.partitionBy("band", "chunk")
+    val kept = bandRows
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("doc_id", "bits", "band", "chunk")
 
     val x = kept.as("x"); val y = kept.as("y")
-    val candidates = x.join(y,
+    x.join(y,
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    val ba = withBits.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"))
-    val bb = withBits.select(col("doc_id").as("doc_b"), col("bits").as("bits_b"))
-    candidates.join(ba, "doc_a").join(bb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= k)
+          col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.bits").bitwiseXOR(col("y.bits"))) <= k)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.bits").bitwiseXOR(col("y.bits"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

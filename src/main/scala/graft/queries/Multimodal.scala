@@ -685,14 +685,13 @@ object Multimodal {
     var prev = -1
     var w = 0
     while (w < out.length) {
-      // splitmix64 finalizer: a LINEAR (seed, w) mix leaves adjacent
-      // windows nearly identical in the high bits and every melody
-      // degenerates to the same two-note alternation (measured — the
-      // fingerprint then cannot separate distinct melodies)
-      var z = seed * 0x9E3779B97F4A7C15L + w.toLong * 0xBF58476D1CE4E5B9L
-      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-      z ^= z >>> 27; z *= 0x94D049BB133111EBL
-      z ^= z >>> 31
+      // splitmix64 finalizer ([[graft.functions.Splitmix64]] — the one
+      // definition the DuckDB oracle CTE mirrors): a LINEAR (seed, w)
+      // mix leaves adjacent windows nearly identical in the high bits
+      // and every melody degenerates to the same two-note alternation
+      // (measured — the fingerprint then cannot separate distinct
+      // melodies)
+      val z = graft.functions.Splitmix64.computeAt(seed, w.toLong)
       var idx = ((z & 0x7FFFFFFFL) % 4L).toInt
       if (idx == prev) idx = (idx + 1) % 4
       out(w) = MelodyAmps(idx)
@@ -805,6 +804,32 @@ object Multimodal {
       bands = ImgBands, k = AudioHammingK, joint = imgJointFor(withBits.count()))
   }
 
+  /** Full-strict DuckDB twin for the shared Hamming-band pair engine at
+    * the IMAGE regime (k = [[ImgHammingK]], corpus-adaptive joint): the
+    * phash sketch itself is decode-born and can never be SQL-reproduced
+    * (the JPEG variant's quantization lands bits only WITHIN the twin
+    * envelope, not on a closed form), so the ENGINE that pairs it gets
+    * its strict oracle over a doc-arithmetic sketch instead —
+    * splitmix64(gid) with planted twin masks (3-bit and 6-bit flips at
+    * a gid-keyed shift; the %4 == 3 member is a distinct draw) that the
+    * oracle brute-force-verifies. The audio pair engine additionally
+    * has its real sketch oracled end-to-end (mm_audio_neardup below);
+    * this row pins the k = 6 / joint dial the image leg runs. */
+  def hammingPairs(s: SparkSession, d: String): DataFrame = {
+    val sk = documents(s, d)
+      .select(col("doc_id"), expr("doc_id div 4").as("gid"),
+        pmod(col("doc_id"), lit(4L)).as("v"))
+      .withColumn("seed", when(col("v") === 3, -col("gid") - 1).otherwise(col("gid")))
+      .withColumn("mask",
+        when(col("v") === 1, expr("shiftleft(cast(7 as bigint), cast(gid % 56 as int))"))
+          .when(col("v") === 2, expr("shiftleft(cast(63 as bigint), cast(gid % 56 as int))"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"),
+        graft.functions.Splitmix64.sm64(col("seed")).bitwiseXOR(col("mask")).as("bits"))
+    Dedup.hammingBandPairs(sk, Dedup.MaxBucketSize,
+      bands = ImgBands, k = ImgHammingK, joint = imgJointFor(sk.count()))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,
     "mm_frame_sample" -> frameSample _,
@@ -819,7 +844,52 @@ object Multimodal {
     "mm_audio_neardup" -> audioNearDup _,
     "mm_video_chunks" -> videoChunks _,
     "mm_video_neardup" -> videoNearDup _,
+    "mm_hamming_pairs" -> hammingPairs _,
   )
+
+  /** `(a · c) mod 2⁶⁴` in DuckDB without INT128 overflow: split the
+    * 64-bit left operand into 32-bit halves (`a` a SQL expression in the
+    * unsigned [0, 2⁶⁴) HUGEINT domain, `c` an unsigned 64-bit constant
+    * rendered in decimal). */
+  private def sqlMulMod(a: String, c: String): String =
+    s"(((($a) // 4294967296) * $c::HUGEINT % 4294967296) * 4294967296" +
+      s" + (($a) % 4294967296) * $c::HUGEINT) % 18446744073709551616::HUGEINT"
+
+  private val SqlPhi = java.lang.Long.toUnsignedString(graft.functions.Splitmix64.Phi64)
+  private val SqlMixB = java.lang.Long.toUnsignedString(graft.functions.Splitmix64.MixB)
+  private val SqlMixD = java.lang.Long.toUnsignedString(graft.functions.Splitmix64.MixD)
+
+  /** The [[graft.functions.Splitmix64]] finalizer chain as DuckDB CTE
+    * steps: given a CTE named `z1in` with columns (..keys.., z) where z
+    * = the pre-mix in the unsigned HUGEINT domain, produces CTEs z2/z3
+    * and a final `zf` with z the finalized unsigned value. `keys` are
+    * carried through verbatim. xors ride UBIGINT (native 64-bit), the
+    * mod-2⁶⁴ multiplies ride [[sqlMulMod]], and `>>> k` is division in
+    * the unsigned domain. */
+  private def sqlSplitmixChain(keys: String): String =
+    s"""z2 AS (
+       |  SELECT $keys,
+       |    ${sqlMulMod("CAST(xor(CAST(z AS UBIGINT), CAST(z // 1073741824 AS UBIGINT)) AS HUGEINT)", SqlMixB)} AS z
+       |  FROM z1
+       |), z3 AS (
+       |  SELECT $keys,
+       |    ${sqlMulMod("CAST(xor(CAST(z AS UBIGINT), CAST(z // 134217728 AS UBIGINT)) AS HUGEINT)", SqlMixD)} AS z
+       |  FROM z2
+       |), zf AS (
+       |  SELECT $keys,
+       |    CAST(xor(CAST(z AS UBIGINT), CAST(z // 2147483648 AS UBIGINT)) AS HUGEINT) AS z
+       |  FROM z3
+       |)""".stripMargin
+
+  /** seed (possibly negative) → the unsigned [0, 2⁶⁴) HUGEINT domain. */
+  private val SqlUSeed =
+    "CASE WHEN seed >= 0 THEN CAST(seed AS HUGEINT)" +
+      " ELSE CAST(seed AS HUGEINT) + 18446744073709551616::HUGEINT END"
+
+  /** unsigned HUGEINT z → signed int64. */
+  private val SqlSigned =
+    "CAST(CASE WHEN z >= 9223372036854775808::HUGEINT" +
+      " THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT)"
 
   /** The CDC chunking oracle body, shared verbatim by the
     * mm_video_chunks and mm_video_neardup rows (the one-definition
@@ -978,6 +1048,88 @@ object Multimodal {
          |JOIN cnt cb ON cb.doc_id = p.doc_b
          |WHERE p.shared_chunks >= $CdcMinShared
          |  AND p.shared_chunks * 2 >= LEAST(ca.n_chunks, cb.n_chunks)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The planted-value discipline of mm_image_dims, taken to the audio
+    // PAIR stage: the melody lattice makes the decoded fingerprint a
+    // CLOSED FORM of doc arithmetic — bit j (MSB-first) = [amp(j+1) <
+    // amp(j)] over melodyNotes(seed), amps ordered as their indices —
+    // and AfpCheck verified decode == closed form for 20 K consecutive
+    // doc_ids (adjacent notes always differ by the re-roll, so every
+    // comparison is decisive; gain and resample cancel in energy
+    // ORDER). The oracle replays splitmix64 in mod-2⁶⁴ HUGEINT
+    // arithmetic, the adjacent-repeat re-roll as a 65-step recursive
+    // CTE, and brute-forces the pairs — valid as the banding twin
+    // because sf0.01 has zero hot-bucket drops (measured: max bucket 28
+    // of cap 200), so lossless banding ≡ brute force there.
+    "mm_audio_neardup" ->
+      s"""WITH RECURSIVE seeds AS (
+         |  SELECT DISTINCT CASE WHEN doc_id % 5 = 3 THEN -(doc_id // 5) - 1 ELSE doc_id // 5 END AS seed
+         |  FROM documents WHERE doc_id % 5 <> 4
+         |), sw AS (
+         |  SELECT seed, unnest(range(0, ${graft.functions.AudioFingerprint.Windows})) AS w FROM seeds
+         |), z1 AS (
+         |  SELECT seed, w,
+         |    (${sqlMulMod(SqlUSeed, SqlPhi)}
+         |     + CAST(w AS HUGEINT) * $SqlMixB::HUGEINT) % 18446744073709551616::HUGEINT AS z
+         |  FROM sw
+         |), ${sqlSplitmixChain("seed, w")}, raw AS (
+         |  SELECT seed, CAST(w AS BIGINT) AS w,
+         |    CAST((z % 2147483648) % 4 AS INTEGER) AS idx0
+         |  FROM zf
+         |), roll AS (
+         |  SELECT seed, w, idx0 AS idx FROM raw WHERE w = 0
+         |  UNION ALL
+         |  SELECT raw.seed, raw.w,
+         |    CASE WHEN raw.idx0 = roll.idx THEN (raw.idx0 + 1) % 4 ELSE raw.idx0 END
+         |  FROM roll JOIN raw ON raw.seed = roll.seed AND raw.w = roll.w + 1
+         |), bits AS (
+         |  SELECT a.seed, a.w AS j, CASE WHEN b.idx < a.idx THEN 1 ELSE 0 END AS bit
+         |  FROM roll a JOIN roll b ON b.seed = a.seed AND b.w = a.w + 1
+         |  WHERE a.w < 64
+         |), halves AS (
+         |  SELECT seed,
+         |    SUM(CASE WHEN j < 32 THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << CAST(31 - j AS INTEGER)) ELSE 0 END) AS hi,
+         |    SUM(CASE WHEN j >= 32 THEN CAST(bit AS BIGINT) * (CAST(1 AS BIGINT) << CAST(63 - j AS INTEGER)) ELSE 0 END) AS lo
+         |  FROM bits GROUP BY seed
+         |), sk AS (
+         |  SELECT seed, $SqlSigned AS bits
+         |  FROM (SELECT seed, CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT) AS z FROM halves)
+         |), docsk AS (
+         |  SELECT d.doc_id, s.bits
+         |  FROM documents d JOIN sk s
+         |    ON s.seed = CASE WHEN d.doc_id % 5 = 3 THEN -(d.doc_id // 5) - 1 ELSE d.doc_id // 5 END
+         |  WHERE d.doc_id % 5 <> 4
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.bits, b.bits)) AS BIGINT) AS hamming
+         |FROM docsk a JOIN docsk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.bits, b.bits)) <= $AudioHammingK
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The image-regime pair engine's strict twin (see [[hammingPairs]]):
+    // splitmix64(seed) sketches with planted twin masks, brute-forced.
+    // sf0.01's buckets sit far under the cap (random 64-bit sketches,
+    // ≲2 docs per 8-bit band key), so banding ≡ brute force here too.
+    "mm_hamming_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v FROM documents
+         |), sd AS (
+         |  SELECT doc_id, gid, v,
+         |    CASE WHEN v = 3 THEN -gid - 1 ELSE gid END AS seed
+         |  FROM g
+         |), z1 AS (
+         |  SELECT doc_id, gid, v, ${sqlMulMod(SqlUSeed, SqlPhi)} AS z FROM sd
+         |), ${sqlSplitmixChain("doc_id, gid, v")}, sk AS (
+         |  SELECT doc_id,
+         |    xor($SqlSigned,
+         |      CASE WHEN v = 1 THEN CAST(7 AS BIGINT) << CAST(gid % 56 AS INTEGER)
+         |           WHEN v = 2 THEN CAST(63 AS BIGINT) << CAST(gid % 56 AS INTEGER)
+         |           ELSE CAST(0 AS BIGINT) END) AS bits
+         |  FROM zf
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.bits, b.bits)) AS BIGINT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.bits, b.bits)) <= $ImgHammingK
          |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

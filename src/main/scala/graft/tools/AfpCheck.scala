@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.queries.Multimodal
+import graft.functions.AudioFingerprint
+
+/** Scratch check: decoded audio fingerprint vs the melody-lattice closed
+  * form (bit j = [amp(j+1) > amp(j)]) over a doc_id sweep. */
+object AfpCheck {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 5000
+    def arith(docId: Long): java.lang.Long = {
+      if (docId % 5 == 4) return null
+      val seed = if (docId % 5 == 3) -(docId / 5) - 1L else docId / 5
+      val notes = Multimodal.melodyNotes(seed)
+      var bits = 0L
+      var j = 0
+      while (j < 64) {
+        if (notes(j + 1) < notes(j)) bits |= (1L << (63 - j))
+        j += 1
+      }
+      bits
+    }
+    var mism = 0
+    var checkedBitOrderBoth = (0, 0)
+    for (id <- 0L until n.toLong) {
+      val dec = AudioFingerprint.fingerprint(Multimodal.syntheticMelody(id))
+      val ar = arith(id)
+      if ((dec == null) != (ar == null)) { mism += 1; if (mism < 5) println(s"null-mism id=$id dec=$dec ar=$ar") }
+      else if (dec != null && dec.longValue() != ar.longValue()) {
+        mism += 1
+        if (mism < 5) println(s"id=$id dec=${dec.longValue().toHexString} ar=${ar.longValue().toHexString} ham=${java.lang.Long.bitCount(dec ^ ar)}")
+      }
+    }
+    println(s"checked=$n mismatches=$mism $checkedBitOrderBoth")
+  }
+}

@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage profile for the perceptual Hamming banding family
+  * ([[graft.queries.Dedup.hammingBandPairs]] under mm_phash_neardup /
+  * mm_audio_neardup): per-dir sketch count, band-row volume, bucket-size
+  * distribution, cap drops, candidate volume and verified pairs — the
+  * measured basis for the joint-blocking dial
+  * ([[graft.queries.Multimodal.imgJointFor]]).
+  * `sbt "runMain graft.tools.HammingProfile <dir> [img|audio] [joint]"`. */
+object HammingProfile {
+  def main(args: Array[String]): Unit = {
+    val d = args(0)
+    val fam = if (args.length > 1) args(1) else "img"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.queries.{Dedup, Multimodal}
+    val docs = graft.tables.Testdata.documents(spark, d)
+    val sketch = (if (fam == "img") Multimodal.phashOf(docs).select(col("doc_id"), col("phash").as("bits"))
+                  else Multimodal.audioFingerprintOf(docs).select(col("doc_id"), col("afp").as("bits")))
+      .filter(col("bits").isNotNull).cache()
+    val n = sketch.count()
+    val k = if (fam == "img") Multimodal.ImgHammingK else Multimodal.AudioHammingK
+    val joint = if (args.length > 2) args(2).toInt else Multimodal.imgJointFor(n)
+    val bands = Multimodal.ImgBands
+    val width = 64 / bands
+    val mask = (1L << width) - 1L
+    def chunk(b: Int) = shiftright(col("bits"), 64 - width * (b + 1)).bitwiseAND(lit(mask))
+    val bandStructs = (0 until bands).combinations(joint).toSeq.zipWithIndex.map {
+      case (combo, ci) =>
+        val key = combo.foldLeft(lit(0L))((acc, b) => acc * lit(mask + 1L) + chunk(b))
+        struct(lit(ci).as("band"), key.as("chunk"))
+    }
+    val bandRows = sketch.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val sizes = bandRows.groupBy("band", "chunk").agg(count(lit(1)).as("m")).cache()
+    val hist = sizes.select(
+      sum(col("m")).as("rows"), count(lit(1)).as("buckets"), max(col("m")).as("max_m"),
+      sum(when(col("m") > Dedup.MaxBucketSize, col("m")).otherwise(0L)).cast("long").as("dropped_rows"),
+      sum(when(col("m") <= Dedup.MaxBucketSize,
+        (col("m") * (col("m") - 1)).cast("long") / 2).otherwise(0L)).cast("long").as("cand"))
+      .collect()(0)
+    println(s"fam=$fam dir=$d n=$n joint=$joint k=$k bands=$bands")
+    println(s"bandRows=${hist.getLong(0)} buckets=${hist.getLong(1)} max_bucket=${hist.getLong(2)} " +
+      s"dropped_rows=${hist.getLong(3)} candidates(upper)=${hist.getLong(4)}")
+    val top = sizes.orderBy(col("m").desc).limit(10).collect()
+      .map(r => s"${r.getInt(0)}/${r.getLong(1)}:${r.getLong(2)}").mkString(" ")
+    println(s"top buckets (band/key:m): $top")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.hammingBandPairs(sketch, Dedup.MaxBucketSize, bands = bands, k = k, joint = joint).count()
+    println(f"pairs=$pairs full-stage=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The splitmix64 kernel behind the synthetic-fixture lattices and the
+  * mm_hamming_pairs doc-arithmetic sketch: column form ≡ plain-Scala
+  * form on adversarial seeds, melody lattice invariants hold through
+  * the shared finalizer, and the planted twin masks land exactly on
+  * their designed Hamming distances (the structure the full-strict
+  * DuckDB oracle brute-forces). */
+class Splitmix64Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sm64 column equals Splitmix64.compute on adversarial seeds") {
+    val seeds = Seq(0L, 1L, -1L, 42L, -43L, Long.MaxValue, Long.MinValue,
+      Long.MaxValue - 1, 0x9E3779B97F4A7C15L, -0x9E3779B97F4A7C15L)
+    val got = seeds.toDF("seed")
+      .select(col("seed"), Splitmix64.sm64(col("seed")).as("z"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (s <- seeds)
+      assert(got(s) == Splitmix64.compute(s), s"seed $s")
+  }
+
+  test("computeAt(seed, 0) is compute(seed); outputs separate across seeds and windows") {
+    for (s <- Seq(-5L, 0L, 7L, 123456789L))
+      assert(Splitmix64.computeAt(s, 0L) == Splitmix64.compute(s))
+    // 64-bit avalanche sanity: no collisions over a small lattice
+    val zs = for (s <- -20L to 20L; w <- 0L to 64L) yield Splitmix64.computeAt(s, w)
+    assert(zs.distinct.size == zs.size, "finalizer collided on the fixture lattice")
+  }
+
+  test("melody lattice rides the shared finalizer: adjacent notes always differ") {
+    for (seed <- Seq(-3L, 0L, 11L)) {
+      val notes = graft.queries.Multimodal.melodyNotes(seed)
+      assert(notes.length == AudioFingerprint.Windows)
+      assert(notes.sliding(2).forall(p => p(0) != p(1)), s"seed $seed repeated a note")
+    }
+  }
+
+  test("mm_hamming_pairs planted masks: within-gid triangle at 3/6/3 bits, control far") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    for (gid <- 0L until 50L) {
+      val base = Splitmix64.compute(gid)
+      val s = (gid % 56).toInt
+      val v1 = base ^ (7L << s)
+      val v2 = base ^ (63L << s)
+      assert(ham(base, v1) == 3 && ham(base, v2) == 6 && ham(v1, v2) == 3, s"gid $gid")
+      assert(ham(base, Splitmix64.compute(-gid - 1)) > graft.queries.Multimodal.ImgHammingK,
+        s"gid $gid control drew a twin")
+    }
+  }
+}
