@@ -1395,18 +1395,39 @@ object Dedup {
     * never corpus-sized, so the join output is |shared grams| ×
     * O(sources²) worst case and in practice the shared sliver. The
     * per-source totals frame is n_sources rows — broadcast both ways. */
-  def sourceOverlap(s: SparkSession, d: String): DataFrame =
-    sourceOverlapOf(documents(s, d))
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    // the distinct (source, gram_h) frame is PERSISTED as a bucketed
+    // store artifact (the incrementalNew/LSH-index discipline): the
+    // corpus pass — scan + shingle + hash + distinct exchange — is paid
+    // once per corpus, and every repeat audit (including a cold session
+    // on the shared catalog) reads the gram_h-bucketed sorted layout,
+    // over which the self-join below plans with NO exchange and NO sort
+    // on either side. Measured at the 1000×-tile smoke: the corpus pass
+    // dominated the 86× r14 curve; repeat audits now pay only the join.
+    val tbl = graft.tables.Bucketed.ensure(
+      s, s"graft_source_grams_${graft.tables.Bucketed.sanitize(d)}", "gram_h")(
+      sourceGramsOf(documents(s, d)))
+    sourceOverlapOfGrams(s.table(tbl))
+  }
 
-  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+  /** The corpus-sized unit: distinct (source, gram_h) — gram TEXT dies
+    * in the scan projection (KrBucket to the exact-int64 hash), so the
+    * distinct exchange and the persisted layout move 8-byte keys. */
+  private[graft] def sourceGramsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val grams = graft.functions.TextKernels.wordShingles(words, OverlapGramN, distinct = true)
-    val sg = docs.filter(size(words) >= OverlapGramN)
+    docs.filter(size(words) >= OverlapGramN)
       .select(col("source"), explode(grams).as("gram"))
       .select(col("source"),
         graft.functions.TextKernels.krBucket(col("gram"), OverlapGramMod, OverlapGramMod)
           .as("gram_h"))
       .distinct()
+  }
+
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame =
+    sourceOverlapOfGrams(sourceGramsOf(docs))
+
+  private[graft] def sourceOverlapOfGrams(sg: DataFrame): DataFrame = {
     val totals = sg.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = sg.as("a")
       .join(sg.as("b"),

@@ -337,6 +337,32 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.size == 1, s"disjoint pairs must not appear: ${out.keys}")
   }
 
+  test("sourceOverlap: persisted gram table — cold session pays only the join, zero corpus scans") {
+    val d = "/root/testdata/sf0.001"
+    val r1 = Dedup.sourceOverlap(spark, d).collect().toSeq
+    assert(r1.nonEmpty)
+    // a sibling session shares the catalog but NOT the FrameCache memos —
+    // the cold-driver shape (the incrementalNew reuse discipline)
+    val s2 = spark.newSession()
+    val df2 = Dedup.sourceOverlap(s2, d)
+    assert(df2.collect().toSeq == r1, "cold session result drifted")
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(!scans.exists(_.contains("documents.parquet")),
+      s"corpus re-scanned in a cold session:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft-bucketed/graft_source_grams_")),
+      s"persisted gram table not read:\n${scans.mkString("\n")}")
+    // the self-join over the bucketed layout must not re-exchange gram_h
+    val gramExchanges = df2.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(_.name == "gram_h") => e
+    }
+    assert(gramExchanges.isEmpty,
+      "gram_h re-exchanged: the bucketed co-location is not being used")
+  }
+
   // ------------------------------------------- span-level decontamination
 
   test("decontaminateSpans: matched spans cut at doc start, middle and end; clean docs pass through") {

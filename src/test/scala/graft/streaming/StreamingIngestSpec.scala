@@ -569,6 +569,104 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate-rate stream survives kill+resume: window state recovered, nothing lost or re-emitted") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val prose = "the black cat sat down on the wooden mat and it is quite fine today"
+    val pass = Seq.fill(4)(prose).mkString(" ")
+    val input = MemoryStream[(Timestamp, String)]
+    def agg = StreamingIngest.gateRateStream(
+      input.toDF().toDF("event_time", "text"), win = "10 minutes", watermark = "10 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-restart").toString
+    // the memory sink cannot recover from a checkpoint — restart rides
+    // foreachBatch (the fault-tolerant sink shape), collecting into a
+    // shared buffer
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = agg.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("window_start", "n_docs").collect()
+          .foreach(r => buf.add((r.getTimestamp(0).getTime, r.getLong(1)))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    val t0 = 1700000000000L          // w1 = [1699999800000, +10m)
+    val w2e = t0 + 11 * 60000        // w2 = [1700000400000, +10m)
+    val adv1 = t0 + 21 * 60000       // w3 = [1700001000000, +10m); advances wm past w1
+    val q1 = start()
+    val out1 = try {
+      input.addData((new Timestamp(t0), pass), (new Timestamp(t0 + 1000), pass),
+        (new Timestamp(w2e), pass), (new Timestamp(adv1), pass))
+      q1.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long)]).toSeq
+    } finally q1.stop() // kill mid-stream: w2 and w3 half-counted in state
+    assert(out1 == Seq((1699999800000L, 2L)), s"pre-kill emission: $out1")
+    // resume from the checkpoint: a second w2 doc arrives, then an
+    // advancer closes w2 and w3 — their counts must include the
+    // PRE-KILL docs (recovered state) and w1 must not re-emit
+    input.addData((new Timestamp(w2e + 1000), pass),
+      (new Timestamp(w2e + 61 * 60000), pass))
+    val q2 = start()
+    val out2 = try {
+      q2.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long)]).toSeq.drop(out1.length)
+    } finally q2.stop()
+    assert(out2.sorted == Seq((1700000400000L, 2L), (1700001000000L, 1L)),
+      s"post-resume emission lost pre-kill state or replayed w1: $out2")
+  }
+
+  test("near-dup probe stream survives kill+resume: dedup state recovered, union equals batch") {
+    import graft.queries.Dedup
+    import org.apache.spark.sql.functions.{count, lit, pmod}
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.tables.Testdata.documents(spark, d)
+    val corpus = Dedup.gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+    val bands = Dedup.bandKeys(corpus)
+    val small = bands.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= Dedup.MaxBucketSize).select("band", "bh")
+    val postings = bands.join(small, Seq("band", "bh"))
+    val expected = Dedup.incrementalNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "fixture has no cross near-dup pairs")
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    def stream = StreamingIngest.nearDupProbeStream(
+      input.toDF().toDF("doc_id", "text", "event_time"),
+      postings, corpus.select("doc_id", "gram_ids"))
+    val ckpt = java.nio.file.Files.createTempDirectory("nd-restart").toString
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text").collect()
+    val (h1, h2) = batch.splitAt(batch.length / 2)
+    val t0 = 1700000000000L
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    def start() = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1), r.getDouble(2)))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    val q1 = start()
+    val out1 = try {
+      input.addData(h1.map(r => (r.getLong(0), r.getString(1), new Timestamp(t0))).toSeq)
+      q1.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long, Double)]).toSeq
+    } finally q1.stop() // kill with h1's pairs in the within-watermark dedup state
+    // resume: h1 arrives AGAIN (at-least-once replay from an upstream
+    // source) alongside h2 — the recovered dedup state must swallow the
+    // replayed pairs, so run 2 emits exactly h2's
+    input.addData((h1 ++ h2).map(r =>
+      (r.getLong(0), r.getString(1), new Timestamp(t0 + 1000))).toSeq)
+    val q2 = start()
+    val out2 = try {
+      q2.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long, Double)]).toSeq.drop(out1.length)
+    } finally q2.stop()
+    assert(out2.toSet.intersect(out1.toSet).isEmpty,
+      s"replayed pairs re-emitted across the restart: ${out2.toSet.intersect(out1.toSet).take(3)}")
+    assert((out1.toSet ++ out2) == expected, "restarted stream drifted from the batch probe")
+  }
+
   test("secrets stream: per-window class hits and flag rate match the shared regex definitions") {
     val sql = spark.sqlContext
     import sql.implicits._
