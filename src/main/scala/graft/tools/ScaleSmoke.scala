@@ -108,6 +108,17 @@ object ScaleSmoke {
     * box. Non-probed queries record a documented skip; the ANN recall
     * sweep (whose ground truth is an exact n×Q scan) skips likewise. */
   val DeepTierMin = 500
+
+  /** Deep-tier queries measured COLD (single execution, no warmup rep):
+    * only the probes whose one run shuffles a large fraction of the
+    * box's disk — a warmup execution would double the footprint before
+    * the ContextCleaner reclaims it (measured: containment's ~46 GB).
+    * Every other deep probe keeps the warm-then-measure contract, so
+    * index-building ops (source overlap's persisted gram table, the
+    * FrameCache sketches) measure their REPEAT-AUDIT path — the one
+    * whose growth law the tier exists to falsify — with the one-time
+    * build paid in warmup exactly as a production corpus pays it once. */
+  val DeepColdQueries = Set("dedup_containment")
   /** The three steepest 100× curves of the r13 artifact: containment
     * 16.7×, gram-novelty 12.0×, source-overlap 9.7×. */
   val DeepTrendQueries = Seq("dedup_containment", "text_gram_novelty",
@@ -264,7 +275,8 @@ object ScaleSmoke {
                 val fn = graft.SparkEntry.queries(q)
                 val tBase = timeQuery(fn(spark, base), reps)
                 System.gc()
-                val tTiled = timeQuery(fn(spark, out), reps, warm = !deepTier)
+                val tTiled = timeQuery(fn(spark, out), reps,
+                  warm = !(deepTier && DeepColdQueries.contains(q)))
                 System.gc()
                 drainShuffle(deepTier)
                 // output-volume sanity ride-along: a time ratio can hide an
@@ -321,6 +333,11 @@ object ScaleSmoke {
           s""""$q":{"skipped":${JsonText.quote(reason)}$cand}"""
       }.mkString(",")
       val recJson = recalls.map { case (q, r) => s""""$q":${r3(r)}""" }.mkString(",")
+      // drop this tile's memoized frames before the next (bigger) tier:
+      // cached sketch/gram frames from a finished tier otherwise hold
+      // memory+disk blocks through the deep tier's tightest window
+      spark.catalog.clearCache()
+      drainShuffle(deep = true)
       (s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"reps":$reps,"deep_trend":$deepTier,""" +
         s""""queries":{$qJson},"ann_recall":{$recJson},"recall_bar":0.8,""" +
         s""""pass":${timesPass && recallPass}}""",
