@@ -1404,8 +1404,14 @@ object Dedup {
     // over which the self-join below plans with NO exchange and NO sort
     // on either side. Measured at the 1000×-tile smoke: the corpus pass
     // dominated the 86× r14 curve; repeat audits now pay only the join.
+    // 32 buckets, not the 8-bucket default: the gram table is the ONLY
+    // read of these audits and a self-join over an N-bucket table runs
+    // exactly N tasks — 8 left 3/4 of the harness idle at the 1000×
+    // smoke tier (a cluster sizes this to corpus bytes / target
+    // partition bytes; both join sides are the same table, so any
+    // count keeps the exchange-free property)
     val tbl = graft.tables.Bucketed.ensure(
-      s, s"graft_source_grams_${graft.tables.Bucketed.sanitize(d)}", "gram_h")(
+      s, s"graft_source_grams_${graft.tables.Bucketed.sanitize(d)}", "gram_h", buckets = 32)(
       sourceGramsOf(documents(s, d)))
     sourceOverlapOfGrams(s.table(tbl))
   }

@@ -47,11 +47,12 @@ object Bucketed {
     * in-memory catalog, so it rebuilds — which is also what makes the
     * skip safe: within one JVM/SharedState lifetime the source data the
     * table was derived from cannot have been swapped out from under it. */
-  def ensure(s: SparkSession, name: String, key: String)(df: => DataFrame): String = {
+  def ensure(s: SparkSession, name: String, key: String,
+             buckets: Int = NumBuckets)(df: => DataFrame): String = {
     FrameCache.cachedValue[Boolean](s, s"bucketed:$name") {
       if (!s.catalog.tableExists(name)) {
         df.write.mode("overwrite")
-          .bucketBy(NumBuckets, key).sortBy(key)
+          .bucketBy(buckets, key).sortBy(key)
           .option("path", s"/tmp/graft-bucketed/$name")
           .saveAsTable(name)
       }
