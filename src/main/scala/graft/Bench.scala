@@ -180,42 +180,52 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val timing =
+    val measured = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (timing, warmSec) =
         try {
-          runOnce(fn(spark, sfDir)) // warmup (also surfaces failures early)
+          // the warmup run is timed too: one-time index builds (bucketed
+          // gram/state tables, FrameCache sketches) land HERE, exactly as
+          // a production store pays them once per corpus — `build_sec`
+          // reports that cold-vs-steady excess separately so the timed
+          // medians below stay a pure steady-state regress signal
+          // (VERDICT r15 item 1).
+          val warm = runOnce(fn(spark, sfDir)) // also surfaces failures early
           val first = median3(Seq.fill(3)(runOnce(fn(spark, sfDir))))
-          baseline.get(name) match {
+          val best = baseline.get(name) match {
             case Some(b) if first > b * RegressThreshold =>
               // suspicious: re-measure once; a GC/JIT stall won't repeat
               val second = median3(Seq.fill(3)(runOnce(fn(spark, sfDir))))
               math.min(first, second)
             case _ => first
           }
+          (best, warm)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            -1.0
+            (-1.0, -1.0)
         }
       // drain the previous query's garbage OUTSIDE any timed region (the
       // other half of the r9 drift fix): a full GC here both reclaims the
       // heap the next measurement would otherwise inherit and gives the
       // ContextCleaner the reference-death signal it cleans by.
       System.gc()
-      name -> timing
+      (name, timing, warmSec)
     }
+    val results = measured.map { case (n, t, _) => n -> t }
+    val warmups = measured.map { case (n, _, w) => n -> w }.toMap
     // filtered dev runs must not clobber the full-run report artifact —
     // and their vanished diff would be pure noise (the subset is the
     // point), so the disappearance detector only arms on full runs
     val vanishedSeq =
       if (only.isEmpty) vanishedOf(results, prevRound) else Nil
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
-      results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty)
+      results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty,
+      warmups = warmups)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
     println(renderLine(results, baseline, sfNum,
-      prevRegressedOf(results, prevRound), vanishedSeq))
+      prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups))
     spark.stop()
   }
 
@@ -248,38 +258,77 @@ object Bench {
     * adding queries, only truncated into `parsed: null` (the r5/r6
     * failure). The full uncollapsed map is always in the report file.
     * `regressed` is capped at 5 names for the same reason. */
+  /** `_other`'s own absolute regress bar (VERDICT r15 item 6): the
+    * collapse bucket sums ~130 fast queries, so a uniform small drift
+    * across the tail — invisible to every per-query gate — shows up here
+    * as a multi-second sum delta. Sized above the tail's run-to-run
+    * noise (±~1 s observed across clean rounds). */
+  val OtherMinDeltaSec = 2.0
+
+  /** Does the collapsed tail (the queries whose timings the stdout line
+    * folds into `_other`) regress as a SUM against `ref`? Compared over
+    * the common key set only, so registry growth can't fake a regression. */
+  private[graft] def otherRegressed(dropped: Seq[(String, Double)],
+                                    ref: Map[String, Double]): Boolean = {
+    val common = dropped.filter { case (k, v) => v >= 0 && ref.contains(k) }
+    val refSum = common.map { case (k, _) => ref(k) }.sum
+    val curSum = common.map(_._2).sum
+    refSum > 0 && curSum / refSum > RegressThreshold &&
+      curSum - refSum > OtherMinDeltaSec
+  }
+
   private[graft] def renderLine(results: Seq[(String, Double)],
                                 baseline: Map[String, Double],
                                 sfNum: String,
                                 prevRegressed: Seq[String] = Nil,
-                                vanished: Seq[String] = Nil): String = {
+                                vanished: Seq[String] = Nil,
+                                prevRound: Map[String, Double] = Map.empty,
+                                warmups: Map[String, Double] = Map.empty): String = {
     val ok = results.filter(_._2 >= 0)
-    val regressed = regressedOf(results, baseline).take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
-    // capped at 3 names: the full vs_prev_round RATIO map stays in the
-    // report file (the line bans bulky per-query maps — r5/r6 truncation)
-    val prevReg = prevRegressed.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val van = vanished.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":{"""
-    val tail = s"""},"sf":$sfNum,"regressed":$regressed,"prev_regressed":$prevReg,"vanished":$van,"failed":${results.size - ok.size}}"""
+    // one-time build cost (cold-vs-steady excess of the warmup pass),
+    // reported OUTSIDE the steady-state medians so index builds are
+    // visible without polluting the regress signal
+    val buildSec = r3(results.collect {
+      case (k, v) if v >= 0 && warmups.getOrElse(k, -1.0) > v =>
+        warmups(k) - v
+    }.sum)
     val (failedQ, succQ) = results.partition(_._2 < 0)
     val ordered = failedQ ++ succQ.sortBy(-_._2) // failures first, then largest
     val entries = ordered.map { case (k, v) => ("\"" + k + "\":" + r2(v), v) }
     val fullLen = entries.map(_._1.length + 1).sum - 1
-    val qs =
-      if (head.length + fullLen + tail.length <= LineBudget) entries.map(_._1).mkString(",")
-      else {
-        val room = LineBudget - head.length - tail.length - 24 // 24 ≈ ,"_other":12345.67
-        var used = -1 // first entry has no comma
-        val kept = entries.takeWhile { case (e, _) => used += e.length + 1; used <= room }
-        val dropped = entries.drop(kept.size)
-        // dropped failure sentinels (-1) stay OUT of the `_other` sum: the
-        // `failed` count already carries that signal, and folding them in
-        // would skew the sum negative while hiding which queries failed
-        // (the report file always lists every query uncollapsed).
-        (kept.map(_._1) :+ ("\"_other\":" + r2(dropped.map(_._2).filter(_ >= 0).sum)))
-          .mkString(",")
-      }
-    head + qs + tail
+    val head = s"""{"metric":"total","value":${r3(ok.map(_._2).sum)},"unit":"sec","queries":{"""
+    def tailFor(reg: Seq[String], prevReg: Seq[String]): String = {
+      val regressed = reg.take(5).map("\"" + _ + "\"").mkString("[", ",", "]")
+      // capped at 3 names: the full vs_prev_round RATIO map stays in the
+      // report file (the line bans bulky per-query maps — r5/r6 truncation)
+      val pr = prevReg.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val van = vanished.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""},"sf":$sfNum,"build_sec":$buildSec,"regressed":$regressed,"prev_regressed":$pr,"vanished":$van,"failed":${results.size - ok.size}}"""
+    }
+    val tail0 = tailFor(regressedOf(results, baseline), prevRegressed)
+    if (head.length + fullLen + tail0.length <= LineBudget)
+      head + entries.map(_._1).mkString(",") + tail0
+    else {
+      // reserve for the `_other` entry AND the (at most two) "_other"
+      // names the regress lists may gain below
+      val room = LineBudget - head.length - tail0.length - 24 - 20
+      var used = -1 // first entry has no comma
+      val kept = entries.takeWhile { case (e, _) => used += e.length + 1; used <= room }
+      val dropped = ordered.drop(kept.size)
+      // dropped failure sentinels (-1) stay OUT of the `_other` sum: the
+      // `failed` count already carries that signal, and folding them in
+      // would skew the sum negative while hiding which queries failed
+      // (the report file always lists every query uncollapsed).
+      // `_other` PARTICIPATES in both regress lists with its own bar:
+      // per-query gates can't see a uniform tail drift, the sum can.
+      val reg = regressedOf(results, baseline) ++
+        (if (otherRegressed(dropped, baseline)) Seq("_other") else Nil)
+      val prevReg = prevRegressed ++
+        (if (otherRegressed(dropped, prevRound)) Seq("_other") else Nil)
+      val qs = kept.map(_._1) :+
+        ("\"_other\":" + r2(dropped.map(_._2).filter(_ >= 0).sum))
+      head + qs.mkString(",") + tailFor(reg, prevReg)
+    }
   }
 
   /** Full self-policing report — per-query vs_prev ratios against the
@@ -294,10 +343,17 @@ object Bench {
                                  baseline: Map[String, Double], sfNum: String,
                                  prevArtifact: String = "",
                                  prevRound: Map[String, Double] = Map.empty,
-                                 armVanished: Boolean = true): Unit =
+                                 armVanished: Boolean = true,
+                                 warmups: Map[String, Double] = Map.empty): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
+      // per-query warmup (first, cold execution) seconds — the build-cost
+      // side channel; `warmup - timing` per query is where one-time index
+      // builds land
+      val warmJson = results.map { case (k, _) =>
+        "\"" + k + "\":" + r3(warmups.getOrElse(k, -1.0))
+      }.mkString("{", ",", "}")
       def ratios(ref: Map[String, Double]) = results.map { case (k, v) =>
         val ratio = ref.get(k) match {
           case Some(b) if v >= 0 => r3(v / b).toString
@@ -315,10 +371,11 @@ object Bench {
       val vanishedSeq = if (armVanished) vanishedOf(results, prevRound) else Nil
       val vanished = vanishedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = renderLine(results, baseline, sfNum,
-        prevRegressedOf(results, prevRound), vanishedSeq)
+        prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups)
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
            |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
+           |"warmup":$warmJson,
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
            |"line":${graft.tools.JsonText.quote(line)}}

@@ -1413,7 +1413,16 @@ object Dedup {
     val tbl = graft.tables.Bucketed.ensure(
       s, s"graft_source_grams_${graft.tables.Bucketed.sanitize(d)}", "gram_h", buckets = 32)(
       sourceGramsOf(documents(s, d)))
-    sourceOverlapOfGrams(s.table(tbl))
+    val sg = s.table(tbl)
+    // the per-source totals frame is |sources| rows but costs a full
+    // 253k-row aggregation pass PER REFERENCE — and the plan below
+    // references it twice (n_a and n_b joins), so uncached it was ~2/3
+    // of every repeat audit's wall time. Memoized per (session, table):
+    // same JVM-lifetime immutability contract as the bucketed layout it
+    // derives from.
+    val totals = FrameCache.cached(s, s"source-gram-totals:$tbl")(
+      sg.groupBy("source").agg(count(lit(1)).as("n")))
+    sourceOverlapOfGrams(sg, Some(totals))
   }
 
   /** The corpus-sized unit: distinct (source, gram_h) — gram TEXT dies
@@ -1433,8 +1442,9 @@ object Dedup {
   private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame =
     sourceOverlapOfGrams(sourceGramsOf(docs))
 
-  private[graft] def sourceOverlapOfGrams(sg: DataFrame): DataFrame = {
-    val totals = sg.groupBy("source").agg(count(lit(1)).as("n"))
+  private[graft] def sourceOverlapOfGrams(sg: DataFrame,
+                                          totalsOpt: Option[DataFrame] = None): DataFrame = {
+    val totals = totalsOpt.getOrElse(sg.groupBy("source").agg(count(lit(1)).as("n")))
     val pairs = sg.as("a")
       .join(sg.as("b"),
         col("a.gram_h") === col("b.gram_h") && col("a.source") < col("b.source"))

@@ -816,7 +816,17 @@ object Multimodal {
     * has its real sketch oracled end-to-end (mm_audio_neardup below);
     * this row pins the k = 6 / joint dial the image leg runs. */
   def hammingPairs(s: SparkSession, d: String): DataFrame = {
-    val sk = documents(s, d)
+    // memoized like every other sketch: imgJointFor needs a count, and an
+    // uncached sketch would execute its plan twice per invocation (once
+    // for the count job, again inside the pair stage)
+    val sk = graft.tables.FrameCache.cached(s,
+      s"hamsketch:${graft.tables.FrameCache.dirKey(d)}")(hammingSketchOf(documents(s, d)))
+    Dedup.hammingBandPairs(sk, Dedup.MaxBucketSize,
+      bands = ImgBands, k = ImgHammingK, joint = imgJointFor(sk.count()))
+  }
+
+  private[graft] def hammingSketchOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr("doc_id div 4").as("gid"),
         pmod(col("doc_id"), lit(4L)).as("v"))
       .withColumn("seed", when(col("v") === 3, -col("gid") - 1).otherwise(col("gid")))
@@ -826,9 +836,6 @@ object Multimodal {
           .otherwise(lit(0L)))
       .select(col("doc_id"),
         graft.functions.Splitmix64.sm64(col("seed")).bitwiseXOR(col("mask")).as("bits"))
-    Dedup.hammingBandPairs(sk, Dedup.MaxBucketSize,
-      bands = ImgBands, k = ImgHammingK, joint = imgJointFor(sk.count()))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"  -> binaryMeta _,

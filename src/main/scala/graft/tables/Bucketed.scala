@@ -51,7 +51,16 @@ object Bucketed {
              buckets: Int = NumBuckets)(df: => DataFrame): String = {
     FrameCache.cachedValue[Boolean](s, s"bucketed:$name") {
       if (!s.catalog.tableExists(name)) {
-        df.write.mode("overwrite")
+        // repartition on the bucket key first: bucketBy splits EACH input
+        // task's rows into per-bucket files, so N shuffle partitions × K
+        // buckets writes up to N·K small files (measured: 96 for the
+        // 32-bucket gram table — 3 footer opens per bucket per scan, and
+        // multi-file buckets also void the sortBy guarantee, forcing
+        // consumers to re-sort). Pre-partitioning on the same murmur3
+        // hash leaves each task exactly one bucket → one file per
+        // bucket, and the scan's outputOrdering stays usable.
+        df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+          .write.mode("overwrite")
           .bucketBy(buckets, key).sortBy(key)
           .option("path", s"/tmp/graft-bucketed/$name")
           .saveAsTable(name)

@@ -4,7 +4,8 @@ import graft.queries.Multimodal
 import graft.functions.AudioFingerprint
 
 /** Scratch check: decoded audio fingerprint vs the melody-lattice closed
-  * form (bit j = [amp(j+1) > amp(j)]) over a doc_id sweep. */
+  * form (bit j = [amp(j+1) < amp(j)] — the comparator arith(), melodyNotes
+  * and the mm_audio_neardup DuckDB oracle all share) over a doc_id sweep. */
 object AfpCheck {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 5000
@@ -21,7 +22,6 @@ object AfpCheck {
       bits
     }
     var mism = 0
-    var checkedBitOrderBoth = (0, 0)
     for (id <- 0L until n.toLong) {
       val dec = AudioFingerprint.fingerprint(Multimodal.syntheticMelody(id))
       val ar = arith(id)
@@ -31,6 +31,6 @@ object AfpCheck {
         if (mism < 5) println(s"id=$id dec=${dec.longValue().toHexString} ar=${ar.longValue().toHexString} ham=${java.lang.Long.bitCount(dec ^ ar)}")
       }
     }
-    println(s"checked=$n mismatches=$mism $checkedBitOrderBoth")
+    println(s"checked=$n mismatches=$mism")
   }
 }

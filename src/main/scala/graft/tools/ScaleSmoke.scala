@@ -335,7 +335,15 @@ object ScaleSmoke {
       val recJson = recalls.map { case (q, r) => s""""$q":${r3(r)}""" }.mkString(",")
       // drop this tile's memoized frames before the next (bigger) tier:
       // cached sketch/gram frames from a finished tier otherwise hold
-      // memory+disk blocks through the deep tier's tightest window
+      // memory+disk blocks through the deep tier's tightest window.
+      // FrameCache.clear, not bare catalog.clearCache(): the latter
+      // unpersists the frames but leaves FrameCache's memo map holding
+      // the now-unpersisted handles, so base-dir frames would silently
+      // run UNCACHED in every later tier (tier 1 measured warm, tiers
+      // 2+ cold — inflating tBase and deflating the pass-gate ratio).
+      // Clearing the memos too means every tier rebuilds its caches in
+      // the warmup rep — consistent across tiers.
+      graft.tables.FrameCache.clear(spark)
       spark.catalog.clearCache()
       drainShuffle(deep = true)
       (s"""{"tiles":$tiles,"base":"$base","bar_ratio":${tiles * 2},"reps":$reps,"deep_trend":$deepTier,""" +

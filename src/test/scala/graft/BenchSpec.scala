@@ -221,4 +221,41 @@ class BenchSpec extends AnyFunSuite {
     // never a vanished query
     assert(Bench.vanishedOf(Seq("q" -> 1.0), Map("q" -> 1.0, "_other" -> 9.9)).isEmpty)
   }
+
+  test("build_sec reports the cold-vs-steady warmup excess, never negative noise") {
+    // q1 paid a 5s one-time build in warmup; q2's warmup was FASTER than
+    // its median (scheduler noise) and must contribute zero, not -0.2
+    val results = Seq("q1" -> 1.0, "q2" -> 1.0, "q3" -> -1.0)
+    val warm = Map("q1" -> 6.0, "q2" -> 0.8, "q3" -> -1.0)
+    val line = Bench.renderLine(results, Map.empty, "0.1", warmups = warm)
+    assert(line.contains("\"build_sec\":5.0"), line)
+    // absent warmups (spec callers, old artifacts) degrade to 0
+    assert(Bench.renderLine(results, Map.empty, "0.1").contains("\"build_sec\":0.0"))
+  }
+
+  test("_other participates in the regress lists with its own sum bar") {
+    // force a collapse: a registry-sized result set cannot fit the line
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(_ -> 0.5)
+    val lineNoisy = Bench.renderLine(results, names.map(_ -> 0.45).toMap, "0.1")
+    assert(lineNoisy.contains("\"_other\":"), "collapse expected")
+    assert(!lineNoisy.contains("\"regressed\":[\"_other\"]"),
+      "1.1x tail drift is under both bars and must not flag")
+    // uniform 2x tail drift: no single query trips the per-query bar
+    // (+0.25s each < 0.75s floor), but the folded sum trips _other's
+    val line2x = Bench.renderLine(results, names.map(_ -> 0.25).toMap, "0.1",
+      prevRound = names.map(_ -> 0.25).toMap)
+    assert(line2x.contains("\"regressed\":[\"_other\"]"),
+      s"uniform tail regression invisible: $line2x")
+    assert(line2x.contains("\"prev_regressed\":[\"_other\"]"), line2x)
+    assert(line2x.length <= Bench.LineBudget)
+  }
+
+  test("otherRegressed compares only the common key set") {
+    // new queries with no baseline row must not fake a tail regression
+    val dropped = (1 to 50).map(i => s"new_q$i" -> 0.5)
+    assert(!Bench.otherRegressed(dropped, Map("old_q" -> 0.1)))
+    // failure sentinels stay out of the sum
+    assert(!Bench.otherRegressed(Seq("a" -> -1.0), Map("a" -> 0.1)))
+  }
 }
