@@ -22,11 +22,13 @@ import graft.tables.FrameCache
   * word→segmentation table: the corpus is touched exactly twice end to
   * end, once to count words and once to encode.
   *
-  * ROWS-ONLY at the driver gate BY DESIGN: the merge list is learned
-  * iteratively at runtime (each round's argmax feeds the next round's
-  * regex), which no single static SQL statement can express — the same
-  * no-SQL-twin category as the ANN sketches. The spec pins hand-derived
-  * merges on the textbook corpus and the encode identity instead. */
+  * Driver gate: the ENCODE leg is full-strict (see [[encodeOracle]] —
+  * the fixed [[MergeRounds]] training loop unrolls into a chain of
+  * CTEs, so the oracle re-derives the merges and the segmentation in
+  * one statement). Only the MERGES report stays rows-only: its output
+  * is the per-round argmax list itself, which the unrolled twin
+  * consumes internally rather than emits. The spec additionally pins
+  * hand-derived merges on the textbook corpus and the encode identity. */
 object Bpe {
 
   /** Number of merge rounds learned by [[bpeMerges]]. */
@@ -157,8 +159,77 @@ object Bpe {
     "text_bpe_encode" -> bpeEncode _,
   )
 
-  /** No SQL twins: the merge list is an iterative runtime artifact (see
-    * the object scaladoc) — driver records rows-only, the spec carries
-    * the correctness burden. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Full-strict DuckDB twin for the ENCODE leg (VERDICT r15 item 4):
+    * [[MergeRounds]] is a static constant, so the "iterative" training
+    * loop unrolls into a fixed chain of CTEs — each round aggregates
+    * weighted bigram counts over the previous segmentation, takes the
+    * deterministic argmax (count DESC, space-joined pair ASC — the same
+    * tie-break [[learnMerges]] collects), and applies the merge. Merge
+    * application cannot use [[mergeExpr]]'s lookarounds (DuckDB regexps
+    * are RE2: no lookbehind), so symbols ride WRAPPED — chr(30), token,
+    * chr(31) per token — where a plain `replace` of the wrapped (l, r)
+    * pair by the wrapped merged symbol is exactly the leftmost-
+    * non-overlapping greedy scan the Spark regex performs (no shared
+    * delimiter between adjacent matches, so `l l l l` merges to
+    * `ll ll`, not `ll l l`). The wrap is sound because the markers are
+    * control bytes absent from the corpus (testdata is printable ASCII;
+    * a corpus carrying 0x1e/0x1f would need a wider sentinel). Only the merges leg stays rows-only: its OUTPUT is the
+    * per-round argmax list, whose pair_count column feeds each round's
+    * next iteration — the encode twin re-derives those argmaxes
+    * internally, which is precisely why it can be strict. */
+  private[graft] def encodeOracle(rounds: Int): String = {
+    val em = EndMark
+    // one wrapped token: chr(30) || tok || chr(31)
+    def wrapped(l: String, r: String) = s"chr(30)||$l||chr(31)||chr(30)||$r||chr(31)"
+    val seg0 =
+      s"""seg0 AS (
+         |  SELECT w, cnt,
+         |    chr(30) || array_to_string(list_append(string_split(w, ''), '$em'), chr(31)||chr(30)) || chr(31) AS ws
+         |  FROM (
+         |    SELECT w, count(*) AS cnt
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE length(w) > 0 GROUP BY w)
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""toks$p AS (
+         |  SELECT cnt, string_split(ws[2:length(ws)-1], chr(31)||chr(30)) AS ts FROM seg$p
+         |), best$i AS (
+         |  SELECT l, r FROM (
+         |    SELECT ts[j] AS l, ts[j+1] AS r, sum(cnt) AS n
+         |    FROM (SELECT cnt, ts, unnest(generate_series(1, len(ts)-1)) AS j FROM toks$p)
+         |    GROUP BY 1, 2)
+         |  ORDER BY n DESC, l || ' ' || r ASC LIMIT 1
+         |), seg$i AS (
+         |  SELECT w, cnt,
+         |    replace(ws,
+         |      coalesce(${wrapped("b.l", "b.r")}, chr(0)),
+         |      coalesce(chr(30)||b.l||b.r||chr(31), '')) AS ws
+         |  FROM seg$p LEFT JOIN best$i b ON true
+         |)""".stripMargin
+    }
+    val segf =
+      s"""segf AS (
+         |  SELECT w,
+         |    len(list_filter(string_split(ws[2:length(ws)-1], chr(31)||chr(30)), x -> x <> '$em'))::BIGINT AS word_tokens
+         |  FROM seg$rounds
+         |)""".stripMargin
+    s"""WITH ${(seg0 +: roundCtes :+ segf).mkString(", ")}
+       |SELECT doc_id, n_chars,
+       |  coalesce(sum(word_tokens), 0)::BIGINT AS n_bpe_tokens,
+       |  CASE WHEN coalesce(sum(word_tokens), 0) > 0
+       |    THEN n_chars::DOUBLE / coalesce(sum(word_tokens), 0) END AS chars_per_token
+       |FROM (
+       |  SELECT doc_id, length(text)::BIGINT AS n_chars, unnest(string_split(text, ' ')) AS w
+       |  FROM documents) d
+       |LEFT JOIN segf USING (w)
+       |GROUP BY doc_id, n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The merges leg keeps no SQL twin (see [[encodeOracle]]'s scaladoc);
+    * the encode leg is full-strict. */
+  val oracleSql: Map[String, String] = Map(
+    "text_bpe_encode" -> encodeOracle(MergeRounds),
+  )
 }

@@ -667,6 +667,102 @@ class StreamingIngestSpec extends SparkSpec {
     assert((out1.toSet ++ out2) == expected, "restarted stream drifted from the batch probe")
   }
 
+  test("source-mix drift stream survives kill+resume: both agg states and the window join recover") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    val input = MemoryStream[(Timestamp, String)]
+    val baseline = Seq(("A", 0.5), ("B", 0.5)).toDF("source", "baseline_share")
+    def agg = StreamingIngest.sourceMixDriftStream(
+      input.toDF().toDF("event_time", "source"), baseline,
+      win = "10 minutes", watermark = "10 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("mix-restart").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long, Double, Double)]()
+    def start() = agg.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("window_start", "source", "n_docs", "window_share", "share_delta")
+          .collect().foreach(r => buf.add((r.getTimestamp(0).getTime, r.getString(1),
+            r.getLong(2), r.getDouble(3), r.getDouble(4)))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    val t0 = 1700000000000L          // w1 = [1699999800000, +10m)
+    val w2e = t0 + 11 * 60000        // w2 = [1700000400000, +10m)
+    val adv1 = t0 + 21 * 60000       // w3; advances wm past w1 only
+    val q1 = start()
+    val out1 = try {
+      input.addData((new Timestamp(t0), "A"), (new Timestamp(t0 + 1000), "A"),
+        (new Timestamp(t0 + 2000), "A"), (new Timestamp(t0 + 3000), "B"),
+        (new Timestamp(w2e), "A"), (new Timestamp(adv1), "A"))
+      q1.processAllAvailable()
+      buf.toArray(Array.empty[(Long, String, Long, Double, Double)]).toSeq
+    } finally q1.stop() // kill: w2 half-counted in BOTH agg states + the join state
+    assert(out1.sorted == Seq(
+      (1699999800000L, "A", 3L, 0.75, 0.25), (1699999800000L, "B", 1L, 0.25, -0.25)),
+      s"pre-kill emission: $out1")
+    // resume: w2 gains a B doc, then an advancer closes w2 and w3 — w2's
+    // shares must count the PRE-KILL A doc (recovered counts+totals
+    // state), w1 must not re-emit
+    input.addData((new Timestamp(w2e + 1000), "B"),
+      (new Timestamp(w2e + 61 * 60000), "A"))
+    val q2 = start()
+    val out2 = try {
+      q2.processAllAvailable()
+      buf.toArray(Array.empty[(Long, String, Long, Double, Double)]).toSeq.drop(out1.length)
+    } finally q2.stop()
+    assert(out2.sorted == Seq(
+      (1700000400000L, "A", 1L, 0.5, 0.0), (1700000400000L, "B", 1L, 0.5, 0.0),
+      (1700001000000L, "A", 1L, 1.0, 0.5)),
+      s"post-resume emission lost pre-kill state or replayed w1: $out2")
+  }
+
+  test("diversity stream survives kill+resume: both chained window-agg states recover") {
+    val sql = spark.sqlContext
+    import sql.implicits._
+    implicit val sc = sql
+    def v(i: Int): Array[Float] = Array.tabulate(4)(j => if (j == i) 1f else 0f)
+    val input = MemoryStream[(Timestamp, Int, Array[Float])]
+    def agg = StreamingIngest.diversityStream(
+      input.toDF().toDF("event_time", "label", "embedding"),
+      win = "10 minutes", watermark = "10 minutes")
+    val ckpt = java.nio.file.Files.createTempDirectory("div-restart").toString
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Option[Double])]()
+    def start() = agg.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("window_start", "label", "n_vecs", "mean_pair_cos")
+          .collect().foreach(r => buf.add((r.getTimestamp(0).getTime, r.getLong(1),
+            r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))); ()
+      }
+      .option("checkpointLocation", ckpt).outputMode(OutputMode.Append).start()
+    val t0 = 1700000000000L
+    val w2e = t0 + 11 * 60000
+    val adv1 = t0 + 21 * 60000
+    val q1 = start()
+    val out1 = try {
+      input.addData(
+        (new Timestamp(t0), 0, v(0)), (new Timestamp(t0 + 1000), 0, v(0)),
+        // w2 partial: two identical vecs in the per-dim moment state
+        (new Timestamp(w2e), 0, v(0)), (new Timestamp(w2e + 1000), 0, v(0)),
+        (new Timestamp(adv1), 9, v(3)))
+      q1.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long, Long, Option[Double])]).toSeq
+    } finally q1.stop() // kill: w2 half-accumulated in BOTH chained agg states
+    assert(out1 == Seq((1699999800000L, 0L, 2L, Some(1.0))), s"pre-kill emission: $out1")
+    // resume: w2 gains an ORTHOGONAL vec — {v0, v0, v1} must yield the
+    // batch moment identity 1/3, which requires the two PRE-KILL v0s
+    // recovered from the per-(window,label,dim) state; w1 must not
+    // re-emit
+    input.addData((new Timestamp(w2e + 2000), 0, v(1)),
+      (new Timestamp(w2e + 61 * 60000), 9, v(3)))
+    val q2 = start()
+    val out2 = try {
+      q2.processAllAvailable()
+      buf.toArray(Array.empty[(Long, Long, Long, Option[Double])]).toSeq.drop(out1.length)
+    } finally q2.stop()
+    assert(out2.sorted == Seq(
+      (1700000400000L, 0L, 3L, Some(1.0 / 3.0)), (1700001000000L, 9L, 1L, None)),
+      s"post-resume emission lost pre-kill state or replayed w1: $out2")
+  }
+
   test("secrets stream: per-window class hits and flag rate match the shared regex definitions") {
     val sql = spark.sqlContext
     import sql.implicits._
