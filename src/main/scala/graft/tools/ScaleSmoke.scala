@@ -106,7 +106,8 @@ object ScaleSmoke {
     * for the STEEPEST 100× curves — evidence they stay sublinear into
     * the next decade — not a full sweep that would take hours on one
     * box. Non-probed queries record a documented skip; the ANN recall
-    * sweep (whose ground truth is an exact n×Q scan) skips likewise. */
+    * sweep still runs (its exact ground truth is linear in the corpus
+    * over the bounded query set — cheap at any tier). */
   val DeepTierMin = 500
 
   /** Deep-tier queries measured COLD (single execution, no warmup rep):
@@ -126,8 +127,22 @@ object ScaleSmoke {
 
   /** One query per ANN family (VERDICT r10 item 2): float SRP-LSH, IVF,
     * PQ/ADC. All emit (query_id, rank, neighbor_id) — the bruteTopK
-    * contract — so recall is one inner join against ground truth. */
+    * contract — so recall is one inner join against ground truth. The
+    * sweep runs at EVERY tier including deep (VERDICT r15 item 3 —
+    * recall was previously unmeasured exactly where index compression
+    * matters most): the exact ground truth is |queries|·n dots over the
+    * bounded 5-query set, linear in the corpus and cheap even at 1000×
+    * tiles, so there is nothing to skip. */
   val AnnQueries = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq")
+
+  /** One-time bucketed-index builds for the cold-measured deep probes:
+    * a [[DeepColdQueries]] run skips its warmup rep (disk), so without
+    * this hook the persisted-index build would land INSIDE the one
+    * timed execution — measuring build+probe where the tier exists to
+    * measure the repeat-audit growth law. Build the index first, drain,
+    * then time. */
+  val IndexPrewarm: Map[String, (SparkSession, String) => Unit] = Map(
+    "dedup_containment" -> ((s, dir) => { graft.queries.Dedup.ensureContainIndex(s, dir); () }))
 
   /** Candidate-volume probes (VERDICT r12 item 3): for filter-verify
     * operators whose scale curve is worth attributing, count the raw
@@ -273,10 +288,16 @@ object ScaleSmoke {
               // record the failure class and keep measuring the rest
               try {
                 val fn = graft.SparkEntry.queries(q)
+                val cold = deepTier && DeepColdQueries.contains(q)
+                // cold probes skip warmup, so pay one-time index builds
+                // here (both dirs) — the timed run measures the
+                // repeat-audit path, not the build
+                if (cold) IndexPrewarm.get(q).foreach { p =>
+                  p(spark, base); p(spark, out); drainShuffle(deepTier)
+                }
                 val tBase = timeQuery(fn(spark, base), reps)
                 System.gc()
-                val tTiled = timeQuery(fn(spark, out), reps,
-                  warm = !(deepTier && DeepColdQueries.contains(q)))
+                val tTiled = timeQuery(fn(spark, out), reps, warm = !cold)
                 System.gc()
                 drainShuffle(deepTier)
                 // output-volume sanity ride-along: a time ratio can hide an
@@ -302,7 +323,7 @@ object ScaleSmoke {
               }
           }
         }
-      val recalls = (if (deepTier) Seq.empty else runAnn).map { q =>
+      val recalls = runAnn.map { q =>
         val r = try recallVsBrute(spark, out, graft.SparkEntry.queries(q)(spark, out))
                 catch { case e: Throwable =>
                   System.err.println(s"[scale-smoke] x$tiles recall $q FAILED: ${e.getClass.getSimpleName}")

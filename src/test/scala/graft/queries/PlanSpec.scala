@@ -327,6 +327,27 @@ class PlanSpec extends SparkSpec {
     assert(j.count() == plain.count())
   }
 
+  test("containment candidate join over the persisted index: exchange-free, sort-free") {
+    import org.apache.spark.sql.functions._
+    // the store path's candidate stage reads the gram-bucketed sorted
+    // posting index on BOTH sides — its three per-audit posting
+    // exchanges (freq window, rank window, probe⋈index) moved into the
+    // one-time build, so the audit plan must shuffle and sort NOTHING
+    val idx = spark.table(Dedup.ensureContainIndex(spark, sf))
+    val cand = Dedup.candidatesOfIndex(idx)
+    val plan = cand.queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, s"candidate join still shuffles:\n$plan")
+    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty, s"candidate join re-sorts sorted buckets:\n$plan")
+    // physical layout must not change the candidate set
+    val inline = Dedup.containmentCandidatesOf(
+      Dedup.containGramSetsOf(graft.tables.Testdata.documents(spark, sf)))
+    assert(cand.count() == inline.count(),
+      "persisted-index candidates drifted from the inline window form")
+  }
+
   test("pivot is one scan + one aggregation pass, no per-type rescan") {
     val plan = Relational.pivotActivity(spark, sf).queryExecution.sparkPlan
     val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
