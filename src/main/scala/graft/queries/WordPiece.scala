@@ -237,6 +237,120 @@ object WordPiece {
     "text_wordpiece_encode" -> wordpieceEncode _,
   )
 
-  /** No SQL twins (see the object scaladoc) — the [[Bpe]] category. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Full-strict DuckDB twin for the ENCODE leg — the [[Bpe.encodeOracle]]
+    * unroll carried one level further: the fixed [[MergeRounds]] training
+    * loop unrolls into a CTE chain (per round: weighted bigram counts,
+    * per-symbol counts, and the likelihood argmax c_ab/(c_a·c_b) taken
+    * EXACTLY via a NOT-EXISTS cross-multiplied HUGEINT compare — a
+    * float ratio could misorder two close fractions; ties to larger
+    * pair count then lexicographically smaller pair, byte-identical to
+    * [[bestPair]]'s reduce), merges applied with the same wrapped-token
+    * `replace` trick (RE2 has no lookbehind) with the right symbol's
+    * `##` absorbed exactly as [[fuse]] does. Greedy longest-match-first
+    * inference IS iterative per word (step length is data-dependent),
+    * so that part rides a RECURSIVE CTE over (word, pos, tokens): each
+    * step takes the longest vocab piece prefixing the remainder via a
+    * `list_filter`/`list_max` over the vocab list (carried as a one-row
+    * cross join — a correlated subquery over the chained CTEs
+    * mis-evaluates inside DuckDB's recursive term), bare at word start
+    * and `##`-prefixed after, any uncovered position collapsing the
+    * word to one [[Unk]] token — [[greedyEncode]] to the letter. All
+    * CTEs MATERIALIZED: inlining re-evaluates the chain per reference
+    * (and re-opens the parquet until the fd limit). Only the vocab
+    * report stays rows-only — its output is the per-round argmax list
+    * the twin consumes internally. */
+  private[graft] def encodeOracle(rounds: Int): String = {
+    val seg0 =
+      s"""seg0 AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    chr(30) || array_to_string(
+         |      list_transform(string_split(w, ''), (c, i) -> CASE WHEN i = 1 THEN c ELSE '$Cont' || c END),
+         |      chr(31)||chr(30)) || chr(31) AS ws
+         |  FROM (
+         |    SELECT w, count(*) AS cnt
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |    WHERE length(w) > 0 GROUP BY w)
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""toks$p AS MATERIALIZED (
+         |  SELECT cnt, string_split(ws[2:length(ws)-1], chr(31)||chr(30)) AS ts FROM seg$p
+         |), pairs$i AS MATERIALIZED (
+         |  SELECT l, r, n FROM (
+         |    SELECT ts[j] AS l, ts[j+1] AS r, sum(cnt)::BIGINT AS n
+         |    FROM (SELECT cnt, ts, unnest(generate_series(1, len(ts)-1)) AS j FROM toks$p)
+         |    GROUP BY 1,2)
+         |), symc$i AS MATERIALIZED (
+         |  SELECT s, sum(cnt)::BIGINT AS n
+         |  FROM (SELECT cnt, unnest(ts) AS s FROM toks$p) GROUP BY 1
+         |), scored$i AS MATERIALIZED (
+         |  SELECT p.l, p.r, p.n AS cab, a.n AS ca, b.n AS cb
+         |  FROM pairs$i p JOIN symc$i a ON a.s = p.l JOIN symc$i b ON b.s = p.r
+         |), best$i AS MATERIALIZED (
+         |  SELECT l, r, l || CASE WHEN r LIKE '$Cont%' THEN r[3:] ELSE r END AS fused, cab, ca, cb
+         |  FROM scored$i x
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM scored$i y
+         |    WHERE y.cab::HUGEINT * x.ca * x.cb > x.cab::HUGEINT * y.ca * y.cb
+         |       OR (y.cab::HUGEINT * x.ca * x.cb = x.cab::HUGEINT * y.ca * y.cb
+         |           AND (y.cab > x.cab OR (y.cab = x.cab AND y.l || ' ' || y.r < x.l || ' ' || x.r))))
+         |  LIMIT 1
+         |), seg$i AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    replace(ws,
+         |      coalesce(chr(30)||b.l||chr(31)||chr(30)||b.r||chr(31), chr(0)),
+         |      coalesce(chr(30)||b.fused||chr(31), '')) AS ws
+         |  FROM seg$p LEFT JOIN best$i b ON true
+         |)""".stripMargin
+    }
+    val vocab =
+      s"""vocab AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT unnest(string_split(ws[2:length(ws)-1], chr(31)||chr(30))) AS piece FROM seg0
+         |    UNION ALL
+         |    ${(1 to rounds).map(i => s"SELECT fused FROM best$i").mkString("\n    UNION ALL\n    ")})
+         |), vl AS MATERIALIZED (
+         |  SELECT list(piece) AS pieces FROM vocab
+         |), dwords AS MATERIALIZED (
+         |  SELECT DISTINCT w FROM seg0
+         |)""".stripMargin
+    val greedy =
+      s"""greedy AS (
+         |  SELECT w, 0 AS pos, 0 AS toks, false AS unk FROM dwords
+         |  UNION ALL
+         |  SELECT w,
+         |    CASE WHEN best IS NULL THEN length(w) ELSE pos + best END,
+         |    CASE WHEN best IS NULL THEN 1 ELSE toks + 1 END,
+         |    best IS NULL
+         |  FROM (
+         |    SELECT g.w, g.pos, g.toks,
+         |      list_max(list_transform(
+         |        list_filter(vl.pieces, p -> CASE WHEN g.pos = 0
+         |          THEN p = substr(g.w, 1, length(p))
+         |          ELSE p = '$Cont' || substr(g.w, g.pos + 1, length(p) - 2) AND length(p) > 2 END),
+         |        p -> CASE WHEN g.pos = 0 THEN length(p) ELSE length(p) - 2 END)) AS best
+         |    FROM greedy g, vl WHERE g.pos < length(g.w) AND NOT g.unk)
+         |), segmented AS (
+         |  SELECT w, toks::BIGINT AS word_tokens, (CASE WHEN unk THEN 1 ELSE 0 END)::BIGINT AS is_unk
+         |  FROM greedy WHERE pos >= length(w)
+         |)""".stripMargin
+    s"""WITH RECURSIVE ${(seg0 +: roundCtes).mkString(", ")}, $vocab, $greedy
+       |SELECT doc_id, n_chars,
+       |  coalesce(sum(word_tokens), 0)::BIGINT AS n_wp_tokens,
+       |  coalesce(sum(is_unk), 0)::BIGINT AS n_unk_words,
+       |  CASE WHEN coalesce(sum(word_tokens), 0) > 0
+       |    THEN n_chars::DOUBLE / coalesce(sum(word_tokens), 0) END AS chars_per_token
+       |FROM (
+       |  SELECT doc_id, length(text)::BIGINT AS n_chars, unnest(string_split(text, ' ')) AS w
+       |  FROM documents) d
+       |LEFT JOIN segmented USING (w)
+       |GROUP BY doc_id, n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The vocab leg keeps no SQL twin (see [[encodeOracle]]); the encode
+    * leg is full-strict. */
+  val oracleSql: Map[String, String] = Map(
+    "text_wordpiece_encode" -> encodeOracle(MergeRounds),
+  )
 }
