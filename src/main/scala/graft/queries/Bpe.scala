@@ -22,13 +22,12 @@ import graft.tables.FrameCache
   * word→segmentation table: the corpus is touched exactly twice end to
   * end, once to count words and once to encode.
   *
-  * Driver gate: the ENCODE leg is full-strict (see [[encodeOracle]] —
-  * the fixed [[MergeRounds]] training loop unrolls into a chain of
-  * CTEs, so the oracle re-derives the merges and the segmentation in
-  * one statement). Only the MERGES report stays rows-only: its output
-  * is the per-round argmax list itself, which the unrolled twin
-  * consumes internally rather than emits. The spec additionally pins
-  * hand-derived merges on the textbook corpus and the encode identity. */
+  * Driver gate: BOTH legs are full-strict (see [[encodeOracle]] /
+  * [[mergesOracle]] — the fixed [[MergeRounds]] training loop unrolls
+  * into a chain of CTEs, so one statement re-derives the merges and the
+  * segmentation; the merges twin emits the argmax rows the encode twin
+  * consumes). The spec additionally pins hand-derived merges on the
+  * textbook corpus and the encode identity. */
 object Bpe {
 
   /** Number of merge rounds learned by [[bpeMerges]]. */
@@ -173,16 +172,18 @@ object Bpe {
     * delimiter between adjacent matches, so `l l l l` merges to
     * `ll ll`, not `ll l l`). The wrap is sound because the markers are
     * control bytes absent from the corpus (testdata is printable ASCII;
-    * a corpus carrying 0x1e/0x1f would need a wider sentinel). Only the merges leg stays rows-only: its OUTPUT is the
-    * per-round argmax list, whose pair_count column feeds each round's
-    * next iteration — the encode twin re-derives those argmaxes
-    * internally, which is precisely why it can be strict. */
-  private[graft] def encodeOracle(rounds: Int): String = {
+    * a corpus carrying 0x1e/0x1f would need a wider sentinel). */
+  /** The shared unrolled-training CTE chain: seg0 (wrapped char
+    * segmentation of the word table) then, per round, the weighted
+    * bigram argmax (`best$i`, carrying the winning pair and its count)
+    * and the merged segmentation (`seg$i`). MATERIALIZED so neither
+    * consumer re-evaluates the chain per reference. */
+  private def trainingCtes(rounds: Int): Seq[String] = {
     val em = EndMark
     // one wrapped token: chr(30) || tok || chr(31)
     def wrapped(l: String, r: String) = s"chr(30)||$l||chr(31)||chr(30)||$r||chr(31)"
     val seg0 =
-      s"""seg0 AS (
+      s"""seg0 AS MATERIALIZED (
          |  SELECT w, cnt,
          |    chr(30) || array_to_string(list_append(string_split(w, ''), '$em'), chr(31)||chr(30)) || chr(31) AS ws
          |  FROM (
@@ -192,15 +193,15 @@ object Bpe {
          |)""".stripMargin
     val roundCtes = (1 to rounds).map { i =>
       val p = i - 1
-      s"""toks$p AS (
+      s"""toks$p AS MATERIALIZED (
          |  SELECT cnt, string_split(ws[2:length(ws)-1], chr(31)||chr(30)) AS ts FROM seg$p
-         |), best$i AS (
-         |  SELECT l, r FROM (
-         |    SELECT ts[j] AS l, ts[j+1] AS r, sum(cnt) AS n
+         |), best$i AS MATERIALIZED (
+         |  SELECT l, r, n FROM (
+         |    SELECT ts[j] AS l, ts[j+1] AS r, sum(cnt)::BIGINT AS n
          |    FROM (SELECT cnt, ts, unnest(generate_series(1, len(ts)-1)) AS j FROM toks$p)
          |    GROUP BY 1, 2)
          |  ORDER BY n DESC, l || ' ' || r ASC LIMIT 1
-         |), seg$i AS (
+         |), seg$i AS MATERIALIZED (
          |  SELECT w, cnt,
          |    replace(ws,
          |      coalesce(${wrapped("b.l", "b.r")}, chr(0)),
@@ -208,13 +209,18 @@ object Bpe {
          |  FROM seg$p LEFT JOIN best$i b ON true
          |)""".stripMargin
     }
+    seg0 +: roundCtes
+  }
+
+  private[graft] def encodeOracle(rounds: Int): String = {
+    val em = EndMark
     val segf =
       s"""segf AS (
          |  SELECT w,
          |    len(list_filter(string_split(ws[2:length(ws)-1], chr(31)||chr(30)), x -> x <> '$em'))::BIGINT AS word_tokens
          |  FROM seg$rounds
          |)""".stripMargin
-    s"""WITH ${(seg0 +: roundCtes :+ segf).mkString(", ")}
+    s"""WITH ${(trainingCtes(rounds) :+ segf).mkString(", ")}
        |SELECT doc_id, n_chars,
        |  coalesce(sum(word_tokens), 0)::BIGINT AS n_bpe_tokens,
        |  CASE WHEN coalesce(sum(word_tokens), 0) > 0
@@ -227,9 +233,22 @@ object Bpe {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** The merges leg keeps no SQL twin (see [[encodeOracle]]'s scaladoc);
-    * the encode leg is full-strict. */
+  /** Full-strict twin for the MERGES report too: the same unrolled
+    * chain simply EMITS each round's argmax row instead of only
+    * consuming it — rank, the two fused symbols, the merged symbol, and
+    * the winning weighted pair count, exactly [[bpeMerges]]' columns. */
+  private[graft] def mergesOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(i =>
+      s"""SELECT $i::BIGINT AS rank, l AS "left", r AS "right", l || r AS merged, n AS pair_count FROM best$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${trainingCtes(rounds).mkString(", ")}
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** Both legs are full-strict: the encode twin consumes the unrolled
+    * argmax chain, the merges twin emits it. */
   val oracleSql: Map[String, String] = Map(
     "text_bpe_encode" -> encodeOracle(MergeRounds),
+    "text_bpe_merges" -> mergesOracle(MergeRounds),
   )
 }

@@ -42,12 +42,14 @@ import graft.tables.FrameCache
   * from the seed symbols, so [[Unk]] only fires on encode-time drift
   * (a character the training corpus never saw).
   *
-  * ROWS-ONLY at the driver gate BY DESIGN (the [[Bpe]] category): the
-  * merge list is an iterative runtime artifact no static SQL expresses;
-  * WordPieceSpec carries the correctness burden — hand-derived
-  * likelihood merges (incl. the BPE-divergence fixture), greedy
-  * longest-match fixtures, the whole-word-UNK rule, detokenization
-  * round-trip, and bit-identical rerun determinism. */
+  * Driver gate: BOTH legs are full-strict (the [[Bpe]] unroll — see
+  * [[encodeOracle]] / [[vocabOracle]]: the fixed-round training chain
+  * re-derives the likelihood argmaxes exactly, the vocab twin emits
+  * them, the encode twin consumes them plus a recursive-CTE greedy
+  * scan). WordPieceSpec additionally pins hand-derived likelihood
+  * merges (incl. the BPE-divergence fixture), greedy longest-match
+  * fixtures, the whole-word-UNK rule, detokenization round-trip, and
+  * bit-identical rerun determinism. */
 object WordPiece {
 
   /** Merge rounds learned by [[wordpieceVocab]] — [[Bpe.MergeRounds]]'s
@@ -259,7 +261,7 @@ object WordPiece {
     * (and re-opens the parquet until the fd limit). Only the vocab
     * report stays rows-only — its output is the per-round argmax list
     * the twin consumes internally. */
-  private[graft] def encodeOracle(rounds: Int): String = {
+  private def trainingCtes(rounds: Int): Seq[String] = {
     val seg0 =
       s"""seg0 AS MATERIALIZED (
          |  SELECT w, cnt,
@@ -303,6 +305,10 @@ object WordPiece {
          |  FROM seg$p LEFT JOIN best$i b ON true
          |)""".stripMargin
     }
+    seg0 +: roundCtes
+  }
+
+  private[graft] def encodeOracle(rounds: Int): String = {
     val vocab =
       s"""vocab AS MATERIALIZED (
          |  SELECT DISTINCT piece FROM (
@@ -334,7 +340,7 @@ object WordPiece {
          |  SELECT w, toks::BIGINT AS word_tokens, (CASE WHEN unk THEN 1 ELSE 0 END)::BIGINT AS is_unk
          |  FROM greedy WHERE pos >= length(w)
          |)""".stripMargin
-    s"""WITH RECURSIVE ${(seg0 +: roundCtes).mkString(", ")}, $vocab, $greedy
+    s"""WITH RECURSIVE ${trainingCtes(rounds).mkString(", ")}, $vocab, $greedy
        |SELECT doc_id, n_chars,
        |  coalesce(sum(word_tokens), 0)::BIGINT AS n_wp_tokens,
        |  coalesce(sum(is_unk), 0)::BIGINT AS n_unk_words,
@@ -348,9 +354,22 @@ object WordPiece {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** The vocab leg keeps no SQL twin (see [[encodeOracle]]); the encode
-    * leg is full-strict. */
+  /** Full-strict twin for the VOCAB report too: the same unrolled chain
+    * emits each round's argmax row — rank, both symbols, the fused
+    * piece, and the three exact counts behind the likelihood argmax —
+    * exactly [[wordpieceVocab]]'s columns. */
+  private[graft] def vocabOracle(rounds: Int): String = {
+    val union = (1 to rounds).map(i =>
+      s"""SELECT $i::BIGINT AS rank, l AS "left", r AS "right", fused AS merged, cab AS pair_count, ca AS left_count, cb AS right_count FROM best$i""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${trainingCtes(rounds).mkString(", ")}
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** Both legs are full-strict: the encode twin consumes the unrolled
+    * argmax chain, the vocab twin emits it. */
   val oracleSql: Map[String, String] = Map(
     "text_wordpiece_encode" -> encodeOracle(MergeRounds),
+    "text_wordpiece_vocab" -> vocabOracle(MergeRounds),
   )
 }
