@@ -49,6 +49,24 @@ object VectorKernels {
   def intDot(a: Column, b: Column): Column =
     ColumnInterop.column(IntDotLong(
       ColumnInterop.expression(a), ColumnInterop.expression(b)))
+
+  /** Fixed-width one-hash Bloom sketch of an array<long> id set:
+    * `words`×64 bits, bit index `(id ^ (id >>> 32)) & (bits-1)` — the
+    * same 32-bit fold the containment verify's former half-width arrays
+    * used, truncated to the bloom width. 16 words = 1024 bits = 128
+    * bytes per doc, ~3× smaller than a 50-gram folded id array and
+    * O(words) to intersect-bound. */
+  def gramBloom(ids: Column, words: Int): Column =
+    ColumnInterop.column(GramBloom(ColumnInterop.expression(ids), words))
+
+  /** popcount(a AND b) over two equal-width array<long> bloom words —
+    * with one shared hash, every element of A∩B sets a common bit, so
+    * `|A∩B| ≤ bloomAndCount(bloomA, bloomB) + (|A| − popcount(bloomA))`
+    * (distinct shared ids can collide on one bit only if they collide
+    * within A). Self-application `bloomAndCount(x, x)` is popcount(x). */
+  def bloomAndCount(a: Column, b: Column): Column =
+    ColumnInterop.column(BloomAndCount(
+      ColumnInterop.expression(a), ColumnInterop.expression(b)))
 }
 
 /** Integer dot product for quantized-vector scoring: exact int64
@@ -254,6 +272,103 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  if ($vx == $vy) { $c++; $i++; $j++; }
          |  else if ($vx < $vy) { $i++; }
          |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[VectorKernels.gramBloom]]'s expression: array<long> ids → `words`
+  * non-null longs with bit `(id ^ (id >>> 32)) & (words·64 − 1)` set per
+  * id. `words` must be a power of two so the mask is exact. Codegen'd
+  * tight loop — built once per doc inside the cached gram frame, so the
+  * cost sits in the index build, not the candidate join. */
+case class GramBloom(child: Expression, words: Int) extends UnaryExpression {
+  require(words > 0 && (words & (words - 1)) == 0, s"words must be a power of two, got $words")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gram_bloom expects array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_bloom"
+
+  private val mask: Long = words.toLong * 64L - 1L
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](words)
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val x = ids.getLong(i)
+      val pos = (x ^ (x >>> 32)) & mask
+      out((pos >>> 6).toInt) |= (1L << (pos & 63L))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val pos = ctx.freshName("pos")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $out = new long[$words];
+         |int $i = 0;
+         |while ($i < $n) {
+         |  final long $x = $a.getLong($i);
+         |  final long $pos = ($x ^ ($x >>> 32)) & ${mask}L;
+         |  $out[(int)($pos >>> 6)] |= (1L << ($pos & 63L));
+         |  $i++;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[VectorKernels.bloomAndCount]]'s expression: Σ_i bitCount(a(i) & b(i))
+  * over the common prefix of two array<long> word arrays. */
+case class BloomAndCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_and_count expects two array<bigint>, got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_and_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $i = 0; long $c = 0L;
+         |while ($i < $n) {
+         |  $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
+         |  $i++;
          |}
          |${ev.value} = $c;
        """.stripMargin

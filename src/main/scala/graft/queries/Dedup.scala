@@ -350,12 +350,22 @@ object Dedup {
     * in [[containmentPairs]]). */
   val ContainN = 3
 
+  /** Bloom words for the containment verify's first pass: 16×64 = 1024
+    * bits (128 bytes/doc). Density at this corpus' ~50-100 grams/doc is
+    * ≤ 0.1, so the slack term (within-doc bit collisions, ≈ n²/2048) is
+    * 1-3 grams against a ⌈t·n⌉ threshold — a production build with
+    * kilogram-scale docs sizes this per doc-length band the same way
+    * shuffle partitions are sized to data. */
+  val ContainBloomWords = 16
+
   /** Width-[[ContainN]] analog of [[gramSetsOf]] (docs with < ContainN
     * words can't shingle): distinct shingles + sorted 64-bit gram ids
-    * for the merge-intersect verify, plus their sorted distinct 31-bit
-    * folds ([[foldedIds]]) — the half-width arrays the verify's FIRST
-    * pass ships so the candidate-volume shuffle moves 4-byte packed
-    * elements instead of 8 (the r14 deep-tier disk blocker). */
+    * for the merge-intersect verify, plus a fixed-width Bloom of the id
+    * set ([[graft.functions.VectorKernels.gramBloom]]) and its
+    * precomputed popcount — the 128-byte sketch the verify's FIRST pass
+    * ships instead of a per-gram array, which is what the candidate
+    * exchange's bytes scale with (the r14 deep-tier disk blocker, cut
+    * again in r16). */
   private[graft] def containGramSetsOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val grams = graft.functions.TextKernels.wordShingles(words, ContainN, distinct = true)
@@ -366,20 +376,11 @@ object Dedup {
       .filter(size(words) >= ContainN)
       .select(col("doc_id"),
         graft.functions.TextKernels.hashedSortedIds(grams).as("gram_ids"))
-      .withColumn("gram_ids32", foldedIds(col("gram_ids")))
+      .withColumn("gram_bloom",
+        graft.functions.VectorKernels.gramBloom(col("gram_ids"), ContainBloomWords))
+      .withColumn("bloom_bits",
+        graft.functions.VectorKernels.bloomAndCount(col("gram_bloom"), col("gram_bloom")))
   }
-
-  /** Sorted distinct 31-bit folds of a sorted array<long> of gram ids:
-    * `(x ⊕ (x >> 32)) & 0x7fffffff` per element (mask BEFORE the int
-    * cast so the cast is range-safe under ANSI mode), de-duplicated —
-    * two ids of one doc can fold together — and re-sorted for the
-    * merge-intersect. At ~50 grams/doc in a 2³¹ space a within-doc
-    * collision is ~1e-6, so the folded set is almost always the same
-    * size as the true set; the verify's slack term makes the rare
-    * collision exact-safe rather than assumed away. */
-  private[graft] def foldedIds(ids: Column): Column =
-    array_sort(array_distinct(transform(ids,
-      x => x.bitwiseXOR(shiftright(x, 32)).bitwiseAND(lit(0x7fffffffL)).cast("int"))))
 
   /** The raw collision rows of the containment prefix-filter join —
     * (doc_a, doc_b) once per qualifying shared probe gram, BEFORE the
@@ -462,32 +463,36 @@ object Dedup {
     // candidate-sized distinct exchange+sort buys a 3.5 % verify saving
     // — the srpNearDup r12 pathology. Verify per collision instead.
     //
-    // TWO-PASS verify (r14 deep-tier blocker): the candidate-volume
-    // join necessarily ships one gram-id array per collision row — at
-    // the 1000× smoke that was ~0.4 KB × 208 M candidates of int64
-    // arrays, past the box's disk. Pass 1 ships the 31-bit FOLDED
-    // arrays (packed 4-byte elements — half the bytes) and filters on
-    // an upper bound of the true intersect: |A₃₂∩B₃₂| can undercount
-    // |A∩B| only when two grams of A∩B fold together, and every such
-    // collision is a collision inside A, so
-    //   |A∩B| ≤ |A₃₂∩B₃₂| + (|A| − |A₃₂|)
-    // and filtering on the right side keeps a strict SUPERSET of the
-    // true pairs (cross-doc fold collisions only ever inflate it).
-    // Pass 2 re-verifies the output-sized survivor set on the full
-    // 64-bit ids — the reported containment is exact, bit-for-bit the
-    // single-pass value.
+    // TWO-PASS verify (r14 deep-tier blocker, tightened r16): the
+    // candidate-volume join necessarily ships one per-doc sketch per
+    // collision row, and that exchange is the deep tier's dominant
+    // cost (measured: the r15 folded-id arrays were ~0.2 KB × 208 M
+    // candidates). Pass 1 now ships a FIXED 1024-bit one-hash Bloom of
+    // the gram-id set (128 bytes however long the doc) and filters on
+    // an upper bound of the true intersect:
+    //   |A∩B| ≤ popcount(bloomA AND bloomB) + (|A| − popcount(bloomA))
+    // — every shared gram sets a common bit, and two shared grams can
+    // collapse onto one bit only by colliding inside A, which the
+    // slack term (precomputed `bloom_bits` at build) repays. Filtering
+    // on the right side keeps a strict SUPERSET of the true pairs
+    // (cross-doc bit collisions only ever inflate the bound). Pass 2
+    // re-verifies the output-sized survivor set on the full 64-bit ids
+    // — the reported containment is exact, bit-for-bit the single-pass
+    // value. PipelineSpec pins the bound's losslessness on an
+    // engineered bit-collision fixture; the DuckDB oracle stays
+    // full-strict.
     containmentVerifyOf(containmentCandidatesOf(grams), grams)
   }
 
   private[graft] def containmentVerifyOf(candidates: DataFrame, grams: DataFrame): DataFrame = {
-    val ga32 = grams.select(col("doc_id").as("doc_a"),
-      size(col("gram_ids")).as("n_a"), col("gram_ids32").as("ids_a32"))
-    val gb32 = grams.select(col("doc_id").as("doc_b"), col("gram_ids32").as("ids_b32"))
-    val inter32 = graft.functions.VectorKernels.sortedIntersectCount(
-      col("ids_a32"), col("ids_b32"))
-    val slack = col("n_a") - size(col("ids_a32"))
-    val survivors = candidates.join(ga32, "doc_a").join(gb32, "doc_b")
-      .filter((inter32 + slack) * JaccardQ >= col("n_a").cast("long") * JaccardP)
+    val sa = grams.select(col("doc_id").as("doc_a"),
+      size(col("gram_ids")).as("n_a"), col("bloom_bits").as("bits_a"),
+      col("gram_bloom").as("bloom_a"))
+    val sb = grams.select(col("doc_id").as("doc_b"), col("gram_bloom").as("bloom_b"))
+    val bound = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_b"))
+    val slack = col("n_a") - col("bits_a")
+    val survivors = candidates.join(sa, "doc_a").join(sb, "doc_b")
+      .filter((bound + slack) * JaccardQ >= col("n_a").cast("long") * JaccardP)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val ga = grams.select(col("doc_id").as("doc_a"), col("gram_ids").as("ids_a"))

@@ -126,4 +126,44 @@ class VectorKernelsSpec extends SparkSpec {
     assert(out(0).getDouble(0) == 11.0)
     assert(out(1).isNullAt(0))
   }
+
+  test("gram_bloom/bloom_and_count: intersect upper bound is sound on random id sets") {
+    import spark.implicits._
+    // property: |A∩B| <= bloomAndCount(bloomA, bloomB) + (|A| - popcount(bloomA))
+    // on 200 random pairs, incl. dense sets where bit collisions are common
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200) {
+      val universe = Seq.fill(300)(rnd.nextLong())
+      val a = rnd.shuffle(universe).take(20 + rnd.nextInt(120)).distinct.sorted
+      val b = (rnd.shuffle(a).take(rnd.nextInt(a.size + 1)) ++
+        Seq.fill(rnd.nextInt(80))(rnd.nextLong())).distinct.sorted
+      (a, b)
+    }
+    val df = pairs.toDF("a", "b")
+      .withColumn("ba", VectorKernels.gramBloom(col("a"), 16))
+      .withColumn("bb", VectorKernels.gramBloom(col("b"), 16))
+      .select(
+        VectorKernels.sortedIntersectCount(col("a"), col("b")).as("inter"),
+        VectorKernels.bloomAndCount(col("ba"), col("bb")).as("bound"),
+        (size(col("a")) - VectorKernels.bloomAndCount(col("ba"), col("ba"))).as("slack"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1) + r.getLong(2),
+        s"bound violated: inter=${r.getLong(0)} bound=${r.getLong(1)} slack=${r.getLong(2)}")
+    }
+  }
+
+  test("gram_bloom: exact bit layout and self-popcount") {
+    import spark.implicits._
+    // id 1 -> bit 1 of word 0; id 1<<32 -> (2^32 ^ 1) & 1023 = bit 1 too
+    // (the engineered within-doc collision); id 100 -> bit 100 of word 1
+    val df = Seq(Seq(1L, 1L << 32, 100L)).toDF("ids")
+      .select(VectorKernels.gramBloom(col("ids"), 16).as("bl"))
+      .select(col("bl"), VectorKernels.bloomAndCount(col("bl"), col("bl")).as("pop"))
+    val r = df.collect().head
+    val words = r.getSeq[Long](0)
+    assert(words.size == 16)
+    assert(words(0) == 2L, s"word0 ${words(0)}")          // bit 1
+    assert(words(1) == (1L << 36), s"word1 ${words(1)}")  // bit 100 = word 1, offset 36
+    assert(r.getLong(1) == 2L, "two distinct bits set by three ids")
+  }
 }

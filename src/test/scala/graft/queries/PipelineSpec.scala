@@ -85,27 +85,31 @@ class PipelineSpec extends SparkSpec {
     assert(pf == brute, "asymmetric prefix filtering must miss nothing and add nothing")
   }
 
-  test("containment fold pre-filter: a within-doc 31-bit fold collision cannot drop a true pair") {
+  test("containment bloom pre-filter: a within-doc bit collision cannot drop a true pair") {
     import spark.implicits._
-    // 1 and 1<<32 fold to the same 31-bit value ((x ⊕ x>>32) & 0x7fffffff
-    // = 1 for both), and BOTH are in A∩B: the folded intersect undercounts
-    // the true intersect by one, so without the (|A| − |A₃₂|) slack the
-    // first pass would reject a pair whose exact containment is right at
-    // the bar. Hand-built gram ids — a hash corpus can't stage this.
+    // 1 and 1<<32 land on the same 1024-bit bloom position
+    // ((x ⊕ x>>>32) & 1023 = 1 for both), and BOTH are in A∩B: the
+    // AND-popcount bound undercounts the true intersect by one, so
+    // without the (|A| − popcount(bloomA)) slack the first pass would
+    // reject a pair whose exact containment is right at the bar.
+    // Hand-built gram ids — a hash corpus can't stage this.
     val collide = 1L << 32
     val grams = Seq(
       (1L, Seq(1L, 100L, 200L, 500L, collide)),  // A: n=5, 500 is A-only
       (2L, Seq(1L, 100L, 200L, collide)))        // B = A∩B: true C = 4/5 = t
       .toDF("doc_id", "gram_ids")
-      .withColumn("gram_ids32", Dedup.foldedIds(col("gram_ids")))
-    // fixture premise: the fold really collides (A has 5 ids, 4 folds)
-    val folded = grams.filter(col("doc_id") === 1L)
-      .select(size(col("gram_ids32"))).as[Int].head()
-    assert(folded == 4, s"fold collision fixture broken: $folded distinct folds")
+      .withColumn("gram_bloom", graft.functions.VectorKernels.gramBloom(
+        col("gram_ids"), Dedup.ContainBloomWords))
+      .withColumn("bloom_bits", graft.functions.VectorKernels.bloomAndCount(
+        col("gram_bloom"), col("gram_bloom")))
+    // fixture premise: the collision is real (A sets 5 ids on 4 bits)
+    val bits = grams.filter(col("doc_id") === 1L)
+      .select(col("bloom_bits")).as[Long].head()
+    assert(bits == 4, s"bloom collision fixture broken: $bits distinct bits")
     val got = Dedup.containmentPairsOf(grams)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 2L, 0.8), (2L, 1L, 1.0)),
-      s"fold pre-filter dropped or distorted a true pair: $got")
+      s"bloom pre-filter dropped or distorted a true pair: $got")
   }
 
   test("hot-bucket cap bounds LSH candidates on a degenerate corpus") {
