@@ -74,17 +74,63 @@ object Bench {
     loadQueryMap(path, sfNum, "queries")
 
   private[graft] def loadQueryMap(path: String, sfNum: String, key: String): Map[String, Double] =
+    try parseQueryMap(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"),
+      sfNum, key)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private[graft] def parseQueryMap(txt: String, sfNum: String, key: String): Map[String, Double] = {
+    val sfOk = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt).exists(_.group(1) == sfNum)
+    if (!sfOk) Map.empty
+    else (("\"" + key + "\"") + """\s*:\s*\{([^}]*)\}""").r.findFirstMatchIn(txt) match {
+      case None => Map.empty
+      case Some(q) =>
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.Ee+-]*)""".r.findAllMatchIn(q.group(1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Rolling per-run history (VERDICT r16 item 7): every FULL run appends
+    * its per-query medians here, and the report's `median_timings` field
+    * is the per-query MEDIAN over the last [[HistoryKeep]] same-sf runs —
+    * the documented 0.15–0.3 s per-stage warm-vs-isolated floor makes any
+    * SINGLE run's sub-second ratios noise-dominated, so cross-run medians
+    * are what a vs-baseline comparison should read. JSONL, one run per
+    * line, pruned to the keep window on write. */
+  val HistoryPath = "bench_runs.jsonl"
+  val HistoryKeep = 5
+
+  private[graft] def appendHistory(path: String, sfNum: String,
+                                   results: Seq[(String, Double)]): Seq[Map[String, Double]] =
     try {
-      val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-      val sfOk = """"sf"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt).exists(_.group(1) == sfNum)
-      if (!sfOk) Map.empty
-      else (("\"" + key + "\"") + """\s*:\s*\{([^}]*)\}""").r.findFirstMatchIn(txt) match {
-        case None => Map.empty
-        case Some(q) =>
-          """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.Ee+-]*)""".r.findAllMatchIn(q.group(1))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val p = java.nio.file.Paths.get(path)
+      val prior =
+        if (java.nio.file.Files.exists(p))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq
+        else Seq.empty
+      val line = s"""{"sf":$sfNum,"timings":${
+        results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")}}"""
+      // parse, keep same-sf lines only, window to the last HistoryKeep
+      val runs = (prior :+ line)
+        .map(l => parseQueryMap(l, sfNum, "timings"))
+        .filter(_.nonEmpty)
+        .takeRight(HistoryKeep)
+      java.nio.file.Files.write(p,
+        ((prior.takeRight(HistoryKeep * 2 - 1) :+ line).mkString("", "\n", "\n"))
+          .getBytes("UTF-8"))
+      runs
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Per-query median across runs; failure sentinels (-1) never enter a
+    * median. Queries absent from every run are absent from the result. */
+  private[graft] def medianOverRuns(runs: Seq[Map[String, Double]]): Map[String, Double] = {
+    val keys = runs.flatMap(_.keysIterator).distinct
+    keys.flatMap { k =>
+      val xs = runs.flatMap(_.get(k)).filter(_ >= 0).sorted
+      if (xs.isEmpty) None else Some(k -> xs(xs.size / 2))
+    }.toMap
+  }
 
   /** Cross-round drift guard (VERDICT r10 item 5): the checked-in
     * baseline has now been refreshed two rounds running, so baseline
@@ -218,9 +264,14 @@ object Bench {
     // point), so the disappearance detector only arms on full runs
     val vanishedSeq =
       if (only.isEmpty) vanishedOf(results, prevRound) else Nil
+    // run-history medians (full runs only — a filtered subset would skew
+    // the cross-run window with measurements under different JVM load)
+    val medians =
+      if (only.isEmpty) medianOverRuns(appendHistory(HistoryPath, sfNum, results))
+      else Map.empty[String, Double]
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
       results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty,
-      warmups = warmups)
+      warmups = warmups, medians = medians)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
@@ -344,7 +395,8 @@ object Bench {
                                  prevArtifact: String = "",
                                  prevRound: Map[String, Double] = Map.empty,
                                  armVanished: Boolean = true,
-                                 warmups: Map[String, Double] = Map.empty): Unit =
+                                 warmups: Map[String, Double] = Map.empty,
+                                 medians: Map[String, Double] = Map.empty): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -372,10 +424,16 @@ object Bench {
       val vanished = vanishedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = renderLine(results, baseline, sfNum,
         prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups)
+      // cross-run medians (VERDICT r16 item 7): per-query medians over the
+      // round's clean full runs — the noise-floor-free signal a vs-baseline
+      // ratio should be computed on. Empty ({}) on the round's first run.
+      val medJson = medians.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
            |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
            |"warmup":$warmJson,
+           |"median_timings":$medJson,
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
            |"line":${graft.tools.JsonText.quote(line)}}

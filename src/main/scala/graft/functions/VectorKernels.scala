@@ -228,6 +228,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // containsNull=true is ACCEPTED (a parquet round-trip of the
+      // persisted index tables widens element nullability even though no
+      // element is ever null) but an actual null element THROWS at eval
+      // (ADVICE r16) — getLong on a null slot would silently merge a
+      // garbage value into the count.
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
       case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
@@ -247,6 +252,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        throw new IllegalArgumentException("sorted_intersect_count: null array element")
       val vx = if (intElems) x.getInt(i).toLong else x.getLong(i)
       val vy = if (intElems) y.getInt(j).toLong else y.getLong(j)
       if (vx == vy) { c += 1; i += 1; j += 1 }
@@ -267,6 +274,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j))
+         |    throw new IllegalArgumentException("sorted_intersect_count: null array element");
          |  final long $vx = $a.$get($i);
          |  final long $vy = $b.$get($j);
          |  if ($vx == $vy) { $c++; $i++; $j++; }
@@ -290,6 +299,10 @@ case class GramBloom(child: Expression, words: Int) extends UnaryExpression {
   require(words > 0 && (words & (words - 1)) == 0, s"words must be a power of two, got $words")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=true is ACCEPTED (parquet round-trips widen element
+    // nullability) but an actual null element THROWS at eval (ADVICE
+    // r16): getLong on a null slot would silently set a garbage bit and
+    // ship a wrong sketch.
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"gram_bloom expects array<bigint>, got $t")
   }
@@ -304,6 +317,8 @@ case class GramBloom(child: Expression, words: Int) extends UnaryExpression {
     var i = 0
     val n = ids.numElements()
     while (i < n) {
+      if (ids.isNullAt(i))
+        throw new IllegalArgumentException("gram_bloom: null array element")
       val x = ids.getLong(i)
       val pos = (x ^ (x >>> 32)) & mask
       out((pos >>> 6).toInt) |= (1L << (pos & 63L))
@@ -322,6 +337,8 @@ case class GramBloom(child: Expression, words: Int) extends UnaryExpression {
          |final long[] $out = new long[$words];
          |int $i = 0;
          |while ($i < $n) {
+         |  if ($a.isNullAt($i))
+         |    throw new IllegalArgumentException("gram_bloom: null array element");
          |  final long $x = $a.getLong($i);
          |  final long $pos = ($x ^ ($x >>> 32)) & ${mask}L;
          |  $out[(int)($pos >>> 6)] |= (1L << ($pos & 63L));
@@ -341,6 +358,8 @@ case class BloomAndCount(left: Expression, right: Expression) extends BinaryExpr
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // same null-element THROW contract as [[GramBloom]]: getLong on a
+      // null slot would AND garbage into the popcount
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"bloom_and_count expects two array<bigint>, got ($l, $r)")
@@ -354,6 +373,8 @@ case class BloomAndCount(left: Expression, right: Expression) extends BinaryExpr
     val n = math.min(x.numElements(), y.numElements())
     var i = 0; var c = 0L
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException("bloom_and_count: null array element")
       c += java.lang.Long.bitCount(x.getLong(i) & y.getLong(i))
       i += 1
     }
@@ -367,6 +388,8 @@ case class BloomAndCount(left: Expression, right: Expression) extends BinaryExpr
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $i = 0; long $c = 0L;
          |while ($i < $n) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i))
+         |    throw new IllegalArgumentException("bloom_and_count: null array element");
          |  $c += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($i));
          |  $i++;
          |}

@@ -60,6 +60,56 @@ object Dedup {
         graft.functions.TextKernels.hashedSortedIds(grams).as("gram_ids"))
   }
 
+  /** `grams` + the fixed 1024-bit one-hash Bloom of its `gram_ids` set
+    * and the Bloom's own popcount — the 128-byte pass-1 sketch the
+    * two-pass verifies ship instead of a per-gram array (the containment
+    * r16 discipline, generalized; see [[jaccardVerifyTwoPass]]). */
+  private[graft] def withGramBloom(grams: DataFrame): DataFrame =
+    grams
+      .withColumn("gram_bloom",
+        graft.functions.VectorKernels.gramBloom(col("gram_ids"), ContainBloomWords))
+      .withColumn("bloom_bits",
+        graft.functions.VectorKernels.bloomAndCount(col("gram_bloom"), col("gram_bloom")))
+
+  /** Candidate pairs → exact Jaccard ≥ [[JaccardT]] in TWO passes — the
+    * [[containmentVerifyOf]] Bloom bound applied to the symmetric
+    * Jaccard verifies (VERDICT r16 #6). Pass 1 ships only the fixed
+    * 128-byte Bloom + two ints per side across the candidate-volume
+    * join and filters on a LOSSLESS intersect upper bound:
+    *   |A∩B| ≤ popcount(bloomA AND bloomB) + min(|A|−pc(A), |B|−pc(B))
+    * — every shared gram sets a COMMON bit (one hash, same position in
+    * both blooms), and two shared grams collapse onto one bit only by
+    * colliding inside A and inside B simultaneously, so the SMALLER
+    * slack term repays every collapse (for S ⊆ A under any map f,
+    * |S|−|f(S)| ≤ |A|−|f(A)|: summing (fiber−1) over S's fibers is
+    * bounded by summing over A's). J ≥ P/Q then rewrites in exact
+    * integers as i·(P+Q) ≥ P·(n_a+n_b). Pass 2 re-joins the full
+    * sorted id arrays for the OUTPUT-sized survivor set only — the
+    * reported Jaccard is exact, bit-for-bit the single-pass value.
+    * `ga`/`gb` carry (doc_id, gram_ids, gram_bloom, bloom_bits). */
+  private[graft] def jaccardVerifyTwoPass(candidates: DataFrame,
+      ga: DataFrame, gb: DataFrame, aKey: String, bKey: String): DataFrame = {
+    val ba = ga.select(col("doc_id").as(aKey), size(col("gram_ids")).as("n_a"),
+      (size(col("gram_ids")).cast("long") - col("bloom_bits")).as("slack_a"),
+      col("gram_bloom").as("bloom_a"))
+    val bb = gb.select(col("doc_id").as(bKey), size(col("gram_ids")).as("n_b"),
+      (size(col("gram_ids")).cast("long") - col("bloom_bits")).as("slack_b"),
+      col("gram_bloom").as("bloom_b"))
+    val bound = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_b"))
+    val iUb = bound + least(col("slack_a"), col("slack_b"))
+    val survivors = candidates.join(ba, aKey).join(bb, bKey)
+      .filter(iUb * (JaccardP + JaccardQ) >=
+        (col("n_a") + col("n_b")).cast("long") * JaccardP)
+      .select(aKey, bKey)
+    val ia = ga.select(col("doc_id").as(aKey), col("gram_ids").as("ids_a"))
+    val ib = gb.select(col("doc_id").as(bKey), col("gram_ids").as("ids_b"))
+    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
+    survivors.join(ia, aKey).join(ib, bKey)
+      .select(col(aKey), col(bKey),
+        (inter.cast("double") / (size(col("ids_a")) + size(col("ids_b")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= JaccardT)
+  }
+
   /** Candidate pairs → exact Jaccard ≥ `minJ`, via the codegen'd
     * sorted-merge intersection kernel (the interpreted `array_intersect`
     * alternative costs a per-pair hash-set build — 20× slower measured on
@@ -340,8 +390,8 @@ object Dedup {
     * 1000×-tile smoke (~240 M postings) that deletes the dominant
     * shuffle from the measured run. */
   private[graft] def ensureContainIndex(s: SparkSession, d: String): String =
-    graft.tables.Bucketed.ensure(
-      s, s"graft_contain_idx_${graft.tables.Bucketed.sanitize(d)}", "gram", buckets = 32)(
+    graft.tables.Bucketed.ensureForDir(
+      s, "graft_contain_idx", d, "", "gram", buckets = 32)(
       rankedIndexOf(FrameCache.cached(s,
         s"containment-grams:${graft.tables.FrameCache.dirKey(d)}")(
         containGramSetsOf(documents(s, d)))))
@@ -665,8 +715,8 @@ object Dedup {
     * as `rel_dedup_exact`; the Bloom probe uses `xxhash64(key)` longs. */
   def incrementalNew(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val corpusTbl = graft.tables.Bucketed.ensure(
-      s, s"graft_corpus_sha_${graft.tables.Bucketed.sanitize(d)}", "h")(
+    val corpusTbl = graft.tables.Bucketed.ensureForDir(
+      s, "graft_corpus_sha", d, "", "h")(
       docs.filter(pmod(col("doc_id"), lit(2)) === 0)
         .select(sha2(col("text"), 256).as("h")))
     val corpus = s.table(corpusTbl)
@@ -724,35 +774,32 @@ object Dedup {
     * `dedup_minhash_lsh` gate already pins). */
   def incrementalNearDup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val tag = graft.tables.Bucketed.sanitize(s"$d:$NumHashes:$Bands:$MaxBucketSize")
+    val tag = s":$NumHashes:$Bands:$MaxBucketSize:b$ContainBloomWords"
     val corpusGrams = gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
-    val idxTbl = graft.tables.Bucketed.ensure(s, s"lsh_idx_$tag", "bh") {
+    val idxTbl = graft.tables.Bucketed.ensureForDir(s, "lsh_idx", d, tag, "bh") {
       val bands = bandKeys(corpusGrams)
       val small = bands.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") <= MaxBucketSize)
       bands.join(small.select("band", "bh"), Seq("band", "bh"))
         .select("bh", "band", "doc_id")
     }
-    val gramTbl = graft.tables.Bucketed.ensure(s, s"lsh_grams_$tag", "doc_id")(
-      corpusGrams.select(col("doc_id"), col("gram_ids")))
+    // the persisted gram table carries the 128-byte Bloom + popcount per
+    // doc (VERDICT r16 #6): pass 1 of the verify reads ONLY those fixed
+    // columns, so the candidate-volume join never ships the corpus-side
+    // id arrays for pairs the Bloom bound can refute
+    val gramTbl = graft.tables.Bucketed.ensureForDir(s, "lsh_grams", d, tag, "doc_id")(
+      withGramBloom(corpusGrams.select(col("doc_id"), col("gram_ids"))))
 
     val batchGrams = FrameCache.cached(s, s"lsh-batch-grams:${graft.tables.FrameCache.dirKey(d)}")(
-      gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+      withGramBloom(gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1))))
     val probe = bandKeys(batchGrams).as("p")
     val candidates = probe.join(s.table(idxTbl).as("i"),
         col("p.band") === col("i.band") && col("p.bh") === col("i.bh"))
       .select(col("p.doc_id").as("new_doc"), col("i.doc_id").as("corpus_doc"))
       .distinct()
 
-    val ga = batchGrams.select(col("doc_id").as("new_doc"), col("gram_ids").as("ids_a"))
-    val gb = s.table(gramTbl)
-      .select(col("doc_id").as("corpus_doc"), col("gram_ids").as("ids_b"))
-    val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
-    candidates.join(ga, "new_doc").join(gb, "corpus_doc")
-      .select(col("new_doc"), col("corpus_doc"),
-        (inter.cast("double") /
-          (size(col("ids_a")) + size(col("ids_b")) - inter)).as("jaccard"))
-      .filter(col("jaccard") >= Threshold)
+    jaccardVerifyTwoPass(candidates, batchGrams, s.table(gramTbl),
+        "new_doc", "corpus_doc")
       .orderBy("new_doc", "corpus_doc")
   }
 
@@ -1443,8 +1490,8 @@ object Dedup {
     // smoke tier (a cluster sizes this to corpus bytes / target
     // partition bytes; both join sides are the same table, so any
     // count keeps the exchange-free property)
-    val tbl = graft.tables.Bucketed.ensure(
-      s, s"graft_source_grams_${graft.tables.Bucketed.sanitize(d)}", "gram_h", buckets = 32)(
+    val tbl = graft.tables.Bucketed.ensureForDir(
+      s, "graft_source_grams", d, "", "gram_h", buckets = 32)(
       sourceGramsOf(documents(s, d)))
     val sg = s.table(tbl)
     // the per-source totals frame is |sources| rows but costs a full

@@ -128,10 +128,8 @@ object IvfAnn {
     * the IDENTICAL centroid matrix in seconds — what's worth storing is
     * the corpus-sized assignment, not the KB-sized model. */
   private[graft] def ivfIndexPersisted(s: SparkSession, d: String): DataFrame = {
-    val name = "ivf_index_" +
-      graft.tables.Bucketed.sanitize(s"$d:$NumLists:$Replication")
-    graft.tables.Bucketed.ensure(s, name, "cluster")(ivfIndex(s, d))
-    s.table(name)
+    s.table(graft.tables.Bucketed.ensureForDir(
+      s, "ivf_index", d, s":$NumLists:$Replication", "cluster")(ivfIndex(s, d)))
   }
 
   /** ANN top-K via IVF probing; same output contract as

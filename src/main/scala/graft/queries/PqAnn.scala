@@ -165,9 +165,8 @@ object PqAnn {
     * the thing worth storing. Bucketed on `vec_id` so downstream
     * id-keyed joins against the code frame read co-located buckets. */
   private[graft] def pqIndexPersisted(s: SparkSession, d: String): DataFrame = {
-    val name = "pq_index_" +
-      graft.tables.Bucketed.sanitize(s"$d:$SubSpaces:$CodebookSize")
-    graft.tables.Bucketed.ensure(s, name, "vec_id")(pqIndex(s, d))
+    val name = graft.tables.Bucketed.ensureForDir(
+      s, "pq_index", d, s":$SubSpaces:$CodebookSize", "vec_id")(pqIndex(s, d))
     s.table(name)
   }
 

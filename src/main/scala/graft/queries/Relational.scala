@@ -462,10 +462,9 @@ object Relational {
     * of the small side can't silently bypass the layout being
     * demonstrated (at real scale neither side broadcasts). */
   def joinBucketed(s: SparkSession, d: String): DataFrame = {
-    val tag = graft.tables.Bucketed.sanitize(d)
-    val ot = graft.tables.Bucketed.ensure(s, s"graft_orders_bkt_$tag", "o_custkey")(
+    val ot = graft.tables.Bucketed.ensureForDir(s, "graft_orders_bkt", d, "", "o_custkey")(
       orders(s, d).select("o_custkey", "o_totalprice"))
-    val ct = graft.tables.Bucketed.ensure(s, s"graft_customer_bkt_$tag", "c_custkey")(
+    val ct = graft.tables.Bucketed.ensureForDir(s, "graft_customer_bkt", d, "", "c_custkey")(
       customer(s, d).select("c_custkey", "c_mktsegment"))
     s.table(ot).hint("merge")
       .join(s.table(ct), col("o_custkey") === col("c_custkey"))
@@ -748,8 +747,8 @@ object Relational {
   def incrementalAgg(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val split = lit(IncrementalSplitTs).cast("timestamp_ntz")
-    val stateTbl = graft.tables.Bucketed.ensure(
-      s, s"graft_agg_state_${graft.tables.Bucketed.sanitize(d)}", "user_id")(
+    val stateTbl = graft.tables.Bucketed.ensureForDir(
+      s, "graft_agg_state", d, "", "user_id")(
       aggStateOf(ev.filter(col("ts") < split)))
     incrementalAggOf(s.table(stateTbl), ev.filter(col("ts") >= split))
   }

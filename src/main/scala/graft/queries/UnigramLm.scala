@@ -25,19 +25,30 @@ import graft.tables.FrameCache
   * end.
   *
   * Determinism contract (the [[Bpe]] tie-break discipline): counts are
-  * exact int64; log-probabilities are `StrictMath.log` doubles of exact
-  * count ratios (bit-reproducible across JVMs); Viterbi ties break to
-  * the LONGEST last piece; seed/prune ties break lexicographically.
+  * exact int64; piece probabilities are IEEE doubles of exact count
+  * ratios and Viterbi maximizes their PRODUCT — deliberately products,
+  * not log sums: division and multiplication of doubles are exactly
+  * rounded and bit-reproducible across the JVM and any IEEE engine,
+  * while a transcendental `log` differs in the last ulp between libm
+  * implementations and would unseat the strict twin below. (Underflow
+  * is no concern at the path lengths a word admits: ≥1e-12-scale piece
+  * probabilities to the ~30th power stay far above the 1e-308 floor,
+  * and an all-zero tie still breaks deterministically.) Viterbi ties
+  * break to the LONGEST last piece; seed/prune ties lexicographically.
   * Hard (Viterbi-) EM rather than lattice EM keeps every E-step count
   * an exact integer — the variant's convergence is weaker in theory but
   * the training artifact is reproducible to the bit, which is what a
   * shipped vocab file must be.
   *
-  * ROWS-ONLY at the driver gate BY DESIGN (the [[Bpe]] category): the
-  * vocabulary is an iterative runtime artifact no static SQL can
-  * express; UnigramLmSpec carries the correctness burden with
-  * hand-checkable Viterbi fixtures and an independent plain-Scala
-  * segmenter. */
+  * FULL-STRICT at the driver gate since r17 (the [[WordPiece]] recipe
+  * carried to its hardest case): the fixed EM rounds unroll into a
+  * chained-CTE DuckDB twin — per round a piece-probability map, a
+  * RECURSIVE Viterbi over (word, position) carrying the DP score and
+  * backpointer-segmentation lists, and the exact-integer count
+  * re-aggregate — and the product-based scores make every DP compare
+  * replayable to the bit (see [[oracleSql]]). UnigramLmSpec still
+  * carries the unit burden with hand-checkable Viterbi fixtures and an
+  * independent exhaustive segmenter. */
 object UnigramLm {
 
   /** Longest candidate piece, in characters. */
@@ -84,31 +95,38 @@ object UnigramLm {
     (chars ++ kept).toMap
   }
 
-  /** Viterbi segmentation of `w` under `logp` — max total log-prob,
-    * ties to the longest last piece (checked from the longest candidate
-    * down, strict improvement required thereafter). Single-char
+  /** Viterbi segmentation of `w` under piece probabilities `prob` — max
+    * probability PRODUCT (see the object scaladoc for why products, not
+    * log sums), ties to the longest last piece (checked from the longest
+    * candidate down, strict improvement required thereafter). Single-char
     * coverage makes a full path always exist for trainable words; a
     * character outside the vocab (encode-time drift) falls back to one
-    * piece per uncovered char with [[OovLogp]]. */
-  val OovLogp: Double = -25.0
+    * piece per uncovered char with [[OovProb]]. */
+  val OovProb: Double = 1e-11
 
-  private[graft] def viterbi(w: String, logp: collection.Map[String, Double]): Seq[String] = {
+  private[graft] def viterbi(w: String, prob: collection.Map[String, Double]): Seq[String] = {
     val n = w.length
     val best = new Array[Double](n + 1)
     val back = new Array[Int](n + 1) // start index of the last piece
+    best(0) = 1.0
     var i = 1
     while (i <= n) {
-      var bs = Double.NegativeInfinity
+      var bs = -1.0 // any admissible candidate (score >= 0.0) beats this
       var bj = -1
       // longest candidate first + strict > : equal-score ties keep the
-      // LONGEST last piece (deterministic at any float coincidence)
+      // LONGEST last piece (deterministic at any float coincidence,
+      // including a full-path underflow to 0.0)
       var l = math.min(MaxPieceLen, i)
       while (l >= 1) {
         val j = i - l
         val piece = w.substring(j, i)
-        val lp = logp.getOrElse(piece, if (l == 1) OovLogp else Double.NegativeInfinity)
-        val s = best(j) + lp
-        if (s > bs) { bs = s; bj = j }
+        // -1.0 = inadmissible sentinel: a multi-char piece outside the
+        // vocabulary never scores (the SQL twin filters the same NULL)
+        val p = prob.getOrElse(piece, if (l == 1) OovProb else -1.0)
+        if (p >= 0.0) {
+          val s = best(j) * p
+          if (s > bs) { bs = s; bj = j }
+        }
         l -= 1
       }
       best(i) = bs; back(i) = bj
@@ -129,7 +147,7 @@ object UnigramLm {
                              vocab: Map[String, Long]): Map[String, Long] = {
     val s = words.sparkSession
     import s.implicits._
-    val lp = logProbs(vocab)
+    val lp = pieceProbs(vocab)
     val bc = s.sparkContext.broadcast(lp)
     val counts = words.as[WordCount]
       .flatMap(wc => viterbi(wc.w, bc.value).map(_ -> wc.cnt))
@@ -146,9 +164,11 @@ object UnigramLm {
     (counts.filter { case (p, _) => p.length > 1 } ++ chars).toMap
   }
 
-  private[graft] def logProbs(vocab: Map[String, Long]): Map[String, Double] = {
+  /** Exact count ratios as IEEE doubles — one division each, identically
+    * rounded in the JVM and in the SQL twin's `n::DOUBLE / total`. */
+  private[graft] def pieceProbs(vocab: Map[String, Long]): Map[String, Double] = {
     val total = vocab.valuesIterator.sum.toDouble
-    vocab.map { case (p, c) => p -> StrictMath.log(c.toDouble / total) }
+    vocab.map { case (p, c) => p -> c.toDouble / total }
   }
 
   /** Prune to [[VocabSize]]: all single chars (coverage) + the top
@@ -174,15 +194,17 @@ object UnigramLm {
     }
 
   /** The learned vocabulary — rank (by count desc, piece asc), piece,
-    * its exact EM count, length, and log-probability. */
+    * its exact EM count, length, and probability (the exact count ratio
+    * as an IEEE double — replayable, where a `log` column would differ
+    * from any other engine's libm in the last ulp). */
   def unigramVocab(s: SparkSession, d: String): DataFrame = {
     val vocab = trained(s, d)
-    val lp = logProbs(vocab)
+    val lp = pieceProbs(vocab)
     import s.implicits._
     vocab.toSeq.sortBy { case (p, n) => (-n, p) }.zipWithIndex
       .map { case ((p, n), i) =>
         (i + 1L, p, n, p.length.toLong, lp(p)) }
-      .toDF("rank", "piece", "em_count", "piece_len", "logp")
+      .toDF("rank", "piece", "em_count", "piece_len", "prob")
       .orderBy("rank")
   }
 
@@ -193,7 +215,7 @@ object UnigramLm {
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
     val vocab = trained(s, d)
     import s.implicits._
-    val bc = s.sparkContext.broadcast(logProbs(vocab))
+    val bc = s.sparkContext.broadcast(pieceProbs(vocab))
     // eager localCheckpoint materializes the segmentation, so the piece
     // broadcast can be destroyed before the lazy plan ships
     val segmented = wordCounts(documents(s, d)).as[WordCount]
@@ -219,6 +241,150 @@ object UnigramLm {
     "text_unigram_encode" -> unigramEncode _,
   )
 
-  /** No SQL twins (see the object scaladoc) — the [[Bpe]] category. */
-  val oracleSql: Map[String, String] = Map.empty
+  // ------------------------------------------------------ DuckDB twin
+
+  /** One Viterbi pass as a RECURSIVE CTE `vit{k}` over (word, position),
+    * reading the piece-probability map CTE `pm{k}`: the state carries the
+    * DP score list `sc` (sc[j+1] = best score of the length-j prefix;
+    * products of stored doubles, so every multiply is the engine's
+    * multiply bit-for-bit) and the per-position best segmentation `segs`
+    * (the backpointer walk, materialized forward). Candidate selection is
+    * `list_max` over (score, length) structs — DuckDB's lexicographic
+    * struct compare reproduces the engine's "strict >, longest length
+    * first" tie rule exactly (max score, then max length; equal pairs
+    * cannot name two pieces). A multi-char piece outside the vocabulary
+    * scores NULL and is filtered — [[viterbi]]'s inadmissible sentinel —
+    * while a missing single char falls back to [[OovProb]] (the same
+    * decimal literal parses to the identical double on both engines).
+    * The map rides a one-row cross join, the [[WordPiece]] recursive-term
+    * discipline. */
+  private def vitCte(k: Int, pmk: String): String =
+    s"""vit$k AS (
+       |  SELECT w, cnt, 0 AS i, [1.0::DOUBLE] AS sc, [[]::VARCHAR[]] AS segs FROM words
+       |  UNION ALL
+       |  SELECT w, cnt, i + 1 AS i,
+       |    list_append(sc, best.s) AS sc,
+       |    list_append(segs, list_append(segs[best.j + 1], best.piece)) AS segs
+       |  FROM (
+       |    SELECT w, cnt, i, sc, segs,
+       |      list_max(list_filter(
+       |        list_transform(generate_series(1, least($MaxPieceLen, i + 1)), l ->
+       |          struct_pack(
+       |            s := sc[i + 2 - l] * coalesce(
+       |                   element_at(m, substr(w, i + 2 - l, l))[1],
+       |                   CASE WHEN l = 1 THEN 1e-11 END),
+       |            l := l,
+       |            j := i + 1 - l,
+       |            piece := substr(w, i + 2 - l, l))),
+       |        c -> c.s IS NOT NULL)) AS best
+       |    FROM vit$k, $pmk
+       |    WHERE i < length(w))
+       |), seg$k AS MATERIALIZED (
+       |  SELECT w, cnt, segs[length(w) + 1] AS pieces FROM vit$k WHERE i = length(w)
+       |)""".stripMargin
+
+  /** Piece-probability map for one round: exact count ratios, divided in
+    * DOUBLE exactly as [[pieceProbs]] does (total summed as int64 first). */
+  private def pmCte(k: Int, vocab: String): String =
+    s"""tot$k AS MATERIALIZED (SELECT sum(n)::BIGINT::DOUBLE AS t FROM $vocab),
+       |pm$k AS MATERIALIZED (
+       |  SELECT map_from_entries(list(struct_pack(k := piece, v := n::DOUBLE / t))) AS m
+       |  FROM $vocab, tot$k GROUP BY t
+       |)""".stripMargin
+
+  /** One hard-EM count re-aggregate: multi-char pieces keep their exact
+    * frequency-weighted counts, single chars survive from the INPUT
+    * vocabulary at a floor of 1 — [[emRound]] to the letter. */
+  private def emCte(k: Int, prevVocab: String): String =
+    s"""counts$k AS MATERIALIZED (
+       |  SELECT piece, sum(cnt)::BIGINT AS n
+       |  FROM (SELECT cnt, unnest(pieces) AS piece FROM seg$k) GROUP BY piece
+       |), vocab$k AS MATERIALIZED (
+       |  SELECT piece, n FROM counts$k WHERE length(piece) > 1
+       |  UNION ALL
+       |  SELECT v.piece, greatest(coalesce(c.n, 0), 1)::BIGINT AS n
+       |  FROM $prevVocab v LEFT JOIN counts$k c USING (piece)
+       |  WHERE length(v.piece) = 1
+       |)""".stripMargin
+
+  /** The full training chain: word table → substring seed (all single
+    * chars + top-[[SeedSize]] multi-char substrings by weighted count,
+    * ties lexicographic) → [[EmRounds]] unrolled EM rounds → prune to
+    * [[VocabSize]] → one re-fit round. `vocab{EmRounds+1}` is the shipped
+    * vocabulary. */
+  private def trainingCtes(rounds: Int): Seq[String] = {
+    val base =
+      s"""words AS MATERIALIZED (
+         |  SELECT w, count(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w
+         |), subs AS MATERIALIZED (
+         |  SELECT piece, sum(cnt)::BIGINT AS n FROM (
+         |    SELECT cnt, substr(w, i, l) AS piece FROM (
+         |      SELECT w, cnt, i, unnest(generate_series(1, least($MaxPieceLen, length(w) - i + 1))) AS l
+         |      FROM (SELECT w, cnt, unnest(generate_series(1, length(w))) AS i FROM words)))
+         |  GROUP BY piece
+         |), vocab0 AS MATERIALIZED (
+         |  SELECT piece, n FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, n FROM (
+         |    SELECT piece, n FROM subs WHERE length(piece) > 1
+         |    ORDER BY n DESC, piece ASC LIMIT $SeedSize)
+         |)""".stripMargin
+    val emRounds = (1 to rounds).flatMap { k =>
+      Seq(pmCte(k, s"vocab${k - 1}"), vitCte(k, s"pm$k"), emCte(k, s"vocab${k - 1}"))
+    }
+    val r = rounds + 1
+    val refit = Seq(
+      s"""pruned AS MATERIALIZED (
+         |  SELECT piece, n FROM vocab$rounds WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, n FROM (
+         |    SELECT piece, n FROM vocab$rounds WHERE length(piece) > 1
+         |    ORDER BY n DESC, piece ASC
+         |    LIMIT greatest($VocabSize - (SELECT count(*) FROM vocab$rounds WHERE length(piece) = 1), 0))
+         |)""".stripMargin,
+      pmCte(r, "pruned"), vitCte(r, s"pm$r"), emCte(r, "pruned"))
+    base +: (emRounds ++ refit)
+  }
+
+  /** Full-strict twin for the vocab report: the shipped vocabulary with
+    * dense ranks and the exact-ratio probability column. */
+  private[graft] def vocabOracle(rounds: Int): String = {
+    val fin = s"vocab${rounds + 1}"
+    s"""WITH RECURSIVE ${trainingCtes(rounds).mkString(", ")}
+       |SELECT row_number() OVER (ORDER BY n DESC, piece ASC)::BIGINT AS rank,
+       |  piece, n AS em_count, length(piece)::BIGINT AS piece_len,
+       |  n::DOUBLE / (SELECT sum(n)::BIGINT::DOUBLE FROM $fin) AS prob
+       |FROM $fin ORDER BY rank""".stripMargin
+  }
+
+  /** Full-strict twin for the encode leg: one more Viterbi pass under the
+    * SHIPPED vocabulary's probabilities (the re-fit changed the counts, so
+    * encode segments under different ratios than the re-fit pass did),
+    * then the per-doc aggregate with [[unigramEncode]]'s left-join/
+    * coalesce empty-doc contract. */
+  private[graft] def encodeOracle(rounds: Int): String = {
+    val enc = rounds + 2
+    val ctes = trainingCtes(rounds) ++
+      Seq(pmCte(enc, s"vocab${rounds + 1}"), vitCte(enc, s"pm$enc"))
+    s"""WITH RECURSIVE ${ctes.mkString(", ")}
+       |SELECT doc_id, n_chars,
+       |  coalesce(sum(word_tokens), 0)::BIGINT AS n_unigram_tokens,
+       |  CASE WHEN coalesce(sum(word_tokens), 0) > 0
+       |    THEN n_chars::DOUBLE / coalesce(sum(word_tokens), 0) END AS chars_per_token
+       |FROM (
+       |  SELECT doc_id, length(text)::BIGINT AS n_chars, unnest(string_split(text, ' ')) AS w
+       |  FROM documents) d
+       |LEFT JOIN (SELECT w, len(pieces)::BIGINT AS word_tokens FROM seg$enc) s USING (w)
+       |GROUP BY doc_id, n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Both legs full-strict since r17 (the last convertible rows-only
+    * family — VERDICT r16 #3). */
+  val oracleSql: Map[String, String] = Map(
+    "text_unigram_vocab" -> vocabOracle(EmRounds),
+    "text_unigram_encode" -> encodeOracle(EmRounds),
+  )
 }

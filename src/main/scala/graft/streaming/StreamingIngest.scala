@@ -743,8 +743,38 @@ object StreamingIngest {
     val cand = probe.join(
       postings.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
       Seq("band", "bh"))
-    val verified = cand.join(
-      corpusGrams.select(col("doc_id").as("corpus_doc"), col("gram_ids").as("ids_b")),
+    // TWO-PASS verify (the [[Dedup.jaccardVerifyTwoPass]] Bloom bound,
+    // stream-safe shape): the stream side cannot be re-joined to itself
+    // after a filter (that would be a stream-stream join), so its id
+    // array rides the candidate rows as before — the Bloom pass instead
+    // cuts the CORPUS side: pass 1 joins only the 128-byte sketch +
+    // counts per corpus doc and refutes candidates on the lossless
+    // intersect bound, so the corpus gram ARRAYS are fetched (and the
+    // exact merge-intersect runs) only for the survivor set. A caller
+    // passing the store's bucketed gram table (which persists the Bloom
+    // columns) skips the sketch recompute; a bare (doc_id, gram_ids)
+    // frame gets them derived once here.
+    val cg = if (corpusGrams.columns.contains("gram_bloom")) corpusGrams
+             else Dedup.withGramBloom(corpusGrams)
+    val bloomA = graft.functions.VectorKernels.gramBloom(
+      col("ids_a"), Dedup.ContainBloomWords)
+    val bitsA = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_a"))
+    val pass1 = cand
+      .join(cg.select(col("doc_id").as("corpus_doc"),
+          size(col("gram_ids")).as("n_b"),
+          (size(col("gram_ids")).cast("long") - col("bloom_bits")).as("slack_b"),
+          col("gram_bloom").as("bloom_b")),
+        Seq("corpus_doc"))
+      .withColumn("bloom_a", bloomA)
+      .withColumn("slack_a", size(col("ids_a")).cast("long") - bitsA)
+    val bound = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_b"))
+    val iUb = bound + least(col("slack_a"), col("slack_b"))
+    val survivors = pass1
+      .filter(iUb * (Dedup.JaccardP + Dedup.JaccardQ) >=
+        (size(col("ids_a")) + col("n_b")).cast("long") * Dedup.JaccardP)
+      .select(col("new_doc"), col("corpus_doc"), col(eventTimeCol), col("ids_a"))
+    val verified = survivors.join(
+      cg.select(col("doc_id").as("corpus_doc"), col("gram_ids").as("ids_b")),
       Seq("corpus_doc"))
     val inter = graft.functions.VectorKernels.sortedIntersectCount(col("ids_a"), col("ids_b"))
     verified

@@ -120,10 +120,16 @@ object ScaleSmoke {
     * whose growth law the tier exists to falsify — with the one-time
     * build paid in warmup exactly as a production corpus pays it once. */
   val DeepColdQueries = Set("dedup_containment")
-  /** The three steepest 100× curves of the r13 artifact: containment
-    * 16.7×, gram-novelty 12.0×, source-overlap 9.7×. */
+  /** The steepest 100× curves (containment / gram-novelty /
+    * source-overlap — the r13 trio) PLUS, since r17 (VERDICT r16 #2),
+    * the bench's heaviest steady-state queries that previously had no
+    * measured 1000× point: `dedup_lines` (the bench's #1 cost),
+    * `sim_srp_neardup` (7.3× already at the 100× tier), and
+    * `text_redact_pii` (the embarrassingly-parallel control — its deep
+    * ratio should track raw data growth and anchors what "linear scan"
+    * costs at the tier). */
   val DeepTrendQueries = Seq("dedup_containment", "text_gram_novelty",
-    "text_source_overlap")
+    "text_source_overlap", "dedup_lines", "sim_srp_neardup", "text_redact_pii")
 
   /** One query per ANN family (VERDICT r10 item 2): float SRP-LSH, IVF,
     * PQ/ADC. All emit (query_id, rank, neighbor_id) — the bruteTopK
@@ -293,7 +299,14 @@ object ScaleSmoke {
                 // here (both dirs) — the timed run measures the
                 // repeat-audit path, not the build
                 if (cold) IndexPrewarm.get(q).foreach { p =>
-                  p(spark, base); p(spark, out); drainShuffle(deepTier)
+                  p(spark, base); p(spark, out)
+                  // ADVICE r16: the index build memoizes the verify-side
+                  // gram/bloom frames as a side effect — evict them so the
+                  // single cold execution pays the sketch scan too, and
+                  // the timed number is attributable to the persisted
+                  // on-disk index alone, not a session-warm cache
+                  graft.tables.FrameCache.clear(spark)
+                  drainShuffle(deepTier)
                 }
                 val tBase = timeQuery(fn(spark, base), reps)
                 System.gc()

@@ -258,4 +258,30 @@ class BenchSpec extends AnyFunSuite {
     // failure sentinels stay out of the sum
     assert(!Bench.otherRegressed(Seq("a" -> -1.0), Map("a" -> 0.1)))
   }
+
+  test("run history: same-sf window, per-query medians, sentinels and foreign sf out") {
+    val p = Files.createTempFile("bench-runs", ".jsonl").toString
+    Files.delete(java.nio.file.Paths.get(p))
+    // three same-sf runs + one foreign-sf line that must not pollute
+    Bench.appendHistory(p, "0.1", Seq("q1" -> 1.0, "q2" -> 0.5))
+    Bench.appendHistory(p, "0.001", Seq("q1" -> 9.0))
+    Bench.appendHistory(p, "0.1", Seq("q1" -> 3.0, "q2" -> -1.0))
+    val runs = Bench.appendHistory(p, "0.1", Seq("q1" -> 2.0, "q2" -> 0.7))
+    assert(runs.size == 3, s"expected 3 same-sf runs, got ${runs.size}")
+    val med = Bench.medianOverRuns(runs)
+    assert(med("q1") == 2.0) // median of 1.0, 3.0, 2.0
+    assert(med("q2") == 0.7) // -1 sentinel excluded -> median of 0.5, 0.7
+    // window: more runs than HistoryKeep -> only the last HistoryKeep count
+    (1 to Bench.HistoryKeep + 2).foreach(i =>
+      Bench.appendHistory(p, "0.1", Seq("q1" -> i.toDouble)))
+    val windowed = Bench.appendHistory(p, "0.1", Seq("q1" -> 0.0))
+    assert(windowed.size == Bench.HistoryKeep)
+  }
+
+  test("medianOverRuns: query absent from every run is absent, even-count uses upper-middle") {
+    val med = Bench.medianOverRuns(Seq(Map("a" -> 1.0), Map("a" -> 3.0)))
+    assert(med("a") == 3.0) // xs(size/2) — the documented median3 convention
+    assert(!med.contains("b"))
+    assert(Bench.medianOverRuns(Seq(Map("a" -> -1.0))).isEmpty)
+  }
 }

@@ -56,6 +56,24 @@ class VectorKernelsSpec extends SparkSpec {
     assert(nul(0).isNullAt(0))
   }
 
+  test("null ARRAY ELEMENTS fail loudly instead of computing a wrong sketch") {
+    import spark.implicits._
+    // nullable-element schema (a parquet round-trip's shape) with an
+    // actual null slot: every kernel must throw, never merge garbage
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(3L))))
+      .toDF("a", "b")
+    def failsLoudly(c: org.apache.spark.sql.Column, name: String): Unit = {
+      val e = intercept[Exception](df.select(c).collect())
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("null array element")),
+        s"$name did not reject the null element: $e")
+    }
+    failsLoudly(VectorKernels.sortedIntersectCount(col("a"), col("b")), "sorted_intersect_count")
+    failsLoudly(VectorKernels.gramBloom(col("a"), 16), "gram_bloom")
+    failsLoudly(VectorKernels.bloomAndCount(col("a"), col("a")), "bloom_and_count")
+  }
+
   test("minhash_signature equals the explode + min(xxhash64) aggregation") {
     import spark.implicits._
     val docs = Seq(

@@ -356,6 +356,32 @@ class PipelineSpec extends SparkSpec {
       s"corpus re-encoded in a cold session:\n${scans.mkString("\n")}")
   }
 
+  test("persisted media sketch catalogs: cold session pairs with zero re-decodes, bit-identical") {
+    val img1 = Multimodal.phashNearDup(spark, sf).collect().map(_.toSeq).toSet
+    val aud1 = Multimodal.audioNearDup(spark, sf).collect().map(_.toSeq).toSet
+    assert(img1.nonEmpty, "image fixture produced no near-dup pairs")
+    assert(aud1.nonEmpty, "audio fixture produced no near-dup pairs")
+    // sibling session: shared catalog, cold FrameCache — the next-day
+    // audit shape. The decode pass (ImageIO/javax.sound — the most
+    // expensive per-byte pass in the repo) must NOT re-run: the pair
+    // plan reads only the bucketed sketch catalog, documents.parquet
+    // never appears (a re-decode would scan it for doc_ids).
+    val s2 = spark.newSession()
+    for ((name, fresh, warm) <- Seq(
+        ("phash", Multimodal.phashNearDup(s2, sf), img1),
+        ("afp", Multimodal.audioNearDup(s2, sf), aud1))) {
+      assert(fresh.collect().map(_.toSeq).toSet == warm, s"$name cold session drifted")
+      val scans = fresh.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString(",")
+      }
+      assert(scans.exists(_.contains(s"graft-bucketed/graft_${name}_cat")),
+        s"$name catalog not read from the persisted table:\n${scans.mkString("\n")}")
+      assert(!scans.exists(_.contains("documents.parquet")),
+        s"$name corpus re-decoded in a cold session:\n${scans.mkString("\n")}")
+    }
+  }
+
   test("incremental near-dup: equals full-LSH cross pairs, cold session never re-reads corpus text") {
     val r1 = Dedup.incrementalNearDup(spark, sf).collect().map(_.toSeq).toSet
     // ground truth: the full-corpus LSH pairs restricted to (corpus, batch)

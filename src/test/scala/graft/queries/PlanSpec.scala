@@ -304,10 +304,9 @@ class PlanSpec extends SparkSpec {
 
   test("bucketed join is exchange-free and sort-free on the join key") {
     import org.apache.spark.sql.functions._
-    val tag = graft.tables.Bucketed.sanitize(sf)
-    val ot = graft.tables.Bucketed.ensure(spark, s"graft_orders_bkt_$tag", "o_custkey")(
+    val ot = graft.tables.Bucketed.ensureForDir(spark, "graft_orders_bkt", sf, "", "o_custkey")(
       graft.tables.Testdata.orders(spark, sf).select("o_custkey", "o_totalprice"))
-    val ct = graft.tables.Bucketed.ensure(spark, s"graft_customer_bkt_$tag", "c_custkey")(
+    val ct = graft.tables.Bucketed.ensureForDir(spark, "graft_customer_bkt", sf, "", "c_custkey")(
       graft.tables.Testdata.customer(spark, sf).select("c_custkey", "c_mktsegment"))
     // the JOIN alone (no agg): with both sides bucketed+sorted by the key,
     // the plan must be a SortMergeJoin with NO exchange and NO sort

@@ -11,34 +11,37 @@ class UnigramLmSpec extends SparkSpec {
   import spark.implicits._
 
   test("viterbi picks the max-likelihood segmentation") {
-    val lp = Map("a" -> -1.0, "b" -> -2.0, "ab" -> -2.5)
-    // ab|ab = -5.0 beats a|b|a|b = -6.0 and ab|a|b = -5.5
-    assert(UnigramLm.viterbi("abab", lp) == Seq("ab", "ab"))
-    assert(UnigramLm.viterbi("aab", lp) == Seq("a", "ab")) // -3.5 beats a|a|b -4
+    val pm = Map("a" -> 0.5, "b" -> 0.25, "ab" -> 0.35)
+    // ab|ab = 0.1225 beats a|b|a|b = 0.015625 and ab|a|b = 0.04375
+    assert(UnigramLm.viterbi("abab", pm) == Seq("ab", "ab"))
+    assert(UnigramLm.viterbi("aab", pm) == Seq("a", "ab")) // 0.175 beats a|a|b 0.0625
   }
 
   test("exact score ties keep the longest last piece") {
-    val lp = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
-    assert(UnigramLm.viterbi("ab", lp) == Seq("ab"))
+    // 0.5 * 0.5 is EXACTLY 0.25 in binary — a true float tie
+    val pm = Map("a" -> 0.5, "b" -> 0.5, "ab" -> 0.25)
+    assert(UnigramLm.viterbi("ab", pm) == Seq("ab"))
   }
 
   test("a character outside the vocabulary falls back to a single OOV piece") {
-    val lp = Map("a" -> -1.0)
-    assert(UnigramLm.viterbi("axa", lp) == Seq("a", "x", "a"))
+    val pm = Map("a" -> 0.5)
+    assert(UnigramLm.viterbi("axa", pm) == Seq("a", "x", "a"))
   }
 
   test("viterbi score equals the exhaustive best over all segmentations") {
-    val lp = Map("a" -> -1.3, "b" -> -2.1, "c" -> -2.4, "ab" -> -2.2,
-      "bc" -> -2.0, "abc" -> -3.9, "ca" -> -2.6)
+    val pm = Map("a" -> 0.27, "b" -> 0.12, "c" -> 0.09, "ab" -> 0.11,
+      "bc" -> 0.13, "abc" -> 0.02, "ca" -> 0.07)
+    // product accumulated left-to-right from 1.0 — the engine's exact
+    // association order, so equality below is bitwise, not approximate
     def score(seg: Seq[String]): Double =
-      seg.map(p => lp.getOrElse(p, if (p.length == 1) UnigramLm.OovLogp
-      else Double.NegativeInfinity)).sum
+      seg.foldLeft(1.0)((acc, p) => acc * pm.getOrElse(p,
+        if (p.length == 1) UnigramLm.OovProb else 0.0))
     def allSegs(w: String): Seq[Seq[String]] =
       if (w.isEmpty) Seq(Seq.empty)
       else (1 to math.min(UnigramLm.MaxPieceLen, w.length)).flatMap(l =>
         allSegs(w.drop(l)).map(w.take(l) +: _))
     for (w <- Seq("abcab", "cabc", "aabbcc", "abcabc", "bca")) {
-      val got = score(UnigramLm.viterbi(w, lp))
+      val got = score(UnigramLm.viterbi(w, pm))
       val best = allSegs(w).map(score).max
       assert(got == best, s"$w: viterbi $got != exhaustive $best")
     }
@@ -53,7 +56,7 @@ class UnigramLmSpec extends SparkSpec {
     val fin = UnigramLm.emRound(words, UnigramLm.prune(vocab))
     assert(fin.contains("ing"), s"'ing' not acquired: ${fin.keys.filter(_.length > 2).take(20)}")
     // every word viterbi-segments to fewer pieces than characters
-    val lp = UnigramLm.logProbs(fin)
+    val lp = UnigramLm.pieceProbs(fin)
     for (w <- Seq("running", "jumping", "singing"))
       assert(UnigramLm.viterbi(w, lp).length < w.length)
   }

@@ -66,6 +66,39 @@ class StoreContractSpec extends SparkSpec {
     }
   }
 
+  test("Bucketed.ensureForDir: input rewrite rebuilds the layout and drops the stale sibling table") {
+    val stem = s"graft_contract_fp_${System.nanoTime()}"
+    val dir = java.nio.file.Files.createTempDirectory("bucketed-fp-stale").toFile
+    def write(n: Long): Unit =
+      spark.range(n).toDF("k").coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getPath}/t.parquet")
+    def build() = Bucketed.ensureForDir(spark, stem, dir.getPath, "", "k")(
+      spark.read.parquet(s"${dir.getPath}/t.parquet"))
+    try {
+      write(3)
+      val t1 = build()
+      assert(spark.table(t1).count() == 3L)
+      // unchanged input: memo hit, no rebuild, same table name
+      assert(build() == t1)
+      // rewrite the backing dir: the fingerprint — and so the table
+      // identity — must change, and the verify-side FrameCache frames
+      // (always fingerprinted) must join the NEW index, not the stale
+      // one (ADVICE r16: the two sides silently diverged before)
+      Thread.sleep(5)
+      write(7)
+      val t2 = build()
+      assert(t2 != t1, "rewritten dir must name a fresh bucketed table")
+      assert(spark.table(t2).count() == 7L, "stale layout served after an input rewrite")
+      assert(!spark.catalog.tableExists(t1), "superseded bucketed table leaked in the catalog")
+      assert(!new java.io.File(s"/tmp/graft-bucketed/$t1").exists(),
+        "superseded bucketed files leaked on disk")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${build()}")
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+    }
+  }
+
   test("Bucketed.ensure: a half-written directory from a crashed predecessor is overwritten, not served") {
     val name = s"graft_contract_halfwrite_${System.nanoTime()}"
     val path = new java.io.File(s"/tmp/graft-bucketed/$name")
