@@ -159,11 +159,16 @@ object Dedup {
     val grams = Option(grams0).getOrElse(gramSetsOf(docs))
     val bands = Option(bands0).getOrElse(bandKeys(grams))
 
-    // Hot-bucket cap: per-bucket counts (partial-agg shuffle on the same
-    // (band, bh) key the join below uses — co-partitioned, no extra
-    // exchange shape), then keep only rows of small-enough buckets.
-    val sizes = bands.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
-    val kept = bands.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("band", "bh"))
+    // Hot-bucket cap as a whole-partition WINDOW count (the
+    // hammingBandPairs shape, r17): the aggregate-then-join form
+    // shuffled the band rows twice (skinny agg + join-back); the window
+    // pays ONE exchange on (band, bh) — exactly the self-join's key, so
+    // the join below reuses the partitioning and the whole candidate
+    // stage shuffles the band rows once, total. Identical rows.
+    val wB = Window.partitionBy("band", "bh")
+    val kept = bands
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= maxBucket)
       .select("doc_id", "band", "bh")
 
     // candidates: docs sharing any surviving bucket (shuffle keyed on the
@@ -777,10 +782,12 @@ object Dedup {
     val tag = s":$NumHashes:$Bands:$MaxBucketSize:b$ContainBloomWords"
     val corpusGrams = gramSetsOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
     val idxTbl = graft.tables.Bucketed.ensureForDir(s, "lsh_idx", d, tag, "bh") {
+      // bucket cap as a window count — one exchange in the one-time
+      // build instead of agg + join-back (the minhashLshPairsOf shape)
       val bands = bandKeys(corpusGrams)
-      val small = bands.groupBy("band", "bh").agg(count(lit(1)).as("bucket_n"))
+      bands.withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy("band", "bh")))
         .filter(col("bucket_n") <= MaxBucketSize)
-      bands.join(small.select("band", "bh"), Seq("band", "bh"))
         .select("bh", "band", "doc_id")
     }
     // the persisted gram table carries the 128-byte Bloom + popcount per

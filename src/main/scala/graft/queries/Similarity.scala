@@ -391,11 +391,17 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("b.t").as("t"), col("b.sig").as("sig"))
 
-    // hot-bucket cap: per-bucket counts aggregate SKINNY (t, sig) rows
-    // and shuffle on the join's own key — co-partitioned, no new shape.
-    val sizes = sigs.select("t", "sig")
-      .groupBy("t", "sig").agg(count(lit(1)).as("bucket_n"))
-    val corpus = sigs.join(sizes.filter(col("bucket_n") <= maxBucket), Seq("t", "sig"))
+    // hot-bucket cap as a WINDOW count over (t, sig) — the r17
+    // labelBlockPairs discipline: the r16 aggregate-then-join form
+    // shuffled the signature frame twice (skinny agg + join-back) before
+    // the pair join; the window form pays ONE exchange on (t, sig), and
+    // because that is exactly the pair join's key the corpus side arrives
+    // at the join already partitioned — the join re-exchanges only the
+    // probe side. Identical rows (the count is the same count).
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("t", "sig")
+    val corpus = sigs
+      .withColumn("bucket_n", count(lit(1)).over(wBucket))
+      .filter(col("bucket_n") <= maxBucket)
       .select(col("t"), col("sig"), col("vec_id").as("vec_b"),
         col("embedding").as("vb"), col("nrm").as("nb"))
 
@@ -441,14 +447,25 @@ object Similarity {
   private[graft] def labelBlockPairs(emb: DataFrame, maxBlock: Int): DataFrame = {
     val e = emb.select(col("label"), col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm")) // norm per vector, not per pair
-    val sizes = e.groupBy("label").agg(count(lit(1)).as("block_n"))
-    val keyed = e.join(sizes, "label")
-      .select(col("label"), col("vec_id"), col("embedding"), col("nrm"),
+    // PLAN SHAPE (r17): both block-size counts are WINDOW counts, not
+    // aggregate-then-join round trips — the previous form exchanged the
+    // vector frame four times (label agg, label join, sub agg, sub join)
+    // before the pair join even started. `count over (label)` partitions
+    // on the label; `count over (label, subkey)` and the (label, subkey)
+    // self-join are both satisfied by that SAME partitioning (subset
+    // clustering), so the corpus crosses ONE exchange end to end and the
+    // self-join runs co-located. Identical rows — the counts are the
+    // same counts — and the DuckDB oracle stays full-strict.
+    val wLabel = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    val wSub = org.apache.spark.sql.expressions.Window.partitionBy("label", "subkey")
+    val kept = e
+      .withColumn("block_n", count(lit(1)).over(wLabel))
+      .withColumn("subkey",
         when(col("block_n") <= maxBlock, lit(0L))
-          .otherwise(srpSignature(col("embedding"), LabelSubBits, LabelSubSeed))
-          .as("subkey"))
-    val subSizes = keyed.groupBy("label", "subkey").agg(count(lit(1)).as("sub_n"))
-    val kept = keyed.join(subSizes.filter(col("sub_n") <= maxBlock), Seq("label", "subkey"))
+          .otherwise(srpSignature(col("embedding"), LabelSubBits, LabelSubSeed)))
+      .withColumn("sub_n", count(lit(1)).over(wSub))
+      .filter(col("sub_n") <= maxBlock)
+      .select(col("label"), col("subkey"), col("vec_id"), col("embedding"), col("nrm"))
     val a = kept.select(col("label"), col("subkey"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = kept.select(col("label"), col("subkey"), col("vec_id").as("vec_b"),

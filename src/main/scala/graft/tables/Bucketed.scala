@@ -47,12 +47,20 @@ object Bucketed {
   def ensureForDir(s: SparkSession, stem: String, dir: String, extra: String,
                    key: String, buckets: Int = NumBuckets)(df: => DataFrame): String = {
     val fp = FrameCache.dirKey(dir)
-    val name = s"${stem}_${sanitize(fp + extra)}"
+    // the table name carries the DIR IDENTITY and the content fingerprint
+    // as SEPARATE segments: eviction below matches on (stem, dir) and
+    // varies only the fingerprint — two different dirs live at once (a
+    // base corpus and its tiled scale twin, every multi-corpus session)
+    // are NOT siblings and must never evict each other (the ScaleSmoke
+    // TABLE_OR_VIEW_NOT_FOUND regression this replaces).
+    val fpHex = fp.substring(fp.lastIndexOf("@@") + 2)
+    val dirStem = s"${stem}_${sanitize(dir + extra)}"
+    val name = s"${dirStem}_v$fpHex"
     // the memo key keeps dirKey's raw `@@` segment so cachedValue's
     // sibling eviction drops the superseded build-flag too
     FrameCache.cachedValue[Boolean](s, s"bucketed:$stem:$extra:$fp") {
       s.catalog.listTables().collect().map(_.name)
-        .filter(t => t.startsWith(s"${stem}_") && t != name)
+        .filter(t => t.startsWith(s"${dirStem}_v") && t != name)
         .foreach { stale =>
           s.sql(s"DROP TABLE IF EXISTS $stale")
           deleteRecursively(new java.io.File(s"/tmp/graft-bucketed/$stale"))

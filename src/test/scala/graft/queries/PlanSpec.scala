@@ -347,6 +347,23 @@ class PlanSpec extends SparkSpec {
       "persisted-index candidates drifted from the inline window form")
   }
 
+  test("labelBlockPairs: window counts share one exchange per side, no agg-join round trips") {
+    // r17 shape: both block-size counts are window counts over the SAME
+    // label partitioning (subset clustering covers the (label, subkey)
+    // window), so each self-join side crosses exactly one shuffle — the
+    // previous aggregate-then-join form exchanged the vector frame four
+    // times before the pair join started
+    val plan = graft.SparkEntry.queries("sim_embed_neardup")(spark, sf)
+      .queryExecution.sparkPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // two join sides + the final presentation orderBy — nothing else
+    assert(exchanges.size <= 3, s"labelBlockPairs regained exchanges:\n$plan")
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.size >= 2, s"window-count form lost its windows:\n$plan")
+  }
+
   test("pivot is one scan + one aggregation pass, no per-type rescan") {
     val plan = Relational.pivotActivity(spark, sf).queryExecution.sparkPlan
     val scans = plan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }

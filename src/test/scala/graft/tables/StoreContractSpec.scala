@@ -92,6 +92,26 @@ class StoreContractSpec extends SparkSpec {
       assert(!spark.catalog.tableExists(t1), "superseded bucketed table leaked in the catalog")
       assert(!new java.io.File(s"/tmp/graft-bucketed/$t1").exists(),
         "superseded bucketed files leaked on disk")
+      // a DIFFERENT dir under the same stem is NOT a sibling: two corpora
+      // live at once (base + tiled scale twin) must coexist — building
+      // the second must not evict the first (the ScaleSmoke
+      // TABLE_OR_VIEW_NOT_FOUND regression)
+      val dir2 = java.nio.file.Files.createTempDirectory("bucketed-fp-other").toFile
+      try {
+        spark.range(11).toDF("k").coalesce(1).write.mode("overwrite")
+          .parquet(s"${dir2.getPath}/t.parquet")
+        val tOther = Bucketed.ensureForDir(spark, stem, dir2.getPath, "", "k")(
+          spark.read.parquet(s"${dir2.getPath}/t.parquet"))
+        assert(tOther != t2)
+        assert(spark.table(tOther).count() == 11L)
+        assert(spark.catalog.tableExists(t2),
+          "building another dir's table evicted a live same-stem table")
+        assert(spark.table(t2).count() == 7L)
+        spark.sql(s"DROP TABLE IF EXISTS $tOther")
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(dir2).deleteRecursively()
+      }
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${build()}")
       import scala.reflect.io.Directory
