@@ -730,6 +730,13 @@ object StreamingIngest {
       .select(col("doc_id").as("new_doc"), col(eventTimeCol),
         TextKernels.minhashSignature(grams, Dedup.NumHashes).as("sig"),
         TextKernels.hashedSortedIds(grams).as("ids_a"))
+      // the 128-byte pass-1 sketch, computed ONCE per arriving doc (it
+      // rides the band explode at 128 B/row — recomputing it per
+      // candidate row would cost more than the verify it prefilters)
+      .withColumn("bloom_a", graft.functions.VectorKernels.gramBloom(
+        col("ids_a"), Dedup.ContainBloomWords))
+      .withColumn("slack_a", size(col("ids_a")).cast("long") -
+        graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_a")))
     val bandStructs = (0 until Dedup.Bands).map { b =>
       val slice = (0 until Dedup.RowsPerBand)
         .map(r => element_at(col("sig"), b * Dedup.RowsPerBand + r + 1))
@@ -737,8 +744,9 @@ object StreamingIngest {
     }
     val probe = g
       .select(col("new_doc"), col(eventTimeCol), col("ids_a"),
-        explode(array(bandStructs: _*)).as("bk"))
+        col("bloom_a"), col("slack_a"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("new_doc"), col(eventTimeCol), col("ids_a"),
+        col("bloom_a"), col("slack_a"),
         col("bk.band").as("band"), col("bk.bh").as("bh"))
     val cand = probe.join(
       postings.select(col("band"), col("bh"), col("doc_id").as("corpus_doc")),
@@ -756,17 +764,12 @@ object StreamingIngest {
     // frame gets them derived once here.
     val cg = if (corpusGrams.columns.contains("gram_bloom")) corpusGrams
              else Dedup.withGramBloom(corpusGrams)
-    val bloomA = graft.functions.VectorKernels.gramBloom(
-      col("ids_a"), Dedup.ContainBloomWords)
-    val bitsA = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_a"))
     val pass1 = cand
       .join(cg.select(col("doc_id").as("corpus_doc"),
           size(col("gram_ids")).as("n_b"),
           (size(col("gram_ids")).cast("long") - col("bloom_bits")).as("slack_b"),
           col("gram_bloom").as("bloom_b")),
         Seq("corpus_doc"))
-      .withColumn("bloom_a", bloomA)
-      .withColumn("slack_a", size(col("ids_a")).cast("long") - bitsA)
     val bound = graft.functions.VectorKernels.bloomAndCount(col("bloom_a"), col("bloom_b"))
     val iUb = bound + least(col("slack_a"), col("slack_b"))
     val survivors = pass1
