@@ -27,8 +27,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-query regressions from one-off GC/JIT stalls that a judge had to
   * re-run the bench to disprove):
   *  - `bench_baseline.json` (checked in; override via
-  *    SPARK_GRAFT_BENCH_BASELINE) carries the per-query medians of a
-  *    known-good run at the same sf;
+  *    SPARK_GRAFT_BENCH_BASELINE) carries per-query baselines at the
+  *    same sf. REFRESH RULE (r18): the baseline is the per-query MEDIAN
+  *    across the previous round's clean full runs (`bench_runs.jsonl`),
+  *    never a min-merge — mins make every later ratio ≥ 1 by
+  *    construction, which manufactured two rounds of pmi false alarms.
+  *    The `regressed` gate compares the round's CROSS-RUN MEDIAN
+  *    ([[gateTimings]]) to that baseline, medians to medians;
   *  - any query measuring > [[RegressThreshold]]× its baseline is
   *    RE-MEASURED (a second median-of-3) and the better median wins — a
   *    stall does not repeat, a real regression does;
@@ -116,11 +121,33 @@ object Bench {
         .map(l => parseQueryMap(l, sfNum, "timings"))
         .filter(_.nonEmpty)
         .takeRight(HistoryKeep)
+      // prune PER SF (ADVICE r17): a global line-count window lets
+      // foreign-sf lines consume the budget, shrinking each sf's
+      // effective median window below HistoryKeep when runs interleave
+      // scale factors — keep the last HistoryKeep lines for EACH sf
+      // seen, preserving original order.
+      val all = prior :+ line
+      val sfOf = """"sf"\s*:\s*([0-9.]+)""".r
+      val keyed = all.map(l => sfOf.findFirstMatchIn(l).map(_.group(1)).getOrElse("?"))
+      val keepIdx = keyed.zipWithIndex.groupBy(_._1).values
+        .flatMap(_.takeRight(HistoryKeep).map(_._2)).toSet
+      val pruned = all.zipWithIndex.collect { case (l, i) if keepIdx(i) => l }
       java.nio.file.Files.write(p,
-        ((prior.takeRight(HistoryKeep * 2 - 1) :+ line).mkString("", "\n", "\n"))
-          .getBytes("UTF-8"))
+        pruned.mkString("", "\n", "\n").getBytes("UTF-8"))
       runs
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Effective per-query timings for the regression gates (VERDICT r17
+    * item 3): the cross-run MEDIAN where run history exists, else this
+    * run's own value. Gating a single run against a per-query MIN-merge
+    * baseline manufactures ratios ≥ 1 by construction and produced two
+    * rounds of pmi false alarms/clearances; medians on BOTH sides (the
+    * baseline refresh rule below matches) are the comparable statistic.
+    * Failure sentinels pass through untouched — a failed query must
+    * never be laundered by a healthy historical median. */
+  private[graft] def gateTimings(results: Seq[(String, Double)],
+                                 medians: Map[String, Double]): Seq[(String, Double)] =
+    results.map { case (k, v) => k -> (if (v >= 0) medians.getOrElse(k, v) else v) }
 
   /** Per-query median across runs; failure sentinels (-1) never enter a
     * median. Queries absent from every run are absent from the result. */
@@ -276,7 +303,7 @@ object Bench {
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
     println(renderLine(results, baseline, sfNum,
-      prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups))
+      prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups, medians))
     spark.stop()
   }
 
@@ -334,7 +361,13 @@ object Bench {
                                 prevRegressed: Seq[String] = Nil,
                                 vanished: Seq[String] = Nil,
                                 prevRound: Map[String, Double] = Map.empty,
-                                warmups: Map[String, Double] = Map.empty): String = {
+                                warmups: Map[String, Double] = Map.empty,
+                                medians: Map[String, Double] = Map.empty): String = {
+    // the vs-baseline gate reads cross-run medians where history exists
+    // (VERDICT r17 item 3); the line's per-query entries stay this run's
+    // own measurements — the gate and the display answer different
+    // questions
+    val gate = gateTimings(results, medians)
     val ok = results.filter(_._2 >= 0)
     // one-time build cost (cold-vs-steady excess of the warmup pass),
     // reported OUTSIDE the steady-state medians so index builds are
@@ -356,7 +389,7 @@ object Bench {
       val van = vanished.take(3).map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""},"sf":$sfNum,"build_sec":$buildSec,"regressed":$regressed,"prev_regressed":$pr,"vanished":$van,"failed":${results.size - ok.size}}"""
     }
-    val tail0 = tailFor(regressedOf(results, baseline), prevRegressed)
+    val tail0 = tailFor(regressedOf(gate, baseline), prevRegressed)
     if (head.length + fullLen + tail0.length <= LineBudget)
       head + entries.map(_._1).mkString(",") + tail0
     else {
@@ -372,7 +405,7 @@ object Bench {
       // (the report file always lists every query uncollapsed).
       // `_other` PARTICIPATES in both regress lists with its own bar:
       // per-query gates can't see a uniform tail drift, the sum can.
-      val reg = regressedOf(results, baseline) ++
+      val reg = regressedOf(gate, baseline) ++
         (if (otherRegressed(dropped, baseline)) Seq("_other") else Nil)
       val prevReg = prevRegressed ++
         (if (otherRegressed(dropped, prevRound)) Seq("_other") else Nil)
@@ -413,7 +446,10 @@ object Bench {
         }
         "\"" + k + "\":" + ratio
       }.mkString("{", ",", "}")
-      val regressed = regressedOf(results, baseline).map("\"" + _ + "\"").mkString("[", ",", "]")
+      // the gate reads cross-run medians where history exists (VERDICT
+      // r17 item 3) — same rule as the stdout line
+      val regressed = regressedOf(gateTimings(results, medians), baseline)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val prevRegressed = prevRegressedOf(results, prevRound)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       // ADVICE r11: a query that silently DISAPPEARS from the registry
@@ -423,7 +459,7 @@ object Bench {
       val vanishedSeq = if (armVanished) vanishedOf(results, prevRound) else Nil
       val vanished = vanishedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = renderLine(results, baseline, sfNum,
-        prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups)
+        prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups, medians)
       // cross-run medians (VERDICT r16 item 7): per-query medians over the
       // round's clean full runs — the noise-floor-free signal a vs-baseline
       // ratio should be computed on. Empty ({}) on the round's first run.

@@ -442,24 +442,29 @@ object Similarity {
     * recall trade on pathological labels ONLY; [[srpNearDup]] is the
     * principled signature-blocked variant), and sub-blocks still over the
     * bound (e.g. one embedding duplicated en masse — identical vectors
-    * share a signature) are dropped, mirroring [[NearDupMaxBucket]]. Both
-    * count aggregations shuffle on (a prefix of) the pair join's own key. */
+    * share a signature) are dropped, mirroring [[NearDupMaxBucket]]. */
   private[graft] def labelBlockPairs(emb: DataFrame, maxBlock: Int): DataFrame = {
     val e = emb.select(col("label"), col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm")) // norm per vector, not per pair
-    // PLAN SHAPE (r17): both block-size counts are WINDOW counts, not
-    // aggregate-then-join round trips — the previous form exchanged the
-    // vector frame four times (label agg, label join, sub agg, sub join)
-    // before the pair join even started. `count over (label)` partitions
-    // on the label; `count over (label, subkey)` and the (label, subkey)
-    // self-join are both satisfied by that SAME partitioning (subset
-    // clustering), so the corpus crosses ONE exchange end to end and the
-    // self-join runs co-located. Identical rows — the counts are the
-    // same counts — and the DuckDB oracle stays full-strict.
-    val wLabel = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    // PLAN SHAPE (r18): the per-LABEL count is a map-side-combinable
+    // aggregate broadcast back (the qualityGate discipline) — NEVER a
+    // `count over (partition by label)` window: `label` is the
+    // low-cardinality curated key, and a whole-partition window on it
+    // buffers the entire vector frame in a handful of tasks at 100×
+    // (the r17 form regressed 31% on exactly this). Only count ROWS
+    // cross the label-count exchange; the vectors never do. The
+    // per-(label, subkey) count stays a WINDOW — that key is either a
+    // ≤ maxBlock label or a 256-way SRP sub-split of a hot one (only a
+    // duplicated-en-masse identical vector defeats the sub-split, and
+    // that is exactly the sub_n > maxBlock drop — it pays a spillable
+    // window buffer once, never a pair join), and its exchange is the
+    // pair join's own key: the corpus crosses ONE exchange end to end
+    // and the self-join runs co-located. Identical rows — the counts are the same counts —
+    // and the DuckDB oracle stays full-strict.
+    val labelCounts = e.groupBy("label").agg(count(lit(1)).as("block_n"))
     val wSub = org.apache.spark.sql.expressions.Window.partitionBy("label", "subkey")
     val kept = e
-      .withColumn("block_n", count(lit(1)).over(wLabel))
+      .join(broadcast(labelCounts), Seq("label"))
       .withColumn("subkey",
         when(col("block_n") <= maxBlock, lit(0L))
           .otherwise(srpSignature(col("embedding"), LabelSubBits, LabelSubSeed)))

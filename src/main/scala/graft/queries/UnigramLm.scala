@@ -31,9 +31,18 @@ import graft.tables.FrameCache
   * rounded and bit-reproducible across the JVM and any IEEE engine,
   * while a transcendental `log` differs in the last ulp between libm
   * implementations and would unseat the strict twin below. (Underflow
-  * is no concern at the path lengths a word admits: ≥1e-12-scale piece
-  * probabilities to the ~30th power stay far above the 1e-308 floor,
-  * and an all-zero tie still breaks deterministically.) Viterbi ties
+  * bound — corrected per ADVICE r17: 1e-12-scale piece probabilities
+  * survive only ~25 multiplications before crossing the 1e-308 normal
+  * floor (and ~27 before the 4.9e-324 denormal floor), so a word whose
+  * best path needs more pieces than that scores exactly 0.0 on EVERY
+  * path and the all-zero tie-break — longest last piece, applied at
+  * each DP cell — segments it greedily-longest instead of by maximum
+  * likelihood. That fallback is INTENTIONAL here: it is deterministic,
+  * both engines underflow identically (IEEE multiplies in the same
+  * order), so the strict twin holds, and greedy-longest is itself a
+  * reasonable segmentation for the pathological >25-piece words; a
+  * per-position rescale would buy true argmax at the cost of carrying
+  * the identical rescale through the SQL twin.) Viterbi ties
   * break to the LONGEST last piece; seed/prune ties lexicographically.
   * Hard (Viterbi-) EM rather than lattice EM keeps every E-step count
   * an exact integer — the variant's convergence is weaker in theory but

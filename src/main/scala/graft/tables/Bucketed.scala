@@ -54,7 +54,13 @@ object Bucketed {
     // are NOT siblings and must never evict each other (the ScaleSmoke
     // TABLE_OR_VIEW_NOT_FOUND regression this replaces).
     val fpHex = fp.substring(fp.lastIndexOf("@@") + 2)
-    val dirStem = s"${stem}_${sanitize(dir + extra)}"
+    // LOWERCASED (ADVICE r17): saveAsTable registers names lowercased and
+    // listTables() reports them lowercased, so a mixed-case dir path would
+    // make the startsWith sibling match below never fire — superseded
+    // tables (and their /tmp files, which must key on the catalog-reported
+    // name) would silently leak, the exact leak this eviction exists to
+    // prevent.
+    val dirStem = s"${stem}_${sanitize(dir + extra)}".toLowerCase(java.util.Locale.ROOT)
     val name = s"${dirStem}_v$fpHex"
     // the memo key keeps dirKey's raw `@@` segment so cachedValue's
     // sibling eviction drops the superseded build-flag too

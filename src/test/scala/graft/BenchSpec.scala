@@ -278,6 +278,46 @@ class BenchSpec extends AnyFunSuite {
     assert(windowed.size == Bench.HistoryKeep)
   }
 
+  test("history pruning is per-sf: foreign-sf lines never consume a sf's window") {
+    // ADVICE r17: with a global line-count window, interleaving sfs
+    // shrank each sf's effective median window below HistoryKeep
+    val p = Files.createTempFile("bench-runs-sf", ".jsonl").toString
+    Files.delete(java.nio.file.Paths.get(p))
+    // interleave: HistoryKeep+2 runs at each of two sfs
+    (1 to Bench.HistoryKeep + 2).foreach { i =>
+      Bench.appendHistory(p, "0.1", Seq("q1" -> i.toDouble))
+      Bench.appendHistory(p, "0.001", Seq("q1" -> (100.0 + i)))
+    }
+    // a fresh append at each sf must still see a FULL HistoryKeep window
+    val runsBig = Bench.appendHistory(p, "0.1", Seq("q1" -> 99.0))
+    assert(runsBig.size == Bench.HistoryKeep,
+      s"sf0.1 window shrank to ${runsBig.size}")
+    val runsSmall = Bench.appendHistory(p, "0.001", Seq("q1" -> 199.0))
+    assert(runsSmall.size == Bench.HistoryKeep,
+      s"sf0.001 window shrank to ${runsSmall.size}")
+    // and the small-sf values are its own, not the big sf's
+    assert(runsSmall.forall(_("q1") >= 100.0))
+  }
+
+  test("regressed gates on cross-run medians, failures never laundered by history") {
+    // VERDICT r17 item 3: one noisy run must not fire the gate when the
+    // cross-run median is clean — and a clean history must not hide a
+    // real (persistent) regression or a failure sentinel
+    val medians = Map("noisy" -> 0.2, "slow" -> 3.0)
+    val results = Seq("noisy" -> 2.0, "slow" -> 3.1, "dead" -> -1.0, "fresh" -> 5.0)
+    val gated = Bench.gateTimings(results, medians).toMap
+    assert(gated("noisy") == 0.2) // median overrides the one-off stall
+    assert(gated("slow") == 3.0)  // persistent regression keeps its median
+    assert(gated("dead") == -1.0) // sentinel passes through
+    assert(gated("fresh") == 5.0) // no history -> this run's value
+    val baseline = Map("noisy" -> 0.2, "slow" -> 1.0, "fresh" -> 1.0)
+    val line = Bench.renderLine(results, baseline, "0.1", medians = medians)
+    assert(!line.contains("\"regressed\":[\"noisy\""), line)
+    assert(line.contains("\"slow\""), line)
+    val reg = line.split("\"regressed\":")(1)
+    assert(reg.takeWhile(_ != ']').contains("slow"), line)
+  }
+
   test("medianOverRuns: query absent from every run is absent, even-count uses upper-middle") {
     val med = Bench.medianOverRuns(Seq(Map("a" -> 1.0), Map("a" -> 3.0)))
     assert(med("a") == 3.0) // xs(size/2) — the documented median3 convention

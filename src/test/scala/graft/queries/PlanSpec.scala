@@ -347,21 +347,29 @@ class PlanSpec extends SparkSpec {
       "persisted-index candidates drifted from the inline window form")
   }
 
-  test("labelBlockPairs: window counts share one exchange per side, no agg-join round trips") {
-    // r17 shape: both block-size counts are window counts over the SAME
-    // label partitioning (subset clustering covers the (label, subkey)
-    // window), so each self-join side crosses exactly one shuffle — the
-    // previous aggregate-then-join form exchanged the vector frame four
-    // times before the pair join started
+  test("labelBlockPairs: broadcast label count, no whole-label window, one corpus exchange") {
+    // r18 shape: the per-label count is an aggregate broadcast back —
+    // only count rows cross its exchange — and the ONLY window runs over
+    // (label, subkey), whose exchange is the pair join's own key. A
+    // window partitioned on `label` alone is the 100 TB skew shape (a
+    // low-cardinality curated key buffering the whole vector frame in a
+    // handful of tasks) and must never come back.
     val plan = graft.SparkEntry.queries("sim_embed_neardup")(spark, sf)
       .queryExecution.sparkPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    // two join sides + the final presentation orderBy — nothing else
-    assert(exchanges.size <= 3, s"labelBlockPairs regained exchanges:\n$plan")
     val wins = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(wins.size >= 2, s"window-count form lost its windows:\n$plan")
+    assert(wins.nonEmpty, s"window sub-block count vanished:\n$plan")
+    assert(wins.forall(_.partitionSpec.size >= 2),
+      s"whole-label window (skew shape) is back:\n$plan")
+    val bcasts = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, s"label count lost its broadcast join:\n$plan")
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // skinny label-count agg + the (label, subkey) window/join exchange
+    // + the final presentation orderBy — nothing else; the vector frame
+    // itself still crosses exactly one
+    assert(exchanges.size <= 4, s"labelBlockPairs regained exchanges:\n$plan")
   }
 
   test("pivot is one scan + one aggregation pass, no per-type rescan") {

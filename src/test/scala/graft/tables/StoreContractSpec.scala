@@ -119,6 +119,107 @@ class StoreContractSpec extends SparkSpec {
     }
   }
 
+  /** VERDICT r17 item 7 — the fingerprinted-identity contract over the
+    * FULL [[Bucketed.ensureForDir]] caller list, one parameterized pass:
+    * for every persisted store artifact (contain index, incremental hash
+    * table, LSH postings + gram sets, source grams, bucketed join sides,
+    * agg state, IVF lists, PQ codes, dHash catalog, audio-fingerprint
+    * catalog) two same-stem dirs COEXIST, and a dir rewrite rebuilds
+    * EXACTLY its own tables — caller k's rebuild must not evict caller
+    * j's live tables nor the other dir's. The dirs carry an UPPERCASE
+    * path segment on purpose: saveAsTable lowercases registered names,
+    * so this pass also pins the ADVICE r17 case-sensitivity leak (a
+    * mixed-case path made the stale-sibling startsWith never match). */
+  test("ensureForDir callers: same-stem dirs coexist; a rewrite rebuilds exactly its own tables") {
+    import graft.queries.{Dedup, Relational, IvfAnn, PqAnn, Multimodal}
+    val callers: Seq[(String, (org.apache.spark.sql.SparkSession, String) => Unit)] = Seq(
+      "contain_idx"   -> ((s, d) => { Dedup.ensureContainIndex(s, d); () }),
+      "corpus_sha"    -> ((s, d) => { Dedup.incrementalNew(s, d); () }),
+      "lsh_idx_grams" -> ((s, d) => { Dedup.incrementalNearDup(s, d); () }),
+      "source_grams"  -> ((s, d) => { Dedup.sourceOverlap(s, d); () }),
+      "join_bucketed" -> ((s, d) => { Relational.joinBucketed(s, d); () }),
+      "agg_state"     -> ((s, d) => { Relational.incrementalAgg(s, d); () }),
+      "ivf_index"     -> ((s, d) => { IvfAnn.ivfIndexPersisted(s, d); () }),
+      "pq_index"      -> ((s, d) => { PqAnn.pqIndexPersisted(s, d); () }),
+      "phash_cat"     -> ((s, d) => { Multimodal.phashCatalog(s, d); () }),
+      "afp_cat"       -> ((s, d) => { Multimodal.afpCatalog(s, d); () }))
+
+    def copyDir(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else java.nio.file.Files.copy(f.toPath, t.toPath)
+      }
+    }
+    def bumpMtimes(root: java.io.File, delta: Long): Unit = {
+      root.setLastModified(root.lastModified() + delta)
+      Option(root.listFiles()).getOrElse(Array.empty).foreach(bumpMtimes(_, delta))
+    }
+    def catalogSet(): Set[String] =
+      spark.catalog.listTables().collect().map(_.name).toSet
+
+    val src = new java.io.File("/root/testdata/sf0.001")
+    // uppercase prefixes — the ADVICE r17 regression surface
+    val dirA = java.nio.file.Files.createTempDirectory("BucketedCallersA").toFile
+    val dirB = java.nio.file.Files.createTempDirectory("BucketedCallersB").toFile
+    val created = scala.collection.mutable.Set[String]()
+    try {
+      copyDir(src, dirA); copyDir(src, dirB)
+      val base = catalogSet()
+      // phase 1: build per caller on BOTH dirs — coexistence
+      val madeA = callers.map { case (label, run) =>
+        val before = catalogSet()
+        run(spark, dirA.getPath)
+        val nw = catalogSet() -- before
+        assert(nw.nonEmpty, s"$label registered no bucketed table for dirA")
+        created ++= nw; label -> nw
+      }.toMap
+      val madeB = callers.map { case (label, run) =>
+        val before = catalogSet()
+        run(spark, dirB.getPath)
+        val nw = catalogSet() -- before
+        assert(nw.nonEmpty, s"$label registered no bucketed table for dirB")
+        created ++= nw; label -> nw
+      }.toMap
+      callers.foreach { case (label, _) =>
+        assert(madeA(label).forall(catalogSet()),
+          s"$label: building dirB's table evicted dirA's live same-stem table")
+      }
+      // phase 2: rewrite dirA (mtime bump — content identical, identity
+      // changed), rebuild each caller, assert eviction PRECISION
+      bumpMtimes(dirA, 5000)
+      callers.zipWithIndex.foreach { case ((label, run), k) =>
+        val before = catalogSet()
+        run(spark, dirA.getPath)
+        val fresh = catalogSet() -- before
+        created ++= fresh
+        assert(fresh.nonEmpty, s"$label ignored the dirA rewrite (stale identity served)")
+        madeA(label).foreach { old =>
+          assert(!spark.catalog.tableExists(old),
+            s"$label: superseded dirA table $old leaked in the catalog")
+          assert(!new java.io.File(s"/tmp/graft-bucketed/$old").exists(),
+            s"$label: superseded dirA files for $old leaked on disk")
+        }
+        // precision: later callers' dirA tables and ALL dirB tables live
+        callers.drop(k + 1).foreach { case (lj, _) =>
+          assert(madeA(lj).forall(catalogSet()),
+            s"$label: rebuild evicted $lj's (not-yet-rebuilt) dirA tables")
+        }
+        callers.foreach { case (lj, _) =>
+          assert(madeB(lj).forall(catalogSet()),
+            s"$label: rebuild evicted $lj's dirB tables")
+        }
+      }
+      assert((catalogSet() -- base -- created).isEmpty)
+    } finally {
+      created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      import scala.reflect.io.Directory
+      new Directory(dirA).deleteRecursively()
+      new Directory(dirB).deleteRecursively()
+    }
+  }
+
   test("Bucketed.ensure: a half-written directory from a crashed predecessor is overwritten, not served") {
     val name = s"graft_contract_halfwrite_${System.nanoTime()}"
     val path = new java.io.File(s"/tmp/graft-bucketed/$name")
