@@ -253,6 +253,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // per-rep trace: every raw rep of every query, report-file-only —
+    // the forensic channel for bimodal queries (VERDICT r17 item 2: a
+    // reported median can't distinguish one 17× blip from a durable
+    // slow mode; the raw reps can)
+    val reps = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val measured = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (timing, warmSec) =
         try {
@@ -263,14 +268,16 @@ object Bench {
           // medians below stay a pure steady-state regress signal
           // (VERDICT r15 item 1).
           val warm = runOnce(fn(spark, sfDir)) // also surfaces failures early
-          val first = median3(Seq.fill(3)(runOnce(fn(spark, sfDir))))
-          val best = baseline.get(name) match {
+          val firstReps = Seq.fill(3)(runOnce(fn(spark, sfDir)))
+          val first = median3(firstReps)
+          val (best, allReps) = baseline.get(name) match {
             case Some(b) if first > b * RegressThreshold =>
               // suspicious: re-measure once; a GC/JIT stall won't repeat
-              val second = median3(Seq.fill(3)(runOnce(fn(spark, sfDir))))
-              math.min(first, second)
-            case _ => first
+              val secondReps = Seq.fill(3)(runOnce(fn(spark, sfDir)))
+              (math.min(first, median3(secondReps)), firstReps ++ secondReps)
+            case _ => (first, firstReps)
           }
+          reps(name) = warm +: allReps
           (best, warm)
         } catch {
           case e: Throwable =>
@@ -298,7 +305,7 @@ object Bench {
       else Map.empty[String, Double]
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
       results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty,
-      warmups = warmups, medians = medians)
+      warmups = warmups, medians = medians, reps = reps.toMap)
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
@@ -429,7 +436,8 @@ object Bench {
                                  prevRound: Map[String, Double] = Map.empty,
                                  armVanished: Boolean = true,
                                  warmups: Map[String, Double] = Map.empty,
-                                 medians: Map[String, Double] = Map.empty): Unit =
+                                 medians: Map[String, Double] = Map.empty,
+                                 reps: Map[String, Seq[Double]] = Map.empty): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -465,11 +473,17 @@ object Bench {
       // ratio should be computed on. Empty ({}) on the round's first run.
       val medJson = medians.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      // raw reps ([warmup, rep1, rep2, rep3, (re-measure reps)]) — the
+      // bimodality forensic channel; report-file-only
+      val repsJson = reps.toSeq.sortBy(_._1)
+        .map { case (k, vs) => "\"" + k + "\":" + vs.map(r3).mkString("[", ",", "]") }
+        .mkString("{", ",", "}")
       val json =
         s"""{"sf":$sfNum,"regress_threshold":$RegressThreshold,"regress_min_delta_sec":$RegressMinDeltaSec,
            |"baseline_queries":${baseline.size},"timings":$timings,"vs_prev":${ratios(baseline)},"regressed":$regressed,
            |"warmup":$warmJson,
            |"median_timings":$medJson,
+           |"reps":$repsJson,
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
            |"line":${graft.tools.JsonText.quote(line)}}

@@ -1924,27 +1924,60 @@ object TextAnalysis {
     * fix is near-dup dedup BEFORE splitting, and this report is the
     * evidence.
     *
-    * Scale shape = [[graft.queries.Dedup.sourceOverlap]] keyed on split:
-    * distinct (split, gram) reduction first, self-join CO-PARTITIONED on
-    * gram with per-gram fan-out ≤ C(3,2) = 3, split totals broadcast
-    * back. */
-  def splitLeakage(s: SparkSession, d: String): DataFrame =
-    splitLeakageOf(documents(s, d))
+    * Scale shape = [[graft.queries.Dedup.sourceOverlap]] keyed on split
+    * — INCLUDING its persisted index (VERDICT r17 item 5; this was a
+    * top-3 bench query re-deriving its gram frame per audit): gram text
+    * dies in the scan projection (the exact-int64 Karp-Rabin
+    * [[graft.queries.Dedup.OverlapGramMod]] fold, so the distinct
+    * exchange and the stored layout move 8-byte keys), the distinct
+    * (split, gram_h) frame lands as a gram_h-bucketed sorted store
+    * artifact built once per corpus, and every repeat audit — cold
+    * sessions included — reads the co-located layout: the self-join
+    * plans with ZERO exchange and zero sort on either side (CleanOpsSpec
+    * pins it), per-gram fan-out ≤ C(3,2) = 3, split totals broadcast
+    * back. The oracle computes the identical hash fold, so full
+    * strictness holds, collisions and all. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val tbl = graft.tables.Bucketed.ensureForDir(
+      s, "graft_split_grams", d, "", "gram_h", buckets = 32)(
+      splitGramsOf(documents(s, d)))
+    val sg = s.table(tbl)
+    // |splits| = 3 rows, but a full aggregation pass per reference —
+    // memoized like the sourceOverlap totals (referenced twice below)
+    val totals = FrameCache.cached(s, s"split-gram-totals:$tbl")(
+      sg.groupBy("split").agg(count(lit(1)).as("n")))
+    splitLeakageOfGrams(sg, Some(totals))
+  }
 
-  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame = {
+  /** The corpus-sized unit: distinct (split, gram_h) — the
+    * [[graft.queries.Dedup.sourceGramsOf]] shape with the
+    * [[splitAssign]] rule inlined so the audit measures the splits the
+    * pipeline actually ships. */
+  private[graft] def splitGramsOf(docs: DataFrame): DataFrame = {
     val gramN = graft.queries.Dedup.OverlapGramN
     val words = split(col("text"), " ")
     val pct = ((pmod(col("doc_id"), lit(SampleFold)) * SampleHashA) % 4294967296L) % 100L
     val splitCol = when(pct < SplitTrainPct, "train")
       .when(pct < SplitValPct, "val").otherwise("test")
     val grams = graft.functions.TextKernels.wordShingles(words, gramN, distinct = true)
-    val sg = docs.filter(size(words) >= gramN)
+    docs.filter(size(words) >= gramN)
       .select(splitCol.as("split"), explode(grams).as("gram"))
+      .select(col("split"),
+        graft.functions.TextKernels.krBucket(col("gram"),
+          graft.queries.Dedup.OverlapGramMod, graft.queries.Dedup.OverlapGramMod)
+          .as("gram_h"))
       .distinct()
-    val totals = sg.groupBy("split").agg(count(lit(1)).as("n"))
+  }
+
+  private[graft] def splitLeakageOf(docs: DataFrame): DataFrame =
+    splitLeakageOfGrams(splitGramsOf(docs))
+
+  private[graft] def splitLeakageOfGrams(sg: DataFrame,
+                                         totalsOpt: Option[DataFrame] = None): DataFrame = {
+    val totals = totalsOpt.getOrElse(sg.groupBy("split").agg(count(lit(1)).as("n")))
     val pairs = sg.as("a")
       .join(sg.as("b"),
-        col("a.gram") === col("b.gram") && col("a.split") < col("b.split"))
+        col("a.gram_h") === col("b.gram_h") && col("a.split") < col("b.split"))
       .select(col("a.split").as("split_a"), col("b.split").as("split_b"))
       .groupBy("split_a", "split_b")
       .agg(count(lit(1)).as("shared"))
@@ -3292,10 +3325,13 @@ object TextAnalysis {
         |  1.0 / (60.0 + rank_quality) + 1.0 / (60.0 + rank_length)
         |    + 1.0 / (60.0 + rank_diversity) AS rrf
         |FROM r ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin,
-    // Same split rule as text_split_assign, same gram comprehension as
-    // text_source_overlap — exact counts, one double division each.
+    // Same split rule as text_split_assign, same gram comprehension AND
+    // the same exact-int64 Karp-Rabin gram-hash fold as
+    // text_source_overlap (the persisted index stores gram_h, not gram
+    // text) — exact counts, one double division each, full strictness
+    // collisions and all.
     "text_split_leakage" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |  WHERE len(string_split(text, ' ')) >= 4
         |), sp AS (
@@ -3308,13 +3344,20 @@ object TextAnalysis {
         |  SELECT split, unnest(list_distinct(
         |    [array_to_string(words[i:i+3], ' ') for i in range(1, len(words) - 2)])) AS gram
         |  FROM sp
+        |), gh AS (
+        |  SELECT split,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        [CAST(unicode(gram[i]) AS BIGINT) for i in range(1, len(gram)+1)]),
+        |      (acc, c) -> (acc * 256 + c) % ${graft.queries.Dedup.OverlapGramMod}) AS gram_h
+        |  FROM g0
         |), g AS (
-        |  SELECT DISTINCT split, gram FROM g0
+        |  SELECT DISTINCT split, gram_h FROM gh
         |), t AS (
         |  SELECT split, COUNT(*) AS n FROM g GROUP BY split
         |), p AS (
         |  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS shared
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.split < b.split
+        |  FROM g a JOIN g b ON a.gram_h = b.gram_h AND a.split < b.split
         |  GROUP BY 1, 2
         |)
         |SELECT split_a, split_b, CAST(shared AS BIGINT) AS shared,

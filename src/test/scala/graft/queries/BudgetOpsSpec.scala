@@ -397,6 +397,32 @@ class BudgetOpsSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture must produce at least one leaking pair")
   }
 
+  test("splitLeakage: persisted gram table — cold session pays only the join, zero corpus scans") {
+    // the sourceOverlap discipline applied to the split audit (VERDICT
+    // r17 item 5: this was a top-3 bench query re-deriving its distinct
+    // (split, gram) frame per audit)
+    val d = "/root/testdata/sf0.001"
+    val r1 = TextAnalysis.splitLeakage(spark, d).collect().toSeq
+    assert(r1.nonEmpty)
+    val s2 = spark.newSession()
+    val df2 = TextAnalysis.splitLeakage(s2, d)
+    assert(df2.collect().toSeq == r1, "cold session result drifted")
+    val scans = df2.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(!scans.exists(_.contains("documents.parquet")),
+      s"corpus re-scanned in a cold session:\n${scans.mkString("\n")}")
+    assert(scans.exists(_.contains("graft-bucketed/graft_split_grams_")),
+      s"persisted gram table not read:\n${scans.mkString("\n")}")
+    val gramExchanges = df2.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.output.exists(_.name == "gram_h") => e
+    }
+    assert(gramExchanges.isEmpty,
+      "gram_h re-exchanged: the bucketed co-location is not being used")
+  }
+
   test("budgetTrim distributed prefix == single-window formulation on testdata") {
     val d = "/root/testdata/sf0.001"
     val dist = TextAnalysis.budgetTrim(spark, d).collect()

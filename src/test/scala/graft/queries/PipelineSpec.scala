@@ -543,6 +543,21 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall at sf0.1")
   }
 
+  test("adaptiveProbes: exact at tiny corpora, production dial at scale, monotone") {
+    // VERDICT r17 item 6 — the fixed 8/16 dial under-probed the 10× tile
+    // (recall 0.86); the adaptive rule widens nprobe until ~ProbeVecFloor
+    // vectors fall under the probes, and never narrows below the floor
+    import IvfAnn._
+    assert(probesFor(1L) == NumLists)           // degenerate: probe everything
+    assert(probesFor(1000L) == NumLists)        // test-SF corpora: exact search
+    assert(probesFor(20000L) == 14, s"10x-tile-sized corpus got ${probesFor(20000L)}")
+    assert(probesFor(200000L) == NumProbes)     // 100x tile: production dial
+    assert(probesFor(100000000L) == NumProbes)  // and it never drops below it
+    // monotone non-increasing in n
+    val ns = Seq(1L, 100L, 1000L, 10000L, 100000L, 10000000L)
+    assert(ns.map(probesFor).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("bounded TopK aggregate equals the two-level collect_list top-k") {
     import spark.implicits._
     // adversarial scored data: duplicates, score ties (tie-break by id), >k rows
