@@ -2239,9 +2239,32 @@ object TextAnalysis {
       .withColumn("a", element_at(split(col("gram"), " "), 1))
       .withColumn("b", element_at(split(col("gram"), " "), 2))
       .filter(col("c_xy") >= minCount)
+    // ONE vocab broadcast, not two (r18 — the r17 bench forensics: pmi's
+    // "bimodal" slow modes ride run-wide DRIVER stall periods; every
+    // degraded r17 run's worst-drift set was the driver-bound class —
+    // fn_regex, the sub-0.3 s rel_filters — with pmi the 8× extreme
+    // because each rep paid TWO driver-side broadcast hash-relation
+    // builds, and AQE does not dedupe broadcast stages over a cached
+    // relation. The filtered bigram frame explodes into its two word
+    // lookups (2 rows per surviving gram — dimension-sized), joins the
+    // vocab broadcast once, and re-pivots with a hash aggregate that is
+    // EXCHANGE-FREE: the frame is already hash-partitioned on `gram`
+    // from the count aggregate, which subsumes the (gram, c_xy)
+    // clustering. Every bigram word is by construction in the unigram
+    // vocab (same corpus, same split), so the inner join never drops a
+    // side. At 100 TB this also halves the vocab's executor memory —
+    // one hash relation, not two. PlanSpec pins the single-broadcast
+    // shape.
     bi
-      .join(broadcast(uni.select(col("t").as("a"), col("c").as("c_a"))), "a")
-      .join(broadcast(uni.select(col("t").as("b"), col("c").as("c_b"))), "b")
+      .select(col("gram"), col("c_xy"),
+        explode(array(
+          struct(lit(1).as("side"), col("a").as("t")),
+          struct(lit(2).as("side"), col("b").as("t")))).as("s"))
+      .select(col("gram"), col("c_xy"), col("s.side").as("side"), col("s.t").as("t"))
+      .join(broadcast(uni), "t")
+      .groupBy(col("gram"), col("c_xy"))
+      .agg(max(when(col("side") === 1, col("c"))).as("c_a"),
+           max(when(col("side") === 2, col("c"))).as("c_b"))
       .select(col("gram"), col("c_xy"), col("c_a"), col("c_b"),
         ((col("c_xy") * lit(total)).cast("double") / (col("c_a") * col("c_b")))
           .as("score"))

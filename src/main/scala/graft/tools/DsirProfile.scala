@@ -11,6 +11,11 @@ object DsirProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed scans expose their sortBy ordering (one file per bucket
+      // is guaranteed by Bucketed's pre-repartitioned writes), so
+      // merge joins/aggs over persisted indexes skip the per-audit sort
+      // — "legacy" only because planning must list files per bucket
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def t(tag: String)(f: => Long): Unit = {

@@ -18,6 +18,11 @@ object HammingProfile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed scans expose their sortBy ordering (one file per bucket
+      // is guaranteed by Bucketed's pre-repartitioned writes), so
+      // merge joins/aggs over persisted indexes skip the per-audit sort
+      // — "legacy" only because planning must list files per bucket
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.queries.{Dedup, Multimodal}

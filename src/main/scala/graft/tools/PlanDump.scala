@@ -9,6 +9,11 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed scans expose their sortBy ordering (one file per bucket
+      // is guaranteed by Bucketed's pre-repartitioned writes), so
+      // merge joins/aggs over persisted indexes skip the per-audit sort
+      // — "legacy" only because planning must list files per bucket
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (sys.env.contains("SPARK_GRAFT_SF_DIR")) sys.env("SPARK_GRAFT_SF_DIR")

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{SparkPlan, SortExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+/** Exchange/sort plan probes for the spec suite (r18).
+  *
+  * Why this exists: `queryExecution.sparkPlan` is the PLANNER's output —
+  * EnsureRequirements (which inserts every ShuffleExchange/Sort) only
+  * runs in the execution-preparation phase, and with AQE on the prepared
+  * tree hides behind an AdaptiveSparkPlanExec wrapper that `collect`
+  * cannot see through before execution. Exchange/sort assertions made
+  * against `sparkPlan` therefore pass VACUOUSLY (zero nodes, whatever
+  * the real plan does). The probe disables AQE for the one plan
+  * materialization — exchange placement is a static property — and
+  * reads `executedPlan`, where the exchanges are real. Callers pair a
+  * "must be exchange-free" assertion with a CONTROL plan that must
+  * contain exchanges, so a future probe breakage fails loudly instead
+  * of passing everything. */
+object PlanProbe {
+
+  /** The execution-prepared plan with AQE off (by-name: the frame is
+    * constructed inside the conf window). */
+  def staticPlan(s: SparkSession)(df: => DataFrame): SparkPlan = {
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect { case e: ShuffleExchangeExec => e }
+
+  def broadcasts(p: SparkPlan): Seq[BroadcastExchangeExec] =
+    p.collect { case e: BroadcastExchangeExec => e }
+
+  def sorts(p: SparkPlan): Seq[SortExec] =
+    p.collect { case s: SortExec => s }
+}

@@ -355,10 +355,13 @@ class CleanOpsSpec extends SparkSpec {
     assert(scans.exists(_.contains("graft-bucketed/graft_source_grams_")),
       s"persisted gram table not read:\n${scans.mkString("\n")}")
     // the self-join over the bucketed layout must not re-exchange gram_h
-    val gramExchanges = df2.queryExecution.sparkPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-        if e.output.exists(_.name == "gram_h") => e
-    }
+    // exchanges live in the PREPARED plan (r18: the sparkPlan form of
+    // this assert was vacuous — EnsureRequirements had not run); the
+    // pair-count aggregate exchange doubles as the non-vacuity probe
+    val prepared = graft.PlanProbe.staticPlan(s2)(Dedup.sourceOverlap(s2, d))
+    val exchanges = graft.PlanProbe.shuffles(prepared)
+    assert(exchanges.nonEmpty, "probe broken: plan must contain the pair-count exchange")
+    val gramExchanges = exchanges.filter(_.output.exists(_.name == "gram_h"))
     assert(gramExchanges.isEmpty,
       "gram_h re-exchanged: the bucketed co-location is not being used")
   }

@@ -312,17 +312,23 @@ class PlanSpec extends SparkSpec {
     // the plan must be a SortMergeJoin with NO exchange and NO sort
     val j = spark.table(ot).hint("merge")
       .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
-    val plan = j.queryExecution.sparkPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    assert(exchanges.isEmpty, s"bucketed join still shuffles:\n$plan")
-    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
-    assert(sorts.isEmpty, s"bucketed join re-sorts sorted buckets:\n$plan")
+    // exchanges/sorts live in the PREPARED plan, not sparkPlan (r18:
+    // sparkPlan-based exchange asserts were vacuous) — probe with AQE
+    // off, and prove the probe works on an unbucketed CONTROL twin
+    val plan = graft.PlanProbe.staticPlan(spark)(j)
+    assert(graft.PlanProbe.shuffles(plan).isEmpty, s"bucketed join still shuffles:\n$plan")
+    assert(graft.PlanProbe.sorts(plan).isEmpty, s"bucketed join re-sorts sorted buckets:\n$plan")
     assert(plan.toString.contains("SortMergeJoin"), s"expected SortMergeJoin:\n$plan")
     // physical layout must not change the logical result
     val plain = graft.tables.Testdata.orders(spark, sf).select("o_custkey")
       .join(graft.tables.Testdata.customer(spark, sf).select("c_custkey"),
         col("o_custkey") === col("c_custkey"))
+    val ctrl = graft.PlanProbe.staticPlan(spark)(
+      graft.tables.Testdata.orders(spark, sf).select("o_custkey").hint("merge")
+        .join(graft.tables.Testdata.customer(spark, sf).select("c_custkey"),
+          col("o_custkey") === col("c_custkey")))
+    assert(graft.PlanProbe.shuffles(ctrl).nonEmpty,
+      "probe control broken: the unbucketed twin must shuffle")
     assert(j.count() == plain.count())
   }
 
@@ -334,15 +340,17 @@ class PlanSpec extends SparkSpec {
     // one-time build, so the audit plan must shuffle and sort NOTHING
     val idx = spark.table(Dedup.ensureContainIndex(spark, sf))
     val cand = Dedup.candidatesOfIndex(idx)
-    val plan = cand.queryExecution.sparkPlan
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    assert(exchanges.isEmpty, s"candidate join still shuffles:\n$plan")
-    val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
-    assert(sorts.isEmpty, s"candidate join re-sorts sorted buckets:\n$plan")
-    // physical layout must not change the candidate set
+    // prepared plan with AQE off (r18: sparkPlan exchange asserts were
+    // vacuous — EnsureRequirements hadn't run)
+    val plan = graft.PlanProbe.staticPlan(spark)(cand)
+    assert(graft.PlanProbe.shuffles(plan).isEmpty, s"candidate join still shuffles:\n$plan")
+    assert(graft.PlanProbe.sorts(plan).isEmpty, s"candidate join re-sorts sorted buckets:\n$plan")
+    // physical layout must not change the candidate set — and the inline
+    // form doubles as the probe CONTROL: it must shuffle
     val inline = Dedup.containmentCandidatesOf(
       Dedup.containGramSetsOf(graft.tables.Testdata.documents(spark, sf)))
+    assert(graft.PlanProbe.shuffles(graft.PlanProbe.staticPlan(spark)(inline)).nonEmpty,
+      "probe control broken: the inline candidate form must shuffle")
     assert(cand.count() == inline.count(),
       "persisted-index candidates drifted from the inline window form")
   }
@@ -364,12 +372,35 @@ class PlanSpec extends SparkSpec {
     val bcasts = plan.collect {
       case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
     assert(bcasts.nonEmpty, s"label count lost its broadcast join:\n$plan")
-    val exchanges = plan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
-    // skinny label-count agg + the (label, subkey) window/join exchange
-    // + the final presentation orderBy — nothing else; the vector frame
-    // itself still crosses exactly one
-    assert(exchanges.size <= 4, s"labelBlockPairs regained exchanges:\n$plan")
+    // the property that matters at 100 TB: the VECTOR frame crosses at
+    // most its two self-join sides' exchanges (ideally one, reused) —
+    // all other exchanges move skinny count/candidate rows. Exchanges
+    // live in the prepared plan (r18: sparkPlan asserts were vacuous).
+    val prepared = graft.PlanProbe.staticPlan(spark)(
+      graft.SparkEntry.queries("sim_embed_neardup")(spark, sf))
+    val exchanges = graft.PlanProbe.shuffles(prepared)
+    assert(exchanges.nonEmpty, "probe broken: plan must contain exchanges")
+    val vectorCarrying = exchanges.filter(_.output.exists(a =>
+      a.name.contains("embedding") || a.name == "va" || a.name == "vb"))
+    assert(vectorCarrying.size <= 2,
+      s"vector frame crosses ${vectorCarrying.size} exchanges:\n$prepared")
+  }
+
+  test("pmiBigrams broadcasts the vocab ONCE; the count re-pivot is exchange-free") {
+    // r18 (the r17 bimodality forensics): pmi's slow modes rode run-wide
+    // driver stall periods, amplified by TWO per-rep driver-side
+    // broadcast builds — AQE does not dedupe broadcast stages over a
+    // cached relation, so the plan now explodes each surviving bigram
+    // into its two word lookups and joins the vocab broadcast once; the
+    // (gram, c_xy) re-pivot aggregate rides the existing gram
+    // partitioning (subset clustering) with no new exchange.
+    val plan = graft.PlanProbe.staticPlan(spark)(
+      graft.SparkEntry.queries("text_pmi_bigrams")(spark, sf))
+    val bcasts = graft.PlanProbe.broadcasts(plan)
+    assert(bcasts.size == 1, s"vocab must broadcast exactly once:\n$plan")
+    val exchanges = graft.PlanProbe.shuffles(plan)
+    assert(exchanges.size == 1,
+      s"only the bigram-count exchange may shuffle:\n$plan")
   }
 
   test("pivot is one scan + one aggregation pass, no per-type rescan") {
