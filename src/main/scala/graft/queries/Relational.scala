@@ -1628,28 +1628,65 @@ object Relational {
     * from "fine, look elsewhere".
     *
     * Numerics: per-key counts are exact ints; the Gini numerator
-    * Σ (2·rank − n − 1)·c is an exact int64 over the (count, user_id)
-    * total order, so gini / top_share / median are each ONE final double
-    * division ([[regression]]'s discipline). Two keyed exchanges — the
-    * count agg and the per-type rank window — both on keys that dwarf
-    * the executor count at scale; the report itself is |types| rows. */
+    * Σ (2·rank − 1)·c is an exact int64, so gini / top_share / median
+    * are each ONE final double division ([[regression]]'s discipline).
+    *
+    * Scale shape (r18 — this op previously ranked every (user, count)
+    * row of a type through ONE task's window, the exact
+    * low-cardinality-partition shape the labelBlockPairs rewrite bans):
+    * the per-key counts collapse to their FREQUENCY TABLE
+    * (type, c, m = how many keys have count c) — the exact-CDF
+    * rank-normalization trick — and both the Gini numerator and the
+    * interpolated median are closed forms over that table's per-type
+    * cumulative sums. Within a tie group of m keys sharing count c and
+    * starting rank r₀ = cum_before+1, Σ (2·rank−1)·c telescopes to
+    * c·(2·m·cum_before + m²) — identical to the per-row rank sum, ties
+    * broken anyhow. The only corpus-sized exchange left is the count
+    * agg itself (keyed on (type, user) — dwarfs the executor count);
+    * the window and every later step run on the support-sized frequency
+    * table (|distinct per-key loads| per type — Zipf-small, never the
+    * key population). Median interpolation is exact: frac ∈ {0, ½} and
+    * integer counts make lower + (upper−lower)·frac the same IEEE value
+    * the percentile aggregate (and DuckDB's median) computes. */
   def skewReport(s: SparkSession, d: String): DataFrame =
     skewReportOf(events(s, d))
 
   private[graft] def skewReportOf(ev: DataFrame): DataFrame = {
     val counts = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("event_type").orderBy("c", "user_id")
-    counts
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val freq = counts.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+    // both windows share the one event_type exchange; the full-frame
+    // n_keys window is a whole-partition count over the SUPPORT table,
+    // which is exactly where that shape is legal
+    val wf = Window.partitionBy("event_type").orderBy("c")
+    val pre = freq
+      .withColumn("cum_before", coalesce(
+        sum("m").over(wf.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum", col("cum_before") + col("m"))
+      .withColumn("n_keys", sum("m").over(Window.partitionBy("event_type")))
+    // exact interpolated median off the cumulative table: the value at
+    // rank k = 1 + (n−1) div 2 and (for even n) at k+1, blended by
+    // frac = ((n−1) mod 2) · 0.5
+    val k = (lit(1) + (col("n_keys") - 1) / lit(2)).cast("long")
+    pre
+      .withColumn("k", k)
+      .withColumn("lo", when(col("cum_before") < col("k") &&
+        col("k") <= col("cum"), col("c")))
+      .withColumn("hi", when(col("cum_before") < col("k") + 1 &&
+        col("k") + 1 <= col("cum"), col("c")))
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n_keys"),
-        sum("c").as("total_rows"),
+        max("n_keys").as("n_keys"),
+        sum(col("c") * col("m")).as("total_rows"),
         max("c").as("max_per_key"),
-        percentile(col("c"), lit(0.5)).as("p50_per_key"),
-        sum((lit(2) * col("rn") - lit(1)) * col("c")).as("gini_raw"))
+        sum(col("c") * (lit(2) * col("m") * col("cum_before") + col("m") * col("m")))
+          .as("gini_raw"),
+        max("lo").as("lo"), max("hi").as("hi"),
+        max(((col("n_keys") - 1) % 2).cast("double") * 0.5).as("frac"))
       .select(col("event_type"), col("n_keys"), col("total_rows"),
-        col("max_per_key"), col("p50_per_key"),
+        col("max_per_key"),
+        (col("lo").cast("double") +
+          (coalesce(col("hi"), col("lo")) - col("lo")).cast("double") * col("frac"))
+          .as("p50_per_key"),
         (col("max_per_key").cast("double") / col("total_rows")).as("top_share"),
         ((col("gini_raw") - col("n_keys") * col("total_rows")).cast("double")
           / (col("n_keys") * col("total_rows")).cast("double")).as("gini"))

@@ -549,18 +549,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("skew report: per-key count exchange narrows to the type-keyed window, nothing more") {
-    // counts agg shuffles on (event_type, user_id); the rank window
-    // re-keys to event_type and the final per-type agg REUSES that
-    // partitioning (no third hash exchange); plus the result sort.
+  test("skew report: one corpus-keyed exchange; window runs on the frequency table") {
+    // r18 shape: the per-key count agg is the ONLY corpus-sized
+    // exchange (keyed (event_type, user_id) — dwarfs the executor
+    // count); the rank window moved onto the support-sized frequency
+    // table (freq agg exchange + its event_type window exchange), so no
+    // whole-type key population ever serializes through one task. Plus
+    // the result sort.
     val xs = shuffles("rel_skew_report")
     val hash = xs.filter(_._1.contains("hashpartitioning"))
-    assert(hash.size == 2, s"rel_skew_report: expected 2 hash exchanges, got $xs")
-    assert(hash.exists(h => h._1.contains("event_type") && h._1.contains("user_id")),
-      s"missing the (event_type, user_id) count exchange: $xs")
+    assert(hash.size == 3, s"rel_skew_report: expected 3 hash exchanges, got $xs")
+    val corpusKeyed = xs.filter(_._2.contains("user_id"))
+    assert(corpusKeyed.size == 1,
+      s"exactly one exchange may carry the key population: $xs")
     assert(hash.exists(h => h._1.contains("event_type") && !h._1.contains("user_id")),
-      s"missing the event_type window exchange: $xs")
-    assert(xs.size == 3, s"rel_skew_report: expected 2 hash + result sort, got $xs")
+      s"missing the event_type frequency-table window exchange: $xs")
+    assert(xs.size == 4, s"rel_skew_report: expected 3 hash + result sort, got $xs")
     // same two-exchange discipline for gram novelty: the gram-keyed
     // first-occurrence window, the doc_id re-aggregate, the result sort.
     val gn = shuffles("text_gram_novelty")
