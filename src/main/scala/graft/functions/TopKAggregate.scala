@@ -35,3 +35,36 @@ object TopKAggregate {
   /** usage: `df.groupBy(g).agg(TopKAggregate(10)(col("score"), col("id")))` */
   def apply(k: Int): UserDefinedFunction = udaf(new TopK(k))
 }
+
+/** [[TopKAggregate]] for PAIR candidates — (score, a, b) with the
+  * (−score, a, b) total order the two-level collect_list composition
+  * sorts by. Added in r18 after the first 1000×-tile run of
+  * `sim_embed_neardup` OOM'd the harness: the level-1
+  * `collect_list over (label, partition)` buffered every candidate pair
+  * of a task (~40 M structs at 5 M vectors) on the heap before the
+  * slice, where this aggregator's state is O(k) per group at every
+  * reduce AND merge — the pair-join output streams through the partial
+  * aggregate no matter the corpus size. */
+object TopKPairAggregate {
+
+  case class ScoredPair(score: Double, a: Long, b: Long)
+
+  class TopKPair(k: Int) extends Aggregator[ScoredPair, Seq[ScoredPair], Seq[ScoredPair]] {
+    private def trim(s: Seq[ScoredPair]): Seq[ScoredPair] =
+      s.sortBy(x => (-x.score, x.a, x.b)).take(k)
+    private def beatsLast(x: ScoredPair, last: ScoredPair): Boolean =
+      x.score > last.score || (x.score == last.score &&
+        (x.a < last.a || (x.a == last.a && x.b < last.b)))
+    override def zero: Seq[ScoredPair] = Nil
+    override def reduce(b: Seq[ScoredPair], x: ScoredPair): Seq[ScoredPair] =
+      if (b.size < k || beatsLast(x, b.last)) trim(x +: b) else b
+    override def merge(x: Seq[ScoredPair], y: Seq[ScoredPair]): Seq[ScoredPair] = trim(x ++ y)
+    override def finish(b: Seq[ScoredPair]): Seq[ScoredPair] = trim(b)
+    override def bufferEncoder: Encoder[Seq[ScoredPair]] = Encoders.kryo[Seq[ScoredPair]]
+    override def outputEncoder: Encoder[Seq[ScoredPair]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredPair]]()
+  }
+
+  /** usage: `df.groupBy(g).agg(TopKPairAggregate(3)(col("score"), col("a"), col("b")))` */
+  def apply(k: Int): UserDefinedFunction = udaf(new TopKPair(k))
+}

@@ -486,21 +486,24 @@ object Similarity {
     * quadratic instead of corpus-quadratic — the curated-blocking REVIEW
     * query; [[srpNearDup]] is the scale variant whose blocks come from the
     * SRP signatures instead of labels. Per-label blocks are bounded by
-    * [[MaxLabelBlock]] ([[labelBlockPairs]]). Top-3 per block via the same
-    * bounded two-level aggregation as [[topK]]. */
+    * [[MaxLabelBlock]] ([[labelBlockPairs]]). Top-3 per block via the
+    * bounded O(k)-state [[graft.functions.TopKPairAggregate]] — NOT the
+    * two-level collect_list merge: this aggregate's INPUT is the pair
+    * join's output (quadratic in the block size — ~1.2 B rows at the
+    * 1000× tile), and a collect_list at the (label, partition) level
+    * buffered a task's entire pair slice on the heap before slicing;
+    * the first 1000× run OOM'd exactly there. The bounded aggregate
+    * streams the pair volume through a map-side combine with 3 structs
+    * of state per label. Same (−cos, vec_a, vec_b) order, same rows. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val scoredPairs = labelBlockPairs(embeddings(s, d), MaxLabelBlock)
-    val cand = struct(negate(col("cos")).as("negcos"),
-      col("vec_a").as("vec_a"), col("vec_b").as("vec_b"))
+    val topk = graft.functions.TopKPairAggregate(3)
     scoredPairs
-      .groupBy(col("label"), spark_partition_id().as("p"))
-      .agg(slice(array_sort(collect_list(cand)), 1, 3).as("cands"))
-      .select(col("label"), explode(col("cands")).as("c"))
       .groupBy("label")
-      .agg(slice(array_sort(collect_list(col("c"))), 1, 3).as("cands"))
+      .agg(topk(col("cos"), col("vec_a"), col("vec_b")).as("cands"))
       .select(col("label"), posexplode(col("cands")).as(Seq("pos", "c")))
       .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
-        col("c.vec_a").as("vec_a"), col("c.vec_b").as("vec_b"))
+        col("c.a").as("vec_a"), col("c.b").as("vec_b"))
       .orderBy("label", "rank")
   }
 

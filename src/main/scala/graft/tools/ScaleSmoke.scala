@@ -134,11 +134,17 @@ object ScaleSmoke {
     * decode-born catalogs and LSH postings are persisted bucketed
     * tables, so the warmup rep pays the one-time build exactly as a
     * production corpus does and the timed run measures the repeat-audit
-    * growth law. */
+    * growth law. Since late r18 the deep set is the FULL smoke list —
+    * the three remaining skips (sim_embed_neardup after its
+    * broadcast-count rewrite, the df-capped substring-span miner, the
+    * domain-graph PageRank) all measured 100× ratios ≤ 6, so a single
+    * 1000× rep each is affordable and the matrix carries no unmeasured
+    * cell. */
   val DeepTrendQueries = Seq("dedup_containment", "text_gram_novelty",
     "text_source_overlap", "dedup_lines", "sim_srp_neardup", "text_redact_pii",
     "mm_phash_neardup", "mm_audio_neardup", "mm_video_neardup",
-    "dedup_incremental_near")
+    "dedup_incremental_near", "sim_embed_neardup", "dedup_substring_spans",
+    "prov_domain_pagerank")
 
   /** One query per ANN family (VERDICT r10 item 2): float SRP-LSH, IVF,
     * PQ/ADC. All emit (query_id, rank, neighbor_id) — the bruteTopK

@@ -572,6 +572,35 @@ class PipelineSpec extends SparkSpec {
     assert(a.size == 30)
   }
 
+  test("bounded TopKPair aggregate equals the two-level collect_list pair top-k") {
+    import spark.implicits._
+    // adversarial: duplicate scores (tie-break by (a, b)), >k pairs per label
+    val pairs = (0L until 3L).flatMap { lbl =>
+      (0L until 30L).map(i => (lbl, i, i + 100L, (i % 5).toDouble / 5.0))
+    }.toDF("label", "vec_a", "vec_b", "cos").repartition(5)
+    val cand = struct(negate(col("cos")).as("negcos"),
+      col("vec_a").as("vec_a"), col("vec_b").as("vec_b"))
+    val ref = pairs
+      .groupBy(col("label"), spark_partition_id().as("p"))
+      .agg(slice(array_sort(collect_list(cand)), 1, 3).as("cands"))
+      .select(col("label"), explode(col("cands")).as("c"))
+      .groupBy("label")
+      .agg(slice(array_sort(collect_list(col("c"))), 1, 3).as("cands"))
+      .select(col("label"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.vec_a"), col("c.vec_b"))
+      .orderBy("label", "rank").collect().map(_.toSeq).toSeq
+    val topk = graft.functions.TopKPairAggregate(3)
+    val got = pairs.groupBy("label")
+      .agg(topk(col("cos"), col("vec_a"), col("vec_b")).as("cands"))
+      .select(col("label"), posexplode(col("cands")).as(Seq("pos", "c")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rank"),
+        col("c.a"), col("c.b"))
+      .orderBy("label", "rank").collect().map(_.toSeq).toSeq
+    assert(got == ref)
+    assert(got.size == 9)
+  }
+
   test("simhash matches independent python golden vectors") {
     val rows = TextAnalysis.simhash(spark, sf).filter(col("doc_id") < 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
