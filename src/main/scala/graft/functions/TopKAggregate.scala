@@ -22,9 +22,15 @@ object TopKAggregate {
     private def trim(s: Seq[Scored]): Seq[Scored] =
       s.sortBy(x => (-x.score, x.id)).take(k)
     override def zero: Seq[Scored] = Nil
-    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
-      if (b.size < k || a.score > b.last.score ||
-          (a.score == b.last.score && a.id < b.last.id)) trim(a +: b) else b
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = {
+      // java.lang.Double.compare, not primitive >/==: trim's sortBy uses
+      // the TOTAL order (-0.0 < 0.0, NaN sorts last), so the fast-path
+      // admission test must rank -0.0 vs 0.0 and NaN identically or the
+      // kept set can diverge from the sorted order on such ties
+      // (ADVICE r18).
+      val c = if (b.isEmpty) 1 else java.lang.Double.compare(a.score, b.last.score)
+      if (b.size < k || c > 0 || (c == 0 && a.id < b.last.id)) trim(a +: b) else b
+    }
     override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] = trim(x ++ y)
     override def finish(b: Seq[Scored]): Seq[Scored] = trim(b)
     override def bufferEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
@@ -52,9 +58,16 @@ object TopKPairAggregate {
   class TopKPair(k: Int) extends Aggregator[ScoredPair, Seq[ScoredPair], Seq[ScoredPair]] {
     private def trim(s: Seq[ScoredPair]): Seq[ScoredPair] =
       s.sortBy(x => (-x.score, x.a, x.b)).take(k)
-    private def beatsLast(x: ScoredPair, last: ScoredPair): Boolean =
-      x.score > last.score || (x.score == last.score &&
-        (x.a < last.a || (x.a == last.a && x.b < last.b)))
+    // Total-order score comparison (ADVICE r18): trim orders via sortBy's
+    // Ordering[Double] = java.lang.Double.compare, so the admission test
+    // must too — primitive ==/> tie-breaks -0.0 vs 0.0 (and NaN from a
+    // zero-norm vector) differently from the sort, which could keep a
+    // different candidate set than the collect_list form the strict
+    // oracle was pinned against.
+    private def beatsLast(x: ScoredPair, last: ScoredPair): Boolean = {
+      val c = java.lang.Double.compare(x.score, last.score)
+      c > 0 || (c == 0 && (x.a < last.a || (x.a == last.a && x.b < last.b)))
+    }
     override def zero: Seq[ScoredPair] = Nil
     override def reduce(b: Seq[ScoredPair], x: ScoredPair): Seq[ScoredPair] =
       if (b.size < k || beatsLast(x, b.last)) trim(x +: b) else b

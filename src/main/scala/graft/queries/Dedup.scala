@@ -1288,13 +1288,19 @@ object Dedup {
     // doc_id; bucketing docs by doc_id removes even that at 100 TB). Left
     // join so a fully-boilerplate document survives as an empty residue
     // row (the "drop or keep the husk" decision stays downstream).
+    // Rebuild kept text by INDEXING into the split array — O(K) constant-
+    // time element_at lookups over the sorted keep_nos (order preserved by
+    // the sort_array above) — not by filtering larr with a per-line
+    // array_contains scan of keep_nos, which is O(L·K) = quadratic in
+    // lines-per-doc and pays ~10^10 comparisons on a single 100k-line
+    // document in one task (VERDICT r18 item 4).
     docs.select(col("doc_id"), splitLines(col("text")).as("larr"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("larr")).cast("long").as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        array_join(filter(col("larr"), (_, i) =>
-          array_contains(coalesce(col("keep_nos"),
-            array().cast("array<int>")), i)), " ").as("text_kept"))
+        array_join(transform(coalesce(col("keep_nos"),
+            array().cast("array<int>")),
+          n => element_at(col("larr"), n + lit(1))), " ").as("text_kept"))
       .withColumn("kept_md5", md5(col("text_kept")))
       .orderBy("doc_id")
   }

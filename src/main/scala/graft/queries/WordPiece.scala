@@ -25,13 +25,15 @@ import graft.tables.FrameCache
   *
   * THE SCALE SHAPE IS [[Bpe]]'s: one corpus scan into the Heaps-small
   * (word, count) table; each round aggregates pair and symbol counts
-  * over THAT table and ships the two Heaps-bounded count frames to the
-  * driver for the exact-fraction argmax (the [[UnigramLm.seedVocab]]
-  * bounded-collect precedent — both frames are vocabulary-sized, never
-  * corpus-sized); the winning merge applies as one narrow regex
-  * projection. Encoding segments the DISTINCT words once (plain-Scala
-  * greedy scan against a broadcast vocab set) and broadcast-joins the
-  * corpus — the corpus is touched exactly twice end to end.
+  * over THAT table and resolves the exact-fraction argmax DISTRIBUTED
+  * — constituent counts broadcast onto the pair frame, per-partition
+  * winners reduced under the total-order comparator, the driver
+  * reading only O(partitions) candidates (r19: the pair frame itself
+  * is alphabet²-sized on a multilingual corpus and never collects);
+  * the winning merge applies as one narrow regex projection. Encoding
+  * segments the DISTINCT words once (plain-Scala greedy scan against a
+  * broadcast vocab set) and broadcast-joins the corpus — the corpus is
+  * touched exactly twice end to end.
   *
   * Encode is the REAL WordPiece inference rule, not merge replay:
   * longest vocab piece prefixing the remainder wins at every position
@@ -75,36 +77,62 @@ object WordPiece {
           filter(split(col("w"), ""), c => length(c) > 0),
           (c, i) => when(i === 0, c).otherwise(concat(lit(Cont), c)))))
 
+  private[graft] case class PairCand(pair: String, l: String, r: String,
+                                     cab: Long, ca: Long, cb: Long)
+
+  /** Exact-likelihood argmax SELECTION — maximize `c_ab/(c_a·c_b)` by
+    * cross-multiplied BigInt compare (never a floating division, whose
+    * ulp ties would make training partitioning-dependent); residual
+    * exact ties to the larger pair count, then the lexicographically
+    * smaller pair. A selection under a TOTAL order is associative and
+    * commutative, so the distributed reduce in [[bestPair]] is
+    * order-independent. */
+  private[graft] def better(x: PairCand, y: PairCand): PairCand = {
+    val lhs = BigInt(x.cab) * BigInt(y.ca) * BigInt(y.cb)
+    val rhs = BigInt(y.cab) * BigInt(x.ca) * BigInt(x.cb)
+    val c = lhs.compare(rhs)
+    if (c > 0) x else if (c < 0) y
+    else if (x.cab != y.cab) { if (x.cab > y.cab) x else y }
+    else { if (x.pair <= y.pair) x else y }
+  }
+
   /** One merge round's winner: (left, right, pairCount, leftCount,
-    * rightCount), or None when no adjacent pair remains. Exact
-    * likelihood argmax over the two collected Heaps-bounded frames. */
+    * rightCount), or None when no adjacent pair remains.
+    *
+    * The argmax runs DISTRIBUTED (VERDICT r18 item 3 — the old form
+    * collected every distinct adjacent pair to the driver, which on a
+    * CJK-heavy 100 TB corpus is alphabet² ≈ 10⁸–10⁹ rows): constituent
+    * counts broadcast-join onto the pair frame (symbol vocabulary =
+    * seed chars + one fused symbol per round — alphabet-bounded, a few
+    * MB even for full CJK), each partition reduces to its local winner
+    * under [[better]], and the driver reduces the ≤ #partitions
+    * survivors. Driver state is O(partitions), never O(pairs). */
   private[graft] def bestPair(syms: DataFrame): Option[(String, String, Long, Long, Long)] = {
+    val s = syms.sparkSession
+    import s.implicits._
     val pairs = syms
       .select(col("cnt"), explode(
         graft.functions.TextKernels.wordBigrams(split(col("sym"), " "), distinct = false))
         .as("pair"))
-      .groupBy("pair").agg(sum(col("cnt")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    if (pairs.isEmpty) return None
+      .groupBy("pair").agg(sum(col("cnt")).as("cab"))
     val symCounts = syms
       .select(col("cnt"), explode(split(col("sym"), " ")).as("s"))
       .groupBy("s").agg(sum(col("cnt")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // maximize c_ab/(c_a·c_b): cross-multiplied BigInt compare, ties to
-    // larger pair count then lexicographically smaller pair
-    val scored = pairs.map { case (pair, cab) =>
-      val Array(l, r) = pair.split(" ", 2)
-      (pair, l, r, cab, symCounts(l), symCounts(r))
+    val cand = pairs
+      .withColumn("l", split(col("pair"), " ", 2).getItem(0))
+      .withColumn("r", split(col("pair"), " ", 2).getItem(1))
+      .join(broadcast(symCounts.select(col("s").as("l"), col("n").as("ca"))), Seq("l"))
+      .join(broadcast(symCounts.select(col("s").as("r"), col("n").as("cb"))), Seq("r"))
+      .select(col("pair"), col("l"), col("r"), col("cab"), col("ca"), col("cb"))
+      .as[PairCand]
+    val partWinners = cand.mapPartitions(it =>
+      if (it.hasNext) Iterator.single(it.reduceLeft(better)) else Iterator.empty)
+      .collect()
+    if (partWinners.isEmpty) None
+    else {
+      val b = partWinners.reduceLeft(better)
+      Some((b.l, b.r, b.cab, b.ca, b.cb))
     }
-    val best = scored.reduceLeft { (x, y) =>
-      val lhs = BigInt(x._4) * BigInt(y._5) * BigInt(y._6)
-      val rhs = BigInt(y._4) * BigInt(x._5) * BigInt(x._6)
-      val c = lhs.compare(rhs)
-      if (c > 0) x else if (c < 0) y
-      else if (x._4 != y._4) { if (x._4 > y._4) x else y }
-      else { if (x._1 <= y._1) x else y }
-    }
-    Some((best._2, best._3, best._4, best._5, best._6))
   }
 
   /** `left + right` under the continuation convention: the right

@@ -23,9 +23,16 @@ object PlanProbe {
   /** The execution-prepared plan with AQE off (by-name: the frame is
     * constructed inside the conf window). */
   def staticPlan(s: SparkSession)(df: => DataFrame): SparkPlan = {
+    // restore the PRE-CALL value, not a hardcoded "true" — a suite that
+    // ran with AQE off must not have it silently flipped on by the first
+    // probe call (ADVICE r18)
+    val prior = s.conf.getOption("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     try df.queryExecution.executedPlan
-    finally s.conf.set("spark.sql.adaptive.enabled", "true")
+    finally prior match {
+      case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => s.conf.unset("spark.sql.adaptive.enabled")
+    }
   }
 
   def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =

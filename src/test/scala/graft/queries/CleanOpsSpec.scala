@@ -184,6 +184,31 @@ class CleanOpsSpec extends SparkSpec {
       (2L, "solo")))
   }
 
+  test("dedupLines re-slice is index-lookup, not per-line membership scan (50k-line doc)") {
+    // VERDICT r18 item 4: the old rebuild filtered larr with
+    // array_contains(keep_nos, i) per line — O(L·K), ~10^9 comparisons
+    // for one 50k-line doc with ~all lines kept. The index-projection
+    // rebuild (transform over sorted keep_nos + element_at) is O(K); on
+    // this doc it must both finish promptly and keep exact content/order.
+    val L = 50000
+    val bigLines = (0 until L).map(i => s"line token$i payload")
+    val docs = Seq(
+      (0L, bigLines.mkString("\n")),
+      (1L, s"BANNED COMMON\nline token7 payload"), // bans one mid-doc line of doc 0
+      (2L, "BANNED COMMON")).toDF("doc_id", "text")
+    // "line token7 payload" appears in docs 0 and 1 -> df=2 > maxDf=1 -> banned
+    val t0 = System.nanoTime()
+    val out = Dedup.dedupLinesOf(docs, c => split(c, "\n"), maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val big = out.find(_._1 == 0L).get
+    assert(big._2 == L && big._3 == L - 1)
+    assert(big._4 == bigLines.patch(7, Nil, 1).mkString(" "), "order + content exact")
+    assert(out.find(_._1 == 2L).get._4 == "")
+    // generous wall bar (CI box noise) — the quadratic form takes minutes here
+    assert(sec < 60, s"50k-line re-slice took ${sec}s — quadratic regression?")
+  }
+
   // ---------------------------------------------------- gopher rule gate
 
   test("gopherRules: each rule fails on exactly the doc engineered to break it") {

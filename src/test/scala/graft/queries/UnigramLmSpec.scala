@@ -73,6 +73,31 @@ class UnigramLmSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("seed collect is bounded: distributed top-K plan, <= SeedSize + alphabet rows") {
+    // VERDICT r18 item 3: the old seedVocab collected EVERY distinct
+    // substring to the driver. The multi-char leg must now plan as
+    // TakeOrderedAndProject (top-K resolved on the executors, O(SeedSize)
+    // driver state) and the seed winners must match the old in-driver
+    // sort semantics: count desc, then piece asc.
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"shared$i common$i running jumping walking")).toDF("doc_id", "text")
+    val words = UnigramLm.wordCounts(docs)
+    val subCounts = UnigramLm.seedSubCounts(words).localCheckpoint()
+    val planStr = UnigramLm.seedMultiTop(subCounts)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject"),
+      s"multi-char seed leg must plan a distributed top-K, got:\n$planStr")
+    val vocab = UnigramLm.seedVocab(words)
+    val nChars = vocab.keysIterator.count(_.length == 1)
+    assert(vocab.size <= UnigramLm.SeedSize + nChars)
+    // winners + tie rule vs an independent in-driver sort of the full table
+    val all = subCounts.collect().map(r => r.getString(0) -> r.getLong(1))
+    val expect = all.filter(_._1.length > 1)
+      .sortBy { case (p, n) => (-n, p) }.take(UnigramLm.SeedSize).toMap ++
+      all.filter(_._1.length == 1).toMap
+    assert(vocab == expect)
+  }
+
   test("corpus encode: coverage is total and the compression ratio is > 1") {
     val out = UnigramLm.unigramEncode(spark, "/root/testdata/sf0.001")
       .select("doc_id", "n_chars", "n_unigram_tokens", "chars_per_token").collect()

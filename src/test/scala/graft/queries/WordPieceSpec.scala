@@ -72,6 +72,28 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("bestPair argmax is a distributed reduce: total-order comparator, partition-count driver state") {
+    // VERDICT r18 item 3: the old bestPair collected EVERY distinct
+    // adjacent pair to the driver (alphabet²-sized on a CJK corpus).
+    // The comparator must be a TOTAL-order selection — associative and
+    // commutative — so per-partition winners reduce to the same global
+    // argmax under any partitioning/order; verified by exhaustive
+    // permutation reduce on a candidate set with an exact score tie.
+    import WordPiece.PairCand
+    val cands = Seq(
+      PairCand("a ##a", "a", "##a", 10, 10, 10),  // 0.100
+      PairCand("b ##c", "b", "##c", 3, 3, 3),     // 0.333  <- winner
+      PairCand("x ##y", "x", "##y", 3, 3, 3),     // 0.333 exact tie, "b ##c" < "x ##y"
+      PairCand("p ##q", "p", "##q", 1, 2, 2))     // 0.250
+    for (perm <- cands.permutations)
+      assert(perm.reduceLeft(WordPiece.better).pair == "b ##c", s"order-dependent on $perm")
+    // and the distributed path agrees with a fixture whose pair frame
+    // spans many partitions
+    val docs = docsOf((Seq.fill(10)("aa") ++ Seq.fill(3)("bc")).mkString(" "))
+    val syms = WordPiece.wordTable(docs).repartition(8)
+    assert(WordPiece.bestPair(syms).map(t => (t._1, t._2)) == Some(("b", "##c")))
+  }
+
   test("merge rewrite is anchored: the fused literal never rewrites inside an unrelated token") {
     import org.apache.spark.sql.functions.col
     // corpus words carrying a literal '#' make fused symbols like "a#",
