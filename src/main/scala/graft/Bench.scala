@@ -105,8 +105,27 @@ object Bench {
   val HistoryPath = "bench_runs.jsonl"
   val HistoryKeep = 5
 
+  /** Identity of the baseline the gate compares against — a content hash
+    * of the baseline file, stamped onto every history line. Medians are
+    * computed ONLY over same-baseline runs (ADVICE r19): without the
+    * segmentation, the window spans rounds, so a regression introduced
+    * by a round's code change is median-masked until it fills ≥3 of the
+    * 5-run window, and on a round's first run the median IS the previous
+    * round (i.e. the baseline itself) — the gate could never fire early
+    * in a round. A baseline refresh now resets the gate window to the
+    * runs measured under it. */
+  private[graft] def baselineKey(path: String): String =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .take(6).map(b => f"$b%02x").mkString
+    } catch { case scala.util.control.NonFatal(_) => "none" }
+
+  private val BaseRe = """"base"\s*:\s*"([^"]*)"""".r
+
   private[graft] def appendHistory(path: String, sfNum: String,
-                                   results: Seq[(String, Double)]): Seq[Map[String, Double]] =
+                                   results: Seq[(String, Double)],
+                                   baseKey: String = ""): Seq[Map[String, Double]] =
     try {
       val p = java.nio.file.Paths.get(path)
       val prior =
@@ -114,10 +133,13 @@ object Bench {
           scala.jdk.CollectionConverters.ListHasAsScala(
             java.nio.file.Files.readAllLines(p)).asScala.toSeq
         else Seq.empty
-      val line = s"""{"sf":$sfNum,"timings":${
+      val line = s"""{"sf":$sfNum,"base":"$baseKey","timings":${
         results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")}}"""
-      // parse, keep same-sf lines only, window to the last HistoryKeep
+      // parse, keep same-sf SAME-BASELINE lines only (legacy lines with
+      // no "base" field carry "", matching only an empty key), window to
+      // the last HistoryKeep
       val runs = (prior :+ line)
+        .filter(l => BaseRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("") == baseKey)
         .map(l => parseQueryMap(l, sfNum, "timings"))
         .filter(_.nonEmpty)
         .takeRight(HistoryKeep)
@@ -224,8 +246,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // sf as a number (e.g. /root/testdata/sf0.1 -> 0.1)
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val baseline = loadBaseline(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json"), sfNum)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+    val baseline = loadBaseline(baselinePath, sfNum)
     val (prevArtifact, prevRound) = loadPrevRound(sfNum)
 
     val spark = SparkSession.builder()
@@ -306,7 +328,9 @@ object Bench {
     // run-history medians (full runs only — a filtered subset would skew
     // the cross-run window with measurements under different JVM load)
     val medians =
-      if (only.isEmpty) medianOverRuns(appendHistory(HistoryPath, sfNum, results))
+      if (only.isEmpty)
+        medianOverRuns(appendHistory(HistoryPath, sfNum, results,
+          baselineKey(baselinePath)))
       else Map.empty[String, Double]
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
       results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty,
@@ -417,8 +441,13 @@ object Bench {
       // (the report file always lists every query uncollapsed).
       // `_other` PARTICIPATES in both regress lists with its own bar:
       // per-query gates can't see a uniform tail drift, the sum can.
+      // The baseline-side sum reads the SAME statistic as the per-query
+      // gate — cross-run medians where history exists (ADVICE r19) —
+      // so the tail check sheds the single-run noise the median gate
+      // was introduced to remove; the prev-round sum stays raw because
+      // that comparison is single-run-to-single-run by methodology.
       val reg = regressedOf(gate, baseline) ++
-        (if (otherRegressed(dropped, baseline)) Seq("_other") else Nil)
+        (if (otherRegressed(gateTimings(dropped, medians), baseline)) Seq("_other") else Nil)
       val prevReg = prevRegressed ++
         (if (otherRegressed(dropped, prevRound)) Seq("_other") else Nil)
       val qs = kept.map(_._1) :+
@@ -473,9 +502,12 @@ object Bench {
       val vanished = vanishedSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
       val line = renderLine(results, baseline, sfNum,
         prevRegressedOf(results, prevRound), vanishedSeq, prevRound, warmups, medians)
-      // cross-run medians (VERDICT r16 item 7): per-query medians over the
-      // round's clean full runs — the noise-floor-free signal a vs-baseline
-      // ratio should be computed on. Empty ({}) on the round's first run.
+      // cross-run medians (VERDICT r16 item 7): per-query medians over
+      // the SAME-BASELINE full runs (ADVICE r19 segmentation) — the
+      // noise-floor-free signal a vs-baseline ratio should be computed
+      // on. On the first run after a baseline refresh the window holds
+      // only that run, so the median equals this run's own values and
+      // the gate can fire immediately on a fresh regression.
       val medJson = medians.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       // raw reps ([warmup, rep1, rep2, rep3, (re-measure reps)]) — the
@@ -489,6 +521,7 @@ object Bench {
            |"warmup":$warmJson,
            |"median_timings":$medJson,
            |"reps":$repsJson,
+           |"dials":${graft.tools.DialReport.json},
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
            |"line":${graft.tools.JsonText.quote(line)}}

@@ -56,9 +56,14 @@ object IvfAnn {
   /** The effective nprobe for dir `d` — counts the corpus once per
     * (session, fingerprint); shares the `emb-count` memo with
     * [[Similarity.adaptiveNearDupBits]]. */
-  private[graft] def adaptiveProbes(s: SparkSession, d: String): Int =
-    probesFor(FrameCache.cachedValue[Long](s,
+  private[graft] def adaptiveProbes(s: SparkSession, d: String): Int = {
+    val p = probesFor(FrameCache.cachedValue[Long](s,
       s"emb-count:${graft.tables.FrameCache.dirKey(d)}")(embeddings(s, d).count()))
+    // record the resolved dial so the bench artifact says which nprobe
+    // its ivf numbers measured (VERDICT r18 item 2)
+    graft.tools.DialReport.set("ivf_nprobe", p.toLong)
+    p
+  }
 
   private[graft] def probesFor(n: Long): Int = {
     val needed = math.ceil(ProbeVecFloor.toDouble * NumLists / math.max(n, 1L).toDouble).toInt
@@ -161,15 +166,33 @@ object IvfAnn {
   /** ANN top-K via IVF probing; same output contract as
     * [[Similarity.bruteTopK]] (query_id, rank, neighbor_id). */
   def ivfTopK(s: SparkSession, d: String): DataFrame =
-    ivfTopKFrom(s, d, ivfIndex(s, d))
+    ivfTopKFrom(s, d, ivfIndex(s, d), adaptiveProbes(s, d))
 
   /** [[ivfTopK]] answered from the persisted bucketed index — results are
     * IDENTICAL (same deterministic quantizer, same assignment; spec-pinned
     * equality), only the index's provenance differs. */
   def ivfTopKPersisted(s: SparkSession, d: String): DataFrame =
-    ivfTopKFrom(s, d, ivfIndexPersisted(s, d))
+    ivfTopKFrom(s, d, ivfIndexPersisted(s, d), adaptiveProbes(s, d))
 
-  private def ivfTopKFrom(s: SparkSession, d: String, indexed: DataFrame): DataFrame = {
+  /** Fixed-production-dial bench variant (VERDICT r18 item 2): the same
+    * plan as [[ivfTopK]] with nprobe PINNED at the production
+    * [[NumProbes]]/[[NumLists]] regardless of corpus size. The adaptive
+    * entries deliberately widen toward 16/16 ≈ exact search on sub-
+    * [[ProbeVecFloor]] corpora (the r17 recall fix), so at sf0.1 their
+    * bench cost measures the small-corpus recall floor, not the scale
+    * path; THIS entry times the plan a ≥floor deployment actually runs
+    * — list pruning at 8/16 — so the bench artifact carries both
+    * numbers side by side (`bench_report.json` `dials.ivf_nprobe`
+    * records what the adaptive entries resolved to). Recall at the
+    * production dial on LARGE corpora is what the scale smoke asserts
+    * (1000×-tile ivf recall 0.98); on a sub-floor corpus this dial
+    * under-probes by design, which is exactly why the adaptive entries
+    * exist for quality and this one exists for timing. */
+  def ivfTopKDial8(s: SparkSession, d: String): DataFrame =
+    ivfTopKFrom(s, d, ivfIndex(s, d), NumProbes)
+
+  private def ivfTopKFrom(s: SparkSession, d: String, indexed: DataFrame,
+                          nprobe: Int): DataFrame = {
     // queries from the base table (the index holds R rows per vector)
     val queries = embeddings(s, d).filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
@@ -184,7 +207,7 @@ object IvfAnn {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(desc("ccos"), col("cluster"))))
-      .filter(col("rnk") <= adaptiveProbes(s, d))
+      .filter(col("rnk") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("cluster"))
 
     // exact cosine inside probed lists only.
@@ -271,6 +294,7 @@ object IvfAnn {
     "sim_ann_ivf" -> ivfTopK _,
     "sim_ann_ivf_q" -> ivfTopKQuantized _,
     "sim_ann_ivf_p" -> ivfTopKPersisted _,
+    "sim_ann_ivf_d8" -> ivfTopKDial8 _,
   )
 
   /** Approximate — no SQL oracle (rows-only driver check + recall spec). */

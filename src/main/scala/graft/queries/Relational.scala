@@ -479,19 +479,36 @@ object Relational {
     * [[percentiles]] scaladoc points at: `percentile_approx` keeps a
     * bounded mergeable quantile sketch per group (rank error ≤
     * n/accuracy) where the exact form must sort every group member.
-    * Approximate ⇒ no cross-engine SQL oracle (sketch layouts are
-    * engine-specific); the driver records rows>0 and the spec gates the
-    * rank error of every returned value against the group's sorted
-    * order statistics. */
+    *
+    * FULL-STRICT with an IN-ORACLE ERROR BOUND since r19 (VERDICT r18
+    * item 8): the sketch VALUE has no cross-engine twin, but its rank-
+    * error CONTRACT does — per (group, p) the output carries the exact
+    * group count and `within_bound` = "the approx value's true rank is
+    * within ⌊n/accuracy⌋+1 of p·n", computed against the real data by
+    * one broadcast join of the 15-row approx frame back onto orders.
+    * The DuckDB twin reproduces (group, p, n_rows) exactly and asserts
+    * the bound as 1 — a sketch that ever misses its documented
+    * guarantee hash-fails the driver gate. The raw approx values stay
+    * spec-gated (ClusterSpec) for the value-level view. */
   def percentilesApprox(s: SparkSession, d: String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.9)
-    orders(s, d)
+    val approx = orders(s, d)
       .groupBy("o_orderpriority")
       .agg(percentile_approx(col("o_totalprice"), typedLit(ps), lit(PercentileAccuracy))
         .as("q"))
       .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("i", "value")))
       .select(col("o_orderpriority"),
         element_at(typedLit(ps), col("i") + 1).as("p"), col("value"))
+    val checked = orders(s, d).select("o_orderpriority", "o_totalprice")
+      .join(broadcast(approx), Seq("o_orderpriority"))
+      .groupBy("o_orderpriority", "p")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < col("value"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("o_totalprice") <= col("value"), 1L).otherwise(0L)).as("cnt_le"))
+    val tol = floor(col("n_rows") / lit(PercentileAccuracy)) + lit(1)
+    checked.select(col("o_orderpriority"), col("p"), col("n_rows"),
+        (col("cnt_le") >= col("p") * col("n_rows") - tol &&
+          col("cnt_lt") <= col("p") * col("n_rows") + tol).cast("long").as("within_bound"))
       .orderBy("o_orderpriority", "p")
   }
 
@@ -504,12 +521,25 @@ object Relational {
     * `count_distinct` must shuffle every distinct (group, key) pair and
     * retain them all until the final merge. rsd 0.02 ⇒ ~2 % typical
     * error from a few KB per group — the trade every counting dashboard
-    * makes at scale. Approximate ⇒ rows-only driver check; the spec
-    * gates relative error ≤ 5 % against the exact count. */
+    * makes at scale.
+    *
+    * FULL-STRICT with an IN-ORACLE ERROR BOUND since r19 (VERDICT r18
+    * item 8): the HLL estimate itself is engine-internal, so the gated
+    * output carries the EXACT per-group cardinality plus `within_bound`
+    * = "the sketch landed within 5 % (2.5·rsd) of it"; the DuckDB twin
+    * computes the exact counts and asserts the bound as 1, so a sketch
+    * drifting past its documented error hash-fails the driver gate.
+    * The raw estimates stay spec-gated (ClusterSpec); the bound-free
+    * one-pass plan shape (no exact twin in the same query) is what
+    * [[profileApprox]] demonstrates. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") * lit(0.05)).cast("long").as("within_bound"))
       .orderBy("event_type")
 
   /** Count-min sketch width/confidence — ±eps·N at 99%; the serialized
@@ -531,21 +561,41 @@ object Relational {
     * O(depth) per probe inside codegen; no driver probe loop, so the
     * probe side could as well be a 100 TB stream of lookups. Estimates
     * are over-counts only, within eps·N at the sketch's confidence
-    * (spec-pinned vs exact counts, plus sketch mergeability) — the
-    * rows-only ANN-family discipline, since the sketch's collision
-    * pattern is engine-internal. Built once per (session, dir)
-    * ([[FrameCache]]); at scale it is a store artifact refreshed per
-    * ingest batch, the same lifecycle as the incremental-dedup Bloom. */
+    * (spec-pinned vs exact counts, plus sketch mergeability). Built
+    * once per (session, dir) ([[FrameCache]]); at scale it is a store
+    * artifact refreshed per ingest batch, the same lifecycle as the
+    * incremental-dedup Bloom. Driver-gate upgrade: see the in-method
+    * comment — exact counts + the eps·N bound are oracled, the raw
+    * estimate stays spec-territory. */
   def cmsFreq(s: SparkSession, d: String): DataFrame = {
     val bytes = FrameCache.cachedValue(s, s"cms-user:${graft.tables.FrameCache.dirKey(d)}") {
       events(s, d).agg(count_min_sketch(col("user_id"),
         lit(CmsEps), lit(CmsConf), lit(CmsSeed)).as("sk"))
         .head().getAs[Array[Byte]]("sk")
     }
-    events(s, d).select("user_id").distinct()
+    // FULL-STRICT with an IN-ORACLE ERROR BOUND since r19 (VERDICT r18
+    // item 8): the sketch's collision pattern is engine-internal, but
+    // its CONTRACT is not — est >= exact is a theorem (a key's counters
+    // see all its increments) and est <= exact + ceil(eps*N) holds at
+    // the sketch's 99% per-probe confidence (and at this width, e/eps
+    // ~ 27k cells >> keys, collisions are essentially absent). The
+    // gated output carries the exact per-key count and `within_bound`;
+    // the DuckDB twin reproduces the exact counts and asserts the bound
+    // as 1 — a sketch missing its guarantee hash-fails the driver gate.
+    // Raw estimates stay spec-pinned (over-count direction,
+    // mergeability, ClusterSpec).
+    val n = FrameCache.cachedValue[Long](s,
+      s"events-count:${graft.tables.FrameCache.dirKey(d)}")(events(s, d).count())
+    val budget = math.ceil(CmsEps * n).toLong
+    events(s, d)
       .filter(pmod(col("user_id"), lit(20)) === 0)
-      .select(col("user_id"),
-        graft.functions.SketchKernels.cmsEstimate(bytes, col("user_id")).as("est_count"))
+      .groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+      .withColumn("est_count",
+        graft.functions.SketchKernels.cmsEstimate(bytes, col("user_id")))
+      .select(col("user_id"), col("exact_count"),
+        (col("est_count") >= col("exact_count") &&
+          col("est_count") <= col("exact_count") + lit(budget))
+          .cast("long").as("within_bound"))
       .orderBy("user_id")
   }
 
@@ -1891,6 +1941,25 @@ object Relational {
         |UNION ALL SELECT o_orderpriority, CAST(0.5 AS DOUBLE), q50 FROM g
         |UNION ALL SELECT o_orderpriority, CAST(0.9 AS DOUBLE), q90 FROM g
         |ORDER BY o_orderpriority, p""".stripMargin,
+    // In-oracle ERROR-BOUND twins (VERDICT r18 item 8): the sketch
+    // values are engine-internal, but the exact ground truth and the
+    // documented bound are not — the twin reproduces the exact columns
+    // and asserts within_bound = 1, so a sketch that misses its
+    // guarantee hash-fails the gate.
+    "rel_percentiles_approx" ->
+      """SELECT o_orderpriority, p, count(*)::BIGINT AS n_rows,
+        |  1::BIGINT AS within_bound
+        |FROM orders CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]::DOUBLE[]) AS p) ps
+        |GROUP BY o_orderpriority, p ORDER BY o_orderpriority, p""".stripMargin,
+    "rel_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  1::BIGINT AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_cms_freq" ->
+      """SELECT user_id, count(*)::BIGINT AS exact_count,
+        |  1::BIGINT AS within_bound
+        |FROM events WHERE user_id % 20 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // GROUPING(a, b) emits the same standard bitmask as Spark's
     // grouping_id(); rolled-up columns coalesce to a sentinel so NULL
     // ordering never enters the hash compare.

@@ -1,0 +1,30 @@
+package graft.tools
+
+/** Session-global side channel for RUNTIME DIALS — values a query
+  * resolves per corpus (adaptive nprobe, adaptive near-dup bits) that a
+  * benchmark artifact must record for its numbers to be interpretable
+  * (VERDICT r18 item 2: `sim_ann_ivf_q`'s bench cost tripled when the
+  * adaptive dial widened toward exact search on the sub-floor sf0.1
+  * corpus, and nothing in the artifact said which dial was measured).
+  * Queries `set(...)` when they resolve a dial; [[graft.Bench]] dumps
+  * the map into `bench_report.json` as `"dials"`. Values are raw JSON
+  * fragments (numbers as-is, strings pre-quoted by the caller-facing
+  * overloads). */
+object DialReport {
+  private val dials = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def set(name: String, value: Long): Unit = dials.put(name, value.toString)
+  def set(name: String, value: String): Unit =
+    dials.put(name, JsonText.quote(value))
+
+  /** Deterministically-ordered JSON object of everything recorded. */
+  def json: String = {
+    import scala.jdk.CollectionConverters._
+    dials.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  }
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = dials.clear()
+  private[graft] def get(name: String): Option[String] = Option(dials.get(name))
+}

@@ -249,6 +249,17 @@ class BenchSpec extends AnyFunSuite {
       s"uniform tail regression invisible: $line2x")
     assert(line2x.contains("\"prev_regressed\":[\"_other\"]"), line2x)
     assert(line2x.length <= Bench.LineBudget)
+    // ADVICE r19: the baseline-side _other sum reads cross-run MEDIANS
+    // like the per-query gate — a one-run noisy tail over a clean
+    // median history must NOT flag, while a persistent (median-backed)
+    // tail regression still must
+    val lineMedClean = Bench.renderLine(results, names.map(_ -> 0.25).toMap, "0.1",
+      medians = names.map(_ -> 0.25).toMap)
+    assert(!lineMedClean.contains("\"regressed\":[\"_other\"]"),
+      s"median-clean tail flagged from single-run noise: $lineMedClean")
+    val lineMedBad = Bench.renderLine(results, names.map(_ -> 0.25).toMap, "0.1",
+      medians = names.map(_ -> 0.5).toMap)
+    assert(lineMedBad.contains("\"regressed\":[\"_other\"]"), lineMedBad)
   }
 
   test("otherRegressed compares only the common key set") {
@@ -297,6 +308,33 @@ class BenchSpec extends AnyFunSuite {
       s"sf0.001 window shrank to ${runsSmall.size}")
     // and the small-sf values are its own, not the big sf's
     assert(runsSmall.forall(_("q1") >= 100.0))
+  }
+
+  test("history medians segment at baseline refresh: foreign-baseline runs leave the gate window") {
+    // ADVICE r19: without segmentation a regression introduced by a new
+    // round's code is median-masked by the previous round's runs until
+    // it fills >=3 of the 5-run window — and on the round's first run
+    // the median IS the baseline, so the gate can never fire early.
+    val p = Files.createTempFile("bench-runs-base", ".jsonl").toString
+    Files.delete(java.nio.file.Paths.get(p))
+    // three fast runs under baseline key "old"
+    (1 to 3).foreach(_ => Bench.appendHistory(p, "0.1", Seq("q1" -> 0.2), "old"))
+    // baseline refresh -> first run under "new" is 4x slower (a fresh
+    // persistent regression): the window must hold ONLY the new-key run,
+    // so the median equals the regressed value and the gate fires now
+    val runs = Bench.appendHistory(p, "0.1", Seq("q1" -> 0.8), "new")
+    assert(runs.size == 1, s"old-baseline runs polluted the window: $runs")
+    assert(Bench.medianOverRuns(runs)("q1") == 0.8)
+    // returning to the old key still sees its own runs (retention is
+    // per-sf on the file; filtering is per-key on the read)
+    val oldRuns = Bench.appendHistory(p, "0.1", Seq("q1" -> 0.2), "old")
+    assert(oldRuns.size == 4)
+    // baselineKey: content hash, stable across reads, "none" when absent
+    val bp = Files.createTempFile("bench-base", ".json")
+    Files.write(bp, """{"sf":0.1,"queries":{"q1":0.2}}""".getBytes)
+    assert(Bench.baselineKey(bp.toString) == Bench.baselineKey(bp.toString))
+    assert(Bench.baselineKey(bp.toString).length == 12)
+    assert(Bench.baselineKey("/nonexistent/x.json") == "none")
   }
 
   test("regressed gates on cross-run medians, failures never laundered by history") {

@@ -406,37 +406,43 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("approx distinct: relative error within the HLL budget vs exact counts") {
-    val approx = Relational.approxDistinct(spark, sf).collect()
+    // r19 bound-oracle shape: the entry emits (event_type, exact_users,
+    // within_bound); the raw HLL values are checked here directly.
+    val rows = Relational.approxDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val approx = graft.tables.Testdata.events(spark, sf)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.tables.Testdata.events(spark, sf)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (t, n) =>
-      assert(math.abs(approx(t) - n).toDouble / n <= 0.05,
-        s"$t: approx ${approx(t)} vs exact $n exceeds 5% error")
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (t, ex, wb) =>
+      assert(ex == exact(t), s"$t: exact column drifted")
+      assert(wb == 1L, s"$t: sketch outside the oracled 5% bound")
+      assert(math.abs(approx(t) - ex).toDouble / ex <= 0.05,
+        s"$t: approx ${approx(t)} vs exact $ex exceeds 5% error")
     }
   }
 
   test("cms frequency: over-estimates only, within eps*N, and sketches merge exactly") {
     val ev = graft.tables.Testdata.events(spark, sf)
-    val est = Relational.cmsFreq(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(est.nonEmpty, "probe set empty")
+    // r19 bound-oracle shape: (user_id, exact_count, within_bound); the
+    // raw estimates are taken from the sketch itself below.
+    val rows = Relational.cmsFreq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "probe set empty")
     val exact = ev.filter(pmod(col("user_id"), lit(20)) === 0)
       .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
+    assert(rows.map(_._1).toSet == exact.keySet)
+    rows.foreach { case (u, c, wb) =>
+      assert(c == exact(u), s"user $u: exact column drifted")
+      assert(wb == 1L, s"user $u: estimate outside the oracled eps*N bound")
+    }
     val n = ev.count()
-    // hard guarantee: CMS never under-counts
-    exact.foreach { case (u, c) =>
-      assert(est(u) >= c, s"user $u: CMS $c under-counted to ${est(u)}") }
-    // probabilistic bound at 99% confidence — allow zero failures at this
-    // probe-set size (a single epsilon breach would be a red flag anyway)
     val eps = Relational.CmsEps
-    exact.foreach { case (u, c) =>
-      assert(est(u) <= c + (eps * n).ceil.toLong,
-        s"user $u: est ${est(u)} exceeds exact $c + eps*N") }
     // mergeability — the 100 TB contract: per-shard sketches combined
     // driver-side answer identically to the one-pass corpus sketch
     def sketchOf(df: org.apache.spark.sql.DataFrame) = {
@@ -447,6 +453,13 @@ class ClusterSpec extends SparkSpec {
         new java.io.ByteArrayInputStream(b))
     }
     val whole = sketchOf(ev)
+    // hard guarantee: CMS never under-counts; 99%-confidence eps*N cap
+    exact.foreach { case (u, c) =>
+      val est = whole.estimateCount(u)
+      assert(est >= c, s"user $u: CMS $c under-counted to $est")
+      assert(est <= c + (eps * n).ceil.toLong,
+        s"user $u: est $est exceeds exact $c + eps*N")
+    }
     val merged = sketchOf(ev.filter(pmod(col("event_id"), lit(2)) === 0))
       .mergeInPlace(sketchOf(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
     exact.keys.foreach { u =>
@@ -455,13 +468,27 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("approx percentiles: every value is an order statistic within the rank budget") {
-    val approx = Relational.percentilesApprox(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // r19 bound-oracle shape: the entry emits (group, p, n_rows,
+    // within_bound); the raw sketch values are recomputed here for the
+    // value-level order-statistic check.
+    val rows = Relational.percentilesApprox(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val ps = Seq(0.25, 0.5, 0.9)
+    val approx = graft.tables.Testdata.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(percentile_approx(col("o_totalprice"), typedLit(ps),
+        lit(Relational.PercentileAccuracy)).as("q"))
+      .select(col("o_orderpriority"), posexplode(col("q")).as(Seq("i", "value")))
+      .collect().map(r => (r.getString(0), ps(r.getInt(1)), r.getDouble(2)))
     val groups = graft.tables.Testdata.orders(spark, sf)
       .select("o_orderpriority", "o_totalprice").collect()
       .map(r => (r.getString(0), r.getDouble(1)))
       .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
-    assert(approx.map(_._1).distinct.sorted.toSeq == groups.keys.toSeq.sorted)
+    assert(rows.map(_._1).distinct.sorted.toSeq == groups.keys.toSeq.sorted)
+    rows.foreach { case (g, p, nRows, wb) =>
+      assert(nRows == groups(g).length, s"$g: n_rows drifted")
+      assert(wb == 1L, s"$g p=$p: sketch outside the oracled rank bound")
+    }
     approx.foreach { case (g, p, v) =>
       val vals = groups(g)
       val n = vals.length

@@ -313,6 +313,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fixed-dial IVF bench variant: production nprobe, contract intact, dial recorded") {
+    // VERDICT r18 item 2: sim_ann_ivf_d8 times the SCALE-PATH plan
+    // (nprobe pinned at NumProbes) while the adaptive entries widen on
+    // sub-floor corpora toward exact search; the artifact must record
+    // which dial the adaptive entries resolved to.
+    graft.tools.DialReport.clear()
+    val rows = IvfAnn.ivfTopKDial8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-neighbor leaked")
+    rows.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length)))
+    // the pinned dial never calls adaptiveProbes; the adaptive path does
+    // and must leave its resolved nprobe in the report side channel
+    assert(graft.tools.DialReport.get("ivf_nprobe").isEmpty,
+      "pinned-dial path must not stamp the adaptive dial")
+    IvfAnn.ivfTopK(spark, sf).collect()
+    // sub-floor corpus -> the adaptive dial widens to every list
+    assert(graft.tools.DialReport.get("ivf_nprobe").contains(IvfAnn.NumLists.toString))
+    assert(graft.tools.DialReport.json.contains("\"ivf_nprobe\":"))
+  }
+
   test("persisted IVF index: identical results, cold session reads lists from disk not the corpus") {
     val r1 = IvfAnn.ivfTopK(spark, sf).collect().map(_.toSeq).toSet
     val rp = IvfAnn.ivfTopKPersisted(spark, sf).collect().map(_.toSeq).toSet

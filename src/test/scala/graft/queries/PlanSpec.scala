@@ -68,7 +68,8 @@ class PlanSpec extends SparkSpec {
     // the same bounded broadcast query-set join, scored once per
     // Matryoshka ladder dim
     "sim_mrl_overlap",
-    "sim_ann_ivf_q", "sim_ann_ivf_p", "text_surprisal", "text_ngram_coverage",
+    "sim_ann_ivf_q", "sim_ann_ivf_p", "sim_ann_ivf_d8",
+    "text_surprisal", "text_ngram_coverage",
     "text_lm_score", "text_dsir_weight", "text_dsir_sample",
     // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)
     // inside its cached parts frame
