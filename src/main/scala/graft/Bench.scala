@@ -241,7 +241,19 @@ object Bench {
     prev.keysIterator.filterNot(current).filterNot(_.startsWith("_")).toSeq.sorted
   }
 
+  /** 1-minute system load (from /proc/loadavg), or -1 off Linux. Recorded
+    * at run start and end in the report (VERDICT r18 item 1: the round's
+    * clean sf0.1 totals crept 61.4→82.0 s and forensics had to infer
+    * "loaded final run" from run-shape alone — the artifact now carries
+    * the machine-load evidence directly, so load-vs-regression is a read,
+    * not a reconstruction). */
+  private[graft] def loadAvg1m(): Double =
+    try java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/loadavg")).get(0).split(" ")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // sf as a number (e.g. /root/testdata/sf0.1 -> 0.1)
@@ -334,7 +346,8 @@ object Bench {
       else Map.empty[String, Double]
     writeReport(if (only.isEmpty) ReportPath else "bench_report_filtered.json",
       results, baseline, sfNum, prevArtifact, prevRound, armVanished = only.isEmpty,
-      warmups = warmups, medians = medians, reps = reps.toMap)
+      warmups = warmups, medians = medians, reps = reps.toMap,
+      loadStart = loadStart, loadEnd = loadAvg1m())
     // Exactly ONE stdout line, printed LAST (nothing else prints to
     // stdout): the driver keeps the tail of stdout, so the final line is
     // the one guaranteed to survive its capture window.
@@ -471,7 +484,9 @@ object Bench {
                                  armVanished: Boolean = true,
                                  warmups: Map[String, Double] = Map.empty,
                                  medians: Map[String, Double] = Map.empty,
-                                 reps: Map[String, Seq[Double]] = Map.empty): Unit =
+                                 reps: Map[String, Seq[Double]] = Map.empty,
+                                 loadStart: Double = -1.0,
+                                 loadEnd: Double = -1.0): Unit =
     try {
       val timings = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -522,6 +537,7 @@ object Bench {
            |"median_timings":$medJson,
            |"reps":$repsJson,
            |"dials":${graft.tools.DialReport.json},
+           |"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(loadEnd)},
            |"prev_round_artifact":"$prevArtifact","vs_prev_round":${ratios(prevRound)},"prev_regressed":$prevRegressed,
            |"vanished_vs_prev_round":$vanished,
            |"line":${graft.tools.JsonText.quote(line)}}

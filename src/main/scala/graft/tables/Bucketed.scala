@@ -46,6 +46,7 @@ object Bucketed {
     * layout. */
   def ensureForDir(s: SparkSession, stem: String, dir: String, extra: String,
                    key: String, buckets: Int = NumBuckets)(df: => DataFrame): String = {
+    sweepOrphans(s)
     val fp = FrameCache.dirKey(dir)
     // the table name carries the DIR IDENTITY and the content fingerprint
     // as SEPARATE segments: eviction below matches on (stem, dir) and
@@ -72,6 +73,13 @@ object Bucketed {
           deleteRecursively(new java.io.File(s"/tmp/graft-bucketed/$stale"))
         }
       writeIfAbsent(s, name, key, buckets)(df)
+      // record the source dir for sweepOrphans (underscore-prefixed =>
+      // invisible to the parquet scan); also upgrades marker-less
+      // pre-r19 builds reused from a sibling session
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"/tmp/graft-bucketed/$name/$SourceMarker"),
+        dir.getBytes("UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => () }
       true
     }
     name
@@ -82,6 +90,53 @@ object Bucketed {
       .foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** Marker file each [[ensureForDir]] table carries, recording its SOURCE
+    * data dir — the GC hook [[sweepOrphans]] keys on. */
+  private val SourceMarker = "_graft_source_dir"
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Reclaim ORPHANED persisted tables — ones whose recorded source dir no
+    * longer exists (VERDICT r18 item 1: /tmp/graft-bucketed grew
+    * monotonically across rounds — scale-smoke tile corpora and spec temp
+    * dirs key tables by TEMP paths, so when those dirs die their tables
+    * are never sibling-evicted: measured 9.7 GB / 281 tables at the r19
+    * sweep's introduction, ~85 % orphaned). Runs once per JVM (the cost
+    * is one directory listing + a stat per table); tables with no marker
+    * (bare [[ensure]] names, pre-r19 builds) are left alone — pre-r19
+    * orphans age out as their (stem, dir) lines rebuild under markers.
+    * Dropping only the FILES is safe: table names embed the source
+    * fingerprint, so a resurrected same-path dir with same content names
+    * the same table and [[writeIfAbsent]] rebuilds it (this JVM's catalog
+    * cannot be pointing at a swept table — registering it would have
+    * required the source dir alive under this JVM's [[FrameCache]]
+    * fingerprint probe). */
+  private[graft] def sweepOrphans(s: SparkSession,
+                                  root: String = "/tmp/graft-bucketed"): Long =
+    if (!swept.compareAndSet(false, true)) 0L
+    else {
+      var reclaimed = 0L
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory)
+        .foreach { tdir =>
+          val marker = new java.io.File(tdir, SourceMarker)
+          if (marker.isFile) {
+            val src = try new String(java.nio.file.Files.readAllBytes(marker.toPath),
+              "UTF-8").trim
+            catch { case scala.util.control.NonFatal(_) => "" }
+            if (src.nonEmpty && !new java.io.File(src).exists()) {
+              try s.sql(s"DROP TABLE IF EXISTS ${tdir.getName}")
+              catch { case scala.util.control.NonFatal(_) => () }
+              deleteRecursively(tdir)
+              reclaimed += 1
+            }
+          }
+        }
+      reclaimed
+    }
+
+  /** Test hook: re-arm the once-per-JVM sweep. */
+  private[graft] def rearmSweep(): Unit = swept.set(false)
 
   /** Ensure `name` exists as a bucketed+sorted external table holding
     * `df`; returns the table name. The build runs once per (session,
