@@ -1,0 +1,16 @@
+#!/bin/bash
+# Isolated-run protocol (VERDICT r18 items 6/7): N fresh-JVM filtered
+# bench runs of a comma-listed query set, one JVM per run, sequential —
+# the per-plan cost with zero whole-run JVM accumulation. Appends one
+# line per run to the given output file ("<run#> <json-line>").
+#
+# usage: tools/isolated_runs.sh <queries> <n_runs> <out_file> [sf_dir]
+set -u
+Q="$1"; N="$2"; OUT="$3"; SF="${4:-/root/testdata/sf0.1}"
+cd "$(dirname "$0")/.."
+for i in $(seq 1 "$N"); do
+  line=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_FILTER="$Q" \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' | tail -1)
+  echo "$i $line" >> "$OUT"
+  echo "run $i: $line" >&2
+done

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""End-of-round bench-baseline refresh (the r18 REFRESH RULE, mechanized).
+
+Reads bench_runs.jsonl, keeps the CURRENT-baseline-key full runs at the
+given sf (the round's clean runs — r19 history lines are stamped with a
+content hash of bench_baseline.json, so foreign-round runs are excluded
+by construction), and writes bench_baseline.json with the per-query
+MEDIAN across them — medians, never a min-merge (a min envelope is
+unreachable by any single run and manufactures ratios >= 1 by
+construction; two rounds of pmi false alarms came from exactly that).
+
+usage: tools/refresh_baseline.py [sf] [runs_jsonl] [baseline_json]
+"""
+import hashlib
+import json
+import statistics
+import sys
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
+runs_path = sys.argv[2] if len(sys.argv) > 2 else "bench_runs.jsonl"
+base_path = sys.argv[3] if len(sys.argv) > 3 else "bench_baseline.json"
+
+with open(base_path, "rb") as f:
+    cur_key = hashlib.sha256(f.read()).hexdigest()[:12]
+
+runs = []
+with open(runs_path) as f:
+    for line in f:
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        if str(d.get("sf")) == sf and d.get("base", "") == cur_key:
+            runs.append(d["timings"])
+
+if not runs:
+    sys.exit(f"no same-key sf={sf} runs in {runs_path} (key {cur_key}) — nothing to refresh")
+
+queries = sorted({q for r in runs for q in r})
+medians = {}
+for q in queries:
+    xs = sorted(v for r in runs for v in [r.get(q)] if v is not None and v >= 0)
+    if xs:
+        medians[q] = xs[len(xs) // 2]
+
+out = {"sf": float(sf), "queries": {q: medians[q] for q in sorted(medians)}}
+with open(base_path, "w") as f:
+    json.dump(out, f, indent=0, sort_keys=True)
+    f.write("\n")
+print(f"refreshed {base_path}: {len(medians)} queries, median over {len(runs)} runs (key {cur_key})")
