@@ -171,6 +171,31 @@ class CleanOpsSpec extends SparkSpec {
       (4L, 1L, 0L, ""))) // fully-boilerplate doc survives as an empty residue
   }
 
+  test("dedupLines banned set is a persisted store table: same rows, one fewer corpus scan") {
+    // r19 optimization: the FP-strip anti-join's banned frame previously
+    // re-derived in-plan (full corpus scan + two count-distinct
+    // exchanges) on EVERY audit; it is now the line_h-bucketed
+    // graft_banned_lines store table, built once per corpus fingerprint.
+    // Equivalence gate: the registry entry must match the self-derived
+    // in-plan form row for row.
+    val d = "/root/testdata/sf0.001"
+    val viaTable = Dedup.dedupLines(spark, d).collect().toSeq
+    val selfDerived = Dedup.dedupLinesOf(
+      Dedup.multilineDocs(spark, d), Dedup.newlineLines, Dedup.LineMaxDf)
+      .collect().toSeq
+    assert(viaTable == selfDerived, "persisted banned table changed the result")
+    // Plan gate: the FP-strip leg reads the store table, and the corpus
+    // parquet is scanned exactly 3× (definite leg, might-banned leg,
+    // text rebuild) — the 4th in-plan banned re-aggregation scan is gone.
+    val plan = Dedup.dedupLines(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_banned_lines"),
+      s"banned set not read from the persisted table:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 3,
+      s"banned rebuild scan still in the audit plan ($corpusScans corpus scans):\n$plan")
+  }
+
   test("dedupLines df cap: a line shared by exactly maxDf docs survives") {
     val docs = Seq(
       (0L, "twice shared\nown line a"),
@@ -708,6 +733,38 @@ class CleanOpsSpec extends SparkSpec {
     // and nothing else pairs
     assert(out.map(t => (t._1, t._2)).toSet ==
       Set((1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
+
+  test("substring span/residue audits read the persisted posting table; rows identical to the in-plan form") {
+    // r19 optimization: the df-capped positioned postings are built once
+    // per corpus fingerprint (graft_span_postings, h-bucketed/h-sorted)
+    // instead of re-derived per audit (corpus scan + shingle explode +
+    // df-cap window, paid by BOTH span queries). Equivalence gate first.
+    val d = "/root/testdata/sf0.001"
+    val spansTbl = Dedup.substringSpans(spark, d).collect().toSeq
+    val spansSelf = Dedup.substringSpansOf(
+      graft.tables.Testdata.documents(spark, d)).collect().toSeq
+    assert(spansTbl == spansSelf, "persisted postings changed span rows")
+    val resTbl = Dedup.substringResidue(spark, d).collect().toSeq
+    val resSelf = Dedup.substringResidueOf(
+      graft.tables.Testdata.documents(spark, d)).collect().toSeq
+    assert(resTbl == resSelf, "persisted postings changed residue rows")
+    // Plan gates: the audit reads the posting table (twice: self-join);
+    // the corpus parquet appears only in residue's text-rebuild scan; and
+    // the df-cap window is no longer in the audit plan.
+    val spanScans = Dedup.substringSpans(spark, d).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(spanScans.forall(_.contains("graft-bucketed/graft_span_postings")),
+      s"span audit still scans the corpus:\n${spanScans.mkString("\n")}")
+    val resPlan = Dedup.substringResidue(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(resPlan.contains("graft_span_postings"),
+      s"residue audit does not read the posting table:\n$resPlan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(resPlan).length
+    assert(corpusScans <= 1,
+      s"residue re-derives postings from the corpus ($corpusScans corpus scans)")
   }
 
   test("substringResidue: keep-first policy, union of ranges, untouched docs pass through") {
