@@ -396,7 +396,8 @@ object Dedup {
     * shuffle from the measured run. */
   private[graft] def ensureContainIndex(s: SparkSession, d: String): String =
     graft.tables.Bucketed.ensureForDir(
-      s, "graft_contain_idx", d, "", "gram", buckets = 32)(
+      s, "graft_contain_idx", d, "", "gram",
+      buckets = graft.tables.Bucketed.bucketsForDir(d))(
       rankedIndexOf(FrameCache.cached(s,
         s"containment-grams:${graft.tables.FrameCache.dirKey(d)}")(
         containGramSetsOf(documents(s, d)))))
@@ -856,13 +857,14 @@ object Dedup {
     * skinny as the exchange it replaces. */
   private[graft] def ensureSpanPostings(s: SparkSession, d: String): String =
     graft.tables.Bucketed.ensureForDir(
-      // 32 buckets (the contain-index sizing, = the harness core count),
-      // NOT the default 8: the posting self-join and the window behind
-      // it inherit the scan's bucket parallelism, and an 8-way read
-      // leaves 3/4 of local[32] idle — measured 2.9 s vs 1.4 s on
-      // dedup_substring_residue before this was fixed.
+      // size-derived bucket count (r20): the r19 constant 32 was never
+      // actually built (the pre-r20 table identity omitted the bucket
+      // count, so the existing 8-bucket table was silently reused) and
+      // when forced, 32 measured SLOWER than 8 at the bench SF —
+      // see [[graft.tables.Bucketed.bucketsForDir]] for the isolated
+      // medians and the scale rationale.
       s, "graft_span_postings", d, s":$SpanGramWords:$SpanMaxDf", "h",
-      buckets = 32)(
+      buckets = graft.tables.Bucketed.bucketsForDir(d))(
       spanPostingsOf(documents(s, d)))
 
   /** The positioned, df-capped k-gram postings ([[ensureSpanPostings]]'s
@@ -876,10 +878,12 @@ object Dedup {
         .as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         md5(col("gram")).as("h"))
-    // df cap as a WINDOW count over h: one h-keyed exchange that the
-    // posting self-join below then REUSES on both sides (same key, same
-    // partitioning — no second scan of the corpus, no extra exchange),
-    // vs the agg+semijoin form's two gram-frame computations.
+    // df cap as a WINDOW count over h: ONE h-keyed exchange over the
+    // gram frame, vs the agg+semijoin form's two gram-frame
+    // computations. In the persisted path this window is build-time
+    // cost, paid once per corpus fingerprint ([[ensureSpanPostings]]);
+    // the posting self-join lives in [[spansOfPostings]] and reads the
+    // bucketed layout, not this exchange.
     grams
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= SpanMaxDf)
@@ -1556,14 +1560,16 @@ object Dedup {
     // over which the self-join below plans with NO exchange and NO sort
     // on either side. Measured at the 1000×-tile smoke: the corpus pass
     // dominated the 86× r14 curve; repeat audits now pay only the join.
-    // 32 buckets, not the 8-bucket default: the gram table is the ONLY
-    // read of these audits and a self-join over an N-bucket table runs
-    // exactly N tasks — 8 left 3/4 of the harness idle at the 1000×
-    // smoke tier (a cluster sizes this to corpus bytes / target
-    // partition bytes; both join sides are the same table, so any
-    // count keeps the exchange-free property)
+    // Size-derived bucket count (r20): a self-join over an N-bucket
+    // table runs exactly N tasks, so the count must GROW with the
+    // corpus (8 left 3/4 of the harness idle at the 1000× smoke tier)
+    // and SHRINK back at the 17 MB bench SF, where 32 near-empty bucket
+    // files measured slower than 8 — bucketsForDir is that rule; both
+    // join sides are the same table, so any count keeps the
+    // exchange-free property.
     val tbl = graft.tables.Bucketed.ensureForDir(
-      s, "graft_source_grams", d, "", "gram_h", buckets = 32)(
+      s, "graft_source_grams", d, "", "gram_h",
+      buckets = graft.tables.Bucketed.bucketsForDir(d))(
       sourceGramsOf(documents(s, d)))
     val sg = s.table(tbl)
     // the per-source totals frame is |sources| rows but costs a full

